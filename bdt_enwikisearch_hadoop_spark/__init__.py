@@ -1,0 +1,31 @@
+"""PySpark-native analytics/search engine.
+
+A clean-room, Spark-first engine with the query surface of the reference
+project ``sangecz/bdt-enwikisearch-hadoop`` (a Hadoop-MapReduce Wikipedia
+search / batch-indexing workload), extended with the relational, streaming
+and LLM-data-pipeline operators mandated by SURVEY.md §2.
+
+Design (SURVEY.md §7): this package is a library of DataFrame-building
+functions — Catalyst is the planner. Python touches row data only in the
+UDF-surface module. Every declared query is registered via
+:mod:`.registry` together with an ANSI-SQL oracle runnable by DuckDB over
+the same parquet fixtures.
+"""
+
+from . import registry  # noqa: F401
+from .session import get_spark, prepare  # noqa: F401
+
+# Importing these modules populates the query registry.
+from .operators import (  # noqa: F401
+    scans,
+    project_filter,
+    joins,
+    aggregates,
+    windows,
+    sorts,
+    setops,
+)
+from .functions import scalar, text_search, llm_pipeline, udf_surface  # noqa: F401
+from .streaming import events as streaming_events  # noqa: F401
+
+__all__ = ["registry", "get_spark", "prepare"]

@@ -1,0 +1,76 @@
+"""SparkSession construction and per-session normalization.
+
+Two concerns live here:
+
+1. ``get_spark`` — build a local session with scale-aware defaults
+   (AQE on, UTC, modest shuffle parallelism for local mode).
+2. ``prepare`` — normalize *any* session (including one handed to us by
+   an external driver) so the fixture tables are readable and
+   comparisons against the DuckDB oracle are deterministic.  All of the
+   confs set here are runtime-settable SQL confs, verified on Spark
+   4.1.2, so this is safe to call on an already-running session.
+
+The single hard requirement (SURVEY.md §2.0 rule 2): ``events.parquet``
+stores ``ts`` as Parquet ``TIMESTAMP(NANOS)`` which Spark 4.x refuses to
+read (``PARQUET_TYPE_ILLEGAL``) unless
+``spark.sql.legacy.parquet.nanosAsLong=true``; with it the column
+arrives as BIGINT epoch-nanoseconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: runtime-settable confs applied to every session we touch.
+_RUNTIME_CONFS = {
+    # mandatory: events.parquet is unreadable without it (SURVEY §2.0 r2)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # determinism: all time derivations must agree with DuckDB's naive
+    # timestamps, which behave like UTC instants under epoch()/time_bucket()
+    "spark.sql.session.timeZone": "UTC",
+    # scale: runtime re-planning (coalesce small shuffle partitions,
+    # skew-join splitting) — on by default in 4.x but pin it anyway
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session. Idempotent and cheap."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # never let a non-settable conf kill a query; the mandatory
+            # nanosAsLong conf is verified settable on 4.1.2
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "bdt-enwikisearch-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local-mode parallelism follows ``SPARK_GRAFT_CPUS`` (driver contract)
+    when set.  On a real cluster, ``master``/parallelism come from
+    spark-submit and these builder confs are harmless.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return prepare(builder.getOrCreate())

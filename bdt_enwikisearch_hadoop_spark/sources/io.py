@@ -1,0 +1,44 @@
+"""Parquet table loaders (SURVEY.md §2.A sources).
+
+All fixture tables are columnar Parquet; loading is a metadata-only
+operation (lazy scan).  Catalyst handles column pruning and predicate
+pushdown into the vectorized Parquet reader automatically, so loaders
+stay dumb on purpose — *never* ``.cache()`` or materialize here.
+
+The one schema repair lives here: ``events.ts`` arrives as BIGINT
+epoch-nanoseconds (see :mod:`..session`); ``load_events`` derives
+``ts2`` (microsecond TIMESTAMP) once so every downstream operator can
+use ordinary time functions.  Raw ``ts`` is kept for exact-ns ordering.
+
+At 100 TB these loaders are unchanged: ``sf_dir`` becomes an object-store
+prefix and the same ``spark.read.parquet`` scales out; partition pruning
+applies when sinks write ``partitionBy`` layouts (see operators.scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import prepare
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; events gets the ts2 repair."""
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # integer ns→µs division is exact and stays JVM-side
+        df = df.withColumn(
+            "ts2", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
