@@ -15,17 +15,12 @@ the same parquet fixtures.
 from . import registry  # noqa: F401
 from .session import get_spark, prepare  # noqa: F401
 
-# Importing these modules populates the query registry.
+# Importing these modules populates the query registry.  Only modules
+# that actually exist may appear here (a phantom import here breaks the
+# entire package — round-1 postmortem).
 from .operators import (  # noqa: F401
     scans,
     project_filter,
-    joins,
-    aggregates,
-    windows,
-    sorts,
-    setops,
 )
-from .functions import scalar, text_search, llm_pipeline, udf_surface  # noqa: F401
-from .streaming import events as streaming_events  # noqa: F401
 
 __all__ = ["registry", "get_spark", "prepare"]

