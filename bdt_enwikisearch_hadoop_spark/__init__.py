@@ -21,6 +21,8 @@ from .session import get_spark, prepare  # noqa: F401
 from .operators import (  # noqa: F401
     scans,
     project_filter,
+    joins,
+    aggregates,
 )
 
 __all__ = ["registry", "get_spark", "prepare"]

@@ -1,0 +1,273 @@
+"""§2.D — aggregations (SURVEY.md §2.D, reference parity: the MR
+combiner/reducer phase of the reconstructed Hadoop job chain).
+
+Scale notes (100 TB): every query here is a single hash-aggregate
+shuffle on its grouping key.  Spark plans these as partial (map-side)
+aggregation → exchange → final aggregation automatically — the exact
+combiner pattern the reference hand-wired — so data crossing the wire
+is one row per (partition, group), not per input row.  Grouping keys
+are low-cardinality (flags, statuses, buckets), so AQE coalesces the
+post-shuffle partitions; no skew mitigation needed.  d10 demonstrates
+the partial/final decomposition explicitly.
+
+Determinism (SURVEY §2.0 rule 1): money sums go through exact
+DECIMAL(18,2) arithmetic in BOTH engines and surface as DOUBLE
+(decimal→double conversion is correctly-rounded IEEE, identical on
+both sides); small-magnitude float aggregates are ROUND(x, 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+def _money_sum(col, alias: str):
+    """Exact money sum: per-row cast to DECIMAL(18,2), exact decimal sum,
+    surfaced as DOUBLE (see module docstring)."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+@query(
+    "d1_groupby_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(9,6)))) AS DOUBLE) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d1_groupby_basic(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial→final hash aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+        # cast each FACTOR to decimal, not the double product: the
+        # double->decimal cast of a product rounds differently across
+        # engines at half-cent ties; decimal x decimal is exact in both
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(9,6)") - F.col("l_discount").cast("decimal(9,6)"))
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "d2_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def d2_count_distinct(spark, sf_dir) -> DataFrame:
+    """Exact distinct: Spark expands to a two-phase agg (distinct then count).
+
+    At 100 TB the expand doubles shuffle volume — d3 is the sketch-based
+    alternative when exactness is negotiable.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("d3_approx_count_distinct")  # no oracle: HLL sketch values are engine-specific
+def d3_approx_count_distinct(spark, sf_dir) -> DataFrame:
+    """HLL±5%: single-pass, fixed-size sketch per group — the 100 TB
+    default for distinct-counting (constant memory, one shuffle of
+    sketches, no expand)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_cust")
+    )
+
+
+@query(
+    "d4_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def d4_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Multi-grain aggregation in one pass (Expand operator: each input
+    row is replicated once per grouping set before a single shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("d4_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               COUNT(*) AS n
+        FROM d4_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "d5_rollup",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def d5_rollup(spark, sf_dir) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "d6_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d6_cube(spark, sf_dir) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "d7_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def d7_having(spark, sf_dir) -> DataFrame:
+    """Post-aggregation filter (HAVING) — Catalyst keeps it above the agg."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            _money_sum(F.col("o_totalprice"), "total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "d8_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(VAR_SAMP(l_discount), 4) AS var_disc,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d8_agg_stats(spark, sf_dir) -> DataFrame:
+    """Statistical aggregates — single-pass (Welford-style) in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "d9_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id % 10
+    """,
+)
+def d9_pivot(spark, sf_dir) -> DataFrame:
+    """Pivot with an EXPLICIT value list — never let Spark launch the
+    extra distinct-values job (a full scan) at 100 TB."""
+    e = load(spark, sf_dir, "events")
+    piv = (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for empty combinations; the portable oracle yields 0
+    return piv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "d10_partial_final",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(partial_qty), 4) AS total_qty,
+           COUNT(*) AS n_orders
+    FROM (
+        SELECT l_returnflag, l_linestatus, l_orderkey,
+               SUM(l_quantity) AS partial_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus, l_orderkey
+    ) partial
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d10_partial_final(spark, sf_dir) -> DataFrame:
+    """Explicit two-phase aggregation (the reference's combiner made
+    first-class): re-aggregating partial sums equals the direct total.
+    At scale the first level also breaks up skewed groups."""
+    li = load(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus", "l_orderkey").agg(
+        F.sum("l_quantity").alias("partial_qty")
+    )
+    return partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("partial_qty"), 4).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1,0 +1,276 @@
+"""§2.C — joins (SURVEY.md §2.C; reference parity: reduce-side join
+and distributed-cache map-side join of the reconstructed MR chain).
+
+Scale notes (100 TB):
+
+* Dimension tables (region 5, nation 25, supplier ~1M rows even at
+  full scale) are **broadcast** — no shuffle of the fact side at all.
+  ``c7`` pins the hint explicitly; elsewhere Catalyst's JoinSelection
+  picks broadcast automatically under ``autoBroadcastJoinThreshold``.
+* Fact⋈fact equi-joins (orders⋈customer, events self-join) shuffle
+  both sides on the key — AQE handles skewed keys
+  (``skewJoin.enabled``) by splitting oversized partitions.
+* The range/theta join (c8) keeps an equi component (``user_id``) so
+  Spark plans a sort-merge join on the key with the range residual as
+  a post-join filter — NOT a broadcast-nested-loop over everything.
+* The as-of join (c11) is expressed as equi-join + per-row max, which
+  shuffles once on the key; same formulation in the oracle (SURVEY §7
+  "what's hard" #3 — no DuckDB ASOF JOIN syntax, keeping semantics
+  provably identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "c1_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c1_join_inner(spark, sf_dir) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "c2_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      ON c_custkey = o_custkey
+    """,
+)
+def c2_join_left(spark, sf_dir) -> DataFrame:
+    """Left outer with genuinely unmatched rows (right side pre-filtered)."""
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c3_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) big
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c3_join_right(spark, sf_dir) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return big.join(c, big.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c4_join_full",
+    oracle="""
+    SELECT rich.c_custkey, rich.c_acctbal, big.o_orderkey, big.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) rich
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      ON rich.c_custkey = big.o_custkey
+    """,
+)
+def c4_join_full(spark, sf_dir) -> DataFrame:
+    """Full outer between two filtered sides → unmatched rows on both."""
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "c5_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def c5_join_semi(spark, sf_dir) -> DataFrame:
+    """Left semi: probe side streams, build side deduplicates — at scale
+    far cheaper than join+distinct."""
+    c = load(spark, sf_dir, "customer")
+    fo = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(fo, c.c_custkey == fo.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c6_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def c6_join_anti(spark, sf_dir) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    fo = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(fo, c.c_custkey == fo.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "c7_join_broadcast",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name, r_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def c7_join_broadcast(spark, sf_dir) -> DataFrame:
+    """Explicit broadcast of both dims: zero shuffle of the fact side —
+    the Spark-native form of the reference's distributed-cache map-side
+    join.  Same rows as a plain join; the feature is the physical plan
+    (BroadcastHashJoin, verify via .explain)."""
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "c8_join_range_theta",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.ts < b.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def c8_join_range_theta(spark, sf_dir) -> DataFrame:
+    """Non-equi range join with an equi anchor: pairs of events of the
+    same user within 5 minutes.  The user_id equi component makes this a
+    shuffled hash/sort-merge join with the time range as a residual
+    filter — never a cross product.  Arithmetic is exact BIGINT
+    nanoseconds on the Spark side (ts is epoch-ns, see sources.io)."""
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    five_min_ns = 5 * 60 * 1_000_000_000
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.ts") < F.col("b.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.lit(five_min_ns)),
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "c9_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def c9_join_cross(spark, sf_dir) -> DataFrame:
+    """Cartesian product — only ever sane when one side is tiny (5×25
+    here); at scale the small side must be broadcast (it is: BNLJ with
+    broadcast build)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "c10_join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name, n_name
+    """,
+)
+def c10_join_multiway(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5-shaped 4-way star join + aggregation.  The two dims
+    broadcast; customer⋈orders is the only shuffle, and the final agg
+    reuses its partitioning where possible (AQE)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "c11_join_asof",
+    oracle="""
+    SELECT e.event_id,
+           CAST(MAX(o.o_orderdate) AS DATE) AS asof_date,
+           COUNT(o.o_orderkey) AS n_prior
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def c11_join_asof(spark, sf_dir) -> DataFrame:
+    """As-of join: for each event, the latest order of the same user at
+    or before the event time (plus how many priors exist).  Expressed as
+    equi-join + per-row MAX — the SAME formulation as the oracle
+    (SURVEY §7 risk #3), no engine-specific ASOF syntax.
+
+    At 100 TB: one shuffle on the user key; a window/last_value
+    formulation over a union would also work but shuffles the union of
+    both tables — this joins then aggregates, which AQE can overlap.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    # ts2 is a UTC instant; o_orderdate is naive (NTZ).  Session TZ is
+    # pinned UTC so the NTZ cast makes them directly comparable, matching
+    # DuckDB's naive-to-naive comparison.
+    ev = e.select("event_id", "user_id", F.col("ts2").cast("timestamp_ntz").alias("ets"))
+    joined = ev.join(
+        o,
+        (o.o_custkey == ev.user_id) & (o.o_orderdate <= ev.ets),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.max("o_orderdate").cast("date").alias("asof_date"),
+        F.count("o_orderkey").alias("n_prior"),
+    )
