@@ -23,6 +23,13 @@ from .operators import (  # noqa: F401
     project_filter,
     joins,
     aggregates,
+    windows,
+    sorts,
+    setops,
+)
+from .functions import (  # noqa: F401
+    scalar,
+    text_search,
 )
 
 __all__ = ["registry", "get_spark", "prepare"]

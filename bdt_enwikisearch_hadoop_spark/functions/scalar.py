@@ -1,0 +1,238 @@
+"""§2.H — scalar function battery: string / datetime / math / array /
+json / map / higher-order (SURVEY.md §2.H; h1/h4 are the reference's
+tokenizer-normalization core).
+
+Scale notes (100 TB): everything here is a narrow per-row projection —
+no shuffle, fully inside WholeStageCodegen, vectorized over the Parquet
+scan.  These are the cheapest operators in the engine; the design rule
+they encode is "stay JVM-side": none of these need a Python UDF.
+
+Cross-engine convention notes (§2.0): Spark ``dayofweek`` is Sun=1 but
+DuckDB's is Sun=0 — both sides use the ISO form instead (Mon=1..Sun=7,
+Spark ``weekday()+1`` == DuckDB ``isodow``).  ``substring`` is 1-based
+in both.  Spark ``regexp_replace`` is global by default; DuckDB needs
+the explicit ``'g'`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "h1_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up,
+           LOWER(p_type) AS lo,
+           TRIM(CONCAT('  ', p_name, '  ')) AS trimmed,
+           SUBSTRING(p_name, 1, 5) AS sub5,
+           CONCAT(p_brand, ':', p_name) AS cat,
+           LENGTH(p_name) AS len,
+           REPLACE(p_name, 'a', '_') AS repl,
+           LPAD(p_brand, 12, '*') AS padded,
+           REGEXP_EXTRACT(p_name, '^(\\w+)', 1) AS first_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           (p_type LIKE '%BRASS%') AS is_brass
+    FROM part
+    """,
+)
+def h1_string(spark, sf_dir) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("cat"),
+        F.length("p_name").alias("len"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("_")).alias("repl"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+@query(
+    "h2_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           EXTRACT(YEAR FROM o_orderdate) AS yr,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           EXTRACT(DAY FROM o_orderdate) AS dom,
+           DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           ISODOW(o_orderdate) AS iso_dow
+    FROM orders
+    """,
+)
+def h2_datetime(spark, sf_dir) -> DataFrame:
+    """Datetime battery with the conventions normalized (module docstring)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.add_months(d.cast("date"), 1).alias("next_month"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+    )
+
+
+@query(
+    "h3_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS rounded,
+           ABS(l_discount - 0.05) AS absdiff,
+           CEIL(l_quantity) AS ceiled,
+           FLOOR(l_quantity) AS floored,
+           ROUND(LN(l_extendedprice), 4) AS ln_price,
+           ROUND(LOG10(l_extendedprice), 4) AS log10_price,
+           ROUND(POW(1 + l_discount, 2), 6) AS pow2,
+           l_orderkey % 7 AS mod7,
+           SIGN(l_discount - 0.05) AS sgn,
+           ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
+           GREATEST(l_quantity, 10.0) AS gq,
+           LEAST(l_tax, 0.05) AS lt
+    FROM lineitem
+    """,
+)
+def h3_math(spark, sf_dir) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("absdiff"),
+        F.ceil("l_quantity").alias("ceiled"),
+        F.floor("l_quantity").alias("floored"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 4).alias("log10_price"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("pow2"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("gq"),
+        F.least(F.col("l_tax"), F.lit(0.05)).alias("lt"),
+    )
+
+
+@query(
+    "h4_array",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           list_contains(toks, 'spark') AS has_spark,
+           array_to_string(toks[1:5], ' ') AS head5,
+           list_sort(list_distinct(toks)) AS vocab,
+           len(list_distinct(toks)) AS n_distinct
+    FROM t
+    """,
+)
+def h4_array(spark, sf_dir) -> DataFrame:
+    """Array battery over the tokenized corpus — tokenization itself is
+    one JVM-side split(), the array functions all stay in codegen.
+    list_distinct order is engine-specific → always sort (§2.0 rule 3)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.array_join(F.slice("toks", 1, 5), " ").alias("head5"),
+        F.sort_array(F.array_distinct("toks")).alias("vocab"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+
+
+@query(
+    "h5_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(CASE WHEN CAST(props->>'$.k' AS INTEGER) > 50 THEN 1 END) AS n_high,
+           ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h5_json(spark, sf_dir) -> DataFrame:
+    """JSON extraction (props is a JSON string column) then aggregate.
+    get_json_object is JVM-side; at scale prefer from_json with an
+    explicit schema once per pipeline rather than repeated path probes."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "h6_map",
+    oracle="""
+    SELECT n_nationkey AS id, 'nat' AS key, n_nationkey AS value FROM nation
+    UNION ALL
+    SELECT n_nationkey AS id, 'reg' AS key, n_regionkey AS value FROM nation
+    """,
+)
+def h6_map(spark, sf_dir) -> DataFrame:
+    """Map construction + explode to rows.  The oracle is the portable
+    relational equivalent (a map literal exploded == a 2-way UNION)."""
+    n = load(spark, sf_dir, "nation")
+    m = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.create_map(
+            F.lit("nat"), F.col("n_nationkey"),
+            F.lit("reg"), F.col("n_regionkey"),
+        ).alias("m"),
+    )
+    return m.select("id", F.explode("m").alias("key", "value"))
+
+
+@query(
+    "h7_higher_order",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(toks[1:8], x -> upper(x)), ' ') AS up8,
+           len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_chars
+    FROM t
+    """,
+)
+def h7_higher_order(spark, sf_dir) -> DataFrame:
+    """Lambda higher-order functions over token arrays — per-row, no
+    shuffle, no Python."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice("toks", 1, 8), lambda x: F.upper(x)), " "
+        ).alias("up8"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )

@@ -1,0 +1,268 @@
+"""§2.I — text/search core: tokenize → TF → DF → TF-IDF → inverted
+index → ranked query (SURVEY.md §2.I).  This IS the reference's domain:
+the reconstructed enwikisearch MR job chain re-expressed as one lazy
+DataFrame pipeline — what took the reference N chained Hadoop jobs with
+HDFS round-trips between them is here a single Catalyst plan.
+
+Scale notes (100 TB):
+
+* ``i1`` explodes documents into ~50× more token rows, but it is a
+  pipelined flatMap — no shuffle, no materialization.
+* TF (``i2``) shuffles on (doc_id, term) with map-side partial
+  aggregation (the reference's combiner, for free).
+* DF (``i3``) aggregates on term — stopword terms are heavy hitters;
+  partial aggregation collapses them per-partition first, and AQE's
+  skew handling splits any oversized reducer partition.  For a real 100 TB
+  corpus you'd additionally drop the top-p stopwords before the DF
+  shuffle (they carry no ranking signal: idf→0).
+* The query side (``i6``/``i7``) filters the TF table to the handful of
+  query terms FIRST (predicate on term, pushed to the scan of a
+  persisted TF/index table), so the scoring join touches a tiny slice;
+  top-k is TakeOrderedAndProject (per-task heaps, no global sort).
+* The inverted index (``i5``) is the materialized artifact: written
+  partitioned/bucketed by term it serves point lookups with partition
+  pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+#: fixed conjunctive/disjunctive query of SURVEY §2.I (both terms are
+#: frequent in the fixture vocabulary, so ranking is well-exercised).
+QUERY_TERMS = ("spark", "join")
+
+# ---------------------------------------------------------------------------
+# shared DataFrame builders (the pipeline stages, reused by §2.J too)
+# ---------------------------------------------------------------------------
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term): normalize + split + posexplode."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "term"),
+    )
+
+
+def term_freq(tok: DataFrame) -> DataFrame:
+    """(doc_id, term, tf)"""
+    return tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_freq(tok: DataFrame) -> DataFrame:
+    """(term, dfc) — number of distinct docs containing the term."""
+    return tok.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
+
+
+def tfidf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, wt) with wt = tf * ln(N / df) — unrounded."""
+    tok = tokenize(docs)
+    tf = term_freq(tok)
+    df = doc_freq(tok)
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n))  # single-row scalar: broadcast, never collect
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("nd").cast("double") / F.col("dfc"))).alias("wt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE: positional tokenization in DuckDB 1.0 (no
+# UNNEST WITH ORDINALITY there — list_zip against range() instead)
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = """
+    tok AS (
+        SELECT doc_id, CAST(z[2] AS INT) AS pos, CAST(z[1] AS VARCHAR) AS term
+        FROM (SELECT doc_id, unnest(list_zip(toks, range(len(toks)))) AS z
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents))
+    )
+"""
+
+_TFIDF_CTES = (
+    _TOK_CTE
+    + """,
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * LN(nd * 1.0 / dfc) AS wt
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+"""
+)
+
+
+@query(
+    "i1_tokenize",
+    oracle=f"WITH {_TOK_CTE} SELECT doc_id, pos, term FROM tok",
+)
+def i1_tokenize(spark, sf_dir) -> DataFrame:
+    return tokenize(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "i2_term_freq",
+    oracle=f"WITH {_TOK_CTE} "
+    "SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term",
+)
+def i2_term_freq(spark, sf_dir) -> DataFrame:
+    return term_freq(tokenize(load(spark, sf_dir, "documents")))
+
+
+@query(
+    "i3_doc_freq",
+    oracle=f"WITH {_TOK_CTE} "
+    "SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY term",
+)
+def i3_doc_freq(spark, sf_dir) -> DataFrame:
+    return doc_freq(tokenize(load(spark, sf_dir, "documents")))
+
+
+@query(
+    "i4_tfidf",
+    oracle=f"WITH {_TFIDF_CTES} "
+    "SELECT doc_id, term, ROUND(wt, 4) AS weight FROM w",
+)
+def i4_tfidf(spark, sf_dir) -> DataFrame:
+    """Declared formula: weight = tf * ln(N / df), rounded 4dp."""
+    return tfidf(load(spark, sf_dir, "documents")).select(
+        "doc_id", "term", F.round("wt", 4).alias("weight")
+    )
+
+
+@query(
+    "i5_inverted_index",
+    oracle=f"WITH {_TOK_CTE} "
+    """
+    SELECT term, COUNT(*) AS df_count, list_sort(list(doc_id)) AS postings
+    FROM (SELECT DISTINCT doc_id, term FROM tok)
+    GROUP BY term
+    """,
+)
+def i5_inverted_index(spark, sf_dir) -> DataFrame:
+    """term → sorted postings list.  This is the artifact the reference
+    persisted to HDFS; here it would be written bucketed by term
+    (collect_list order is nondeterministic → array_sort, §2.0 rule 3)."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    pairs = tok.select("doc_id", "term").distinct()
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+def _search(spark, sf_dir, conjunctive: bool) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs).filter(F.col("term").isin(*QUERY_TERMS))
+    scored = w.groupBy("doc_id").agg(
+        F.round(F.sum("wt"), 4).alias("score"),
+        F.countDistinct("term").alias("nterms"),
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("nterms") == len(QUERY_TERMS))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@query(
+    "i6_search_and",
+    oracle=f"WITH {_TFIDF_CTES} "
+    f"""
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i6_search_and(spark, sf_dir) -> DataFrame:
+    """THE flagship: conjunctive ranked retrieval — docs containing ALL
+    query terms, scored by summed TF-IDF, top-10 with doc_id tiebreak."""
+    return _search(spark, sf_dir, conjunctive=True)
+
+
+@query(
+    "i7_search_or",
+    oracle=f"WITH {_TFIDF_CTES} "
+    f"""
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i7_search_or(spark, sf_dir) -> DataFrame:
+    """Disjunctive ranked retrieval — ANY query term."""
+    return _search(spark, sf_dir, conjunctive=False)
+
+
+#: fixed phrase for i8 — a frequent fixture bigram.
+PHRASE = ("table", "hash")
+
+
+@query(
+    "i8_phrase_bigram",
+    oracle=f"WITH {_TOK_CTE} "
+    f"""
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def i8_phrase_bigram(spark, sf_dir) -> DataFrame:
+    """Positional phrase query: adjacency via self-join on (doc, pos+1).
+    At scale both sides are pre-filtered to the two phrase terms before
+    the join, so the shuffle carries only candidate positions."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    a = tok.filter(F.col("term") == PHRASE[0]).alias("a")
+    b = tok.filter(F.col("term") == PHRASE[1]).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+@query(
+    "i9_corpus_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(lower(text), ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def i9_corpus_stats(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.lower(F.col("text")), " "))), 4).alias(
+            "avg_tokens"
+        ),
+    )

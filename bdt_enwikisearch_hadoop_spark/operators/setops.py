@@ -1,0 +1,89 @@
+"""§2.G — set operations (SURVEY.md §2.G).
+
+Scale notes (100 TB): UNION ALL is free (plan concatenation, no
+shuffle).  UNION DISTINCT / INTERSECT / EXCEPT each cost one hash
+shuffle on the full row — at scale prefer pre-aggregated or
+semi/anti-join formulations when only keys matter (see operators.joins
+c5/c6 for the join forms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+def _low(df):  # acctbal 0..6000
+    return df.filter(F.col("c_acctbal").between(0, 6000)).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def _high(df):  # acctbal 4000..10000 — overlaps _low on [4000, 6000]
+    return df.filter(F.col("c_acctbal").between(4000, 10000)).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "g1_union_all",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal BETWEEN 0 AND 6000
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal BETWEEN 4000 AND 10000
+    """,
+)
+def g1_union_all(spark, sf_dir) -> DataFrame:
+    """Bag union — overlapping selections appear twice."""
+    c = load(spark, sf_dir, "customer")
+    return _low(c).unionByName(_high(c))
+
+
+@query(
+    "g2_union_distinct",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal BETWEEN 0 AND 6000
+    UNION
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal BETWEEN 4000 AND 10000
+    """,
+)
+def g2_union_distinct(spark, sf_dir) -> DataFrame:
+    """Set union — the overlap is deduplicated (one shuffle)."""
+    c = load(spark, sf_dir, "customer")
+    return _low(c).unionByName(_high(c)).distinct()
+
+
+@query(
+    "g3_intersect",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal < 2000
+    """,
+)
+def g3_intersect(spark, sf_dir) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey", "c_mktsegment")
+    b = c.filter(F.col("c_acctbal") < 2000).select("c_nationkey", "c_mktsegment")
+    return a.intersect(b)
+
+
+@query(
+    "g4_except",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem
+    EXCEPT ALL
+    SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def g4_except(spark, sf_dir) -> DataFrame:
+    """Multiset difference (EXCEPT ALL) — keeps multiplicities."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("suppkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_suppkey").alias("suppkey"))
+    )
+    return li.exceptAll(s)

@@ -1,0 +1,214 @@
+"""§2.E — window functions (SURVEY.md §2.E; e7 is the reference's
+top-k-per-group query pattern).
+
+Scale notes (100 TB): a window spec = one shuffle on partitionBy keys +
+an in-partition sort.  Partition keys here (custkey, user_id, brand)
+are high-cardinality, so partitions stay small and spill never
+triggers; a window WITHOUT partitionBy would serialize the whole
+dataset through one task and is deliberately absent (global top-k uses
+orderBy+limit → TakeOrderedAndProject, see sorts.py).  Every orderBy
+carries a unique tiebreaker (§2.0 rule 4) so rank/lag results are
+deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "e1_ranking",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def e1_ranking(spark, sf_dir) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "e2_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e2_distribution(spark, sf_dir) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@query(
+    "e3_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value, 1) OVER w AS prev_val,
+           LEAD(value, 1) OVER w AS next_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e3_lag_lead(spark, sf_dir) -> DataFrame:
+    """lag/lead over exact ns event order (ts is BIGINT ns on the Spark
+    side, TIMESTAMP_NS in the oracle — identical total order)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_val"),
+        F.lead("value", 1).over(w).alias("next_val"),
+    )
+
+
+@query(
+    "e4_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+           FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w * 10000) / 10000 AS running_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e4_running(spark, sf_dir) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        # exact decimal accumulation: windowed double SUM/AVG adds in an
+        # engine-specific order (segment tree vs incremental) and ties at
+        # the 4th decimal; decimal sums are order-independent
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        # FLOOR-truncation instead of ROUND: sum/count lands on exact
+        # .xxxx5 ties (decimal / power-of-two counts) where Spark's
+        # BigDecimal ROUND and DuckDB's multiply-then-round disagree;
+        # floor of the same IEEE product is identical everywhere
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(w)
+                .cast("double")
+                / F.count(F.lit(1)).over(w)
+                * 10000
+            )
+            / 10000
+        ).alias("running_avg"),
+    )
+
+
+@query(
+    "e5_range_frame",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+    FROM (SELECT event_id, user_id, value,
+                 epoch_ns(ts) // 1000000000 AS es
+          FROM events)
+    """,
+)
+def e5_range_frame(spark, sf_dir) -> DataFrame:
+    """Sliding 1-hour sum via a RANGE frame over epoch seconds — the
+    batch analogue of a sliding stream window, computed per row."""
+    e = load(spark, sf_dir, "events")
+    # ts >= 0 in fixtures; integer DIV is exact (floor for positives)
+    es = e.withColumn("es", F.expr("ts DIV 1000000000"))
+    w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    return es.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+    )
+
+
+@query(
+    "e6_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_partkey) OVER w AS first_part,
+           LAST_VALUE(l_partkey) OVER w AS last_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e6_first_last(spark, sf_dir) -> DataFrame:
+    """last_value needs the explicit full-partition frame — the default
+    frame ends at CURRENT ROW in both engines and would silently equal
+    the current value."""
+    li = load(spark, sf_dir, "lineitem")
+    # l_linenumber is NOT unique per order in the fixtures — l_partkey
+    # tiebreak makes first/last deterministic (§2.0 rule 4)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_partkey").over(w).alias("first_part"),
+        F.last("l_partkey").over(w).alias("last_part"),
+    )
+
+
+@query(
+    "e7_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) <= 3
+    """,
+)
+def e7_topk_per_group(spark, sf_dir) -> DataFrame:
+    """Top-3 parts per brand — the reference's ranked-retrieval pattern.
+    At scale: shuffle on brand only; each partition keeps a 3-row heap
+    (rank filter pushes into the window sort via AQE)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
