@@ -30,6 +30,9 @@ from .operators import (  # noqa: F401
 from .functions import (  # noqa: F401
     scalar,
     text_search,
+    llm_pipeline,
+    udf_surface,
 )
+from .streaming import events  # noqa: F401
 
 __all__ = ["registry", "get_spark", "prepare"]

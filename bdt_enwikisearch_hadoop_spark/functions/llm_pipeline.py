@@ -1,0 +1,399 @@
+"""§2.J — LLM-training-data pipeline operators: dedup, similarity
+search, vector analytics, text quality (SURVEY.md §2.J; mandated by
+BASELINE.json:6).  The MinHash-LSH scale path for near-dedup lives in
+:mod:`.llm_scale` (j8+).
+
+Scale notes (100 TB):
+
+* ``j1`` exact dedup is a single hash-shuffle on the content digest —
+  embarrassingly parallel, the map-side partial agg collapses
+  duplicates early.
+* ``j2`` pairwise Jaccard is the CORRECTNESS formulation (exact, fine
+  to ~10^4 docs because candidate pairs come from an equi-join on
+  shared shingles, never a cross product).  At 100 TB you must not
+  enumerate shared-shingle pairs of near-identical docs (quadratic in
+  cluster size) — swap in the banded MinHash-LSH of
+  :mod:`.llm_scale` (j8), which only joins on band signatures.
+* ``j3`` probe-vs-corpus cosine is a broadcast of ONE row against a
+  scan — linear, no collect, no shuffle except the final top-k heap.
+* ``j4`` kNN keeps the probe set small (50) and broadcasts it; the
+  per-pair score is computed with zip_with/aggregate INSIDE codegen
+  (no explode → no 64× row blowup, no shuffle); the top-1 is a
+  window over the pair stream.  For all-pairs kNN at scale use the
+  IVF/LSH bucketing of :mod:`.llm_scale`.
+* ``j5`` centroids: posexplode to (label, dim) then partial-agg —
+  shuffle carries 64 rows per (label, partition), nothing more.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..registry import query
+from ..sources import load
+
+# ---------------------------------------------------------------------------
+# shared vector helpers (reused by llm_scale)
+# ---------------------------------------------------------------------------
+
+
+def vec_double(col):
+    """array<float> → array<double> (do float widening ONCE, JVM-side)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential fold inside codegen,
+    no explode, no shuffle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+#: DuckDB-side explicit cosine between two list columns (1-based range
+#: join over the fixed dim=64), as a SQL fragment factory.
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"SUM(CAST(list_extract({a}, CAST(t.i AS INT)) AS DOUBLE)"
+        f"  * CAST(list_extract({b}, CAST(t.i AS INT)) AS DOUBLE))"
+        f" / (SQRT(SUM(CAST(list_extract({a}, CAST(t.i AS INT)) AS DOUBLE)"
+        f"          * CAST(list_extract({a}, CAST(t.i AS INT)) AS DOUBLE)))"
+        f"  * SQRT(SUM(CAST(list_extract({b}, CAST(t.i AS INT)) AS DOUBLE)"
+        f"          * CAST(list_extract({b}, CAST(t.i AS INT)) AS DOUBLE))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# j1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keeper,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def j1_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup by content digest, keep the lowest doc_id per group
+    (md5 — identical hex in both engines, §2.0 rule 7)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j2 — near-dedup, exact pairwise Jaccard on 3-token shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT k-token shingles per document."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= k)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 2),
+                    F.zip_with(
+                        F.slice("toks", 2, F.size("toks") - 2),
+                        F.slice("toks", 3, F.size("toks") - 2),
+                        lambda b, c: F.concat_ws(" ", b, c),
+                    ),
+                    lambda a, bc: F.concat_ws(" ", a, bc),
+                )
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+_SHINGLE_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(z[1] AS VARCHAR) || ' ' || CAST(z[2] AS VARCHAR)
+                 || ' ' || CAST(z[3] AS VARCHAR) AS shingle
+        FROM (SELECT doc_id,
+                     unnest(list_zip(toks[1:len(toks)-2],
+                                     toks[2:len(toks)-1],
+                                     toks[3:len(toks)])) AS z
+              FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "j2_dedup_near_jaccard",
+    oracle=f"WITH {_SHINGLE_CTE}, "
+    """
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(i * 1.0 / (sa.n + sb.n - i) * 10000) / 10000 AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def j2_dedup_near_jaccard(spark, sf_dir) -> DataFrame:
+    """Near-duplicate pairs with shingle-set Jaccard ≥ 0.8.
+
+    Candidate pairs come from the shared-shingle equi-join (docs with no
+    common shingle never meet).  Exact formulation — see module
+    docstring for why 100 TB uses j8's MinHash-LSH instead.
+    """
+    sh = shingles(load(spark, sf_dir, "documents"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000) / 10000).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j3/j4 — similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_sim_topk",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+    scores AS (
+        SELECT e.vec_id, {_duck_cos('e.embedding', 'p.pe')} AS cos
+        FROM embeddings e, probe p, range(1, 65) t(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cos, 4) AS score
+    FROM scores
+    ORDER BY ROUND(cos, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def j3_sim_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-10 vs the fixed probe vector (vec_id=0).
+    The probe is a broadcast single row; scoring is a linear scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            vec_double(F.col("embedding")).alias("pe")
+        )
+    )
+    e = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", vec_double(F.col("embedding")).alias("ve")
+    )
+    scored = e.crossJoin(probe).select(
+        "vec_id", F.round(cosine(F.col("ve"), F.col("pe")), 4).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "j4_knn_self",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               {_duck_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        CROSS JOIN range(1, 65) t(i)
+        WHERE a.vec_id < 50
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT qid, nid, ROUND(cos, 4) AS score
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY ROUND(cos, 4) DESC, nid) = 1
+    """,
+)
+def j4_knn_self(spark, sf_dir) -> DataFrame:
+    """Top-1 cosine neighbor (excluding self) for the first 50 vectors.
+    Probe set broadcast; ranking is a window limited to each probe's
+    pair stream — never a global sort."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("qid"), vec_double(F.col("embedding")).alias("qe")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), vec_double(F.col("embedding")).alias("ne")
+    )
+    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid", "nid", F.round(cosine(F.col("qe"), F.col("ne")), 4).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "nid", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j5 — per-label centroids
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_label_centroids",
+    oracle="""
+    SELECT label, CAST(t.i - 1 AS INT) AS dim,
+           FLOOR(CAST(SUM(CAST(CAST(list_extract(embedding, CAST(t.i AS INT)) AS DOUBLE)
+                              AS DECIMAL(38,15))) AS DOUBLE)
+                 / COUNT(*) * 10000) / 10000 AS centroid
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, t.i
+    """,
+)
+def j5_label_centroids(spark, sf_dir) -> DataFrame:
+    """Mean vector per label, emitted as (label, dim, centroid) rows.
+
+    Order-independent mean: double AVG accumulates in engine-specific
+    order and its error (~1e-16 per add) straddles the 4-decimal
+    boundary for near-zero centroids.  Exact decimal summation gives
+    both engines the identical double quotient; FLOOR-truncation avoids
+    ROUND's engine-specific tie behavior."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(vec_double(F.col("embedding"))).alias("dim", "x")
+    )
+    return ex.groupBy("label", "dim").agg(
+        (
+            F.floor(
+                F.sum(F.col("x").cast("decimal(38,15)")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j6/j7 — corpus n-grams and text quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j6_ngram_top",
+    oracle="""
+    WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+    b AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+          FROM t WHERE len(toks) >= 2)
+    SELECT CAST(z[1] AS VARCHAR) || ' ' || CAST(z[2] AS VARCHAR) AS bigram,
+           COUNT(*) AS cnt
+    FROM b
+    GROUP BY 1
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def j6_ngram_top(spark, sf_dir) -> DataFrame:
+    """Top-20 corpus bigrams — bigrams built per-row with zip_with (no
+    positional self-join, no extra shuffle beyond the final count)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower(F.col("text")), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "j7_text_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           FLOOR(len(list_distinct(toks)) * 1.0 / len(toks) * 10000) / 10000
+             AS distinct_ratio,
+           FLOOR(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                      AS DOUBLE) / len(toks) * 10000) / 10000
+             AS mean_tok_len
+    FROM t
+    """,
+)
+def j7_text_quality(spark, sf_dir) -> DataFrame:
+    """Per-document quality signals (token count, lexical diversity,
+    mean token length) — pure per-row projection, the cheapest possible
+    corpus-quality pass.  FLOOR-truncated ratios: integer/integer
+    divisions land on exact .xxxx5 ties where ROUND is engine-specific."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    n = F.size("toks").cast("double")
+    total_len = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.floor(F.size(F.array_distinct("toks")) / n * 10000) / 10000).alias(
+            "distinct_ratio"
+        ),
+        (F.floor(total_len / n * 10000) / 10000).alias("mean_tok_len"),
+    )

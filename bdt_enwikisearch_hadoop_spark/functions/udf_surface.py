@@ -1,0 +1,147 @@
+"""§2.L — the Python UDF / UDAF / UDTF surface (SURVEY.md §2.L).
+
+This module is the ONLY place in the engine where row data crosses into
+Python — everything else stays JVM-side (SURVEY §7 guiding choice).
+
+Scale notes (100 TB):
+
+* ``l1`` row-at-a-time @udf is deliberately the worst case — it exists
+  to exercise the surface; its docstring is the warning.  ~10-100×
+  slower than l2's Arrow path for the same logic.
+* ``l2`` @pandas_udf ships Arrow record batches to a pooled Python
+  worker and evaluates vectorized numpy — the acceptable Python path.
+* ``l3`` applyInPandas shuffles on the grouping key, then hands each
+  group to pandas whole — group size must fit in worker memory, so key
+  cardinality/skew is the scale knob (fine for per-nation groups).
+* ``l4`` @udtf generates rows from Python — per-row generator overhead;
+  at scale prefer the JVM explode (functions/text_search.tokenize);
+  declared here for surface completeness.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import query
+from ..sources import load
+
+
+@udf(StringType())
+def _normalize(s: str) -> str:
+    """Deterministic string normalizer: lowercase, strip non-alnum."""
+    import re
+
+    if s is None:
+        return None
+    return re.sub(r"[^a-z0-9 ]", "", s.lower())
+
+
+@query(
+    "l1_python_udf",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g') AS norm
+    FROM part
+    """,
+)
+def l1_python_udf(spark, sf_dir) -> DataFrame:
+    """Scalar Python UDF (row-at-a-time — the slow path, see module
+    docstring; same semantics as one JVM regexp_replace)."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", _normalize(F.col("p_name")).alias("norm"))
+
+
+@pandas_udf(DoubleType())
+def _clipped_log1p(v: pd.Series) -> pd.Series:
+    import numpy as np
+
+    return np.log1p(np.clip(v, 0.0, 100.0))
+
+
+@query(
+    "l2_pandas_udf",
+    oracle="""
+    SELECT event_id,
+           ROUND(LN(1 + LEAST(GREATEST(value, 0), 100)), 4) AS feat
+    FROM events
+    """,
+)
+def l2_pandas_udf(spark, sf_dir) -> DataFrame:
+    """Vectorized scalar Pandas UDF (Arrow batches, numpy inside).
+    Rounding happens JVM-side AFTER the UDF so both engines round the
+    identical double."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.round(_clipped_log1p(F.col("value")), 4).alias("feat")
+    )
+
+
+def _group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "c_nationkey": [pdf["c_nationkey"].iloc[0]],
+            "median_bal": [pdf["c_acctbal"].median()],
+            "n": [len(pdf)],
+        }
+    )
+
+
+@query(
+    "l3_grouped_median",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def l3_grouped_median(spark, sf_dir) -> DataFrame:
+    """UDAF-style exact per-group median via applyInPandas (pandas
+    interpolates the even-count middle exactly like DuckDB's MEDIAN).
+    Spark 3.4+ has a builtin median — implemented as applyInPandas on
+    purpose to exercise the grouped-map surface (SURVEY §2.L)."""
+    c = load(spark, sf_dir, "customer")
+    out = c.select("c_nationkey", "c_acctbal").groupBy("c_nationkey").applyInPandas(
+        _group_median, schema="c_nationkey int, median_bal double, n long"
+    )
+    return out.select(
+        "c_nationkey", F.round("median_bal", 4).alias("median_bal"), "n"
+    )
+
+
+@udtf(returnType="term: string, term_len: int")
+class _ExplodeTerms:
+    """Python UDTF: text → (term, term_len) rows (Spark 4 surface)."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for t in text.lower().split(" "):
+            yield t, len(t)
+
+
+@query(
+    "l4_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(t AS VARCHAR) AS term, LENGTH(t) AS term_len
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+    """,
+)
+def l4_python_udtf(spark, sf_dir) -> DataFrame:
+    """UDTF via LATERAL join — Python generator emits (term, len) per
+    document (the JVM-side equivalent is functions/text_search.i1)."""
+    spark.udtf.register("explode_terms", _ExplodeTerms)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("l4_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.term, t.term_len
+        FROM l4_documents d, LATERAL explode_terms(d.text) t
+        """
+    )

@@ -1,0 +1,244 @@
+"""§2.K — streaming-shaped operators over the events log.
+
+The four declared queries use the batch-expressible form (the driver's
+oracle harness is batch); :func:`run_streaming_smoke` and
+:func:`run_streaming_dedup_smoke` run the REAL Structured Streaming
+surface (file source → watermark → windowed agg / stateful dedup →
+sink) and are exercised by the pytest suite.
+
+Scale notes (100 TB / unbounded streams):
+
+* ``k1``/``k2`` batch windows are groupBy on a derived window value —
+  one shuffle; in streaming they become incremental stateful aggs whose
+  state is bounded by the watermark (10 min here → state holds only
+  open windows).
+* ``k3`` sessionization is gaps-and-islands: one shuffle on user_id,
+  one in-partition sort, cumulative sum — the classic formulation that
+  scales linearly with events-per-user.  (The streaming-native
+  equivalent is ``session_window``/``transformWithStateInPandas``; the
+  portable batch form is declared so the oracle can verify it.)
+* ``k4`` keyed dedup = row_number()=1 per key — in streaming this is
+  ``dropDuplicates`` with state, demonstrated in the dedup smoke.
+* All timestamp arithmetic is exact BIGINT nanoseconds (ts) on the
+  Spark side and epoch_ns in DuckDB — no float time math anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..registry import query
+from ..sources import load
+
+_NS_PER_S = 1_000_000_000
+_GAP_NS = 30 * 60 * _NS_PER_S  # 30-minute session inactivity gap
+
+
+@query(
+    "k1_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket_s,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def k1_tumbling(spark, sf_dir) -> DataFrame:
+    """1-hour tumbling window per event type; window start emitted as
+    epoch seconds (never raw ns, §2.0 rule 2)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts2", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "k2_sliding",
+    oracle="""
+    WITH ws AS (
+        SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00',
+                                      TIMESTAMP '2024-02-01 00:00:00',
+                                      INTERVAL 30 MINUTE)) AS w
+    )
+    SELECT CAST(epoch(w) AS BIGINT) AS win_start_s, COUNT(*) AS n
+    FROM ws JOIN events e ON e.ts >= w AND e.ts < w + INTERVAL 1 HOUR
+    GROUP BY w
+    """,
+)
+def k2_sliding(spark, sf_dir) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in 2
+    windows).  Spark emits only non-empty windows; the oracle mirrors
+    that via an inner containment join against generated window starts
+    (fixture ts range is 2024-01-01..01-30, covered by the series)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts2", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("win_start_s"), "n")
+    )
+
+
+@query(
+    "k3_session",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, epoch_ns(ts) AS tns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {_GAP_NS}
+                    THEN 1 ELSE 0 END AS newf
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+        FROM o
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(tns) // {_NS_PER_S} AS start_s,
+           (MAX(tns) - MIN(tns)) // {_NS_PER_S} AS dur_s
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def k3_session(spark, sf_dir) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via
+    gaps-and-islands (portable formulation, identical in the oracle —
+    deliberately NOT session_window(), SURVEY §2.K)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "newf",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > _GAP_NS),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("newf").over(wcum))
+    return flagged.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"MIN(ts) DIV {_NS_PER_S}").alias("start_s"),
+        F.expr(f"(MAX(ts) - MIN(ts)) DIV {_NS_PER_S}").alias("dur_s"),
+    )
+
+
+@query(
+    "k4_dedup_keyed",
+    oracle=f"""
+    SELECT user_id, event_type, event_id,
+           epoch_ns(ts) // {_NS_PER_S} AS first_s
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def k4_dedup_keyed(spark, sf_dir) -> DataFrame:
+    """First event per (user, type) — the batch analogue of streaming
+    keyed dedup (dropDuplicates with state; see dedup smoke)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.expr(f"ts DIV {_NS_PER_S}").alias("first_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# true Structured Streaming (smoke-only capabilities, no oracle)
+# ---------------------------------------------------------------------------
+
+
+def _stream_events(spark, sf_dir: str, workdir: str) -> DataFrame:
+    """events as a file-source stream with the ts2 repair.
+
+    The streaming file source requires a DIRECTORY (new files appear →
+    new micro-batches); the fixture is a single parquet file, so stage
+    it into ``workdir`` first — which doubles as a sink smoke."""
+    batch = load(spark, sf_dir, "events").drop("ts2")
+    src = f"{workdir}/events_stream_src"
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    return stream.withColumn(
+        "ts2", F.timestamp_micros(F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)"))
+    )
+
+
+def run_streaming_smoke(spark, sf_dir: str) -> int:
+    """readStream → watermark → 1h windowed count → memory sink.
+
+    Returns the number of result rows (>0 expected).  Uses complete
+    output so a single availableNow batch surfaces every window (append
+    would hold windows open until a LATER batch advances the watermark).
+    """
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        return _run_windowed(spark, sf_dir, workdir)
+
+
+def _run_windowed(spark, sf_dir: str, workdir: str) -> int:
+    agg = (
+        _stream_events(spark, sf_dir, workdir)
+        .withWatermark("ts2", "10 minutes")
+        .groupBy(F.window("ts2", "1 hour"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("smoke_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("smoke_windows").count()
+    q.stop()
+    return n
+
+
+def run_streaming_dedup_smoke(spark, sf_dir: str) -> int:
+    """Stateful streaming dedup: first event per (user_id, event_type),
+    append mode (state-backed dropDuplicates) — rows emit in batch 0."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        return _run_dedup(spark, sf_dir, workdir)
+
+
+def _run_dedup(spark, sf_dir: str, workdir: str) -> int:
+    dedup = _stream_events(spark, sf_dir, workdir).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("smoke_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.table("smoke_dedup").count()
+    q.stop()
+    return n

@@ -1,0 +1,60 @@
+"""Property-style invariants across registered queries (SURVEY §5.3):
+relationships that must hold regardless of fixture content."""
+
+from __future__ import annotations
+
+from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+
+def test_union_distinct_subset_of_union_all(spark, sf_dir):
+    all_n = QUERIES["g1_union_all"](spark, sf_dir).count()
+    dis_n = QUERIES["g2_union_distinct"](spark, sf_dir).count()
+    assert 0 < dis_n <= all_n
+
+
+def test_tf_sums_equal_token_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    tf_total = (
+        QUERIES["i2_term_freq"](spark, sf_dir)
+        .agg(F.sum("tf").alias("s"))
+        .collect()[0]["s"]
+    )
+    tok_total = QUERIES["i1_tokenize"](spark, sf_dir).count()
+    assert tf_total == tok_total > 0
+
+
+def test_dedup_output_bounded_by_input(spark, sf_dir):
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    n_groups = QUERIES["j1_dedup_exact"](spark, sf_dir).count()
+    assert 0 < n_groups <= n_docs
+
+
+def test_search_and_subset_of_or(spark, sf_dir):
+    and_ids = {
+        r["doc_id"] for r in QUERIES["i6_search_and"](spark, sf_dir).collect()
+    }
+    # OR over the same terms, unlimited, must contain every AND hit
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+        tfidf,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    or_ids = {
+        r["doc_id"]
+        for r in tfidf(load(spark, sf_dir, "documents"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert and_ids and and_ids <= or_ids
+
+
+def test_knn_excludes_self(spark, sf_dir):
+    rows = QUERIES["j4_knn_self"](spark, sf_dir).collect()
+    assert rows and all(r["qid"] != r["nid"] for r in rows)
