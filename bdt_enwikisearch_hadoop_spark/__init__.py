@@ -31,6 +31,8 @@ from .functions import (  # noqa: F401
     scalar,
     text_search,
     llm_pipeline,
+    llm_scale,
+    multimodal,
     udf_surface,
 )
 from .streaming import events  # noqa: F401

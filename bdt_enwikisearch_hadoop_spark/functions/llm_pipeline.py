@@ -258,17 +258,24 @@ def j4_knn_self(spark, sf_dir) -> DataFrame:
     Probe set broadcast; ranking is a window limited to each probe's
     pair stream — never a global sort."""
     emb = load(spark, sf_dir, "embeddings")
+    # precompute each vector's norm ONCE (per-row), so each of the
+    # |probe|x|corpus| pairs folds only the dot product — 3x less work
+    # than recomputing both norms inside the pair loop
     q = F.broadcast(
-        emb.filter(F.col("vec_id") < 50).select(
-            F.col("vec_id").alias("qid"), vec_double(F.col("embedding")).alias("qe")
-        )
+        emb.filter(F.col("vec_id") < 50)
+        .select(F.col("vec_id").alias("qid"), vec_double(F.col("embedding")).alias("qe"))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
     )
     c = emb.select(
         F.col("vec_id").alias("nid"), vec_double(F.col("embedding")).alias("ne")
-    )
+    ).withColumn("nn", F.sqrt(dot(F.col("ne"), F.col("ne"))))
     pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
     scored = pairs.select(
-        "qid", "nid", F.round(cosine(F.col("qe"), F.col("ne")), 4).alias("score")
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 4
+        ).alias("score"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid"))
     return (

@@ -1,0 +1,321 @@
+"""LLM-pipeline SCALE paths (j8-j12): the formulations that replace
+:mod:`.llm_pipeline`'s exact-but-quadratic operators at 100 TB
+(mandated by BASELINE.json:6 — dedup / similarity / text analysis as
+first-class, scale-designed components).
+
+Scale notes (100 TB):
+
+* ``j8`` MinHash-LSH near-dedup: the all-pairs shared-shingle join of
+  j2 degenerates quadratically inside large near-duplicate clusters
+  (every doc pair in a cluster meets on every shared shingle).  LSH
+  joins on 4 fixed-width band signatures instead: cost is
+  O(docs × bands) rows shuffled, candidate pairs are verified exactly,
+  and recall is tunable via (bands × rows-per-band).  All hashing is
+  md5-based (identical hex in both engines, §2.0 rule 7) and min/band
+  comparisons are plain lexicographic string ops — fully
+  oracle-checkable, no engine-specific hash.
+* ``j9`` SimHash: one 32-bit fingerprint per document from weighted
+  token-hash bits — a per-doc aggregation (linear); Hamming-close
+  fingerprints can then be banded exactly like j8.
+* ``j10`` language-ID and ``j11`` token counting are per-row
+  projections — embarrassingly parallel corpus passes.
+* ``j12`` embedding near-dup is the brute-force exact formulation
+  (quadratic — the correctness oracle); its scale path is LSH over
+  random hyperplane signs (the j9 pattern applied to vectors) or the
+  IVF route of j5's centroids: assign → join within cell only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+from .llm_pipeline import _SHINGLE_CTE, _duck_cos, dot, shingles, vec_double
+
+# LSH geometry: 16 minhashes → 4 bands × 4 rows.
+_N_HASH = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASH // _N_BANDS
+
+
+@query(
+    "j8_dedup_minhash_lsh",
+    oracle=f"WITH {_SHINGLE_CTE}, "
+    f"""
+    sig AS (
+        SELECT doc_id, t.hi,
+               MIN(md5(CAST(t.hi AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN range(0, {_N_HASH}) t(hi)
+        GROUP BY doc_id, t.hi
+    ),
+    band AS (
+        SELECT doc_id, hi // {_ROWS_PER_BAND} AS b,
+               md5(string_agg(mh, '|' ORDER BY hi)) AS bk
+        FROM sig
+        GROUP BY doc_id, hi // {_ROWS_PER_BAND}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b
+          ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(i * 1.0 / (sa.n + sb.n - i) * 10000) / 10000 AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    """,
+)
+def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """Banded MinHash-LSH near-dedup (same ≥0.8 contract as j2, but
+    candidates come from band-signature equality, then exact verify).
+
+    16 md5-derived minhashes per doc, 4 bands of 4: P(candidate) =
+    1-(1-J⁴)⁴ ≈ 0.96 at J=0.8 — near-full recall for true dups while
+    unrelated pairs (J≈0.1) almost never collide."""
+    sh = shingles(load(spark, sf_dir, "documents"))
+    # (doc_id, hi, h_hi(shingle)) for 16 hash families in one explode
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
+                lambda i: F.md5(
+                    F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
+                ),
+            )
+        ).alias("hi", "hv"),
+    )
+    sig = hashed.groupBy("doc_id", "hi").agg(F.min("hv").alias("mh"))
+    band = (
+        sig.withColumn("b", F.expr(f"hi DIV {_ROWS_PER_BAND}"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("hi", "mh"))
+                        ),
+                        lambda s: s.mh,
+                    ),
+                )
+            ).alias("bk")
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_y"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("yb"))
+            & (F.col("shingle") == F.col("shingle_y")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", (F.floor(jac * 10000) / 10000).alias("jaccard"))
+    )
+
+
+@query(
+    "j9_simhash",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        GROUP BY doc_id, t
+    ),
+    bits AS (
+        SELECT doc_id, b.idx,
+               SUM(tf * (((strpos('0123456789abcdef',
+                                  substr(md5(term), (b.idx // 4) + 1, 1)) - 1)
+                          // CAST(POW(2, b.idx % 4) AS INT)) % 2 * 2 - 1)) AS s
+        FROM tf CROSS JOIN range(0, 32) b(idx)
+        GROUP BY doc_id, b.idx
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, idx) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def j9_simhash(spark, sf_dir) -> DataFrame:
+    """32-bit SimHash document fingerprint: each bit is the sign of the
+    tf-weighted +/-1 votes of that bit across the doc's token md5s.
+    Near-dup docs differ in few bits; at scale fingerprints are banded
+    (j8 pattern) and compared by Hamming distance — this query computes
+    the fingerprint itself, the linear part."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bits = (
+        tf.select(
+            "doc_id",
+            "tf",
+            F.md5("term").alias("h"),
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("idx"),
+        )
+        .withColumn(
+            "bit",
+            F.expr(
+                "((instr('0123456789abcdef', substr(h, (idx DIV 4) + 1, 1)) - 1)"
+                " DIV CAST(POW(2, idx % 4) AS INT)) % 2"
+            ),
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("s"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(POW(2, idx) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+#: fixture-calibrated English stopword list (the synthetic corpus mixes
+#: engine-domain words with a few function words).
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+
+
+@query(
+    "j10_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang,
+           FLOOR(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                 / len(toks) * 10000) / 10000 AS stop_ratio,
+           CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL}))) * 1.0
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'und' END AS pred_lang
+    FROM t
+    """,
+)
+def j10_lang_id(spark, sf_dir) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio over the token stream
+    (the n-gram-profile family of detectors reduced to its cheapest
+    deterministic member — a real corpus would use char-trigram
+    profiles, same per-row shape, no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    hits = F.size(F.filter("toks", lambda x: x.isin(*_EN_STOPWORDS)))
+    ratio = hits / F.size("toks")
+    return t.select(
+        "doc_id",
+        "lang",
+        (F.floor(ratio * 10000) / 10000).alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+@query(
+    "j11_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+           CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+    FROM documents
+    """,
+)
+def j11_token_count(spark, sf_dir) -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex (the
+    BPE-ish pre-tokenizer pass), and the chars/4 BPE budget estimate —
+    the standard corpus-sizing signals for training-data pipelines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe_est"),
+    )
+
+
+@query(
+    "j12_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           FLOOR({_duck_cos('a.embedding', 'b.embedding')} * 10000) / 10000
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    CROSS JOIN range(1, 65) t(i)
+    GROUP BY a.vec_id, b.vec_id
+    HAVING {_duck_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 —
+    fixture-calibrated; real corpora use ~0.95).  Brute-force all-pairs
+    = the exact/oracle formulation; the 100 TB path buckets by
+    random-hyperplane LSH signs or IVF cells first (module docstring)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), vec_double(F.col("embedding")).alias("ea")
+    ).withColumn("na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), vec_double(F.col("embedding")).alias("eb")
+    ).withColumn("nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.45)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.floor(F.col("cos") * 10000) / 10000).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Multimodal columns (mandated by BASELINE.json:6): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual byte decode
+is STUBBED (:func:`decode_image` raises ``NotImplementedError``; the
+pipeline uses :func:`fake_decode_meta`, a deterministic stand-in) — but
+every piece of Spark-side plumbing is real and tested: the binary
+column, the explicit output schema, the Arrow batch iteration, and the
+one-to-many frame-sampling shape.
+
+The fixtures carry no binary column, so the queries synthesize one
+(``encode(text)``) — at 100 TB the binary column is the parquet blob
+column itself and everything downstream is unchanged.
+
+Scale notes (100 TB):
+
+* Binary payloads dominate row size → keep them OUT of shuffles:
+  extract metadata first (mapInPandas, no shuffle), aggregate/join on
+  the small typed columns, and only re-join payloads for the final
+  selected rows.
+* ``spark.sql.files.maxPartitionBytes`` governs how many blobs land in
+  one task; Arrow batch size (``spark.sql.execution.arrow.
+  maxRecordsPerBatch``) bounds Python-side memory per batch.
+* Frame sampling (m2) multiplies rows BEFORE a shuffle — emit only the
+  sampled frame indices + metadata, never duplicated payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+def decode_image(data: bytes):
+    """Decode an image payload to pixels.  STUB: the real implementation
+    needs an image library not present in this container (Pillow /
+    torchvision); the pipeline shape is exercised with
+    :func:`fake_decode_meta` instead."""
+    raise NotImplementedError(
+        "image decode requires an imaging library; use fake_decode_meta "
+        "for the deterministic test stand-in"
+    )
+
+
+def fake_decode_meta(data: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for header decode: (n_bytes, width,
+    height) derived purely from the payload length."""
+    n = len(data)
+    return n, n % 640, (n * 7) % 480
+
+
+def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary payload → typed metadata columns."""
+    for pdf in batches:
+        metas = [fake_decode_meta(b) for b in pdf["content"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [m[0] for m in metas],
+                "width": [m[1] for m in metas],
+                "height": [m[2] for m in metas],
+            }
+        )
+
+
+@query(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def m1_multimodal_meta(spark, sf_dir) -> DataFrame:
+    """Binary column → metadata extraction via Arrow-batched
+    mapInPandas (schema declared up front, §multimodal plumbing)."""
+    d = load(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return binary.mapInPandas(
+        _extract_meta, schema="doc_id long, n_bytes long, width int, height int"
+    )
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body with one-to-many output: every 5th frame index
+    of a synthetic per-doc frame count (video frame-sampling shape)."""
+    for pdf in batches:
+        out_doc, out_idx = [], []
+        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
+            n_frames = n_bytes % 30 + 1
+            for idx in range(0, n_frames, 5):
+                out_doc.append(doc_id)
+                out_idx.append(idx)
+        yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx})
+
+
+@query(
+    "m2_frame_sample",
+    oracle="""
+    SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx
+    FROM (SELECT doc_id,
+                 octet_length(encode(text)) % 30 + 1 AS n_frames
+          FROM documents) d
+    JOIN range(0, 30, 5) t(i) ON t.i < d.n_frames
+    """,
+)
+def m2_frame_sample(spark, sf_dir) -> DataFrame:
+    """Frame sampling: one row per (doc, every-5th-frame) — the
+    one-to-many mapInPandas shape used for video/audio chunking."""
+    d = load(spark, sf_dir, "documents")
+    with_len = d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+    return with_len.mapInPandas(
+        _sample_frames, schema="doc_id long, frame_idx int"
+    )

@@ -1,0 +1,62 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "total_runtime", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution of the
+physical plan — unlike count(), which lets Catalyst prune the plan to
+metadata for scan-shaped queries).  Timings are per-query wall-clock on
+a warm session (one tiny warm-up action first so JVM/codegen startup is
+not billed to the first query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(QUERIES):
+        t0 = time.perf_counter()
+        df = QUERIES[key](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,3 +58,35 @@ def test_search_and_subset_of_or(spark, sf_dir):
 def test_knn_excludes_self(spark, sf_dir):
     rows = QUERIES["j4_knn_self"](spark, sf_dir).collect()
     assert rows and all(r["qid"] != r["nid"] for r in rows)
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    """j8 (MinHash-LSH) must find a subset of j2 (exact) pairs, and at
+    16 hashes / 4 bands recall at J>=0.8 should be near-total."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["j2_dedup_near_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["j8_dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert exact and lsh
+    assert lsh <= exact
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_multimodal_decode_is_stubbed():
+    import pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_simhash_identical_docs_identical_fingerprint(spark, sf_dir):
+    """SimHash is a pure function of token multiset."""
+    rows = QUERIES["j9_simhash"](spark, sf_dir).collect()
+    assert rows and all(isinstance(r["simhash"], int) for r in rows)
+    assert all(0 <= r["simhash"] < 2**32 for r in rows)
