@@ -83,36 +83,39 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     1-(1-J⁴)⁴ ≈ 0.96 at J=0.8 — near-full recall for true dups while
     unrelated pairs (J≈0.1) almost never collide."""
     sh = shingles(load(spark, sf_dir, "documents"))
-    # (doc_id, hi, h_hi(shingle)) for 16 hash families in one explode
-    hashed = sh.select(
+    # all 16 minhashes as MAP-SIDE min aggregates of ONE groupBy — no
+    # 16x explode, no wide shuffle: the exchange carries 16 hex strings
+    # per doc instead of 16 rows per (doc, shingle)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    band = sig.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_N_HASH - 1)),
-                lambda i: F.md5(
-                    F.concat(i.cast("string"), F.lit(":"), F.col("shingle"))
-                ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{b * _ROWS_PER_BAND + r}")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bk"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
             )
-        ).alias("hi", "hv"),
-    )
-    sig = hashed.groupBy("doc_id", "hi").agg(F.min("hv").alias("mh"))
-    band = (
-        sig.withColumn("b", F.expr(f"hi DIV {_ROWS_PER_BAND}"))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("hi", "mh"))
-                        ),
-                        lambda s: s.mh,
-                    ),
-                )
-            ).alias("bk")
-        )
-    )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.b").alias("b"), F.col("z.bk").alias("bk"))
     a = band.alias("a")
     b = band.alias("b")
     cand = (
@@ -191,32 +194,26 @@ def j9_simhash(spark, sf_dir) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    bits = (
-        tf.select(
-            "doc_id",
-            "tf",
-            F.md5("term").alias("h"),
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("idx"),
+    # all 32 bit-votes as map-side sum aggregates of ONE groupBy (same
+    # shape as j8's minhash trick: no 32x explode, one narrow shuffle)
+    h = F.md5("term")
+    withh = tf.select("doc_id", "tf", h.alias("h"))
+
+    def vote(idx: int):
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substr(h, {idx // 4 + 1}, 1)) - 1)"
+            f" DIV {2 ** (idx % 4)}) % 2"
         )
-        .withColumn(
-            "bit",
-            F.expr(
-                "((instr('0123456789abcdef', substr(h, (idx DIV 4) + 1, 1)) - 1)"
-                " DIV CAST(POW(2, idx % 4) AS INT)) % 2"
-            ),
+        return F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{idx}")
+
+    votes = withh.groupBy("doc_id").agg(*[vote(i) for i in range(32)])
+    fingerprint = None
+    for i in range(32):
+        term_bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "idx")
-        .agg(F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("s"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(POW(2, idx) AS BIGINT)")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+        fingerprint = term_bit if fingerprint is None else fingerprint + term_bit
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 #: fixture-calibrated English stopword list (the synthetic corpus mixes
@@ -298,24 +295,45 @@ def j11_token_count(spark, sf_dir) -> DataFrame:
 )
 def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45 —
-    fixture-calibrated; real corpora use ~0.95).  Brute-force all-pairs
-    = the exact/oracle formulation; the 100 TB path buckets by
-    random-hyperplane LSH signs or IVF cells first (module docstring)."""
+    fixture-calibrated; real corpora use ~0.95).
+
+    Vectorized formulation: the corpus matrix is broadcast (the build
+    side of a broadcast join — ~1 MB per 2k vectors, the same size
+    class Spark broadcasts for hash joins) and each Arrow batch of
+    query rows computes one numpy float64 matmul against it — BLAS
+    throughput instead of per-pair expression folds.  At 100 TB the
+    corpus no longer fits a broadcast: bucket by IVF cell (j5
+    centroids: assign → join within cell) or random-hyperplane LSH
+    signs (j9 pattern on vectors) and run this same matmul per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), vec_double(F.col("embedding")).alias("ea")
-    ).withColumn("na", F.sqrt(dot(F.col("ea"), F.col("ea"))))
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), vec_double(F.col("embedding")).alias("eb")
-    ).withColumn("nb", F.sqrt(dot(F.col("eb"), F.col("eb"))))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cos", cos)
-        .filter(F.col("cos") >= 0.45)
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.floor(F.col("cos") * 10000) / 10000).alias("cos_sim"),
-        )
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_pairs(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ c_mat.T  # (batch, corpus) float64 BLAS matmul
+            qi, ci = np.nonzero((sims >= 0.45) & (q_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi],
+                    "vec_b": c_ids[ci],
+                    "cos_sim": np.floor(sims[qi, ci] * 10000) / 10000,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )

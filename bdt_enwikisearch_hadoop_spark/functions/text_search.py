@@ -59,10 +59,14 @@ def doc_freq(tok: DataFrame) -> DataFrame:
 
 
 def tfidf(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, wt) with wt = tf * ln(N / df) — unrounded."""
-    tok = tokenize(docs)
-    tf = term_freq(tok)
-    df = doc_freq(tok)
+    """(doc_id, term, wt) with wt = tf * ln(N / df) — unrounded.
+
+    DF is derived from the aggregated TF pairs (already one row per
+    (doc, term)), NOT by re-tokenizing: one explode instead of two, no
+    countDistinct expand, and the TF exchange is reused by both
+    branches (ReusedExchange in the physical plan)."""
+    tf = term_freq(tokenize(docs))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     n = docs.agg(F.count(F.lit(1)).alias("nd"))
     return (
         tf.join(df, "term")
