@@ -32,6 +32,7 @@ from .functions import (  # noqa: F401
     text_search,
     llm_pipeline,
     llm_scale,
+    ann,
     multimodal,
     udf_surface,
 )

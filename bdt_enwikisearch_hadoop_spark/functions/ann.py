@@ -1,0 +1,156 @@
+"""Approximate nearest-neighbor search (j13-j14): the scale paths that
+replace brute-force vector scans at 100 TB (BASELINE.json:6 similarity
+search; j3 is the brute-force baseline these approximate).
+
+Scale notes (100 TB):
+
+* ``j13`` IVF (inverted-file) search: a coarse quantizer (here the
+  per-label centroids of j5 — in production, k-means cells) partitions
+  the corpus into cells; a query scores the ~k cell centroids (tiny),
+  picks ``nprobe`` cells, and scans ONLY those cells' vectors.  With
+  the corpus stored partitioned-by-cell, the scan is partition-pruned:
+  cost drops from O(N) to O(N · nprobe / n_cells) with no shuffle —
+  the candidate scan is a filtered read + per-row fold + top-k heap.
+* The quantizer uses the FLOOR-truncated exact-decimal centroids of
+  j5, so cell assignment is bit-identical across engines/runs —
+  approximate search stays deterministic (a requirement for
+  reproducible training-data pipelines).
+* ``j14`` winnowing fingerprint: the 1-hash limit of MinHash — one
+  md5-min over a doc's shingles — the cheapest content fingerprint
+  (linear, map-side only) used for fast candidate blocking before
+  exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+from .llm_pipeline import _SHINGLE_CTE, _duck_cos, dot, j5_label_centroids, shingles, vec_double
+
+_NPROBE = 3
+
+# DuckDB CTEs: exact-decimal centroids (j5's oracle), probe dims,
+# centroid scores, top-nprobe cells.
+_IVF_CTES = f"""
+    cent AS (
+        SELECT label, CAST(t.i - 1 AS INT) AS dim,
+               FLOOR(CAST(SUM(CAST(CAST(list_extract(embedding, CAST(t.i AS INT)) AS DOUBLE)
+                                  AS DECIMAL(38,15))) AS DOUBLE)
+                     / COUNT(*) * 10000) / 10000 AS c
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, t.i
+    ),
+    probe AS (
+        SELECT CAST(t.i - 1 AS INT) AS dim,
+               CAST(list_extract(embedding, CAST(t.i AS INT)) AS DOUBLE) AS p
+        FROM embeddings, range(1, 65) t(i)
+        WHERE vec_id = 0
+    ),
+    cellscore AS (
+        SELECT label,
+               SUM(c * p) / (SQRT(SUM(c * c)) * SQRT(SUM(p * p))) AS cos
+        FROM cent JOIN probe USING (dim)
+        GROUP BY label
+    ),
+    cells AS (
+        SELECT label FROM cellscore
+        QUALIFY ROW_NUMBER() OVER (ORDER BY ROUND(cos, 4) DESC, label) <= {_NPROBE}
+    )
+"""
+
+
+@query(
+    "j13_ann_ivf",
+    oracle=f"WITH {_IVF_CTES}, "
+    f"""
+    pe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = 0),
+    scores AS (
+        SELECT e.vec_id, {_duck_cos('e.embedding', 'p.pemb')} AS cos
+        FROM embeddings e
+        JOIN cells USING (label)
+        CROSS JOIN pe p
+        CROSS JOIN range(1, 65) t(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cos, 4) AS score
+    FROM scores
+    ORDER BY ROUND(cos, 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def j13_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF approximate top-10 for the fixed probe (vec_id=0): score the
+    10 cell centroids, scan only the best {nprobe} cells (module
+    docstring — partition-pruned at scale), exact cosine within them."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = j5_label_centroids(spark, sf_dir)  # (label, dim, centroid) exact
+    probe_dims = emb.filter(F.col("vec_id") == 0).select(
+        F.posexplode(vec_double(F.col("embedding"))).alias("dim", "p")
+    )
+    cellscore = (
+        cent.join(probe_dims, "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("centroid") * F.col("p"))
+                / (
+                    F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
+                    * F.sqrt(F.sum(F.col("p") * F.col("p")))
+                )
+            ).alias("cos")
+        )
+    )
+    # top-nprobe cells via TakeOrdered (10 centroid rows — never a
+    # global window over data)
+    cells = (
+        cellscore.orderBy(F.round(F.col("cos"), 4).desc(), F.col("label"))
+        .limit(_NPROBE)
+        .select("label")
+    )
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            vec_double(F.col("embedding")).alias("pemb")
+        )
+    )
+    cand = (
+        emb.join(F.broadcast(cells), "label")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", vec_double(F.col("embedding")).alias("ve"))
+    )
+    scored = cand.crossJoin(probe).select(
+        "vec_id",
+        F.round(
+            dot(F.col("ve"), F.col("pemb"))
+            / (
+                F.sqrt(dot(F.col("ve"), F.col("ve")))
+                * F.sqrt(dot(F.col("pemb"), F.col("pemb")))
+            ),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "j14_fingerprint_winnow",
+    oracle=f"WITH {_SHINGLE_CTE} "
+    """
+    SELECT doc_id,
+           MIN(md5(shingle)) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def j14_fingerprint_winnow(spark, sf_dir) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum shingle hash
+    per document (MinHash with one family) — a map-side-aggregated,
+    fully linear content fingerprint for candidate blocking."""
+    sh = shingles(load(spark, sf_dir, "documents"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

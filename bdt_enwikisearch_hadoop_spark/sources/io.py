@@ -46,3 +46,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (§2.A source-format capability; header on, overwrite)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def load_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never inferSchema at scale
+    (inference is a full extra pass over the data)."""
+    prepare(spark)
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (§2.A source-format capability)."""
+    df.write.mode("overwrite").json(path)
+
+
+def load_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an explicit schema (same rule as CSV)."""
+    prepare(spark)
+    return spark.read.schema(schema).json(path)

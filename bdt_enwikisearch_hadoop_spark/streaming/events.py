@@ -242,3 +242,44 @@ def _run_dedup(spark, sf_dir: str, workdir: str) -> int:
     n = spark.table("smoke_dedup").count()
     q.stop()
     return n
+
+
+def run_stateful_count_smoke(spark, sf_dir: str) -> int:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count (the 'stateful map' capability row of
+    SURVEY §2.K).  State = one counter per user key, update mode."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_count(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    with tempfile.TemporaryDirectory() as workdir:
+        counted = (
+            _stream_events(spark, sf_dir, workdir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_count,
+                outputStructType="user_id long, n long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("smoke_stateful")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.table("smoke_stateful").count()
+        q.stop()
+        return n

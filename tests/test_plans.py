@@ -1,0 +1,54 @@
+"""Physical-plan regression guards: the scale claims in the module
+docstrings (pushdown, pruning, broadcast, partial agg, top-k heaps)
+must stay true as queries evolve — a correct-but-full-scan plan is a
+silent 100 TB regression the oracle can't catch."""
+
+from __future__ import annotations
+
+from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    return (
+        QUERIES[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_a3_filter_pushed_and_columns_pruned(spark, sf_dir):
+    p = _plan(spark, sf_dir, "a3_scan_filter_pushdown")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_shipdate:timestamp_ntz>" in p
+    )
+
+
+def test_a2_reads_only_projected_columns(spark, sf_dir):
+    p = _plan(spark, sf_dir, "a2_scan_project")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_c7_broadcasts_without_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "c7_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_d1_two_phase_aggregation(spark, sf_dir):
+    p = _plan(spark, sf_dir, "d1_groupby_basic")
+    assert p.count("HashAggregate") == 2  # partial (map-side) + final
+
+
+def test_f2_topk_is_heap_not_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "f2_global_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_i6_search_ends_in_topk_heap(spark, sf_dir):
+    p = _plan(spark, sf_dir, "i6_search_and")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_c8_no_cartesian(spark, sf_dir):
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "c8_join_range_theta")

@@ -49,3 +49,41 @@ def test_partitioned_sink_roundtrip(spark):
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert pruned.count() == docs.filter(docs.lang == "en").count()
         assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_streaming_stateful_map(spark):
+    """applyInPandasWithState: per-user running counts (stateful map)."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_stateful_count_smoke,
+    )
+
+    n = run_stateful_count_smoke(spark, SF_DIR)
+    n_users = load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert n == n_users > 0
+
+
+def test_csv_json_source_roundtrip(spark):
+    """§2.A source-format capability: CSV and JSON-lines round-trips
+    with explicit schemas."""
+    import tempfile
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.sources.io import (
+        load_csv,
+        load_json,
+        write_csv,
+        write_json,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_csv(docs, f"{tmp}/docs_csv")
+        back_csv = load_csv(spark, f"{tmp}/docs_csv", docs.schema)
+        assert back_csv.count() == docs.count()
+        assert back_csv.schema == docs.schema
+
+        write_json(docs, f"{tmp}/docs_json")
+        back_json = load_json(spark, f"{tmp}/docs_json", docs.schema)
+        assert back_json.count() == docs.count()
+        assert back_json.schema == docs.schema
