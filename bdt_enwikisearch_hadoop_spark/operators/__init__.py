@@ -1,0 +1,1 @@
+"""Relational operators (SURVEY.md §2.A-G) — each module registers its queries on import."""

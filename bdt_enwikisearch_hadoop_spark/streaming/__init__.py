@@ -1,0 +1,1 @@
+"""Streaming-shaped queries (§2.K) and true Structured Streaming smokes."""

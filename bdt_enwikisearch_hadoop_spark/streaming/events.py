@@ -283,3 +283,74 @@ def run_stateful_count_smoke(spark, sf_dir: str) -> int:
         n = spark.table("smoke_stateful").count()
         q.stop()
         return n
+
+
+def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
+    """Watermark + append-mode late-data semantics, observed end to end.
+
+    Two micro-batches against one checkpoint: batch 1 = all events of
+    2024-01-02+, batch 2 = only events before 2024-01-01 06:00 (late by
+    weeks relative to batch 1's max ts).  After batch 1 the watermark
+    sits at max(ts)-10min, so batch 2's windows are all below it and
+    append emits NOTHING for them — the late data is dropped, which is
+    exactly the bounded-state guarantee that makes windowed aggregation
+    feasible on an unbounded 100 TB/day stream.
+
+    Returns (rows_after_batch1, rows_added_by_late_batch2).
+    """
+    import tempfile
+
+    cutoff_lo = 1_704_088_800_000_000_000  # 2024-01-01 06:00 UTC in ns
+    cutoff_hi = 1_704_153_600_000_000_000  # 2024-01-02 00:00 UTC in ns
+    batch = load(spark, sf_dir, "events").drop("ts2")
+
+    with tempfile.TemporaryDirectory() as workdir:
+        src = f"{workdir}/src"
+        ckpt = f"{workdir}/ckpt"
+        out = f"{workdir}/out"
+        # batch 1: the "on-time" majority
+        batch.filter(F.col("ts") >= cutoff_hi).write.parquet(f"{src}/b1")
+
+        def start():
+            # file sink, not memory: only fault-tolerant sinks can resume
+            # from a checkpoint, and resuming is the whole point here
+            stream = (
+                spark.readStream.schema(batch.schema)
+                .option("maxFilesPerTrigger", "1000")
+                .parquet(f"{src}/*")
+            )
+            agg = (
+                stream.withColumn(
+                    "ts2",
+                    F.timestamp_micros(
+                        F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)")
+                    ),
+                )
+                .withWatermark("ts2", "10 minutes")
+                .groupBy(F.window("ts2", "1 hour"))
+                .count()
+                .select(
+                    F.unix_timestamp(F.col("window.start")).alias("ws"),
+                    F.col("count").alias("n"),
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        def emitted() -> int:
+            return spark.read.schema("ws long, n long").parquet(out).count()
+
+        start()
+        n1 = emitted()
+        # batch 2: weeks-late events only — below the watermark
+        batch.filter(F.col("ts") < cutoff_lo).write.parquet(f"{src}/b2")
+        start()
+        return n1, emitted() - n1

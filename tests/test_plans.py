@@ -52,3 +52,33 @@ def test_i6_search_ends_in_topk_heap(spark, sf_dir):
 
 def test_c8_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in _plan(spark, sf_dir, "c8_join_range_theta")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at WRITE time — the join
+    then plans with zero Exchange on either side.  This is the storage
+    layout for the persisted inverted index / fact tables at 100 TB."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    for name, df, key in (("t_orders_b", o, "o_custkey"), ("t_cust_b", c, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    joined = spark.table("t_orders_b").join(
+        spark.table("t_cust_b"),
+        spark.table("t_orders_b").o_custkey == spark.table("t_cust_b").c_custkey,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")

@@ -87,3 +87,15 @@ def test_csv_json_source_roundtrip(spark):
         back_json = load_json(spark, f"{tmp}/docs_json", docs.schema)
         assert back_json.count() == docs.count()
         assert back_json.schema == docs.schema
+
+
+def test_watermark_drops_late_data(spark):
+    """Append mode + 10-min watermark: a weeks-late second batch must
+    add no rows (its windows are final and its data is dropped)."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_watermark_late_data_smoke,
+    )
+
+    on_time, late_added = run_watermark_late_data_smoke(spark, SF_DIR)
+    assert on_time > 0
+    assert late_added == 0
