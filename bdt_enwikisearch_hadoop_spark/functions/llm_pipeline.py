@@ -398,7 +398,7 @@ def j7_text_quality(spark, sf_dir) -> DataFrame:
     ).cast("double")
     return t.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
         (F.floor(F.size(F.array_distinct("toks")) / n * 10000) / 10000).alias(
             "distinct_ratio"
         ),

@@ -272,8 +272,8 @@ def j11_token_count(spark, sf_dir) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).cast("long").alias(
             "n_word_tokens"
         ),
         F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe_est"),

@@ -49,7 +49,7 @@ def h1_string(spark, sf_dir) -> DataFrame:
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
         F.substring("p_name", 1, 5).alias("sub5"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("cat"),
-        F.length("p_name").alias("len"),
+        F.length("p_name").cast("long").alias("len"),
         F.replace(F.col("p_name"), F.lit("a"), F.lit("_")).alias("repl"),
         F.lpad("p_brand", 12, "*").alias("padded"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
@@ -104,7 +104,7 @@ def h2_datetime(spark, sf_dir) -> DataFrame:
            ROUND(LOG10(l_extendedprice), 4) AS log10_price,
            ROUND(POW(1 + l_discount, 2), 6) AS pow2,
            l_orderkey % 7 AS mod7,
-           SIGN(l_discount - 0.05) AS sgn,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn,
            ROUND(SQRT(l_quantity), 4) AS sqrt_qty,
            GREATEST(l_quantity, 10.0) AS gq,
            LEAST(l_tax, 0.05) AS lt
@@ -118,8 +118,8 @@ def h3_math(spark, sf_dir) -> DataFrame:
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("rounded"),
         F.abs(F.col("l_discount") - 0.05).alias("absdiff"),
-        F.ceil("l_quantity").alias("ceiled"),
-        F.floor("l_quantity").alias("floored"),
+        F.ceil("l_quantity").cast("double").alias("ceiled"),
+        F.floor("l_quantity").cast("double").alias("floored"),
         F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
         F.round(F.log10("l_extendedprice"), 4).alias("log10_price"),
         F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("pow2"),
@@ -152,11 +152,11 @@ def h4_array(spark, sf_dir) -> DataFrame:
     t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     return t.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
         F.array_contains("toks", "spark").alias("has_spark"),
         F.array_join(F.slice("toks", 1, 5), " ").alias("head5"),
         F.sort_array(F.array_distinct("toks")).alias("vocab"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
     )
 
 
@@ -229,7 +229,7 @@ def h7_higher_order(spark, sf_dir) -> DataFrame:
         F.array_join(
             F.transform(F.slice("toks", 1, 8), lambda x: F.upper(x)), " "
         ).alias("up8"),
-        F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform("toks", lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),

@@ -114,7 +114,7 @@ def l3_grouped_median(spark, sf_dir) -> DataFrame:
     )
 
 
-@udtf(returnType="term: string, term_len: int")
+@udtf(returnType="term: string, term_len: bigint")
 class _ExplodeTerms:
     """Python UDTF: text → (term, term_len) rows (Spark 4 surface)."""
 
