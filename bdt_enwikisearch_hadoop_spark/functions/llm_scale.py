@@ -337,3 +337,23 @@ def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+@query(
+    "j15_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def j15_hash_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic ~1/16 sample by content-hash prefix — the
+    REPRODUCIBLE sampling technique for training-data pipelines
+    (TABLESAMPLE/rand() give engine- and run-dependent rows; a hash
+    predicate gives the same sample on every engine, every run, and
+    composes with partition pruning)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

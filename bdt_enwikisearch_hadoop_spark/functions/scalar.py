@@ -236,3 +236,24 @@ def h7_higher_order(spark, sf_dir) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+@query(
+    "h8_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_type) AS d_name_type,
+           levenshtein(p_brand, 'Brand#1') AS d_brand
+    FROM part
+    """,
+)
+def h8_edit_distance(spark, sf_dir) -> DataFrame:
+    """Levenshtein edit distance (identical integer semantics in both
+    engines) — the workhorse of fuzzy string matching / OCR cleanup in
+    text pipelines; per-row, codegen, no shuffle."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("long").alias("d_name_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("d_brand"),
+    )

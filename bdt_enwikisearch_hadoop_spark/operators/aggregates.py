@@ -309,3 +309,45 @@ def d11_salted_agg(spark, sf_dir) -> DataFrame:
         F.sum("pn").cast("long").alias("n"),
         F.round(F.sum("pv").cast("double"), 4).alias("total"),
     )
+
+
+@query(
+    "d12_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(quantile_cont(l_quantity, 0.5) * 10000) / 10000 AS p50_qty,
+           FLOOR(quantile_cont(l_quantity, 0.9) * 10000) / 10000 AS p90_qty,
+           FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000) / 10000 AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d12_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont; FLOOR-truncated because the two interpolation
+    formulas can differ by an ulp).  At 100 TB exact percentiles
+    require a full sort per group — approx_percentile (t-digest,
+    rows-only d13) is the scale path."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("d12_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               FLOOR(percentile(l_quantity, 0.5) * 10000) / 10000 AS p50_qty,
+               FLOOR(percentile(l_quantity, 0.9) * 10000) / 10000 AS p90_qty,
+               FLOOR(percentile(l_extendedprice, 0.99) * 10000) / 10000 AS p99_price
+        FROM d12_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query("d13_approx_percentile")  # no oracle: sketch-based, engine-specific
+def d13_approx_percentile(spark, sf_dir) -> DataFrame:
+    """Approximate percentiles via Spark's incremental sketch — single
+    pass, fixed memory, mergeable across partitions: the 100 TB
+    replacement for d12's per-group sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx_qty"),
+    )

@@ -274,3 +274,31 @@ def c11_join_asof(spark, sf_dir) -> DataFrame:
         F.max("o_orderdate").cast("date").alias("asof_date"),
         F.count("o_orderkey").alias("n_prior"),
     )
+
+
+@query(
+    "c12_subquery_scalar",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def c12_subquery_scalar(spark, sf_dir) -> DataFrame:
+    """Correlated scalar subquery: orders 50% above their customer's
+    average.  Catalyst decorrelates this into an aggregate + join
+    (RewriteCorrelatedScalarSubquery, SURVEY §4) — at scale it is one
+    shuffle on the correlation key, not a per-row probe."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("c12_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM c12_orders o
+        WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) * 1.5
+                                FROM c12_orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

@@ -90,3 +90,23 @@ def test_simhash_identical_docs_identical_fingerprint(spark, sf_dir):
     rows = QUERIES["j9_simhash"](spark, sf_dir).collect()
     assert rows and all(isinstance(r["simhash"], int) for r in rows)
     assert all(0 <= r["simhash"] < 2**32 for r in rows)
+
+
+def test_index_backed_search_matches_live_search(spark, sf_dir, tmp_path):
+    """The persisted bucketed index must serve exactly the flagship's
+    results (build-once/serve-many == recompute-per-query)."""
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_index,
+        search_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import QUERY_TERMS
+
+    build_index(spark, sf_dir, "t_index", str(tmp_path / "idx"))
+    try:
+        served = search_index(spark, "t_index", QUERY_TERMS, k=10).collect()
+        live = QUERIES["i6_search_and"](spark, sf_dir).collect()
+        assert [(r["doc_id"], r["score"]) for r in served] == [
+            (r["doc_id"], r["score"]) for r in live
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_index")
