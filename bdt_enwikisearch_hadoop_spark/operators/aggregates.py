@@ -351,3 +351,29 @@ def d13_approx_percentile(spark, sf_dir) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx_qty"),
     )
+
+
+@query(
+    "d14_histogram_q13",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY n_orders
+    """,
+)
+def d14_histogram_q13(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 shape: customer-order-count distribution (outer join →
+    per-key count → histogram of counts).  Two shuffles, the second over
+    a tiny domain; the left join keeps zero-order customers in bucket 0."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
