@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
 from ..sources import load
-from .llm_pipeline import _SHINGLE_CTE, _duck_cos, dot, shingles, vec_double
+from .llm_pipeline import _SHINGLE_CTE, _duck_cos, shingles
 
 # LSH geometry: 16 minhashes → 4 bands × 4 rows.
 _N_HASH = 16

@@ -110,3 +110,19 @@ def test_index_backed_search_matches_live_search(spark, sf_dir, tmp_path):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_index")
+
+
+def test_every_query_schema_stable_across_scale_factors(spark):
+    """The driver smoke requires a stable schema; plan-time schemas must
+    be identical at every scale factor (names AND types)."""
+    for key in sorted(QUERIES):
+        s1 = QUERIES[key](spark, "/root/testdata/sf0.001").schema
+        s2 = QUERIES[key](spark, "/root/testdata/sf0.01").schema
+        assert s1 == s2, f"{key}: schema differs across sf dirs"
+
+
+def test_every_query_has_unique_column_names(spark, sf_dir):
+    """Duplicate output names break column-sorted value hashing."""
+    for key in sorted(QUERIES):
+        cols = QUERIES[key](spark, sf_dir).columns
+        assert len(cols) == len(set(cols)), f"{key}: duplicate columns {cols}"
