@@ -120,6 +120,13 @@ def main(argv: list[str]) -> int:
     from .registry import QUERIES
     from .session import get_spark
 
+    if len(argv) > 1 and argv[1] == "explain":
+        # usage: python -m ...testing explain <key> [sf_dir]
+        spark = get_spark()
+        sf_dir = argv[3] if len(argv) > 3 else "/root/testdata/sf0.01"
+        QUERIES[argv[2]](spark, sf_dir).explain("formatted")
+        return 0
+
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
     keys = argv[2:] or sorted(QUERIES)
     spark = get_spark()

@@ -126,3 +126,25 @@ def test_every_query_has_unique_column_names(spark, sf_dir):
     for key in sorted(QUERIES):
         cols = QUERIES[key](spark, sf_dir).columns
         assert len(cols) == len(set(cols)), f"{key}: duplicate columns {cols}"
+
+
+def test_sql_entry_point(spark, sf_dir):
+    """engine.sql(): string SQL over registered fixture views must agree
+    with the DataFrame form of the same query."""
+    from bdt_enwikisearch_hadoop_spark.sql import sql
+
+    via_sql = sql(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+    ).collect()
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    via_df = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
