@@ -36,8 +36,9 @@ def _money_sum(col, alias: str):
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(9,6)))) AS DOUBLE) AS sum_disc_price,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(9,6)))) * 100)
+                AS DOUBLE) / 100 AS sum_disc_price,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_discount), 4) AS avg_disc,
            COUNT(*) AS count_order
@@ -53,13 +54,26 @@ def d1_groupby_basic(spark, sf_dir) -> DataFrame:
         _money_sum(F.col("l_extendedprice"), "sum_base_price"),
         # cast each FACTOR to decimal, not the double product: the
         # double->decimal cast of a product rounds differently across
-        # engines at half-cent ties; decimal x decimal is exact in both
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1).cast("decimal(9,6)") - F.col("l_discount").cast("decimal(9,6)"))
-        )
-        .cast("double")
-        .alias("sum_disc_price"),
+        # engines at half-cent ties; decimal x decimal is exact in both.
+        # Then truncate the exact sum to whole cents via FLOOR(x*100)
+        # BEFORE the double cast: a scale-8 sum ~5e9 is an 18-digit
+        # scaled integer > 2^53 where DuckDB's two-step decimal->double
+        # conversion double-rounds, and decimal RESCALING can't be used
+        # either (DuckDB truncates, Spark rounds HALF_UP).  The floored
+        # cent count fits 2^53 exactly in both engines.
+        (
+            F.floor(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(9,6)")
+                        - F.col("l_discount").cast("decimal(9,6)")
+                    )
+                )
+                * 100
+            ).cast("double")
+            / 100
+        ).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
