@@ -31,8 +31,10 @@ from ..sources import load
 
 
 @udf(StringType())
-def _normalize(s: str) -> str:
-    """Deterministic string normalizer: lowercase, strip non-alnum."""
+def _normalize(s):
+    """Deterministic string normalizer: lowercase, strip non-alnum.
+    (No type hints on purpose: pyspark's udf-type inference warns on
+    plain-Python hints for non-Arrow UDFs.)"""
     import re
 
     if s is None:
