@@ -357,3 +357,130 @@ def j15_hash_sample(spark, sf_dir) -> DataFrame:
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "j16_training_data_pipeline",
+    oracle="""
+    WITH keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    ),
+    quality AS (
+        SELECT d.doc_id, d.lang,
+               len(string_split(lower(d.text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(d.text), ' '))) * 1.0
+                 / len(string_split(lower(d.text), ' ')) AS distinct_ratio
+        FROM documents d JOIN keepers USING (doc_id)
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR(distinct_ratio * 10000) / 10000 AS distinct_ratio
+    FROM quality
+    WHERE n_tokens BETWEEN 20 AND 200
+      AND distinct_ratio >= 0.3
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+)
+def j16_training_data_pipeline(spark, sf_dir) -> DataFrame:
+    """The engine's raison d'être in ONE composed plan: exact-dedup →
+    quality gate (length + lexical diversity) → deterministic 25%
+    hash sample.  Catalyst fuses the whole chain into dedup's single
+    shuffle plus map-side filters — a 100 TB corpus pass with exactly
+    one exchange.  Every stage is the declared operator (j1, j7, j15)
+    reused as a library function, which is how a real pipeline composes
+    this engine."""
+    d = load(spark, sf_dir, "documents")
+    keepers = d.groupBy(F.md5(F.lower(F.trim(F.col("text"))))).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    toks = F.split(F.lower(F.col("text")), " ")
+    quality = d.join(keepers, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("raw_ratio"),
+    )
+    return (
+        quality.filter(
+            F.col("n_tokens").between(20, 200)
+            & (F.col("raw_ratio") >= 0.3)
+            & F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.floor(F.col("raw_ratio") * 10000) / 10000).alias("distinct_ratio"),
+        )
+    )
+
+
+@query(
+    "j17_dup_cluster_reps",
+    oracle=f"WITH {_SHINGLE_CTE}, "
+    """
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    members AS (
+        SELECT doc_a AS doc_id, doc_a AS peer FROM pairs
+        UNION ALL SELECT doc_a, doc_b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+        UNION ALL SELECT doc_b, doc_b FROM pairs
+    )
+    SELECT doc_id, MIN(peer) AS rep, COUNT(DISTINCT peer) AS degree
+    FROM members
+    GROUP BY doc_id
+    """,
+)
+def j17_dup_cluster_reps(spark, sf_dir) -> DataFrame:
+    """One-hop near-dup cluster representatives: each duplicated doc is
+    assigned min(doc_id) over its direct neighborhood (itself + its
+    ≥0.8-Jaccard partners).  This is the single-pass approximation of
+    connected components — sufficient to pick per-cluster keepers when
+    clusters are cliques (the common case for near-identical docs); the
+    full transitive closure would iterate this same min-propagation to
+    a fixed point."""
+    sh = shingles(load(spark, sf_dir, "documents"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("peer"))
+        .unionByName(pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("peer")))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("peer")))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_b").alias("peer")))
+    )
+    return members.groupBy("doc_id").agg(
+        F.min("peer").alias("rep"),
+        F.countDistinct("peer").alias("degree"),
+    )
