@@ -101,12 +101,46 @@ def j1_dedup_exact(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT k-token shingles per document."""
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s ARRAY<STRING>) — the DISTINCT k-token shingle set per
+    document kept as an IN-ROW array: downstream set algebra
+    (array_min/transform minhashing, array_intersect verification) runs
+    inside WholeStageCodegen with no explode and no shuffle.
+
+    Deliberately exchange-free: callers whose downstream stage is heavy
+    enough to amortize an input-sized shuffle (j8's 16-way minhash,
+    j17's shingle self-join) pass ``rebalance(docs)`` themselves;
+    cheap consumers (j14's winnowing scan) stay pipeline-local."""
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     ).filter(F.size("toks") >= k)
-    sh = toks.select(
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 2),
+                F.zip_with(
+                    F.slice("toks", 2, F.size("toks") - 2),
+                    F.slice("toks", 3, F.size("toks") - 2),
+                    lambda b, c: F.concat_ws(" ", b, c),
+                ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            )
+        ).alias("s"),
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT k-token shingles per document.
+
+    Kept as the direct ``explode(array_distinct(..))`` rather than
+    ``shingle_sets(..)`` + a second explode projection: A/B at sf0.1
+    showed the split formulation ~2× slower for heavy consumers (j2,
+    j14) — the intermediate array alias blocks generator fusion."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= k)
+    return toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -122,7 +156,6 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return sh
 
 
 _SHINGLE_CTE = """

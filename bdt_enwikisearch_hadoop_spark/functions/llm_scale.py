@@ -30,8 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
-from ..sources import load
-from .llm_pipeline import _SHINGLE_CTE, _duck_cos, shingles
+from ..sources import load, rebalance
+from .llm_pipeline import _SHINGLE_CTE, _duck_cos, shingle_sets, shingles
 
 # LSH geometry: 16 minhashes → 4 bands × 4 rows.
 _N_HASH = 16
@@ -81,11 +81,19 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
 
     16 md5-derived minhashes per doc, 4 bands of 4: P(candidate) =
     1-(1-J⁴)⁴ ≈ 0.96 at J=0.8 — near-full recall for true dups while
-    unrelated pairs (J≈0.1) almost never collide."""
-    sh = shingles(load(spark, sf_dir, "documents"))
-    # all 16 minhashes as MAP-SIDE min aggregates of ONE groupBy — no
-    # 16x explode, no wide shuffle: the exchange carries 16 hex strings
-    # per doc instead of 16 rows per (doc, shingle)
+    unrelated pairs (J≈0.1) almost never collide.
+
+    All 16 minhashes are MAP-SIDE min aggregates of ONE groupBy over the
+    exploded (rebalanced) shingle table — the exchange carries 16 hex
+    strings per doc, and the simple ``min(md5(..))`` aggregates stay
+    inside WholeStageCodegen (an ``array_min(transform(..))`` per-row
+    formulation was tried and is 2-4× slower cold: 16 higher-order
+    traversals fall out of codegen).  The candidate set is LSH-small,
+    so exact verification is ``array_intersect`` on two in-row shingle
+    arrays instead of a re-join against the exploded table."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = shingle_sets(rebalance(docs))
+    sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -130,28 +138,23 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
         )
         .distinct()
     )
-    # exact verification restricted to candidates
-    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("yb"), F.col("shingle").alias("shingle_y"))
+    # exact verification: fetch both docs' shingle sets, intersect in-row
+    sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
-        cand.join(x, "doc_a")
-        .join(
-            y,
-            (F.col("doc_b") == F.col("yb"))
-            & (F.col("shingle") == F.col("shingle_y")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", (F.floor(jac * 10000) / 10000).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("s_a", "s_b")).alias("i"),
+            F.size("s_a").alias("na"),
+            F.size("s_b").alias("nb"),
+        )
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", (F.floor(jac * 10000) / 10000).alias("jaccard")
     )
 
 
@@ -187,7 +190,8 @@ def j9_simhash(spark, sf_dir) -> DataFrame:
     the fingerprint itself, the linear part."""
     d = load(spark, sf_dir, "documents")
     tf = (
-        d.select(
+        rebalance(d)
+        .select(
             "doc_id",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
         )
@@ -334,7 +338,7 @@ def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    return rebalance(emb.select("vec_id", "embedding")).mapInPandas(
         block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
 
@@ -453,7 +457,7 @@ def j17_dup_cluster_reps(spark, sf_dir) -> DataFrame:
     clusters are cliques (the common case for near-identical docs); the
     full transitive closure would iterate this same min-propagation to
     a fixed point."""
-    sh = shingles(load(spark, sf_dir, "documents"))
+    sh = shingles(rebalance(load(spark, sf_dir, "documents")))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1,1 +1,1 @@
-from .io import load, load_events, TABLE_NAMES  # noqa: F401
+from .io import load, load_events, rebalance, TABLE_NAMES  # noqa: F401

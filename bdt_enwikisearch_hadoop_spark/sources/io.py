@@ -60,6 +60,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
 
+def rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin the rows across the cluster before a CPU-heavy
+    narrow stage (per-row hashing, Arrow-batch matmul).  A compacted
+    corpus can arrive as one fat row group, which pins everything up to
+    the first shuffle onto one task; one input-sized exchange here buys
+    full parallelism for the expensive stage.  Use ONLY in front of
+    stages whose per-row cost dwarfs a row's shuffle cost — scans that
+    feed a cheap filter/aggregate should stay exchange-free."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV sink (§2.A source-format capability; header on, overwrite)."""
     df.write.mode("overwrite").option("header", "true").csv(path)
