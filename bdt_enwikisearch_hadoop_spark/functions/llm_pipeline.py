@@ -437,3 +437,134 @@ def j7_text_quality(spark, sf_dir) -> DataFrame:
         ),
         (F.floor(total_len / n * 10000) / 10000).alias("mean_tok_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j18 — repetition-ratio quality filter (Gopher-style dup-bigram rule)
+# ---------------------------------------------------------------------------
+
+_J18_THRESH = 0.05
+
+
+@query(
+    "j18_repetition_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           FLOOR((1.0 - len(list_distinct(bg)) * 1.0 / len(bg)) * 10000) / 10000
+             AS dup_bigram_frac
+    FROM (
+      SELECT doc_id,
+             list_transform(
+                 list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                 z -> z[1] || ' ' || z[2]) AS bg
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= 2
+    )
+    WHERE (1.0 - len(list_distinct(bg)) * 1.0 / len(bg)) >= {_J18_THRESH}
+    """,
+)
+def j18_repetition_filter(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition filter: flag documents whose fraction of
+    DUPLICATE bigrams is ≥ 5% (boilerplate / degenerate-generation
+    signal used by every LLM pretraining quality pipeline).
+
+    Entirely in-row: bigrams via zip_with over two array slices, the
+    dup fraction via size/array_distinct — a narrow per-row projection
+    with NO explode and NO shuffle, so at 100 TB it is a pure map pass
+    that rides the document scan.  The integer/integer division is
+    exactly rounded IEEE in both engines (identical expression tree),
+    so the raw-threshold filter and the FLOOR-4dp output are both
+    engine-stable."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    t = t.select("doc_id", bg.alias("bg"))
+    frac = F.lit(1.0) - (
+        F.size(F.array_distinct("bg")) * F.lit(1.0)
+    ) / F.size("bg")
+    return t.filter(frac >= _J18_THRESH).select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        (F.floor(frac * 10000) / 10000).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j19 — benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_J19_K = 4          # shingle width (tokens)
+_EVAL_SOURCE = "src0"  # the fixture slice standing in for a benchmark set
+
+
+@query(
+    "j19_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+          list_transform(range(1, len(toks) - {_J19_K - 2}),
+                         i -> list_aggregate(toks[i:i+{_J19_K - 1}],
+                                             'string_agg', ' ')))) AS s
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+            FROM documents)
+      WHERE len(toks) >= {_J19_K}
+    )
+    SELECT a.doc_id,
+           COUNT(DISTINCT a.s) AS n_hit_shingles,
+           COUNT(DISTINCT b.doc_id) AS n_eval_docs
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.source <> '{_EVAL_SOURCE}' AND b.source = '{_EVAL_SOURCE}'
+    GROUP BY a.doc_id
+    """,
+)
+def j19_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one 4-token shingle with the held-out eval slice
+    (``source = 'src0'``), reporting how many distinct shingles hit and
+    how many eval docs are implicated.
+
+    Scale shape: an eval/benchmark set is tiny (MBs) next to a 100 TB
+    corpus, so its distinct-shingle table is BROADCAST — the corpus
+    side streams through a narrow tokenize→shingle explode and probes
+    the broadcast hash table with no corpus-sized shuffle; only the
+    per-flagged-doc aggregate (a vanishing fraction of docs) exchanges
+    data."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.col("text")), " ").alias("toks"),
+    ).filter(F.size("toks") >= _J19_K)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_J19_K - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, _J19_K), " "),
+                )
+            )
+        ).alias("s"),
+    )
+    corpus = sh.filter(F.col("source") != _EVAL_SOURCE).select("doc_id", "s")
+    eval_sh = (
+        sh.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.col("doc_id").alias("eval_doc"), "s")
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )

@@ -422,6 +422,33 @@ def j16_training_data_pipeline(spark, sf_dir) -> DataFrame:
     )
 
 
+def _near_dup_pairs(docs) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b and exact shingle-Jaccard ≥ 0.8
+    — the shared-shingle join formulation (never a cross product);
+    at 100 TB the LSH candidates of j8 replace this exact builder."""
+    sh = shingles(rebalance(docs))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "j17_dup_cluster_reps",
     oracle=f"WITH {_SHINGLE_CTE}, "
@@ -455,29 +482,9 @@ def j17_dup_cluster_reps(spark, sf_dir) -> DataFrame:
     ≥0.8-Jaccard partners).  This is the single-pass approximation of
     connected components — sufficient to pick per-cluster keepers when
     clusters are cliques (the common case for near-identical docs); the
-    full transitive closure would iterate this same min-propagation to
+    full transitive closure (j20) iterates this same min-propagation to
     a fixed point."""
-    sh = shingles(rebalance(load(spark, sf_dir, "documents")))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.8)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _near_dup_pairs(load(spark, sf_dir, "documents"))
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("peer"))
         .unionByName(pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("peer")))
@@ -488,3 +495,87 @@ def j17_dup_cluster_reps(spark, sf_dir) -> DataFrame:
         F.min("peer").alias("rep"),
         F.countDistinct("peer").alias("degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j20 — TRUE near-dup clusters: connected components to a fixed point
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j20_connected_components",
+    oracle=f"WITH RECURSIVE {_SHINGLE_CTE}, "
+    """
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def j20_connected_components(spark, sf_dir) -> DataFrame:
+    """Exact near-dup clustering: connected components of the ≥0.8-
+    Jaccard pair graph by iterative min-label propagation to a fixed
+    point (the transitive closure j17 approximates in one hop) — what a
+    FineWeb-style dedup stage runs so that A~B~C collapses to ONE
+    representative even when A and C don't directly match.
+
+    Iterative driver loop, Spark-shaped: the edge set (near-dup pairs)
+    is orders of magnitude smaller than the corpus, each round is one
+    shuffle-join of labels against edges + a min-aggregate, and
+    ``localCheckpoint`` truncates lineage each round so plan depth
+    stays O(1) instead of O(iterations).  Rounds needed = graph
+    diameter (small for dup clusters); convergence is an exact
+    zero-changes test, not a fixed round count.  The oracle is the
+    same closure as a DuckDB recursive CTE."""
+    pairs = _near_dup_pairs(load(spark, sf_dir, "documents"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        via_nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(via_nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

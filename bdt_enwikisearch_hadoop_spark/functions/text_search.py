@@ -270,3 +270,81 @@ def i9_corpus_stats(spark, sf_dir) -> DataFrame:
             "avg_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# i10 — BM25 ranked retrieval (Okapi, k1=1.2 b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "i10_bm25",
+    oracle=f"WITH {_TOK_CTE}, "
+    f"""
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS nd, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           FLOOR(SUM(
+               LN(1 + (nd - dfc + 0.5) / (dfc + 0.5))
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ) * 10000) / 10000 AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 10
+    """,
+)
+def i10_bm25(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 top-10 for the fixed disjunctive query — the ranking
+    function that superseded raw TF-IDF in every production search
+    engine.  Same skeleton as i6/i7 (filter the TF table to the query
+    terms FIRST, so the scoring join touches a tiny slice; N/avgdl is a
+    single broadcast row, never a collect), plus a join back to the
+    per-doc length table for the length normalization.  Score is
+    FLOOR-truncated at 4dp (avgdl division → engine-specific last-ulp;
+    §2.0 rule 1 / playbook FLOOR trick)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    idf = F.log(
+        1
+        + (F.col("nd") - F.col("dfc") + F.lit(0.5)) / (F.col("dfc") + F.lit(0.5))
+    )
+    s = (
+        idf
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(s) * 10000) / 10000).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )

@@ -165,6 +165,68 @@ def k4_dedup_keyed(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "k5_funnel",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+    v AS (SELECT user_id, MIN(tns) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(tns) AS t_click
+          FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND tns > t_view GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(tns) AS t_purchase
+          FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tns > t_click GROUP BY ev.user_id)
+    SELECT v.user_id,
+           t_view // {_NS_PER_S} AS view_s,
+           t_click // {_NS_PER_S} AS click_s,
+           t_purchase // {_NS_PER_S} AS purchase_s
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def k5_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    earliest view, the earliest click strictly AFTER that view, and the
+    earliest purchase strictly after that click (stage times as epoch
+    seconds, NULL where the user never converted).
+
+    Three filtered min-aggregates, each shuffled on user_id — the
+    per-stage tables shrink monotonically (only survivors of the prior
+    stage are joined), so the dominant cost is the first pass over the
+    raw log; everything later touches per-user rows.  All comparisons
+    are exact BIGINT nanoseconds; positive-epoch DIV == floor-div."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr(f"t_view DIV {_NS_PER_S}").alias("view_s"),
+            F.expr(f"t_click DIV {_NS_PER_S}").alias("click_s"),
+            F.expr(f"t_purchase DIV {_NS_PER_S}").alias("purchase_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # true Structured Streaming (smoke-only capabilities, no oracle)
 # ---------------------------------------------------------------------------

@@ -54,6 +54,26 @@ def test_c8_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in _plan(spark, sf_dir, "c8_join_range_theta")
 
 
+def test_j18_is_pure_map_pass(spark, sf_dir):
+    """The repetition filter must stay a narrow per-row projection —
+    in-row bigram arrays, never an explode + re-aggregate."""
+    p = _plan(spark, sf_dir, "j18_repetition_filter")
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode
+
+
+def test_j19_broadcasts_eval_set(spark, sf_dir):
+    """Decontamination probes a BROADCAST eval-shingle table; the
+    corpus side must not shuffle before the join."""
+    p = _plan(spark, sf_dir, "j19_decontaminate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_i10_bm25_ends_in_topk_heap(spark, sf_dir):
+    p = _plan(spark, sf_dir, "i10_bm25")
+    assert "TakeOrderedAndProject" in p
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Bucketed tables co-locate join keys at WRITE time — the join
     then plans with zero Exchange on either side.  This is the storage
