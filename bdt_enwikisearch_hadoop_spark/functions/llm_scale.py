@@ -542,10 +542,14 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
     is orders of magnitude smaller than the corpus, each round is one
     shuffle-join of labels against edges + a min-aggregate, and
     ``localCheckpoint`` truncates lineage each round so plan depth
-    stays O(1) instead of O(iterations).  Rounds needed = graph
-    diameter (small for dup clusters); convergence is an exact
-    zero-changes test, not a fixed round count.  The oracle is the
-    same closure as a DuckDB recursive CTE."""
+    stays O(1) instead of O(iterations).  Labels start at the ONE-HOP
+    neighborhood min (j17's answer), so clique-shaped clusters — the
+    common case — converge in a single verification round; rounds
+    needed beyond that = component diameter.  Each round materializes
+    once (the checkpoint carries a ``chg`` flag), so the convergence
+    test is a count over checkpointed rows, not a second join.
+    Convergence is an exact zero-changes test, not a fixed round
+    count.  The oracle is the same closure as a DuckDB recursive CTE."""
     pairs = _near_dup_pairs(load(spark, sf_dir, "documents"))
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -553,10 +557,12 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
     ).localCheckpoint()
+    # one-hop init: component = min(self, direct neighbors)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.select("src", F.col("dst").alias("component"))
+        .unionByName(edges.select("src", F.col("src").alias("component")))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("component").alias("component"))
         .localCheckpoint()
     )
     while True:
@@ -564,18 +570,18 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "component")
         new_labels = (
-            labels.unionByName(via_nbr)
+            labels.withColumn("old", F.col("component"))
+            .unionByName(via_nbr.withColumn("old", F.lit(None).cast("long")))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
+            .withColumn("chg", F.col("component") != F.col("old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
