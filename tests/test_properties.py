@@ -148,3 +148,97 @@ def test_sql_entry_point(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+
+
+def test_components_refine_one_hop_reps(spark, sf_dir):
+    """j20's fixed-point component is ≤ j17's one-hop rep for every
+    node (propagating min labels further can only lower them), over
+    the identical node set."""
+    from pyspark.sql import functions as F
+
+    reps = QUERIES["j17_dup_cluster_reps"](spark, sf_dir).select("doc_id", "rep")
+    comp = QUERIES["j20_connected_components"](spark, sf_dir)
+    joined = comp.join(reps, "doc_id", "full").cache()
+    try:
+        n_unmatched = joined.filter(
+            F.col("rep").isNull() | F.col("component").isNull()
+        ).count()
+        n_worse = joined.filter(F.col("component") > F.col("rep")).count()
+        n = joined.count()
+        assert n > 0 and n_unmatched == 0 and n_worse == 0
+    finally:
+        joined.unpersist()
+
+
+def test_funnel_stage_times_strictly_ordered(spark, sf_dir):
+    """k5: each reached stage happens strictly after the previous one,
+    and a reached stage implies all earlier stages were reached."""
+    from pyspark.sql import functions as F
+
+    f = QUERIES["k5_funnel"](spark, sf_dir).cache()
+    try:
+        assert f.count() > 0
+        assert (
+            f.filter(
+                F.col("click_s").isNotNull() & (F.col("click_s") < F.col("view_s"))
+            ).count()
+            == 0
+        )
+        assert (
+            f.filter(
+                F.col("purchase_s").isNotNull()
+                & (F.col("purchase_s") < F.col("click_s"))
+            ).count()
+            == 0
+        )
+        assert (
+            f.filter(
+                F.col("purchase_s").isNotNull() & F.col("click_s").isNull()
+            ).count()
+            == 0
+        )
+    finally:
+        f.unpersist()
+
+
+def test_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    """j19 flags only non-eval docs, with at least one hit each."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    flagged = QUERIES["j19_decontaminate"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    bad = (
+        flagged.join(docs, "doc_id")
+        .filter(
+            (F.col("source") == "src0")
+            | (F.col("n_hit_shingles") < 1)
+            | (F.col("n_eval_docs") < 1)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bm25_and_tfidf_rank_over_same_candidates(spark, sf_dir):
+    """i10 scores the same disjunctive candidate universe as i7 — its
+    top-10 doc set must be a subset of docs containing a query term."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+        tokenize,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    hits = {
+        r["doc_id"]
+        for r in tokenize(load(spark, sf_dir, "documents"))
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    top = {r["doc_id"] for r in QUERIES["i10_bm25"](spark, sf_dir).collect()}
+    assert top and top <= hits
