@@ -126,3 +126,51 @@ def m2_frame_sample(spark, sf_dir) -> DataFrame:
     return with_len.mapInPandas(
         _sample_frames, schema="doc_id long, frame_idx int"
     )
+
+
+def _chunk_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: overlapping fixed-rate windows (frame 400
+    samples, hop 160 — 25 ms / 10 ms at 16 kHz) over a synthetic
+    per-doc sample count.  Real audio would decode PCM here; the
+    window arithmetic, 1→N expansion and schema are the real thing."""
+    for pdf in batches:
+        out = {"doc_id": [], "chunk_idx": [], "start_s": [], "end_s": []}
+        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
+            n_samples = (n_bytes * 50) % 48000 + 16000
+            n_chunks = (n_samples - 400) // 160 + 1
+            for idx in range(n_chunks):
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(idx)
+                out["start_s"].append(idx * 160 / 16000.0)
+                out["end_s"].append((idx * 160 + 400) / 16000.0)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "m3_audio_chunks",
+    oracle="""
+    SELECT d.doc_id, CAST(t.i AS INT) AS chunk_idx,
+           t.i * 160 / 16000.0 AS start_s,
+           (t.i * 160 + 400) / 16000.0 AS end_s
+    FROM (SELECT doc_id,
+                 (octet_length(encode(text)) * 50) % 48000 + 16000 AS n_samples
+          FROM documents) d
+    JOIN range(0, 400) t(i) ON t.i <= (d.n_samples - 400) // 160
+    """,
+)
+def m3_audio_chunks(spark, sf_dir) -> DataFrame:
+    """Audio chunking: one row per overlapping 25 ms window at a 10 ms
+    hop — the shape every speech/audio feature extractor consumes.
+    All window boundaries derive from exact integer sample arithmetic
+    (a single exactly-rounded division to seconds at the end), so the
+    same chunks come out of every engine and every run.  Like m2, the
+    expansion happens in Arrow batches BEFORE any shuffle and emits
+    only indices + boundaries, never duplicated payload bytes."""
+    d = load(spark, sf_dir, "documents")
+    with_len = d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+    return with_len.mapInPandas(
+        _chunk_audio, schema="doc_id long, chunk_idx int, start_s double, end_s double"
+    )
