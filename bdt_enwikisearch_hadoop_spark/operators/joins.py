@@ -302,3 +302,31 @@ def c12_subquery_scalar(spark, sf_dir) -> DataFrame:
                                 WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@query(
+    "c13_join_null_safe",
+    oracle="""
+    SELECT c.k AS nat_key, COUNT(*) AS n_pairs
+    FROM (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) c
+    JOIN (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier) s
+      ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def c13_join_null_safe(spark, sf_dir) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — still a hash join on
+    the key (NULL hashes to one bucket), so the plan is identical to
+    c1's; a heavily-NULL key is a skew key and AQE splits it."""
+    c = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
+    )
+    return (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.col("ck").alias("nat_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

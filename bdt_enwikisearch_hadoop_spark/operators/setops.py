@@ -87,3 +87,37 @@ def g4_except(spark, sf_dir) -> DataFrame:
         .select(F.col("s_suppkey").alias("suppkey"))
     )
     return li.exceptAll(s)
+
+
+@query(
+    "g5_intersect_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def g5_intersect_all(spark, sf_dir) -> DataFrame:
+    """Multiset intersection (bag semantics — duplicates survive up to
+    the min multiplicity per side).  Plans as one aggregate of counts
+    per key per side, not a join explosion."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "g6_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    """,
+)
+def g6_except_all(spark, sf_dir) -> DataFrame:
+    """Multiset difference (bag semantics — multiplicities subtract)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25).select("l_orderkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return a.exceptAll(b)

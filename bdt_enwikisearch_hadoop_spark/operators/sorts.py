@@ -75,3 +75,27 @@ def f3_limit_offset(spark, sf_dir) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "f4_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+    FROM orders
+    ORDER BY pri NULLS FIRST, o_orderkey
+    LIMIT 20
+    """,
+)
+def f4_nulls_ordering(spark, sf_dir) -> DataFrame:
+    """Explicit NULLS FIRST ordering under a LIMIT (engines default
+    differently: Spark ASC = nulls first, DuckDB ASC = nulls last —
+    so the direction must be SPELLED OUT, §2.0 rule 4 applies for the
+    unique o_orderkey tiebreaker).  Still TakeOrderedAndProject —
+    per-task heaps, no global sort."""
+    o = load(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    return (
+        o.select("o_orderkey", pri.alias("pri"))
+        .orderBy(F.col("pri").asc_nulls_first(), F.col("o_orderkey"))
+        .limit(20)
+    )
