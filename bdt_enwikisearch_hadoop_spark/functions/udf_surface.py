@@ -147,3 +147,30 @@ def l4_python_udtf(spark, sf_dir) -> DataFrame:
         FROM l4_documents d, LATERAL explode_terms(d.text) t
         """
     )
+
+
+@udf(StringType(), useArrow=True)
+def _normalize_arrow(s):
+    import re
+
+    if s is None:
+        return None
+    return re.sub(r"[^a-z0-9 ]", "", s.lower())
+
+
+@query(
+    "l5_arrow_udf",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g') AS norm
+    FROM part
+    """,
+)
+def l5_arrow_udf(spark, sf_dir) -> DataFrame:
+    """The SAME scalar logic as l1 but through Spark 4's Arrow-optimized
+    Python UDF (``useArrow=True``): rows cross to Python as Arrow
+    batches instead of pickled one-at-a-time — the drop-in mitigation
+    when a legacy @udf can't be rewritten as a pandas_udf.  Same
+    oracle as l1 (identical semantics, different physical path)."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", _normalize_arrow(F.col("p_name")).alias("norm"))

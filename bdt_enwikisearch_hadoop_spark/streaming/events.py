@@ -227,6 +227,64 @@ def k5_funnel(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "k6_retention",
+    oracle="""
+    WITH acts AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    act AS (SELECT d, COUNT(*) AS n_active FROM acts GROUP BY d),
+    ret AS (
+        SELECT a.d, COUNT(*) AS n_retained
+        FROM acts a JOIN acts b ON b.user_id = a.user_id AND b.d = a.d - 1
+        GROUP BY a.d
+    )
+    SELECT CAST(epoch(CAST(act.d AS TIMESTAMP)) AS BIGINT) AS day_s,
+           n_active,
+           COALESCE(n_retained, 0) AS n_retained,
+           FLOOR(COALESCE(n_retained, 0) * 1.0 / n_active * 10000) / 10000
+             AS retention
+    FROM act LEFT JOIN ret ON ret.d = act.d
+    """,
+)
+def k6_retention(spark, sf_dir) -> DataFrame:
+    """Day-over-day retention: of the users active on day d, the
+    fraction also active on d-1 — the classic cohort/engagement metric
+    over an event log.
+
+    One distinct-(user, day) pass collapses the raw log (the only
+    log-sized shuffle); the self-join then runs on the tiny per-day
+    activity table.  Ratio FLOOR-truncated (integer/integer, §2.0
+    rule 1)."""
+    e = load(spark, sf_dir, "events")
+    acts = e.select("user_id", F.to_date("ts2").alias("d")).distinct()
+    act = acts.groupBy("d").agg(F.count(F.lit(1)).alias("n_active"))
+    prev = acts.select("user_id", F.date_add("d", 1).alias("d"))
+    ret = (
+        acts.join(prev, ["user_id", "d"])
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        act.join(ret, "d", "left")
+        .select(
+            F.unix_timestamp(F.col("d").cast("timestamp")).alias("day_s"),
+            "n_active",
+            F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_retained"), F.lit(0))
+                    * F.lit(1.0)
+                    / F.col("n_active")
+                    * 10000
+                )
+                / 10000
+            ).alias("retention"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # true Structured Streaming (smoke-only capabilities, no oracle)
 # ---------------------------------------------------------------------------
