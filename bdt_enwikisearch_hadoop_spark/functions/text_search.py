@@ -348,3 +348,35 @@ def i10_bm25(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "i11_proximity",
+    oracle=f"WITH {_TOK_CTE} "
+    f"""
+    SELECT a.doc_id, COUNT(*) AS n_windows
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id
+     AND b.pos - a.pos BETWEEN 1 AND 5
+    WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def i11_proximity(spark, sf_dir) -> DataFrame:
+    """Proximity search: '{PHRASE[0]} ... {PHRASE[1]}' within a 5-token
+    window (ordered).  Same pre-filtered positional self-join as i8 —
+    both sides collapse to just the two query terms' postings before
+    the join, so the range predicate runs on a tiny slice; never a
+    positions × positions cross product over the corpus."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    a = tok.filter(F.col("term") == PHRASE[0]).alias("a")
+    b = tok.filter(F.col("term") == PHRASE[1]).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).between(1, 5),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+    )

@@ -391,3 +391,37 @@ def d14_histogram_q13(spark, sf_dir) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "d15_filtered_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d15_filtered_agg(spark, sf_dir) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause): several differently-
+    conditioned aggregates in ONE pass over the fact table — the
+    idiomatic replacement for N self-joins or N separate scans.  Spark
+    expresses the filter as when(cond, x); both forms fold into the
+    same partial/final hash aggregate.  Money sum in DECIMAL (§2.0
+    rule 1)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("disc_revenue"),
+    )
