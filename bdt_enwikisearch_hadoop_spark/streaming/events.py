@@ -285,6 +285,50 @@ def k6_retention(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "k7_error_burst",
+    oracle=f"""
+    SELECT user_id, event_id,
+           (tns - prev_tns) // {_NS_PER_S} AS gap_s
+    FROM (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+               lag(event_type) OVER w AS prev_type,
+               lag(epoch_ns(ts)) OVER w AS prev_tns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE event_type = 'error' AND prev_type = 'error'
+      AND tns - prev_tns <= CAST(300 AS BIGINT) * {_NS_PER_S}
+    """,
+)
+def k7_error_burst(spark, sf_dir) -> DataFrame:
+    """Sequence-pattern detection (CEP shape): two CONSECUTIVE error
+    events from the same user within 5 minutes — the lag-over-ordered-
+    stream formulation of MATCH_RECOGNIZE's simplest pattern.  One
+    shuffle on user_id + in-partition sort; in true streaming this is
+    per-key state holding only the previous event (see the
+    transformWithState smoke)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return flagged.filter(
+        (F.col("event_type") == "error")
+        & (F.col("prev_type") == "error")
+        & (F.col("ts") - F.col("prev_ts") <= 300 * _NS_PER_S)
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr(f"(ts - prev_ts) DIV {_NS_PER_S}").alias("gap_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # true Structured Streaming (smoke-only capabilities, no oracle)
 # ---------------------------------------------------------------------------
@@ -474,3 +518,79 @@ def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
         batch.filter(F.col("ts") < cutoff_lo).write.parquet(f"{src}/b2")
         start()
         return n1, emitted() - n1
+
+
+def run_transform_with_state_smoke(spark, sf_dir: str) -> int:
+    """Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState: a StatefulProcessor class with typed state
+    handles (ValueState here), timers, and RocksDB-backed state (the
+    provider the API requires; set per-session below).  Same semantics
+    as :func:`run_stateful_count_smoke` so the two APIs cross-check.
+
+    Requires ``protobuf`` (the API's state-server wire protocol); this
+    container does not ship it, so callers must gate on
+    :func:`transform_with_state_available` — the pytest smoke skips
+    cleanly there and the code path is exercised where protobuf exists.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as workdir:
+            counted = (
+                _stream_events(spark, sf_dir, workdir)
+                .groupBy("user_id")
+                .transformWithStateInPandas(
+                    statefulProcessor=RunningCount(),
+                    outputStructType="user_id long, n long",
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            q = (
+                counted.writeStream.format("memory")
+                .queryName("smoke_tws")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            n = spark.table("smoke_tws").count()
+            q.stop()
+            return n
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def transform_with_state_available() -> bool:
+    """True when the transformWithStateInPandas runtime deps exist
+    (protobuf backs its driver-worker state-server protocol)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -63,6 +63,26 @@ def test_streaming_stateful_map(spark):
     assert n == n_users > 0
 
 
+def test_streaming_transform_with_state(spark):
+    """transformWithStateInPandas (Spark 4 successor API): same
+    per-user running count as the applyInPandasWithState smoke —
+    the two stateful APIs must agree on the emitted key set.  Skips
+    where protobuf (the API's wire protocol) is not installed."""
+    import pytest
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_transform_with_state_smoke,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not installed: transformWithState runtime dep")
+    n = run_transform_with_state_smoke(spark, SF_DIR)
+    n_users = load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert n == n_users > 0
+
+
 def test_csv_json_source_roundtrip(spark):
     """§2.A source-format capability: CSV and JSON-lines round-trips
     with explicit schemas."""
