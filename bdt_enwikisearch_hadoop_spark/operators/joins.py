@@ -330,3 +330,26 @@ def c13_join_null_safe(spark, sf_dir) -> DataFrame:
         .groupBy(F.col("ck").alias("nat_key"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "c14_join_shuffle_hash_hint",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def c14_join_shuffle_hash_hint(spark, sf_dir) -> DataFrame:
+    """Explicit physical-strategy control: the SHUFFLE_HASH hint forces
+    a shuffled hash join (build a hash table per partition) instead of
+    sort-merge — the right call when one side is far smaller than the
+    other but too big to broadcast: it skips both sort passes.  Same
+    rows as an unhinted join; the plan shape is guarded in
+    tests/test_plans.py."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )

@@ -102,3 +102,11 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
+    """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
+    broadcast on the hinted side."""
+    p = _plan(spark, sf_dir, "c14_join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
