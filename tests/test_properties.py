@@ -242,3 +242,41 @@ def test_bm25_and_tfidf_rank_over_same_candidates(spark, sf_dir):
     }
     top = {r["doc_id"] for r in QUERIES["i10_bm25"](spark, sf_dir).collect()}
     assert top and top <= hits
+
+
+def test_shingle_expression_matches_python_reference(spark):
+    """Hypothesis: the in-row zip_with 3-token shingle expression used
+    by the whole j-family equals a plain-Python reference on arbitrary
+    token lists (random words incl. empties/unicode)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_pipeline import shingles
+
+    # printable ASCII minus space: avoids unicode case-mapping edge
+    # cases where Python str.lower() and JVM lower() legitimately differ
+    word = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=8,
+    )
+    corpus = st.lists(st.lists(word, min_size=3, max_size=30), min_size=1, max_size=8)
+
+    def py_shingles(toks):
+        lower = [t.lower() for t in toks]
+        return {
+            " ".join(lower[i : i + 3]) for i in range(len(lower) - 2)
+        }
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpus)
+    def check(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in shingles(df).collect():
+            got.setdefault(r["doc_id"], set()).add(r["shingle"])
+        want = {i: py_shingles(toks) for i, toks in enumerate(docs)}
+        want = {i: s for i, s in want.items() if s}
+        assert got == want
+
+    check()
