@@ -380,3 +380,42 @@ def i11_proximity(spark, sf_dir) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_windows"))
     )
+
+
+@query(
+    "i12_vocab_prune",
+    oracle=f"WITH {_TOK_CTE}, "
+    """
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT term, dfc,
+           FLOOR(LN(nd * 1.0 / dfc) * 10000) / 10000 AS idf,
+           dfc * 1.0 / nd <= 0.78 AS kept
+    FROM dfreq CROSS JOIN n
+    """,
+)
+def i12_vocab_prune(spark, sf_dir) -> DataFrame:
+    """Stopword/top-p vocabulary pruning — the documented 100 TB
+    optimization (SCALE.md 'Skew') as a runnable operator: terms in
+    >78% of documents carry near-zero idf and dominate the token
+    stream, so a real corpus run drops them BEFORE the DF shuffle;
+    this query computes the keep/drop verdict + idf per term.  One
+    aggregate over distinct (doc, term) pairs; the corpus size is a
+    broadcast scalar."""
+    docs = load(spark, sf_dir, "documents")
+    dfreq = doc_freq(tokenize(docs))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        dfreq.join(F.broadcast(n))
+        .select(
+            "term",
+            "dfc",
+            (
+                F.floor(F.log(F.col("nd") * F.lit(1.0) / F.col("dfc")) * 10000)
+                / 10000
+            ).alias("idf"),
+            (F.col("dfc") * F.lit(1.0) / F.col("nd") <= 0.78).alias("kept"),
+        )
+    )
