@@ -134,6 +134,80 @@ def j13_ann_ivf(spark, sf_dir) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
 
 
+def assign_ivf_cells(spark, sf_dir) -> DataFrame:
+    """(vec_id, embedding, cell): every vector assigned to its nearest
+    j5 centroid by cosine — the coarse-quantizer pass that precedes
+    writing the corpus partitioned-by-cell.  Deterministic (exact-
+    decimal centroids + FLOOR-truncated scores, label tiebreak), so
+    the same corpus always lands in the same files."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = j5_label_centroids(spark, sf_dir)  # (label, dim, centroid) — 640 rows
+    dims = emb.select(
+        "vec_id", F.posexplode(vec_double(F.col("embedding"))).alias("dim", "x")
+    )
+    scores = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("centroid") * F.col("x"))
+                / (
+                    F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
+                    * F.sqrt(F.sum(F.col("x") * F.col("x")))
+                )
+            ).alias("cos")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cos"), 4).desc(), F.col("label")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    return emb.select("vec_id", "embedding").join(best, "vec_id")
+
+
+def build_ivf_store(spark, sf_dir, path: str) -> None:
+    """Sink the corpus PARTITIONED BY cell: at 100 TB each IVF cell is
+    its own directory, so an nprobe-cell search is a file-level
+    partition-pruned scan (PartitionFilters in the scan node) that
+    never opens the other cells' files — the storage half of the IVF
+    design j13 executes in-plan."""
+    assign_ivf_cells(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def search_ivf_store(spark, path: str, cells: list[int], probe, k: int = 10) -> DataFrame:
+    """Exact cosine top-k over ONLY the given cells of a partitioned
+    store.  ``cells`` is the nprobe centroid shortlist — O(n_cells)
+    driver-side values (a bounded, metadata-sized list, NOT a corpus
+    collect), inlined as literals so Catalyst prunes partitions at
+    plan time."""
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select("vec_id", vec_double(F.col("embedding")).alias("ve"))
+    )
+    pe = F.broadcast(probe.select(vec_double(F.col("embedding")).alias("pemb")))
+    scored = cand.crossJoin(pe).select(
+        "vec_id",
+        F.round(
+            dot(F.col("ve"), F.col("pemb"))
+            / (
+                F.sqrt(dot(F.col("ve"), F.col("ve")))
+                * F.sqrt(dot(F.col("pemb"), F.col("pemb")))
+            ),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
 @query(
     "j14_fingerprint_winnow",
     oracle=f"WITH {_SHINGLE_CTE} "

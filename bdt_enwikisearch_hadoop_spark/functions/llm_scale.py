@@ -284,6 +284,14 @@ def j11_token_count(spark, sf_dir) -> DataFrame:
     )
 
 
+#: hash-block count for j12's all-pairs grid.  B*(B+1)/2 co-grouped
+#: tasks, each holding 2 blocks (~2N/B vectors); every vector is
+#: shuffled B times.  At 100 TB pick B ≈ sqrt(N·dim·8 / task_mem) so
+#: two blocks fit an executor — the grid stays exact at any N with no
+#: driver-side state.
+_J12_BLOCKS = 8
+
+
 @query(
     "j12_embedding_near_dup",
     oracle=f"""
@@ -301,44 +309,62 @@ def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45 —
     fixture-calibrated; real corpora use ~0.95).
 
-    Vectorized formulation: the corpus matrix is broadcast (the build
-    side of a broadcast join — ~1 MB per 2k vectors, the same size
-    class Spark broadcasts for hash joins) and each Arrow batch of
-    query rows computes one numpy float64 matmul against it — BLAS
-    throughput instead of per-pair expression folds.  At 100 TB the
-    corpus no longer fits a broadcast: bucket by IVF cell (j5
-    centroids: assign → join within cell) or random-hyperplane LSH
-    signs (j9 pattern on vectors) and run this same matmul per bucket.
+    Distributed EXACT all-pairs via the block-pair grid (the classic
+    "handling theta-joins in MapReduce" decomposition): vectors are
+    hashed into B blocks, every unordered block pair (i ≤ j) becomes
+    one co-grouped task, and each task runs ONE numpy float64 matmul
+    between its two blocks — BLAS throughput with no corpus-sized
+    driver collect and no broadcast that grows with N.  A pair (u, v)
+    lands in exactly one task (u's block × v's block), so the result
+    is exact and duplicate-free — unlike IVF/LSH bucketing, which
+    drops cross-bucket pairs and could not hash-match the all-pairs
+    oracle.  Shuffle cost: B× replication of the embedding column,
+    traded against per-task memory of 2N/B vectors (see _J12_BLOCKS).
     """
     import numpy as np
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    B = _J12_BLOCKS
 
-    def block_pairs(batches):
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ c_mat.T  # (batch, corpus) float64 BLAS matmul
-            qi, ci = np.nonzero((sims >= 0.45) & (q_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[qi],
-                    "vec_b": c_ids[ci],
-                    "cos_sim": np.floor(sims[qi, ci] * 10000) / 10000,
-                }
-            )
+    def block_pairs(key, pdf):
+        ga, gb = int(key[0]), int(key[1])
+        if len(pdf) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if ga == gb:  # diagonal task: upper triangle within one block
+            sims = mat @ mat.T
+            ai, bi = np.nonzero((sims >= 0.45) & (ids[:, None] < ids[None, :]))
+            va, vb, s = ids[ai], ids[bi], sims[ai, bi]
+        else:  # off-diagonal: cross product of the two blocks only
+            a_side = pdf["blk"].to_numpy() == ga
+            ids_a, ids_b = ids[a_side], ids[~a_side]
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+            sims = mat[a_side] @ mat[~a_side].T
+            ai, bi = np.nonzero(sims >= 0.45)
+            ua, ub, s = ids_a[ai], ids_b[bi], sims[ai, bi]
+            va = np.minimum(ua, ub)
+            vb = np.maximum(ua, ub)
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cos_sim": np.floor(s * 10000) / 10000}
+        )
 
-    return rebalance(emb.select("vec_id", "embedding")).mapInPandas(
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    grid = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(B)).alias("blk"),
+        F.explode(F.array(*[F.lit(j) for j in range(B)])).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least(F.col("blk"), F.col("other")).alias("ga"),
+        F.greatest(F.col("blk"), F.col("other")).alias("gb"),
+    )
+    return grid.groupBy("ga", "gb").applyInPandas(
         block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
 
@@ -539,22 +565,41 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
     representative even when A and C don't directly match.
 
     Iterative driver loop, Spark-shaped: the edge set (near-dup pairs)
-    is orders of magnitude smaller than the corpus, each round is one
-    shuffle-join of labels against edges + a min-aggregate, and
-    ``localCheckpoint`` truncates lineage each round so plan depth
-    stays O(1) instead of O(iterations).  Labels start at the ONE-HOP
-    neighborhood min (j17's answer), so clique-shaped clusters — the
-    common case — converge in a single verification round; rounds
-    needed beyond that = component diameter.  Each round materializes
-    once (the checkpoint carries a ``chg`` flag), so the convergence
-    test is a count over checkpointed rows, not a second join.
-    Convergence is an exact zero-changes test, not a fixed round
-    count.  The oracle is the same closure as a DuckDB recursive CTE."""
+    is orders of magnitude smaller than the corpus; each round shuffle-
+    joins labels against edges AND against themselves (pointer
+    doubling), and ``localCheckpoint`` truncates lineage each round so
+    plan depth stays O(1) instead of O(iterations).  Convergence is an
+    exact zero-changes test, not a fixed round count.  The oracle is
+    the same closure as a DuckDB recursive CTE."""
     pairs = _near_dup_pairs(load(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _rounds = _connected_components(edges)
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def _connected_components(pair_edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation with POINTER DOUBLING — the hash-to-min
+    family of 'Connected Components in MapReduce and Beyond' (Kiveris
+    et al., public construction).  Each round a node takes the min of
+    (its label, its neighbors' labels, its label's OWN label); the
+    third term lets the component min reach distance-2^r nodes after r
+    rounds, so rounds = O(log diameter) instead of O(diameter) — a
+    50-node path converges in ~6 label-changing rounds, not ~50.
+
+    ``pair_edges``: undirected edges as (src, dst), one direction is
+    enough (symmetrized here).  Returns (labels(node, component),
+    rounds run including the final no-change verification round).
+
+    Labels start at the ONE-HOP neighborhood min (j17's answer), so
+    clique-shaped clusters — the common near-dup case — converge in a
+    single verification round.  Each round materializes once (the
+    checkpoint carries a ``chg`` flag), so the convergence test is a
+    count over checkpointed rows, not a second join."""
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pair_edges.unionByName(
+            pair_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
     ).localCheckpoint()
     # one-hop init: component = min(self, direct neighbors)
@@ -565,13 +610,24 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
         .agg(F.min("component").alias("component"))
         .localCheckpoint()
     )
+    rounds = 0
     while True:
+        rounds += 1
         via_nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "component")
+        # pointer doubling: follow my label to ITS label (every label
+        # value is itself a node, so the self-join always hits)
+        via_ptr = labels.join(
+            labels.select(
+                F.col("node").alias("component"), F.col("component").alias("ptr")
+            ),
+            "component",
+        ).select("node", F.col("ptr").alias("component"))
         new_labels = (
             labels.withColumn("old", F.col("component"))
             .unionByName(via_nbr.withColumn("old", F.lit(None).cast("long")))
+            .unionByName(via_ptr.withColumn("old", F.lit(None).cast("long")))
             .groupBy("node")
             .agg(
                 F.min("component").alias("component"),
@@ -584,4 +640,4 @@ def j20_connected_components(spark, sf_dir) -> DataFrame:
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), "component")
+    return labels, rounds

@@ -94,15 +94,24 @@ def m1_multimodal_meta(spark, sf_dir) -> DataFrame:
 
 def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body with one-to-many output: every 5th frame index
-    of a synthetic per-doc frame count (video frame-sampling shape)."""
+    of a synthetic per-doc frame count (video frame-sampling shape).
+    The 1→N expansion is pure numpy (repeat + ragged arange) — a
+    per-row Python loop here was the m3 bottleneck (8× slower at
+    sf0.1, see _chunk_audio)."""
+    import numpy as np
+
     for pdf in batches:
-        out_doc, out_idx = [], []
-        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
-            n_frames = n_bytes % 30 + 1
-            for idx in range(0, n_frames, 5):
-                out_doc.append(doc_id)
-                out_idx.append(idx)
-        yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx})
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        n_bytes = pdf["n_bytes"].to_numpy(np.int64)
+        n_out = (n_bytes % 30) // 5 + 1  # frames 0,5,… < n_frames
+        offs = np.cumsum(n_out) - n_out
+        ragged = np.arange(int(n_out.sum()), dtype=np.int64) - np.repeat(offs, n_out)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, n_out),
+                "frame_idx": (ragged * 5).astype(np.int32),
+            }
+        )
 
 
 @query(
@@ -132,18 +141,29 @@ def _chunk_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: overlapping fixed-rate windows (frame 400
     samples, hop 160 — 25 ms / 10 ms at 16 kHz) over a synthetic
     per-doc sample count.  Real audio would decode PCM here; the
-    window arithmetic, 1→N expansion and schema are the real thing."""
+    window arithmetic, 1→N expansion and schema are the real thing.
+
+    The ~300× row expansion is pure numpy (repeat + ragged arange):
+    measured 3.8 s → 0.44 s at sf0.1 (~1.4M output rows) vs the
+    per-row Python loop.  Arrow batch size and a pre-rebalance were
+    both measured to NOT help once the expansion is vectorized — the
+    stage is too cheap to amortize an extra exchange."""
+    import numpy as np
+
     for pdf in batches:
-        out = {"doc_id": [], "chunk_idx": [], "start_s": [], "end_s": []}
-        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
-            n_samples = (n_bytes * 50) % 48000 + 16000
-            n_chunks = (n_samples - 400) // 160 + 1
-            for idx in range(n_chunks):
-                out["doc_id"].append(doc_id)
-                out["chunk_idx"].append(idx)
-                out["start_s"].append(idx * 160 / 16000.0)
-                out["end_s"].append((idx * 160 + 400) / 16000.0)
-        yield pd.DataFrame(out)
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        n_bytes = pdf["n_bytes"].to_numpy(np.int64)
+        n_chunks = ((n_bytes * 50) % 48000 + 16000 - 400) // 160 + 1
+        offs = np.cumsum(n_chunks) - n_chunks
+        idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(offs, n_chunks)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_ids, n_chunks),
+                "chunk_idx": idx.astype(np.int32),
+                "start_s": idx * 160 / 16000.0,
+                "end_s": (idx * 160 + 400) / 16000.0,
+            }
+        )
 
 
 @query(

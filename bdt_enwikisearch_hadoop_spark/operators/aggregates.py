@@ -360,10 +360,27 @@ def d12_percentiles(spark, sf_dir) -> DataFrame:
 def d13_approx_percentile(spark, sf_dir) -> DataFrame:
     """Approximate percentiles via Spark's incremental sketch — single
     pass, fixed memory, mergeable across partitions: the 100 TB
-    replacement for d12's per-group sort."""
+    replacement for d12's per-group sort.
+
+    Output is one SCALAR row per (group, percentile) — the sketch's
+    array result is exploded so rows-only harnesses (which canonicalize
+    by sorting every column) never see an unhashable list cell."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx_qty"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9], 10000).alias("approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.9)).alias("pct"),
+                F.col("approx").alias("approx_qty"),
+            )
+        ).alias("z"),
+    ).select(
+        "l_returnflag",
+        F.col("z.pct").alias("pct"),
+        F.col("z.approx_qty").alias("approx_qty"),
     )
 
 

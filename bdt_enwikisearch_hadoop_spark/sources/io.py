@@ -31,13 +31,16 @@ TABLE_NAMES = (
 #: per-session plan cache: DataFrames are immutable logical plans, so
 #: re-serving one skips the file-listing/footer-read Spark repeats on
 #: every spark.read.parquet (measurable when a driver runs ~90 queries
-#: back to back).  Keyed by session id so a restarted session re-lists.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: back to back).  Keyed by applicationId — a stable identity that a
+#: new session can never inherit from a stopped one (id(spark) can be
+#: reused by CPython after GC, which would serve a DataFrame bound to
+#: a dead session).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; events gets the ts2 repair."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached

@@ -102,14 +102,40 @@ def compare(spark_df, oracle_pdf) -> list[str]:
     return problems
 
 
+def lint_rows_only_schema(sdf) -> list[str]:
+    """Shape lint for no-oracle results: the driver's rows-only check
+    still canonicalizes by pandas sort_values over every column, which
+    dies on unhashable cells (TypeError: unhashable type 'list' — seen
+    live on an array-typed d13).  Nested types are therefore banned
+    from every no-oracle result schema."""
+    from pyspark.sql import types as T
+
+    return [
+        f"no-oracle result column {f.name!r} has nested type "
+        f"{f.dataType.simpleString()} — the driver's rows-only "
+        "canonicalizer cannot sort it; emit scalar rows (explode)"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def check_query(spark, con, key: str, sf_dir: str) -> list[str]:
     """Run one registered query both ways; [] means parity holds."""
     from .registry import ORACLES, QUERIES
 
     sdf = QUERIES[key](spark, sf_dir)
     if key not in ORACLES:
-        n = sdf.count()
-        return [] if n >= 0 else [f"rows-only check failed: count={n}"]
+        problems = lint_rows_only_schema(sdf)
+        if problems:
+            return problems
+        # exercise the driver's actual canonicalization recipe on the
+        # real rows (sort over all columns) — count() alone is weaker
+        # than what the driver runs and let an array column slip once
+        try:
+            _canon_frame(sdf.toPandas())
+        except Exception as exc:
+            return [f"rows-only canonicalization failed: {type(exc).__name__}: {exc}"]
+        return []
     opdf = con.execute(ORACLES[key]).df()
     return compare(sdf, opdf)
 

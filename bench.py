@@ -38,6 +38,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    wasted = 0.0  # time burned by failing queries — still billed to total
     for key in sorted(QUERIES):
         t0 = time.perf_counter()
         try:
@@ -45,9 +46,13 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             timings[key] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one broken query must not void the round
+            wasted += time.perf_counter() - t0
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
 
-    total = round(sum(timings.values()), 3)
+    # a failed query may not understate the headline total: bill its
+    # elapsed time AND flag the run so a partially-failed round can't
+    # quietly pass a perf gate on fewer queries
+    total = round(sum(timings.values()) + wasted, 3)
     result = {
         "metric": "total_runtime",
         "value": total,
@@ -57,6 +62,7 @@ def main() -> int:
     }
     if errors:
         result["errors"] = errors
+        result["failed_count"] = len(errors)
     print(json.dumps(result))
     return 0
 

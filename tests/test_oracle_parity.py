@@ -7,8 +7,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from bdt_enwikisearch_hadoop_spark.registry import QUERIES
-from bdt_enwikisearch_hadoop_spark.testing import check_query
+from bdt_enwikisearch_hadoop_spark.registry import ORACLES, QUERIES
+from bdt_enwikisearch_hadoop_spark.testing import check_query, lint_rows_only_schema
 
 
 def test_contract_wired():
@@ -27,4 +27,13 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("key", sorted(QUERIES))
 def test_query_matches_oracle(spark, oracle, sf_dir, key):
     problems = check_query(spark, oracle, key, sf_dir)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
+def test_no_oracle_schema_is_flat(spark, sf_dir, key):
+    """Every rows-only (no-oracle) result must be scalar-typed: the
+    driver canonicalizes by sorting all columns and crashes on
+    array/map/struct cells (the round-2 d13 failure)."""
+    problems = lint_rows_only_schema(QUERIES[key](spark, sf_dir))
     assert not problems, problems

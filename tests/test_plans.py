@@ -104,6 +104,64 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
 
 
+def test_j12_is_distributed_no_driver_collect(spark, sf_dir):
+    """j12's all-pairs grid must stay fully distributed: no driver-side
+    toPandas/collect of the corpus (the round-2 scale-killer), and the
+    plan must end in a co-grouped FlatMapGroupsInPandas over one
+    exchange on the block-pair key."""
+    import inspect
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        j12_embedding_near_dup,
+    )
+
+    src = inspect.getsource(j12_embedding_near_dup)
+    assert "toPandas" not in src
+    assert ".collect(" not in src
+    p = _plan(spark, sf_dir, "j12_embedding_near_dup")
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_store_prunes_partitions_at_file_level(spark, sf_dir, tmp_path):
+    """The IVF story end-to-end: corpus written partitionBy(cell), an
+    nprobe-cell search must (a) carry the cell filter as a
+    PartitionFilter in the scan node and (b) physically open ONLY the
+    probed cells' files — at 100 TB this is the difference between
+    scanning nprobe/n_cells of the corpus and all of it."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        build_ivf_store,
+        search_ivf_store,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    path = str(tmp_path / "ivf_store")
+    build_ivf_store(spark, sf_dir, path)
+    probed = [0, 1, 2]
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    pruned.collect()  # execute so the scan's file metrics are real
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().head()
+    n_files_pruned = scan.metrics().apply("numFiles").value()
+    full = spark.read.parquet(path)
+    full.collect()
+    scan_full = full._jdf.queryExecution().executedPlan().collectLeaves().head()
+    n_files_full = scan_full.metrics().apply("numFiles").value()
+    assert 0 < n_files_pruned < n_files_full, (n_files_pruned, n_files_full)
+    probe = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    res = search_ivf_store(spark, path, probed, probe, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    rows = res.collect()
+    assert len(rows) == 10
+    assert [r["score"] for r in rows] == sorted(
+        (r["score"] for r in rows), reverse=True
+    )
+
+
 def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
     broadcast on the hinted side."""

@@ -170,6 +170,23 @@ def test_components_refine_one_hop_reps(spark, sf_dir):
         joined.unpersist()
 
 
+def test_components_path_graph_converges_logarithmically(spark):
+    """Pointer doubling must collapse a 50-node path (diameter 49) in
+    O(log d) rounds — ~6 label-changing rounds plus the final
+    verification round, not ~50 (the round-2 j20 weakness)."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "src long, dst long"
+    )
+    labels, rounds = _connected_components(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(50)}
+    assert rounds <= 8, f"path graph took {rounds} rounds"
+
+
 def test_funnel_stage_times_strictly_ordered(spark, sf_dir):
     """k5: each reached stage happens strictly after the previous one,
     and a reached stage implies all earlier stages were reached."""
