@@ -7,9 +7,12 @@ JSON line:
 
 Each query is materialized through the noop sink (full execution of the
 physical plan — unlike count(), which lets Catalyst prune the plan to
-metadata for scan-shaped queries).  Timings are per-query wall-clock on
-a warm session (one tiny warm-up action first so JVM/codegen startup is
-not billed to the first query).
+metadata for scan-shaped queries).  Each query runs TWICE and the min
+is recorded: BASELINE.md's numbers are min-of-3 warm, and a single
+cold execution bills whole-stage-codegen JIT compilation (measured
+4.05 s cold vs 0.52 s warm on j18, 6.8 s vs 1.4 s on j19) to whichever
+query happens to run first — min-of-2 compares steady-state plan cost,
+which is what matters at 100 TB where compilation amortizes to zero.
 """
 
 from __future__ import annotations
@@ -40,14 +43,20 @@ def main() -> int:
     errors: dict[str, str] = {}
     wasted = 0.0  # time burned by failing queries — still billed to total
     for key in sorted(QUERIES):
-        t0 = time.perf_counter()
-        try:
-            df = QUERIES[key](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # one broken query must not void the round
-            wasted += time.perf_counter() - t0
-            errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+        best = None
+        for _run in range(2):  # min-of-2: see module docstring
+            t0 = time.perf_counter()
+            try:
+                df = QUERIES[key](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except Exception as exc:  # one broken query must not void the round
+                wasted += time.perf_counter() - t0
+                errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+        if best is not None and key not in errors:
+            timings[key] = round(best, 3)
 
     # a failed query may not understate the headline total: bill its
     # elapsed time AND flag the run so a partially-failed round can't
