@@ -520,6 +520,96 @@ def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
         return n1, emitted() - n1
 
 
+def run_stream_stream_join_smoke(spark, sf_dir: str) -> tuple[int, int]:
+    """Stream-stream INTERVAL self-join: each click joined to the same
+    user's purchases within the following hour, watermarks on BOTH
+    sides (the condition Spark requires to bound join state — without
+    the time interval + watermarks, both sides' state would grow
+    forever on an unbounded stream).
+
+    Returns (streaming_rows, batch_rows): the identical join run over
+    the static frame.  Inner stream-stream joins emit exactly the
+    matched pairs, so with one availableNow batch the two counts must
+    be EQUAL — the streaming plan is the batch plan plus state
+    bookkeeping, which is the whole Structured Streaming contract."""
+    import tempfile
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts2").alias("c_ts")
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts2").alias("p_ts")
+        )
+        return clicks, purchases
+
+    def cond():
+        return (
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        ev = _stream_events(spark, sf_dir, workdir)
+        s_clicks, s_purch = sides(ev)
+        joined = s_clicks.withWatermark("c_ts", "30 minutes").join(
+            s_purch.withWatermark("p_ts", "30 minutes"), cond(), "inner"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("smoke_ssjoin")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_stream = spark.table("smoke_ssjoin").count()
+        q.stop()
+    b_clicks, b_purch = sides(load(spark, sf_dir, "events"))
+    n_batch = b_clicks.join(b_purch, cond(), "inner").count()
+    return n_stream, n_batch
+
+
+def run_stream_static_foreach_batch_smoke(spark, sf_dir: str) -> tuple[int, int]:
+    """Stream-static enrichment + foreachBatch sink: the stream joins a
+    static per-user dimension (broadcast — static sides never hold
+    streaming state), and foreachBatch lands each micro-batch with the
+    full BATCH writer API (upserts/merges at 100 TB happen here; plain
+    writeStream sinks only append).
+
+    Returns (rows_landed, rows_expected): every event has a user row in
+    the dim by construction, so the inner join must land them all."""
+    import tempfile
+
+    static_dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    with tempfile.TemporaryDirectory() as workdir:
+        out = f"{workdir}/landed"
+        enriched = (
+            _stream_events(spark, sf_dir, workdir)
+            .join(F.broadcast(static_dim), "user_id")
+            .select("user_id", "event_type", "user_total")
+        )
+
+        def land(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            enriched.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        n_landed = spark.read.parquet(out).count()
+    n_expected = load(spark, sf_dir, "events").count()
+    return n_landed, n_expected
+
+
 def run_transform_with_state_smoke(spark, sf_dir: str) -> int:
     """Spark 4's transformWithStateInPandas — the successor API to
     applyInPandasWithState: a StatefulProcessor class with typed state

@@ -170,6 +170,22 @@ def test_components_refine_one_hop_reps(spark, sf_dir):
         joined.unpersist()
 
 
+def test_j12_grid_invariant_to_block_count(spark, sf_dir, monkeypatch):
+    """The block-pair grid is an execution strategy, not a semantics
+    knob: j12's result set must be identical at B=1 (one task, plain
+    all-pairs) and the shipped B (distributed grid)."""
+    from bdt_enwikisearch_hadoop_spark.functions import llm_scale
+
+    shipped = sorted(
+        map(tuple, QUERIES["j12_embedding_near_dup"](spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(llm_scale, "_J12_BLOCKS", 1)
+    single = sorted(
+        map(tuple, QUERIES["j12_embedding_near_dup"](spark, sf_dir).collect())
+    )
+    assert shipped == single and len(shipped) > 0
+
+
 def test_components_path_graph_converges_logarithmically(spark):
     """Pointer doubling must collapse a 50-node path (diameter 49) in
     O(log d) rounds — ~6 label-changing rounds plus the final

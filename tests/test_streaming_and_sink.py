@@ -63,6 +63,28 @@ def test_streaming_stateful_map(spark):
     assert n == n_users > 0
 
 
+def test_stream_stream_interval_join(spark):
+    """Stream-stream interval self-join (clicks→purchases within 1h,
+    watermarks both sides) must emit exactly the batch join's rows."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_stream_stream_join_smoke,
+    )
+
+    n_stream, n_batch = run_stream_stream_join_smoke(spark, SF_DIR)
+    assert n_stream == n_batch > 0
+
+
+def test_stream_static_join_foreach_batch(spark):
+    """Stream-static broadcast enrichment landed via foreachBatch must
+    deliver every event exactly once."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_stream_static_foreach_batch_smoke,
+    )
+
+    n_landed, n_expected = run_stream_static_foreach_batch_smoke(spark, SF_DIR)
+    assert n_landed == n_expected > 0
+
+
 def test_streaming_transform_with_state(spark):
     """transformWithStateInPandas (Spark 4 successor API): same
     per-user running count as the applyInPandasWithState smoke —
