@@ -61,10 +61,7 @@ _IVF_CTES = f"""
 """
 
 
-@query(
-    "j13_ann_ivf",
-    oracle=f"WITH {_IVF_CTES}, "
-    f"""
+_J13_ORACLE = f"WITH {_IVF_CTES}, " + f"""
     pe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = 0),
     scores AS (
         SELECT e.vec_id, {_duck_cos('e.embedding', 'p.pemb')} AS cos
@@ -79,12 +76,14 @@ _IVF_CTES = f"""
     FROM scores
     ORDER BY ROUND(cos, 4) DESC, vec_id
     LIMIT 10
-    """,
-)
-def j13_ann_ivf(spark, sf_dir) -> DataFrame:
-    """IVF approximate top-10 for the fixed probe (vec_id=0): score the
-    10 cell centroids, scan only the best {nprobe} cells (module
-    docstring — partition-pruned at scale), exact cosine within them."""
+    """
+
+
+def _cell_shortlist(spark, sf_dir) -> DataFrame:
+    """(label): the top-nprobe centroid cells for the fixed probe
+    (vec_id=0) — score the ~10 cell centroids, keep the best few via
+    TakeOrdered (centroid rows are O(n_cells), never a global window
+    over data)."""
     emb = load(spark, sf_dir, "embeddings")
     cent = j5_label_centroids(spark, sf_dir)  # (label, dim, centroid) exact
     probe_dims = emb.filter(F.col("vec_id") == 0).select(
@@ -103,13 +102,20 @@ def j13_ann_ivf(spark, sf_dir) -> DataFrame:
             ).alias("cos")
         )
     )
-    # top-nprobe cells via TakeOrdered (10 centroid rows — never a
-    # global window over data)
-    cells = (
+    return (
         cellscore.orderBy(F.round(F.col("cos"), 4).desc(), F.col("label"))
         .limit(_NPROBE)
         .select("label")
     )
+
+
+@query("j13_ann_ivf", oracle=_J13_ORACLE)
+def j13_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF approximate top-10 for the fixed probe (vec_id=0): score the
+    10 cell centroids, scan only the best {nprobe} cells (module
+    docstring — partition-pruned at scale), exact cosine within them."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _cell_shortlist(spark, sf_dir)
     probe = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             vec_double(F.col("embedding")).alias("pemb")
@@ -182,17 +188,21 @@ def build_ivf_store(spark, sf_dir, path: str) -> None:
     ).parquet(path)
 
 
-def search_ivf_store(spark, path: str, cells: list[int], probe, k: int = 10) -> DataFrame:
+def search_ivf_store(
+    spark, path: str, cells: list[int], probe, k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
     """Exact cosine top-k over ONLY the given cells of a partitioned
     store.  ``cells`` is the nprobe centroid shortlist — O(n_cells)
     driver-side values (a bounded, metadata-sized list, NOT a corpus
     collect), inlined as literals so Catalyst prunes partitions at
     plan time."""
-    cand = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin([int(c) for c in cells]))
-        .select("vec_id", vec_double(F.col("embedding")).alias("ve"))
+    cand = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(c) for c in cells])
     )
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    cand = cand.select("vec_id", vec_double(F.col("embedding")).alias("ve"))
     pe = F.broadcast(probe.select(vec_double(F.col("embedding")).alias("pemb")))
     scored = cand.crossJoin(pe).select(
         "vec_id",
@@ -206,6 +216,33 @@ def search_ivf_store(spark, path: str, cells: list[int], probe, k: int = 10) -> 
         ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+@query("j21_ann_ivf_store", oracle=_J13_ORACLE)
+def j21_ann_ivf_store(spark, sf_dir) -> DataFrame:
+    """j13's IVF search served from PERSISTED partitionBy(cell)
+    storage — the build-once/serve-many layout a real vector corpus
+    uses at 100 TB.  ``cell`` is the j5 label cell (the same coarse
+    quantizer j13 scans), so the result is bit-identical to j13 and
+    shares its oracle; the difference is physical: the candidate scan
+    opens ONLY the nprobe cells' files (PartitionFilters — pruning
+    physically verified in tests/test_plans.py).  The cell shortlist
+    is an O(n_cells) driver-side collect of centroid scores — bounded
+    metadata, not corpus data."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivf_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    emb.select(
+        "vec_id", "embedding", F.col("label").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(store)
+    cells = [int(r["label"]) for r in _cell_shortlist(spark, sf_dir).collect()]
+    probe = emb.filter(F.col("vec_id") == 0)
+    return search_ivf_store(spark, store, cells, probe, k=10, exclude_vec_id=0)
 
 
 @query(

@@ -277,6 +277,47 @@ def test_bm25_and_tfidf_rank_over_same_candidates(spark, sf_dir):
     assert top and top <= hits
 
 
+def test_ragged_expansion_matches_python_reference():
+    """Hypothesis: the vectorized numpy repeat+arange 1→N expansions in
+    m2/m3 are value-identical (including float seconds) to the plain
+    per-row Python loops they replaced, for arbitrary byte lengths."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.functions.multimodal import (
+        _chunk_audio,
+        _sample_frames,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50))
+    def check(nb):
+        pdf = pd.DataFrame({"doc_id": list(range(len(nb))), "n_bytes": nb})
+        got_chunks = [
+            tuple(r)
+            for r in pd.concat(list(_chunk_audio(iter([pdf])))).itertuples(index=False)
+        ]
+        want_chunks = []
+        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
+            n_chunks = ((n_bytes * 50) % 48000 + 16000 - 400) // 160 + 1
+            for idx in range(n_chunks):
+                want_chunks.append(
+                    (doc_id, idx, idx * 160 / 16000.0, (idx * 160 + 400) / 16000.0)
+                )
+        assert got_chunks == want_chunks
+        got_frames = [
+            tuple(r)
+            for r in pd.concat(list(_sample_frames(iter([pdf])))).itertuples(index=False)
+        ]
+        want_frames = []
+        for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
+            for idx in range(0, n_bytes % 30 + 1, 5):
+                want_frames.append((doc_id, idx))
+        assert got_frames == want_frames
+
+    check()
+
+
 def test_shingle_expression_matches_python_reference(spark):
     """Hypothesis: the in-row zip_with 3-token shingle expression used
     by the whole j-family equals a plain-Python reference on arbitrary
