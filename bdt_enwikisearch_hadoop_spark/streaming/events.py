@@ -329,6 +329,53 @@ def k7_error_burst(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "k8_session_window_native",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+               CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+                      OR epoch_ns(ts) // 1000
+                         - lag(epoch_ns(ts) // 1000) OVER w > {_GAP_NS // 1000}
+                    THEN 1 ELSE 0 END AS newf
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+        FROM o
+    )
+    SELECT user_id,
+           MIN(tus) // 1000000 AS start_s,
+           (MAX(tus) + {_GAP_NS // 1000}) // 1000000 AS end_s,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def k8_session_window_native(spark, sf_dir) -> DataFrame:
+    """Spark's NATIVE session_window() sessionization (30-minute gap),
+    cross-checked against the same gaps-and-islands closure k3 uses —
+    empirically verified this session that session_window merges an
+    event exactly gap-later (inclusive), i.e. a new session starts only
+    when the gap is STRICTLY exceeded, matching k3's `>` flag.  Window
+    end = last event + gap, emitted as truncated epoch seconds.  In
+    Structured Streaming the identical expression runs stateful with a
+    watermark; in batch (here) it is one shuffle on user_id."""
+    e = load(spark, sf_dir, "events")
+    sw = e.groupBy(
+        F.session_window(F.col("ts2"), "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.unix_timestamp("session_window.start").alias("start_s"),
+        F.unix_timestamp("session_window.end").alias("end_s"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # true Structured Streaming (smoke-only capabilities, no oracle)
 # ---------------------------------------------------------------------------

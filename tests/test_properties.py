@@ -203,6 +203,50 @@ def test_components_path_graph_converges_logarithmically(spark):
     assert rounds <= 8, f"path graph took {rounds} rounds"
 
 
+def test_components_match_union_find_on_random_graphs(spark):
+    """Hypothesis: the distributed pointer-doubling propagation equals
+    a plain union-find on arbitrary small graphs (self-loop-free random
+    edge lists) — node → min node id of its component."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _connected_components,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels, _rounds = _connected_components(df)
+        got = {r["node"]: r["component"] for r in labels.collect()}
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller, so every
+                # tree's root IS its component's min node id
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    check()
+
+
 def test_funnel_stage_times_strictly_ordered(spark, sf_dir):
     """k5: each reached stage happens strictly after the previous one,
     and a reached stage implies all earlier stages were reached."""
