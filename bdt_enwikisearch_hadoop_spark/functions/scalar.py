@@ -257,3 +257,38 @@ def h8_edit_distance(spark, sf_dir) -> DataFrame:
         F.levenshtein(F.col("p_name"), F.col("p_type")).cast("long").alias("d_name_type"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).cast("long").alias("d_brand"),
     )
+
+
+@query(
+    "h9_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h9_variant_json(spark, sf_dir) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse the JSON
+    string ONCE into the binary-encoded VARIANT type, then extract
+    typed fields with variant_get.  Unlike repeated get_json_object
+    probes (h5 — one string re-parse per path), a variant column is
+    parsed once, stores typed values, and is the layout parquet
+    shredding optimizes at scale; all aggregates here are exact
+    integer arithmetic, so the hash-match is engine-stable."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )

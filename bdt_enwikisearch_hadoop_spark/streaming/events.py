@@ -567,6 +567,48 @@ def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
         return n1, emitted() - n1
 
 
+def run_session_window_stream_smoke(spark, sf_dir: str) -> tuple[int, set, set]:
+    """k8's EXACT session_window expression run as a stream: with
+    availableNow + a 10-minute watermark, append mode emits only the
+    sessions that CLOSED below the final watermark — a strict subset
+    of the batch k8 result (the still-open tail sessions are withheld,
+    which is the bounded-state contract).  Returns (n_emitted,
+    emitted_keys, batch_keys) for the subset assertion."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        sess = (
+            _stream_events(spark, sf_dir, workdir)
+            .withWatermark("ts2", "10 minutes")
+            .groupBy(F.session_window(F.col("ts2"), "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp("session_window.start").alias("start_s"),
+                F.unix_timestamp("session_window.end").alias("end_s"),
+                "n_events",
+            )
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("smoke_session_window")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = {
+            (r["user_id"], r["start_s"], r["end_s"], r["n_events"])
+            for r in spark.table("smoke_session_window").collect()
+        }
+        q.stop()
+    batch = {
+        (r["user_id"], r["start_s"], r["end_s"], r["n_events"])
+        for r in k8_session_window_native(spark, sf_dir).collect()
+    }
+    return len(emitted), emitted, batch
+
+
 def run_stream_stream_join_smoke(spark, sf_dir: str) -> tuple[int, int]:
     """Stream-stream INTERVAL self-join: each click joined to the same
     user's purchases within the following hour, watermarks on BOTH

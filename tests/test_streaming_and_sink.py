@@ -10,9 +10,13 @@ from conftest import SF_DIR
 
 
 def test_streaming_windowed_agg(spark):
+    """The streamed 1h-window/event_type counts must form exactly the
+    same group set as the batch k1 aggregation over the same events."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
     from bdt_enwikisearch_hadoop_spark.streaming.events import run_streaming_smoke
 
-    assert run_streaming_smoke(spark, SF_DIR) > 0
+    n = run_streaming_smoke(spark, SF_DIR)
+    assert n == QUERIES["k1_tumbling"](spark, SF_DIR).count() > 0
 
 
 def test_streaming_stateful_dedup(spark):
@@ -61,6 +65,18 @@ def test_streaming_stateful_map(spark):
     n = run_stateful_count_smoke(spark, SF_DIR)
     n_users = load(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert n == n_users > 0
+
+
+def test_streaming_session_window_subset_of_batch(spark):
+    """Append-mode session_window emits only watermark-closed sessions;
+    every emitted session must appear verbatim in the batch k8 result."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_session_window_stream_smoke,
+    )
+
+    n, emitted, batch = run_session_window_stream_smoke(spark, SF_DIR)
+    assert n > 0
+    assert emitted <= batch
 
 
 def test_stream_stream_interval_join(spark):
