@@ -233,9 +233,12 @@ def j21_ann_ivf_store(spark, sf_dir) -> DataFrame:
     import tempfile
 
     emb = load(spark, sf_dir, "embeddings")
+    # keyed by applicationId so concurrent sessions (e.g. a driver run
+    # next to a pytest run) never clobber each other's store mid-read
     store = os.path.join(
         tempfile.gettempdir(),
-        f"bdt_ivf_store_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"bdt_ivf_store_{spark.sparkContext.applicationId}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     emb.select(
         "vec_id", "embedding", F.col("label").alias("cell")
