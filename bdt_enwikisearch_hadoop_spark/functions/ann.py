@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
@@ -246,6 +248,153 @@ def j21_ann_ivf_store(spark, sf_dir) -> DataFrame:
     cells = [int(r["label"]) for r in _cell_shortlist(spark, sf_dir).collect()]
     probe = emb.filter(F.col("vec_id") == 0)
     return search_ivf_store(spark, store, cells, probe, k=10, exclude_vec_id=0)
+
+
+# ---------------------------------------------------------------------------
+# j22 — random-hyperplane LSH ANN (the third leg of the similarity-search
+# surface: j3 brute force, j13/j21 IVF, j22 LSH)
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 16   # signature width
+_LSH_BANDS = 4   # 4 bands x 4 bits: candidate iff ANY band bucket matches
+
+#: hex digits with even value — md5-parity coin flip shared by Python
+#: (hashlib), Spark SQL and DuckDB (both engines' md5 return the same hex)
+_EVEN_HEX = "02468ace"
+
+
+def _lsh_coefs() -> list[list[float]]:
+    """±1 hyperplane coefficients, bit b x dim d, derived from
+    md5('lsh{b}_{d}') first-hex-digit parity — deterministic,
+    engine-independent, and reproducible from the seed string alone
+    (no RNG state to ship to 1000 executors)."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"lsh{b}_{d}".encode()).hexdigest()[0] in _EVEN_HEX
+            else -1.0
+            for d in range(64)
+        ]
+        for b in range(_LSH_BITS)
+    ]
+
+
+_J22_ORACLE = f"""
+    WITH bits AS (
+        SELECT e.vec_id, CAST(b.b AS INT) AS bit,
+               CASE WHEN SUM(
+                   CASE WHEN substr(md5('lsh' || CAST(b.b AS VARCHAR) || '_'
+                                    || CAST(t.i - 1 AS VARCHAR)), 1, 1)
+                             IN ('0','2','4','6','8','a','c','e')
+                        THEN  CAST(CAST(list_extract(e.embedding, CAST(t.i AS INT))
+                                        AS DOUBLE) AS DECIMAL(38,15))
+                        ELSE -CAST(CAST(list_extract(e.embedding, CAST(t.i AS INT))
+                                        AS DOUBLE) AS DECIMAL(38,15))
+                   END) >= 0
+                    THEN 1 ELSE 0 END AS bitval
+        FROM embeddings e, range(0, {_LSH_BITS}) b(b), range(1, 65) t(i)
+        GROUP BY e.vec_id, b.b
+    ),
+    bands AS (
+        SELECT vec_id, bit // 4 AS band,
+               SUM(bitval * (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                             WHEN 2 THEN 4 ELSE 8 END)) AS bucket
+        FROM bits GROUP BY vec_id, bit // 4
+    ),
+    cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM bands s JOIN bands p ON s.band = p.band AND s.bucket = p.bucket
+        WHERE p.vec_id = 0 AND s.vec_id <> 0
+    ),
+    pe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = 0),
+    scores AS (
+        SELECT e.vec_id, {{cos}} AS cos
+        FROM embeddings e
+        JOIN cand USING (vec_id)
+        CROSS JOIN pe p
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(cos, 4) AS score
+    FROM scores
+    ORDER BY ROUND(cos, 4) DESC, vec_id
+    LIMIT 10
+    """.format(cos=_duck_cos("e.embedding", "p.pemb"))
+
+
+def _lsh_band_cols(vec) -> list:
+    """The {_LSH_BANDS} band-bucket columns of ``vec``'s LSH signature,
+    computed entirely in-row: each sign bit is an exact-DECIMAL(38,15)
+    fold of ±embedding components (zip_with + aggregate inside codegen
+    — no explode, no shuffle; the decimal accumulation makes the sign
+    bit-identical to the oracle's exact-decimal SUM regardless of
+    addition order)."""
+    coefs = _lsh_coefs()
+    bits = []
+    for b in range(_LSH_BITS):
+        carr = F.array(*[F.lit(c) for c in coefs[b]])
+        s = F.aggregate(
+            F.zip_with(vec, carr, lambda x, c: (x * c).cast("decimal(38,15)")),
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, t: (acc + t).cast("decimal(38,15)"),
+        )
+        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return [
+        (
+            bits[4 * g]
+            + bits[4 * g + 1] * 2
+            + bits[4 * g + 2] * 4
+            + bits[4 * g + 3] * 8
+        ).alias(f"band{g}")
+        for g in range(_LSH_BANDS)
+    ]
+
+
+@query("j22_ann_lsh", oracle=_J22_ORACLE)
+def j22_ann_lsh(spark, sf_dir) -> DataFrame:
+    """Random-hyperplane LSH approximate top-10 for the fixed probe
+    (vec_id=0): 16 sign-bit hashes → 4 bands of 4 bits; a vector is a
+    candidate iff ANY band bucket equals the probe's, then exact cosine
+    + top-k over candidates only.
+
+    100 TB shape: the signature is a narrow zero-shuffle map pass
+    (in-row folds, see _lsh_band_cols), the probe row is a broadcast,
+    and the band match prunes the exact-scoring set to ~N/2^4 per band
+    — no all-pairs, no corpus shuffle; the only wide op is the final
+    TakeOrdered top-k.  At scale the signature columns are written once
+    with the corpus (or bucketed by band) so repeated queries skip the
+    signature pass entirely — same build-once/serve-many split as
+    j21's IVF store."""
+    emb = load(spark, sf_dir, "embeddings")
+    ve = vec_double(F.col("embedding"))
+    sig = emb.select("vec_id", ve.alias("ve"), *_lsh_band_cols(ve))
+    probe = F.broadcast(
+        sig.filter(F.col("vec_id") == 0).select(
+            F.col("ve").alias("pemb"),
+            *[F.col(f"band{g}").alias(f"p{g}") for g in range(_LSH_BANDS)],
+        )
+    )
+    match_any = None
+    for g in range(_LSH_BANDS):
+        cond = F.col(f"band{g}") == F.col(f"p{g}")
+        match_any = cond if match_any is None else (match_any | cond)
+    scored = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .filter(match_any)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("ve"), F.col("pemb"))
+                / (
+                    F.sqrt(dot(F.col("ve"), F.col("ve")))
+                    * F.sqrt(dot(F.col("pemb"), F.col("pemb")))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
 
 
 @query(

@@ -162,6 +162,17 @@ def test_ivf_store_prunes_partitions_at_file_level(spark, sf_dir, tmp_path):
     )
 
 
+def test_j22_lsh_signature_is_map_pass_with_broadcast_probe(spark, sf_dir):
+    """j22's LSH signatures are in-row folds and the probe is one
+    broadcast row: the whole query must plan as scan → project →
+    broadcast-join → filter → top-k heap, with NO hash-partition
+    exchange of the corpus (the point of LSH blocking vs all-pairs)."""
+    p = _plan(spark, sf_dir, "j22_ann_lsh")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate" not in p  # signatures never explode the vectors
+
+
 def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
     broadcast on the hinted side."""
