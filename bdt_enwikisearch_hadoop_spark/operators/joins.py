@@ -353,3 +353,40 @@ def c14_join_shuffle_hash_hint(spark, sf_dir) -> DataFrame:
         o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name")
     )
+
+
+@query(
+    "c15_subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice < 5000)
+    """,
+)
+def c15_subquery_exists(spark, sf_dir) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS: customers with a big order and no
+    tiny one.  Catalyst decorrelates (RewritePredicateSubquery) into a
+    LEFT SEMI + LEFT ANTI join pair — at scale that is two hash joins on
+    the correlation key with the order-side predicates pushed into the
+    scans, never a per-row re-execution of the subqueries."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("c15_customer")
+    o.createOrReplaceTempView("c15_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM c15_customer c
+        WHERE EXISTS (SELECT 1 FROM c15_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM c15_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_totalprice < 5000)
+        """
+    )

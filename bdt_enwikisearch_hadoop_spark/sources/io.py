@@ -95,3 +95,20 @@ def load_json(spark: SparkSession, path: str, schema) -> DataFrame:
     """JSON-lines source with an explicit schema (same rule as CSV)."""
     prepare(spark)
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (§2.A source-format capability).  ORC is the other
+    columnar container Spark ships a vectorized, predicate-pushdown
+    reader for — same pruning/pushdown behavior as parquet, preserves
+    nested types exactly (unlike CSV), and interoperates with
+    Hive-era warehouses."""
+    df.write.mode("overwrite").orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source.  Schema comes from the ORC footer (columnar formats
+    are self-describing — the explicit-schema rule is for text formats
+    whose inference costs a full data pass)."""
+    prepare(spark)
+    return spark.read.orc(path)

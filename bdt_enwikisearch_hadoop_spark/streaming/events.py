@@ -376,6 +376,91 @@ def k8_session_window_native(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "k9_resample_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    lastobs AS (SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+    span AS (
+        SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    ),
+    filled AS (
+        SELECT g.user_id, g.bucket,
+               last_value(l.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill
+        FROM grid g LEFT JOIN lastobs l USING (user_id, bucket)
+    )
+    SELECT user_id, CAST(epoch(bucket) AS BIGINT) AS bucket_s, value_ffill
+    FROM filled
+    """,
+)
+def k9_resample_ffill(spark, sf_dir) -> DataFrame:
+    """Per-user resample to a dense 1-hour grid with forward-fill: the
+    standard time-series → feature-matrix op (sensor/metric pipelines
+    train on regular grids, not raw irregular events).  Per bucket the
+    LAST observation wins (ts, event_id tiebreak — unique, §2.0); gaps
+    carry the previous value via last(ignorenulls) over an ordered
+    per-user window.
+
+    100 TB shape: every stage partitions on user_id — span agg, grid
+    explode (sequence() generates in-row, bounded by each user's OWN
+    active span, never the global calendar), bucket join, and the
+    ffill window all reuse the same key, so AQE coalesces this into a
+    user_id-partitioned pipeline with no cross-key traffic; grid rows
+    ≈ Σ user-active-hours, linear in the log."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts2")).alias("bucket"),
+        "value", "ts", "event_id",
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastobs = (
+        obs.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts2")).alias("lo"),
+        F.date_trunc("hour", F.max("ts2")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(lastobs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("bucket").alias("bucket_s"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # true Structured Streaming (smoke-only capabilities, no oracle)
 # ---------------------------------------------------------------------------
@@ -453,6 +538,76 @@ def _run_dedup(spark, sf_dir: str, workdir: str) -> int:
     n = spark.table("smoke_dedup").count()
     q.stop()
     return n
+
+
+def run_dedup_within_watermark_smoke(spark, sf_dir: str) -> tuple[int, int]:
+    """``dropDuplicatesWithinWatermark``: dedup whose state is EVICTED
+    once a key ages past the watermark — the unbounded-stream answer to
+    plain ``dropDuplicates``, whose state grows forever (at 100 TB/day
+    a keep-all-keys dedup map is itself a scale-killer).  Duplicates
+    arriving later than the watermark delay may re-emit, so the result
+    is a superset of the exact keyed dedup: returns
+    ``(n_within_watermark, n_exact)`` with ``n_within >= n_exact``."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        dedup = (
+            _stream_events(spark, sf_dir, workdir)
+            .withWatermark("ts2", "10 minutes")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        )
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("smoke_dedup_wm")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_within = spark.table("smoke_dedup_wm").count()
+        q.stop()
+        n_exact = (
+            load(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .count()
+        )
+        return n_within, n_exact
+
+
+def run_update_mode_smoke(spark, sf_dir: str) -> tuple[int, int]:
+    """Update output mode: each micro-batch emits only the windows that
+    CHANGED — the incremental-sink mode between append (final-only) and
+    complete (everything, unboundedly re-written).  With a single
+    availableNow batch every window is new, so the update-mode emission
+    must equal the batch-computed window count; returns
+    ``(n_update_rows, n_batch_windows)``."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as workdir:
+        agg = (
+            _stream_events(spark, sf_dir, workdir)
+            .withWatermark("ts2", "10 minutes")
+            .groupBy(F.window("ts2", "1 hour"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("smoke_update_mode")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_update = spark.table("smoke_update_mode").count()
+        q.stop()
+        n_batch = (
+            load(spark, sf_dir, "events")
+            .groupBy(F.window("ts2", "1 hour"), "event_type")
+            .count()
+            .count()
+        )
+        return n_update, n_batch
 
 
 def run_stateful_count_smoke(spark, sf_dir: str) -> int:

@@ -173,6 +173,16 @@ def test_j22_lsh_signature_is_map_pass_with_broadcast_probe(spark, sf_dir):
     assert "Generate" not in p  # signatures never explode the vectors
 
 
+def test_c15_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must decorrelate into semi + anti hash joins
+    (RewritePredicateSubquery) — a per-row subquery re-execution would
+    be a nested loop at 100 TB."""
+    p = _plan(spark, sf_dir, "c15_subquery_exists")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
 def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
     broadcast on the hinted side."""

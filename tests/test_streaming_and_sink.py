@@ -147,6 +147,36 @@ def test_csv_json_source_roundtrip(spark):
         assert back_json.schema == docs.schema
 
 
+def test_orc_source_roundtrip(spark):
+    """§2.A source-format capability: ORC round-trip with exact value
+    equality — ORC preserves nested types (embeddings' array<float>)
+    and pushes predicates like parquet, so values and pushdown are both
+    asserted."""
+    import tempfile
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.sources.io import load_orc, write_orc
+
+    emb = load(spark, SF_DIR, "embeddings")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_orc(emb, f"{tmp}/emb_orc")
+        back = load_orc(spark, f"{tmp}/emb_orc")
+        assert back.schema == emb.schema
+        orig = sorted(emb.collect(), key=lambda r: r["vec_id"])
+        got = sorted(back.collect(), key=lambda r: r["vec_id"])
+        assert got == orig
+        # predicate reaches the ORC reader (same pushdown story as parquet)
+        plan = (
+            back.filter("vec_id < 10")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "vec_id" in plan.split(
+            "PushedFilters: ["
+        )[1].split("]")[0]
+
+
 def test_watermark_drops_late_data(spark):
     """Append mode + 10-min watermark: a weeks-late second batch must
     add no rows (its windows are final and its data is dropped)."""
@@ -157,3 +187,25 @@ def test_watermark_drops_late_data(spark):
     on_time, late_added = run_watermark_late_data_smoke(spark, SF_DIR)
     assert on_time > 0
     assert late_added == 0
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark evicts dedup state past the
+    watermark; the emission is a superset of exact keyed dedup."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_dedup_within_watermark_smoke,
+    )
+
+    n_within, n_exact = run_dedup_within_watermark_smoke(spark, SF_DIR)
+    assert 0 < n_exact <= n_within
+
+
+def test_update_mode_emits_changed_windows(spark):
+    """Update output mode over one availableNow batch must emit exactly
+    the batch-computed set of windows (all windows are new)."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_update_mode_smoke,
+    )
+
+    n_update, n_batch = run_update_mode_smoke(spark, SF_DIR)
+    assert n_update == n_batch > 0
