@@ -279,39 +279,58 @@ def _lsh_coefs() -> list[list[float]]:
     ]
 
 
-_J22_ORACLE = f"""
-    WITH bits AS (
-        SELECT e.vec_id, CAST(b.b AS INT) AS bit,
-               CASE WHEN SUM(
-                   CASE WHEN substr(md5('lsh' || CAST(b.b AS VARCHAR) || '_'
-                                    || CAST(t.i - 1 AS VARCHAR)), 1, 1)
-                             IN ('0','2','4','6','8','a','c','e')
-                        THEN  CAST(CAST(list_extract(e.embedding, CAST(t.i AS INT))
-                                        AS DOUBLE) AS DECIMAL(38,15))
-                        ELSE -CAST(CAST(list_extract(e.embedding, CAST(t.i AS INT))
-                                        AS DOUBLE) AS DECIMAL(38,15))
-                   END) >= 0
-                    THEN 1 ELSE 0 END AS bitval
-        FROM embeddings e, range(0, {_LSH_BITS}) b(b), range(1, 65) t(i)
-        GROUP BY e.vec_id, b.b
+def _coef_sql(b: int) -> str:
+    """Bit b's ±1 coefficients as a SQL list literal (64 values)."""
+    return "[" + ",".join(
+        "1.0" if c > 0 else "-1.0" for c in _lsh_coefs()[b]
+    ) + "]"
+
+
+def _duck_bit(b: int) -> str:
+    """DuckDB: bit b's sign as a SEQUENTIAL left-to-right double fold —
+    list_reduce folds in list order, the same order as Spark's
+    F.aggregate, so the IEEE-double sum (and hence the sign) is
+    bit-identical across engines without decimal arithmetic."""
+    return (
+        f"(list_reduce(list_transform(list_zip(e.embedding, {_coef_sql(b)}),"
+        f" z -> CAST(z[1] AS DOUBLE) * z[2]), (a, t) -> a + t) >= 0)"
+    )
+
+
+def _duck_band(g: int) -> str:
+    """DuckDB: band g's 4-bit bucket value."""
+    return " + ".join(
+        f"(CASE WHEN {_duck_bit(4 * g + i)} THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+
+
+_J22_ORACLE = (
+    """
+    WITH sig AS (
+        SELECT e.vec_id, e.embedding,
+    """
+    + ",\n".join(f"({_duck_band(g)}) AS band{g}" for g in range(_LSH_BANDS))
+    + """
+        FROM embeddings e
     ),
-    bands AS (
-        SELECT vec_id, bit // 4 AS band,
-               SUM(bitval * (CASE bit % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-                             WHEN 2 THEN 4 ELSE 8 END)) AS bucket
-        FROM bits GROUP BY vec_id, bit // 4
+    probe AS (
+        SELECT embedding AS pemb, band0 AS p0, band1 AS p1,
+               band2 AS p2, band3 AS p3
+        FROM sig WHERE vec_id = 0
     ),
     cand AS (
-        SELECT DISTINCT s.vec_id
-        FROM bands s JOIN bands p ON s.band = p.band AND s.bucket = p.bucket
-        WHERE p.vec_id = 0 AND s.vec_id <> 0
+        SELECT s.vec_id
+        FROM sig s, probe p
+        WHERE s.vec_id <> 0
+          AND (s.band0 = p.p0 OR s.band1 = p.p1
+               OR s.band2 = p.p2 OR s.band3 = p.p3)
     ),
-    pe AS (SELECT embedding AS pemb FROM embeddings WHERE vec_id = 0),
     scores AS (
-        SELECT e.vec_id, {{cos}} AS cos
+        SELECT e.vec_id, {cos} AS cos
         FROM embeddings e
         JOIN cand USING (vec_id)
-        CROSS JOIN pe p
+        CROSS JOIN probe p
         CROSS JOIN range(1, 65) t(i)
         GROUP BY e.vec_id
     )
@@ -319,24 +338,29 @@ _J22_ORACLE = f"""
     FROM scores
     ORDER BY ROUND(cos, 4) DESC, vec_id
     LIMIT 10
-    """.format(cos=_duck_cos("e.embedding", "p.pemb"))
+    """
+).format(cos=_duck_cos("e.embedding", "p.pemb"))
 
 
 def _lsh_band_cols(vec) -> list:
     """The {_LSH_BANDS} band-bucket columns of ``vec``'s LSH signature,
-    computed entirely in-row: each sign bit is an exact-DECIMAL(38,15)
-    fold of ±embedding components (zip_with + aggregate inside codegen
-    — no explode, no shuffle; the decimal accumulation makes the sign
-    bit-identical to the oracle's exact-decimal SUM regardless of
-    addition order)."""
+    computed entirely in-row: each sign bit is a SEQUENTIAL double fold
+    of ±embedding components (zip_with + aggregate — no explode, no
+    shuffle).  Cross-engine determinism: the oracle folds the same
+    doubles in the same left-to-right order via list_reduce, and IEEE
+    double addition is deterministic given the order, so the sign is
+    bit-identical without decimal arithmetic (Spark's extra leading
+    0.0 + x is exact for every x).  At throughput scale the same
+    signature is one numpy sign(X @ C.T) per Arrow batch — the fold
+    form is the oracle-checkable reference semantics."""
     coefs = _lsh_coefs()
     bits = []
     for b in range(_LSH_BITS):
         carr = F.array(*[F.lit(c) for c in coefs[b]])
         s = F.aggregate(
-            F.zip_with(vec, carr, lambda x, c: (x * c).cast("decimal(38,15)")),
-            F.lit(0).cast("decimal(38,15)"),
-            lambda acc, t: (acc + t).cast("decimal(38,15)"),
+            F.zip_with(vec, carr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         )
         bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
     return [
