@@ -99,3 +99,73 @@ def f4_nulls_ordering(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("pri").asc_nulls_first(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "f5_tpch_q3_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(9,6)))) * 100)
+                AS DOUBLE) / 100 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def f5_tpch_q3_topk(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 (shipping priority) — the composed flagship shape:
+    selective dim filter → two fact joins → exact-decimal money
+    aggregate (d1's FLOOR-cents rule) → top-10 heap.
+
+    100 TB shape: the mktsegment filter prunes customers BEFORE the
+    join (pushdown), orders/lineitem equi-join shuffles on the order
+    key with both date predicates pushed into the scans, partial
+    aggregation collapses lineitems map-side, and the final ordering is
+    a TakeOrderedAndProject heap — never a global sort of the
+    aggregate."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    revenue = (
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(9,6)")
+                    - F.col("l_discount").cast("decimal(9,6)")
+                )
+            )
+            * 100
+        ).cast("double")
+        / 100
+    ).alias("revenue")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("orderdate"), F.col("l_orderkey")
+    ).limit(10)

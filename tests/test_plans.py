@@ -173,6 +173,17 @@ def test_j22_lsh_signature_is_map_pass_with_broadcast_probe(spark, sf_dir):
     assert "Generate" not in p  # signatures never explode the vectors
 
 
+def test_f5_q3_pushes_filters_and_ends_in_topk_heap(spark, sf_dir):
+    """The composed Q3 flagship must push the date predicates into the
+    scans and end in a top-k heap, never a global sort of the
+    aggregate."""
+    p = _plan(spark, sf_dir, "f5_tpch_q3_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in p
+
+
 def test_c15_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
     """EXISTS / NOT EXISTS must decorrelate into semi + anti hash joins
     (RewritePredicateSubquery) — a per-row subquery re-execution would

@@ -398,3 +398,34 @@ def test_shingle_expression_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_resample_grid_is_dense_and_filled(spark, sf_dir):
+    """k9 invariants: per user the grid has exactly the hours between
+    the first and last event (inclusive), every bucket after the first
+    carries a non-null forward-filled value, and observed buckets carry
+    their own last observation."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    res = QUERIES["k9_resample_ffill"](spark, sf_dir)
+    per_user = res.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("bucket_s").alias("lo_s"),
+        F.max("bucket_s").alias("hi_s"),
+        F.sum(F.col("value_ffill").isNull().cast("int")).alias("n_null"),
+    )
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.unix_timestamp(F.date_trunc("hour", F.min("ts2"))).alias("exp_lo"),
+        F.unix_timestamp(F.date_trunc("hour", F.max("ts2"))).alias("exp_hi"),
+    )
+    joined = per_user.join(span, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert r["lo_s"] == r["exp_lo"]
+        assert r["hi_s"] == r["exp_hi"]
+        assert r["n_buckets"] == (r["exp_hi"] - r["exp_lo"]) // 3600 + 1
+        assert r["n_null"] == 0  # first bucket always has an observation
