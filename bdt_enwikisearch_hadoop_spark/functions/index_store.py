@@ -8,6 +8,11 @@ Scale notes (100 TB):
   join against the bucket files without shuffling the index (verified
   shuffle-free in tests/test_plans.py for bucketed joins), and the
   bucket count is the only knob that needs to grow with corpus size.
+  Size it to MATCH the consumer's join parallelism
+  (spark.sql.shuffle.partitions): on a bucket/partition mismatch the
+  planner disables the bucketed scan entirely and re-shuffles both
+  sides ("Bucketed: false (disabled by query planner)" — observed and
+  pinned in test_incremental_index_merge_equals_rebuild).
 * Index rows carry (term, df_count, postings[(doc_id, weight)]) — the
   postings array keeps each term's data contiguous, so a k-term query
   reads exactly k rows' worth of bytes plus bucket metadata.
@@ -21,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import load
-from .text_search import tfidf
+from .text_search import term_freq, tfidf, tokenize
 
 
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
@@ -64,4 +69,75 @@ def search_index(
         scored.select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance
+# ---------------------------------------------------------------------------
+#
+# TF-IDF *weights* depend on the corpus-global N and df, so a weighted
+# index can only be rebuilt.  The incrementally-maintainable artifact is
+# the RAW-TF postings index: tf is doc-local (new documents never change
+# an existing posting), so ingesting a delta corpus touches only the
+# delta's own terms; N and df are derivable (df = postings length, N via
+# a one-row count) and the tf*ln(N/df) weighting is applied query-time
+# against broadcast stats.  At 100 TB: the base index is bucketed by
+# term, so the merge join shuffles ONLY the (small) delta aggregate —
+# the base's buckets are read in place (asserted comparatively in
+# tests: bucketed base ⇒ one fewer hash Exchange than an unbucketed
+# copy of the same merge).
+
+
+def build_tf_index(
+    spark, docs: DataFrame, table: str, path: str, buckets: int = 16
+) -> None:
+    """Persist the raw-TF postings index (term, df_count,
+    postings[(doc_id, tf)]) bucketed+sorted by term."""
+    tf = term_freq(tokenize(docs))
+    index = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+        ).alias("postings"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        index.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "term")
+        .sortBy("term")
+        .saveAsTable(table)
+    )
+
+
+def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:
+    """The merged index plan: base postings full-outer-joined with the
+    delta corpus's TF aggregate on term; postings concatenate (disjoint
+    doc_ids), df counts add.  Returns the DataFrame — callers persist
+    it as a new bucketed table (immutable swap, module docstring)."""
+    base = spark.table(base_table)
+    tf = term_freq(tokenize(delta_docs))
+    delta = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("d_df"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+        ).alias("d_postings"),
+    )
+    empty = F.array().cast("array<struct<doc_id:bigint,tf:bigint>>")
+    return (
+        base.join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_count"), F.lit(0))
+                + F.coalesce(F.col("d_df"), F.lit(0))
+            ).alias("df_count"),
+            F.array_sort(
+                F.concat(
+                    F.coalesce(F.col("postings"), empty),
+                    F.coalesce(F.col("d_postings"), empty),
+                )
+            ).alias("postings"),
+        )
     )

@@ -419,3 +419,48 @@ def i12_vocab_prune(spark, sf_dir) -> DataFrame:
             (F.col("dfc") * F.lit(1.0) / F.col("nd") <= 0.78).alias("kept"),
         )
     )
+
+
+#: fixed exclusion term for i13 — frequent in the fixture vocabulary,
+#: so the NOT clause prunes a meaningful share of candidates.
+EXCLUDE_TERM = "window"
+
+
+@query(
+    "i13_search_not",
+    oracle=f"WITH {_TFIDF_CTES} "
+    f"""
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w WHERE term IN ({_TERMS_SQL})
+      AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok
+                         WHERE term = '{EXCLUDE_TERM}')
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i13_search_not(spark, sf_dir) -> DataFrame:
+    """Boolean NOT retrieval: docs containing ALL query terms and NONE
+    of the excluded term, ranked by summed TF-IDF.  The exclusion is a
+    LEFT ANTI join against the excluded term's postings — at scale that
+    posting list is one index row (a filtered scan), never a second
+    corpus pass; the anti join shuffles only candidate doc_ids."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    w = tfidf(docs).filter(F.col("term").isin(*QUERY_TERMS))
+    excluded = tok.filter(F.col("term") == EXCLUDE_TERM).select("doc_id").distinct()
+    scored = (
+        w.join(excluded, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("wt"), 4).alias("score"),
+            F.countDistinct("term").alias("nterms"),
+        )
+        .filter(F.col("nterms") == len(QUERY_TERMS))
+    )
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )

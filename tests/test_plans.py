@@ -194,6 +194,71 @@ def test_c15_decorrelates_to_semi_and_anti_joins(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_incremental_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance: base TF index + delta merge must equal
+    a full rebuild row-for-row, and the bucketed base must join WITHOUT
+    its own hash Exchange (one fewer than an unbucketed copy of the
+    same merge) — at 100 TB only the delta aggregate shuffles."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        merge_tf_delta,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    # bucket count must match the join's partitioning or the planner
+    # disables the bucketed scan and re-shuffles BOTH sides (observed:
+    # "Bucketed: false (disabled by query planner)" with 16 buckets
+    # under shuffle.partitions=32) — the sizing rule the module
+    # docstring documents for 100 TB
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        build_tf_index(
+            spark, base_docs, "t_idx_base", str(tmp_path / "base"), buckets=nb
+        )
+        build_tf_index(
+            spark, docs, "t_idx_full", str(tmp_path / "full"), buckets=nb
+        )
+        merged = merge_tf_delta(spark, "t_idx_base", delta_docs)
+        bucketed_plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in bucketed_plan
+
+        # comparative shuffle count (both plans captured pre-execution,
+        # i.e. before AQE finalizes either): an unbucketed base pays one
+        # more hash Exchange than the bucketed base in the same merge
+        spark.table("t_idx_base").write.mode("overwrite").parquet(
+            str(tmp_path / "flat")
+        )
+        spark.read.parquet(str(tmp_path / "flat")).createOrReplaceTempView(
+            "t_idx_flat"
+        )
+        flat_plan = (
+            merge_tf_delta(spark, "t_idx_flat", delta_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_b = bucketed_plan.count("Exchange hashpartitioning")
+        n_f = flat_plan.count("Exchange hashpartitioning")
+        assert n_b == n_f - 1, (n_b, n_f)
+
+        def canon(df):
+            return sorted(
+                (r["term"], r["df_count"], [tuple(p) for p in r["postings"]])
+                for r in df.collect()
+            )
+
+        assert canon(merged) == canon(spark.table("t_idx_full"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idx_base")
+        spark.sql("DROP TABLE IF EXISTS t_idx_full")
+        spark.catalog.dropTempView("t_idx_flat")
+
+
 def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
     broadcast on the hinted side."""
