@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load, rebalance
@@ -641,3 +641,106 @@ def _connected_components(pair_edges: DataFrame) -> tuple[DataFrame, int]:
         if changed == 0:
             break
     return labels, rounds
+
+
+# ---------------------------------------------------------------------------
+# j23 — sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@query(
+    "j23_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
+           (cum - n_tok) % {_PACK_BUDGET} AS bin_offset
+    FROM c
+    """,
+)
+def j23_sequence_pack(spark, sf_dir) -> DataFrame:
+    """Sequence packing: assign every document a (bin_id, bin_offset)
+    inside fixed {budget}-token training sequences, contiguous-fill in
+    doc_id order per language shard — the standard pretraining step
+    that turns ragged documents into dense fixed-length batches
+    (overflow docs straddle a boundary; the consumer splits them, which
+    keeps assignment a pure prefix-sum instead of NP-hard bin packing).
+
+    100 TB shape: one shuffle on the shard key (lang), then an
+    in-partition running sum — all integer arithmetic, exact in both
+    engines.  Shards are independent, so parallelism = shard count; a
+    production run uses hash(doc_id)%k shards for balance, same plan."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("bin_id"),
+        F.pmod(start, F.lit(_PACK_BUDGET)).cast("long").alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j24 — stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+_STRATUM_QUOTA = 20
+
+
+@query(
+    "j24_stratified_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk
+    FROM r WHERE rk <= {_STRATUM_QUOTA}
+    """,
+)
+def j24_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Stratified deterministic sampling: exactly {quota} documents per
+    language, chosen by md5-of-doc_id rank — the class-balancing
+    counterpart of j15's global hash sample (language-balanced eval
+    sets, per-source quotas).  Reproducible across engines, runs and
+    partitionings: the hash rank is a pure function of doc_id.
+
+    100 TB shape: e7's top-k-per-group pattern — one shuffle on the
+    stratum key, per-partition rank, early filter; no global sort and
+    no driver-side sampling state."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _STRATUM_QUOTA)
+    )
