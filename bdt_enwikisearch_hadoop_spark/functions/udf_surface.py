@@ -20,6 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -174,3 +175,65 @@ def l5_arrow_udf(spark, sf_dir) -> DataFrame:
     oracle as l1 (identical semantics, different physical path)."""
     p = load(spark, sf_dir, "part")
     return p.select("p_partkey", _normalize_arrow(F.col("p_name")).alias("norm"))
+
+
+@pandas_udf(DoubleType())
+def _midhinge(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF: midhinge = (Q1 + Q3) / 2, with the
+    quantiles computed by the EXPLICIT (n-1)*q linear-interpolation
+    formula (the quantile_cont definition) on the sorted values, so the
+    arithmetic matches DuckDB op-for-op instead of trusting
+    np.percentile internals."""
+    # Arrow-backed arrays arrive read-only — np.sort copies
+    x = np.sort(v.to_numpy(dtype="float64"))
+    n = len(x)
+
+    def q(p: float) -> float:
+        idx = (n - 1) * p
+        lo = int(idx)
+        if lo == n - 1:
+            return float(x[lo])
+        # lo*(1-f) + hi*f, NOT lo+(hi-lo)*f: both DuckDB quantile_cont
+        # and Spark's builtin percentile use the two-product form, and
+        # the one-ulp difference between the forms crosses a FLOOR
+        # boundary on real fixture data (nation 22 at sf0.001)
+        f = idx - lo
+        return float(x[lo] * (1.0 - f) + x[lo + 1] * f)
+
+    return (q(0.25) + q(0.75)) / 2.0
+
+
+@query(
+    "l6_grouped_agg_udf",
+    oracle="""
+    SELECT c_nationkey,
+           FLOOR((quantile_cont(c_acctbal, 0.25)
+                  + quantile_cont(c_acctbal, 0.75)) / 2 * 10000) / 10000
+               AS midhinge_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def l6_grouped_agg_udf(spark, sf_dir) -> DataFrame:
+    """The GROUPED_AGG pandas-UDF surface: a custom aggregate (midhinge
+    of account balance) used directly inside ``groupBy().agg`` next to
+    builtin aggregates — the true UDAF API (l3 covers the grouped-MAP
+    form).  Arrow ships each group's column once; the JVM-side FLOOR
+    truncation happens after the UDF so both engines truncate the
+    identical double (quantile interpolation is sort-based, hence
+    partition-order-insensitive).
+
+    100 TB note: GROUPED_AGG has no partial aggregation — every group's
+    full column crosses to Python, so keep it for statistics that
+    genuinely need the whole group (quantiles); sums/counts belong in
+    builtins (which Spark refuses to mix into the same agg anyway:
+    INVALID_PANDAS_UDF_PLACEMENT)."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(_midhinge(F.col("c_acctbal")).alias("mh"))
+        .select(
+            "c_nationkey",
+            (F.floor(F.col("mh") * 10000) / 10000).alias("midhinge_bal"),
+        )
+    )
