@@ -237,3 +237,67 @@ def l6_grouped_agg_udf(spark, sf_dir) -> DataFrame:
             (F.floor(F.col("mh") * 10000) / 10000).alias("midhinge_bal"),
         )
     )
+
+
+def _asof_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of: orders sorted once, np.searchsorted(side='right')
+    counts orders at-or-before each event and indexes the latest one —
+    vectorized over the whole cogroup, no per-event loop."""
+    if events.empty:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype="int64"),
+             "asof_date": pd.Series([], dtype="object"),
+             "n_prior": pd.Series([], dtype="int64")}
+        )
+    od = np.sort(orders["o_orderdate"].to_numpy(dtype="datetime64[us]"))
+    ets = events["ets"].to_numpy(dtype="datetime64[us]")
+    n = np.searchsorted(od, ets, side="right")
+    asof = [
+        pd.Timestamp(od[k - 1]).date() if k > 0 else None for k in n
+    ]
+    return pd.DataFrame(
+        {
+            "event_id": events["event_id"].to_numpy(dtype="int64"),
+            "asof_date": asof,
+            "n_prior": n.astype("int64"),
+        }
+    )
+
+
+@query(
+    "l7_cogrouped_asof",
+    oracle="""
+    SELECT e.event_id,
+           CAST(MAX(o.o_orderdate) AS DATE) AS asof_date,
+           COUNT(o.o_orderkey) AS n_prior
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+)
+def l7_cogrouped_asof(spark, sf_dir) -> DataFrame:
+    """The COGROUPED applyInPandas surface: events and orders cogrouped
+    on the user key, pandas/numpy as-of logic per cogroup — same result
+    and same oracle as c11's join+aggregate formulation (a cross-API
+    parity pair like j13/j21).
+
+    100 TB shape: cogroup = one shuffle per side on the SAME key, then
+    each pair of groups crosses to Python once via Arrow.  Against
+    c11's join: the join materializes |events|x|matching orders| rows
+    before aggregating, the cogroup ships each side once — the win
+    grows with orders-per-user; the cost is Python/Arrow transfer of
+    both sides."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    ev = e.select(
+        "event_id", "user_id", F.col("ts2").cast("timestamp_ntz").alias("ets")
+    )
+    od = o.select("o_custkey", "o_orderdate", "o_orderkey")
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("o_custkey"))
+        .applyInPandas(
+            _asof_cogroup, schema="event_id long, asof_date date, n_prior long"
+        )
+    )

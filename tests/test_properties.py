@@ -429,3 +429,35 @@ def test_resample_grid_is_dense_and_filled(spark, sf_dir):
         assert r["hi_s"] == r["exp_hi"]
         assert r["n_buckets"] == (r["exp_hi"] - r["exp_lo"]) // 3600 + 1
         assert r["n_null"] == 0  # first bucket always has an observation
+
+
+def test_map_in_arrow_surface(spark, sf_dir):
+    """mapInArrow: raw pyarrow RecordBatches in and out — the
+    zero-pandas-overhead sibling of mapInPandas for columnar kernels
+    (no pandas boxing of struct/binary columns).  Doubling a column
+    through pyarrow.compute must equal the JVM-side expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    def double_value(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"), pc.multiply(b.column("value"), 2.0)],
+                names=["event_id", "value2"],
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    got = (
+        ev.mapInArrow(double_value, schema="event_id long, value2 double")
+        .orderBy("event_id")
+        .collect()
+    )
+    want = (
+        ev.select("event_id", (F.col("value") * 2.0).alias("value2"))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
