@@ -442,3 +442,39 @@ def d15_filtered_agg(spark, sf_dir) -> DataFrame:
         .cast("double")
         .alias("disc_revenue"),
     )
+
+
+@query("d16_hll_sketch_merge")
+def d16_hll_sketch_merge(spark, sf_dir) -> DataFrame:
+    """Mergeable-sketch rollup (rows-only, like d3/d13: datasketches
+    estimates are engine-specific): per-NATION HyperLogLog sketches of
+    distinct ordering customers, hll_union_agg'd up to per-REGION
+    estimates — without ever re-touching the fact table.
+
+    This is THE re-aggregation architecture at 100 TB: partial sketches
+    are small, mergeable and associative, so a daily/nation-level
+    pre-aggregation can serve any coarser rollup (region, global,
+    rolling windows) by sketch union alone, where exact countDistinct
+    would need a full re-shuffle of raw keys per rollup level.  Output
+    is scalar-only (estimate bigint) — the sketch binary never leaves
+    the plan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            per_nation.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "n_regionkey",
+            F.hll_sketch_estimate("sk").alias("est_customers"),
+        )
+    )

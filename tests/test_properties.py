@@ -461,3 +461,34 @@ def test_map_in_arrow_surface(spark, sf_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hll_rollup_close_to_exact(spark, sf_dir):
+    """d16's region estimates must sit within HLL error bounds of the
+    exact distinct counts (lgConfigK=12 → ~1.6% relative standard
+    error; assert 5%), and the nation→region rollup must cover every
+    region that has orders."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    est = {
+        r["n_regionkey"]: r["est_customers"]
+        for r in QUERIES["d16_hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    exact = {
+        r["n_regionkey"]: r["x"]
+        for r in (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_regionkey")
+            .agg(F.countDistinct("o_custkey").alias("x"))
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, x in exact.items():
+        assert abs(est[k] - x) <= max(1, 0.05 * x), (k, est[k], x)
