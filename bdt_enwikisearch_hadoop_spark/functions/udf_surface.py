@@ -240,28 +240,42 @@ def l6_grouped_agg_udf(spark, sf_dir) -> DataFrame:
 
 
 def _asof_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-    """Per-user as-of: orders sorted once, np.searchsorted(side='right')
-    counts orders at-or-before each event and indexes the latest one —
-    vectorized over the whole cogroup, no per-event loop."""
+    """Shard-level as-of: every user of the shard merged in ONE
+    vectorized pd.merge_asof (backward = latest at-or-before, grouped
+    by user).  Each order carries its within-user 1-based date rank, so
+    the matched order's rank IS the prior-order count — no per-user
+    Python loop anywhere."""
     if events.empty:
         return pd.DataFrame(
             {"event_id": pd.Series([], dtype="int64"),
              "asof_date": pd.Series([], dtype="object"),
              "n_prior": pd.Series([], dtype="int64")}
         )
-    od = np.sort(orders["o_orderdate"].to_numpy(dtype="datetime64[us]"))
-    ets = events["ets"].to_numpy(dtype="datetime64[us]")
-    n = np.searchsorted(od, ets, side="right")
-    asof = [
-        pd.Timestamp(od[k - 1]).date() if k > 0 else None for k in n
-    ]
+    od = orders.sort_values(["o_custkey", "o_orderdate"], kind="mergesort")
+    od = od.assign(rank=od.groupby("o_custkey").cumcount() + 1)
+    merged = pd.merge_asof(
+        events.sort_values("ets", kind="mergesort"),
+        od.sort_values("o_orderdate", kind="mergesort"),
+        left_on="ets",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+    )
+    n = merged["rank"].fillna(0).to_numpy(dtype="int64")
+    dates = merged["o_orderdate"]
     return pd.DataFrame(
         {
-            "event_id": events["event_id"].to_numpy(dtype="int64"),
-            "asof_date": asof,
-            "n_prior": n.astype("int64"),
+            "event_id": merged["event_id"].to_numpy(dtype="int64"),
+            "asof_date": [
+                d.date() if pd.notna(d) else None for d in dates
+            ],
+            "n_prior": n,
         }
     )
+
+
+_ASOF_SHARDS = 32
 
 
 @query(
@@ -278,25 +292,31 @@ def _asof_cogroup(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
 )
 def l7_cogrouped_asof(spark, sf_dir) -> DataFrame:
     """The COGROUPED applyInPandas surface: events and orders cogrouped
-    on the user key, pandas/numpy as-of logic per cogroup — same result
-    and same oracle as c11's join+aggregate formulation (a cross-API
-    parity pair like j13/j21).
+    on a SHARD of user keys, vectorized pandas merge_asof within the
+    shard — same result and same oracle as c11's join+aggregate
+    formulation (a cross-API parity pair like j13/j21).
 
-    100 TB shape: cogroup = one shuffle per side on the SAME key, then
-    each pair of groups crosses to Python once via Arrow.  Against
-    c11's join: the join materializes |events|x|matching orders| rows
-    before aggregating, the cogroup ships each side once — the win
-    grows with orders-per-user; the cost is Python/Arrow transfer of
-    both sides."""
+    Cogrouping on the raw user key costs ~10 ms of Arrow/Python
+    dispatch PER GROUP (measured: 16.9 s for 1500 users at sf0.1 —
+    group-per-call overhead, not compute); cogrouping on
+    ``user_id % {shards}`` ships whole shards per call and merges all
+    of a shard's users in one C-vectorized merge_asof (~1.2 s warm,
+    same data).  The same rule governs a 1000-executor run: pick the shard
+    count for parallelism × per-task memory, never one Python call per
+    key.  Against c11's join the cogroup ships each side once instead
+    of materializing |events|x|matching orders| rows before the
+    aggregate."""
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
     ev = e.select(
         "event_id", "user_id", F.col("ts2").cast("timestamp_ntz").alias("ets")
+    ).withColumn("shard", F.pmod(F.col("user_id"), F.lit(_ASOF_SHARDS)))
+    od = o.select("o_custkey", "o_orderdate", "o_orderkey").withColumn(
+        "shard", F.pmod(F.col("o_custkey"), F.lit(_ASOF_SHARDS))
     )
-    od = o.select("o_custkey", "o_orderdate", "o_orderkey")
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("o_custkey"))
+        ev.groupBy("shard")
+        .cogroup(od.groupBy("shard"))
         .applyInPandas(
             _asof_cogroup, schema="event_id long, asof_date date, n_prior long"
         )
