@@ -212,3 +212,46 @@ def e7_topk_per_group(spark, sf_dir) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+@query(
+    "e8_ignore_nulls_carry",
+    oracle="""
+    SELECT event_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_purchase,
+           first_value(CASE WHEN event_type = 'purchase' THEN value END
+                       IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase
+    FROM events
+    """,
+)
+def e8_ignore_nulls_carry(spark, sf_dir) -> DataFrame:
+    """IGNORE NULLS window navigation: per event, the most recent
+    PRIOR purchase value and the nearest FOLLOWING one — the
+    last-known-value / next-known-value pattern (sensor carry-forward,
+    attribution lookback) that plain lag/lead can't express when the
+    interesting rows are sparse.  Exact ns ordering with the unique
+    event_id tiebreak (§2.0); values pass through undoctored, so the
+    hash match needs no rounding.
+
+    100 TB shape: same single user_id shuffle + in-partition sort as
+    every §2.E window; IGNORE NULLS costs nothing extra (running
+    last-non-null state per partition)."""
+    e = load(spark, sf_dir, "events")
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.last(purchase, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_purchase"),
+        F.first(purchase, ignorenulls=True)
+        .over(w.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_purchase"),
+    )
