@@ -194,3 +194,61 @@ def m3_audio_chunks(spark, sf_dir) -> DataFrame:
     return with_len.mapInPandas(
         _chunk_audio, schema="doc_id long, chunk_idx int, start_s double, end_s double"
     )
+
+
+def _resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: aspect-preserving fit of each image into a
+    224x224 budget, integer arithmetic only (the pixel resample itself
+    would use the stubbed decode — this computes the exact output
+    geometry + buffer size the resample kernel would allocate)."""
+    import numpy as np
+
+    for pdf in batches:
+        metas = [fake_decode_meta(b) for b in pdf["content"]]
+        w = np.array([max(m[1], 1) for m in metas], dtype=np.int64)
+        h = np.array([max(m[2], 1) for m in metas], dtype=np.int64)
+        m = np.maximum(w, h)
+        out_w = (w * 224) // m
+        out_h = (h * 224) // m
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_w": out_w.astype(np.int32),
+                "out_h": out_h.astype(np.int32),
+                "out_bytes": (out_w * out_h * 3).astype(np.int64),
+            }
+        )
+
+
+@query(
+    "m4_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST((w * 224) // m AS INT) AS out_w,
+           CAST((h * 224) // m AS INT) AS out_h,
+           CAST(((w * 224) // m) * ((h * 224) // m) * 3 AS BIGINT) AS out_bytes
+    FROM (SELECT doc_id,
+                 GREATEST(octet_length(encode(text)) % 640, 1) AS w,
+                 GREATEST((octet_length(encode(text)) * 7) % 480, 1) AS h,
+                 GREATEST(GREATEST(octet_length(encode(text)) % 640, 1),
+                          GREATEST((octet_length(encode(text)) * 7) % 480, 1)) AS m
+          FROM documents)
+    """,
+)
+def m4_image_resize(spark, sf_dir) -> DataFrame:
+    """Image resize planning: completes the multimodal quartet (decode
+    meta m1, frame-sample m2, audio-chunk m3, resize m4).  Integer
+    aspect-fit into 224x224 per image — the geometry/allocation half of
+    a resize; the pixel resample is behind the stubbed decode_image
+    (no imaging libs in this container).
+
+    100 TB shape: like m1, a zero-shuffle Arrow-batched map pass;
+    payload bytes never shuffle — downstream selection joins on the
+    small typed (doc_id, out_w, out_h) columns."""
+    d = load(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return binary.mapInPandas(
+        _resize_plan, schema="doc_id long, out_w int, out_h int, out_bytes long"
+    )
