@@ -259,6 +259,18 @@ def test_incremental_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView("t_idx_flat")
 
 
+def test_k9_resample_reuses_user_partitioning(spark, sf_dir):
+    """The resample pipeline must run on exactly two hash exchanges —
+    user_id (shared by span agg and ffill window) and (user_id, bucket)
+    (last-obs window + grid join) — with no cartesian anywhere; more
+    exchanges means a stage stopped reusing the key."""
+    p = _plan(spark, sf_dir, "k9_resample_ffill")
+    assert p.count("Exchange hashpartitioning") <= 2, p.count(
+        "Exchange hashpartitioning"
+    )
+    assert "CartesianProduct" not in p
+
+
 def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     """The SHUFFLE_HASH hint must survive planning: no sort-merge, no
     broadcast on the hinted side."""

@@ -492,3 +492,54 @@ def test_hll_rollup_close_to_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, x in exact.items():
         assert abs(est[k] - x) <= max(1, 0.05 * x), (k, est[k], x)
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """j23: offsets stay inside the budget, bins fill contiguously per
+    lang (bin ids dense from 0), and each doc's start equals the
+    running sum of its predecessors."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import _PACK_BUDGET
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    res = QUERIES["j23_sequence_pack"](spark, sf_dir)
+    assert res.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= _PACK_BUDGET)
+    ).count() == 0
+    per_lang = res.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.countDistinct("bin_id").alias("nbins"),
+        F.sum("n_tok").alias("tot"),
+    ).collect()
+    for r in per_lang:
+        assert r["lo"] == 0
+        # contiguous fill: every bin id up to the last is occupied
+        assert r["nbins"] == r["hi"] + 1
+        # last doc's start = tot - its n_tok  =>  hi == (tot - last_tok) // budget
+        assert r["hi"] <= (r["tot"] - 1) // _PACK_BUDGET + 1
+
+
+def test_stratified_sample_exact_quota(spark, sf_dir):
+    """j24: exactly min(quota, group size) rows per language, ranks
+    dense 1..k."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import _STRATUM_QUOTA
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    res = QUERIES["j24_stratified_sample"](spark, sf_dir)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = res.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"), F.max("rk").alias("maxrk")
+    ).collect()
+    assert {r["lang"] for r in got} == set(sizes)
+    for r in got:
+        expect = min(_STRATUM_QUOTA, sizes[r["lang"]])
+        assert r["k"] == expect == r["maxrk"]
