@@ -464,3 +464,51 @@ def i13_search_not(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "i14_snippet",
+    oracle=f"WITH {_TFIDF_CTES}, "
+    f"""
+    top AS (
+        SELECT doc_id, ROUND(SUM(wt), 4) AS score
+        FROM w WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+        ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+        LIMIT 10
+    )
+    SELECT t.doc_id, t.score,
+           CAST(strpos(lower(d.text), '{QUERY_TERMS[0]}') AS BIGINT) AS hit_pos,
+           substr(d.text,
+                  GREATEST(strpos(lower(d.text), '{QUERY_TERMS[0]}') - 20, 1),
+                  60) AS snippet
+    FROM top t JOIN documents d USING (doc_id)
+    """,
+)
+def i14_snippet(spark, sf_dir) -> DataFrame:
+    """Result highlighting: the i6 top-10 joined back to the corpus for
+    the first-occurrence offset of the lead query term and a ±-context
+    snippet — the search-UX half of ranked retrieval (1-based locate/
+    substring semantics are identical in both engines).
+
+    100 TB shape: snippets are computed ONLY for the k result rows —
+    the top-10 doc_ids broadcast against the corpus scan, so the text
+    payload of non-hits never leaves the scan, and nothing but the k
+    snippet strings reaches the driver."""
+    docs = load(spark, sf_dir, "documents")
+    top = _search(spark, sf_dir, conjunctive=True)  # i6's top-10
+    lead = QUERY_TERMS[0]
+    pos = F.locate(lead, F.lower(F.col("text")))
+    return (
+        F.broadcast(top)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            pos.cast("long").alias("hit_pos"),
+            F.expr(
+                f"substring(text, GREATEST(locate('{lead}', lower(text)) - 20, 1), 60)"
+            ).alias("snippet"),
+        )
+    )
