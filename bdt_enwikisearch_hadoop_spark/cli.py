@@ -1,0 +1,135 @@
+"""Command-line entry points — the engine as a usable tool, mirroring
+the reference archetype's two programs (offline index build, online
+query) plus ad-hoc corpus search:
+
+    python -m bdt_enwikisearch_hadoop_spark.cli search spark join
+    python -m bdt_enwikisearch_hadoop_spark.cli build-index /tmp/idx
+    python -m bdt_enwikisearch_hadoop_spark.cli search-index /tmp/idx spark join
+    python -m bdt_enwikisearch_hadoop_spark.cli bench-key i6_search_and
+
+``search`` ranks live from the corpus (tokenize → TF-IDF → score);
+``build-index``/``search-index`` split that into the reference's
+build-once/serve-many shape (bucketed postings store, index_store.py).
+All commands accept ``--sf-dir`` (default /root/testdata/sf0.001) and
+``--k``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def _rank_live(spark, sf_dir: str, terms: list[str], k: int, any_term: bool) -> DataFrame:
+    """Parameterized form of the i6/i7 flagship: ranked retrieval for
+    arbitrary terms (the declared queries pin QUERY_TERMS so the oracle
+    is reproducible; the CLI is the ad-hoc surface)."""
+    from .functions.text_search import tfidf
+    from .sources import load
+
+    w = tfidf(load(spark, sf_dir, "documents")).filter(F.col("term").isin(*terms))
+    scored = w.groupBy("doc_id").agg(
+        F.round(F.sum("wt"), 4).alias("score"),
+        F.countDistinct("term").alias("nterms"),
+    )
+    if not any_term:
+        scored = scored.filter(F.col("nterms") == len(terms))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bdt-enwikisearch-spark")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search", help="ranked retrieval live from the corpus")
+    s.add_argument("terms", nargs="+")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--any", action="store_true", help="OR semantics (default AND)")
+
+    b = sub.add_parser("build-index", help="persist the bucketed TF-IDF postings index")
+    b.add_argument("path")
+    b.add_argument("--table", default="cli_index")
+    b.add_argument("--buckets", type=int, default=16)
+
+    q = sub.add_parser("search-index", help="ranked retrieval served from a built index")
+    q.add_argument("path")
+    q.add_argument("terms", nargs="+")
+    q.add_argument("--table", default="cli_index")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--any", action="store_true")
+
+    r = sub.add_parser("bench-key", help="run one registered query and print timing")
+    r.add_argument("key")
+
+    args = ap.parse_args(argv)
+    spark = _spark(f"cli-{args.cmd}")
+
+    if args.cmd == "search":
+        rows = _rank_live(
+            spark, args.sf_dir, args.terms, args.k, args.any
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['score']}")
+        return 0
+
+    if args.cmd == "build-index":
+        from .functions.index_store import build_index
+
+        build_index(spark, args.sf_dir, args.table, args.path, args.buckets)
+        n = spark.table(args.table).count()
+        print(f"built {args.table} at {args.path}: {n} terms")
+        return 0
+
+    if args.cmd == "search-index":
+        from .functions.index_store import search_index
+
+        # a fresh process has an empty in-memory catalog: re-register the
+        # store's files (bucketing metadata is only known to the building
+        # session; the external-table fallback still answers correctly,
+        # just without the bucketed-join shortcut)
+        if not spark.catalog.tableExists(args.table):
+            spark.sql(
+                f"CREATE TABLE {args.table} USING parquet "
+                f"LOCATION '{args.path}'"
+            )
+        rows = search_index(
+            spark, args.table, tuple(args.terms), k=args.k,
+            conjunctive=not args.any,
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['score']}")
+        return 0
+
+    if args.cmd == "bench-key":
+        import time
+
+        from .registry import QUERIES
+
+        if args.key not in QUERIES:
+            print(f"unknown key {args.key}", file=sys.stderr)
+            return 2
+        t = time.time()
+        QUERIES[args.key](spark, args.sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(f"{args.key}\t{time.time() - t:.3f}s")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

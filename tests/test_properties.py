@@ -543,3 +543,40 @@ def test_stratified_sample_exact_quota(spark, sf_dir):
     for r in got:
         expect = min(_STRATUM_QUOTA, sizes[r["lang"]])
         assert r["k"] == expect == r["maxrk"]
+
+
+def test_cli_search_matches_flagship(spark, sf_dir, tmp_path, capsys):
+    """The CLI surface: live `search` must print exactly the flagship
+    i6 ranking, and `search-index` served from a freshly built store
+    must print the same rows."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    expect = [
+        (r["doc_id"], r["score"])
+        for r in QUERIES["i6_search_and"](spark, sf_dir).collect()
+    ]
+
+    def run(args):
+        rc = cli.main(args)
+        out = capsys.readouterr().out.strip().splitlines()
+        return rc, out
+
+    rc, out = run(["--sf-dir", sf_dir, "search", "spark", "join"])
+    got = [(int(a), float(b)) for a, b in (ln.split("\t") for ln in out)]
+    assert rc == 0 and got == expect
+
+    try:
+        rc, out = run(
+            ["--sf-dir", sf_dir, "build-index", str(tmp_path / "idx"),
+             "--table", "t_cli_idx"]
+        )
+        assert rc == 0 and out[-1].startswith("built t_cli_idx")
+        rc, out = run(
+            ["--sf-dir", sf_dir, "search-index", str(tmp_path / "idx"),
+             "spark", "join", "--table", "t_cli_idx"]
+        )
+        served = [(int(a), float(b)) for a, b in (ln.split("\t") for ln in out)]
+        assert rc == 0 and served == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cli_idx")
