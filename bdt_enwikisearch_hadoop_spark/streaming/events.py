@@ -854,6 +854,66 @@ def run_stream_static_foreach_batch_smoke(spark, sf_dir: str) -> tuple[int, int]
     return n_landed, n_expected
 
 
+def run_streaming_index_merge_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """Streaming index maintenance end-to-end: delta documents arrive
+    as a file-source stream and foreachBatch merges each micro-batch
+    into the persisted TF postings index (functions.index_store
+    semantics) — the reference archetype's nightly index rebuild
+    re-expressed as continuous ingestion.  Returns (merged, rebuilt)
+    canonical index contents, which must be equal.
+
+    100 TB shape: each micro-batch's TF aggregate is delta-sized; the
+    full-outer merge join reads the bucketed base in place (the
+    comparative-Exchange property pinned in test_plans), and the new
+    index lands as an immutable swap directory per batch."""
+    import tempfile
+
+    from ..functions.index_store import build_tf_index, merge_tf_delta
+
+    docs = load(spark, sf_dir, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def canon(df):
+        return sorted(
+            (r["term"], r["df_count"], [tuple(p) for p in r["postings"]])
+            for r in df.collect()
+        )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        try:
+            build_tf_index(
+                spark, base_docs, "t_stream_idx", f"{workdir}/base", buckets=nb
+            )
+            src = f"{workdir}/delta_src"
+            delta_docs.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(docs.schema).parquet(src)
+            out = f"{workdir}/merged"
+
+            def merge_batch(batch_df, batch_id):
+                merge_tf_delta(spark, "t_stream_idx", batch_df).write.mode(
+                    "overwrite"
+                ).parquet(f"{out}/b{batch_id}")
+
+            q = (
+                stream.writeStream.foreachBatch(merge_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            merged = canon(spark.read.parquet(f"{out}/b0"))
+            build_tf_index(
+                spark, docs, "t_stream_idx_full", f"{workdir}/full", buckets=nb
+            )
+            rebuilt = canon(spark.table("t_stream_idx_full"))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_stream_idx")
+            spark.sql("DROP TABLE IF EXISTS t_stream_idx_full")
+    return merged, rebuilt
+
+
 def run_transform_with_state_smoke(spark, sf_dir: str) -> int:
     """Spark 4's transformWithStateInPandas — the successor API to
     applyInPandasWithState: a StatefulProcessor class with typed state

@@ -209,3 +209,16 @@ def test_update_mode_emits_changed_windows(spark):
 
     n_update, n_batch = run_update_mode_smoke(spark, SF_DIR)
     assert n_update == n_batch > 0
+
+
+def test_streaming_index_merge_equals_rebuild(spark):
+    """Continuous index ingestion: a streamed delta merged via
+    foreachBatch must produce the identical index a batch rebuild
+    produces."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_index_merge_smoke,
+    )
+
+    merged, rebuilt = run_streaming_index_merge_smoke(spark, SF_DIR)
+    assert merged == rebuilt
+    assert len(merged) > 0
