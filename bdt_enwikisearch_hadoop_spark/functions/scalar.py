@@ -292,3 +292,37 @@ def h9_variant_json(spark, sf_dir) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@query(
+    "h10_regexp",
+    oracle="""
+    SELECT doc_id,
+           list_sort(regexp_extract_all(text, '[a-z]{6,}')) AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT)
+               AS n_long,
+           regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
+           CAST(regexp_matches(text, 'spark.*join|join.*spark') AS BOOLEAN)
+               AS both_terms
+    FROM documents
+    """,
+)
+def h10_regexp(spark, sf_dir) -> DataFrame:
+    """Regexp battery: extract-all (sorted for order-independence),
+    count, global replace, and a multi-pattern boolean match — all
+    JVM-side regexp engines, no Python.  At scale regexp cost is pure
+    map-side CPU riding the corpus scan; the only rule is to anchor
+    alternations narrowly so the engine can't backtrack
+    catastrophically."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_sort(
+            F.expr(r"regexp_extract_all(text, '[a-z]{6,}', 0)")
+        ).alias("long_words"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]{6,}', 0)"))
+        .cast("long")
+        .alias("n_long"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
+        F.col("text").rlike("spark.*join|join.*spark").alias("both_terms"),
+    )

@@ -121,3 +121,34 @@ def g6_except_all(spark, sf_dir) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 25).select("l_orderkey")
     b = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
     return a.exceptAll(b)
+
+
+@query(
+    "g7_union_byname",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS balance
+        FROM customer
+        UNION ALL BY NAME
+        SELECT s_suppkey AS entity_id, s_name AS name
+        FROM supplier
+    )
+    """,
+)
+def g7_union_byname(spark, sf_dir) -> DataFrame:
+    """Schema-evolution union: customers carry a balance column that
+    suppliers lack; unionByName(allowMissingColumns=True) aligns by
+    COLUMN NAME and null-fills the gap — positional UNION (g1) would
+    silently mis-bind or reject.  This is the append path when a 100 TB
+    table's schema grows: old partitions union with new ones by name,
+    missing columns read as null, no rewrite of history."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
