@@ -512,3 +512,50 @@ def i14_snippet(spark, sf_dir) -> DataFrame:
             ).alias("snippet"),
         )
     )
+
+
+#: fixed misspelling for i15 — 'sprak' is edit-distance 2 from 'spark'
+#: (transposition = 2 single-char edits under plain levenshtein).
+MISSPELLED = "sprak"
+
+
+@query(
+    "i15_did_you_mean",
+    oracle=f"WITH {_TOK_CTE}, "
+    f"""
+    vocab AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS dfc
+        FROM tok GROUP BY term
+    )
+    SELECT term, CAST(levenshtein(term, '{MISSPELLED}') AS BIGINT) AS dist, dfc
+    FROM vocab
+    WHERE levenshtein(term, '{MISSPELLED}') <= 2
+    ORDER BY dist, dfc DESC, term
+    LIMIT 5
+    """,
+)
+def i15_did_you_mean(spark, sf_dir) -> DataFrame:
+    """'Did you mean': closest vocabulary terms to a misspelled query
+    term, ranked by edit distance then document frequency — the query-
+    correction feature every search frontend needs.
+
+    100 TB shape: the candidate set is the VOCABULARY (distinct terms —
+    thousands-to-millions of rows, corpus-size-independent after the DF
+    aggregate), not the corpus; the levenshtein scan rides the tiny
+    vocab table and ends in a top-k heap.  A production variant prunes
+    by length band / first-char buckets before the distance call —
+    same plan shape with one extra pushed filter."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    vocab = doc_freq(tok)  # (term, dfc)
+    return (
+        vocab.select(
+            "term",
+            F.levenshtein(F.col("term"), F.lit(MISSPELLED))
+            .cast("long")
+            .alias("dist"),
+            "dfc",
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("dfc").desc(), "term")
+        .limit(5)
+    )
