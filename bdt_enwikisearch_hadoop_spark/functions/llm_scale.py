@@ -744,3 +744,64 @@ def j24_stratified_sample(spark, sf_dir) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _STRATUM_QUOTA)
     )
+
+
+# ---------------------------------------------------------------------------
+# j25 — data-mixture weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j25_source_mix",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT SUM(toks) AS tok_all, COUNT(*) AS n_sources FROM per_src
+    )
+    SELECT source, n_docs, toks,
+           FLOOR(toks * 1.0 / tok_all * 1000000) / 1000000 AS tok_share,
+           FLOOR(tok_all * 1.0 / (n_sources * toks) * 10000) / 10000
+               AS mix_weight
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def j25_source_mix(spark, sf_dir) -> DataFrame:
+    """Data-mixture weights: each source's token share of the corpus
+    and the upsample factor that would equalize sources to a uniform
+    target — the mixture calculation every pretraining run does before
+    sampling (replace the uniform target with per-source quality
+    priors and the plan is unchanged).  All inputs are exact integers;
+    the two ratios use the FLOOR trick (§2.0), so the doubles match
+    across engines.
+
+    100 TB shape: one map-side token count + one tiny per-source
+    aggregate; the totals row is a broadcast scalar (never a collect).
+    The weights then feed j15/j24-style deterministic samplers."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("toks"),
+    )
+    tot = per_src.agg(
+        F.sum("toks").alias("tok_all"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        (
+            F.floor(F.col("toks") * 1.0 / F.col("tok_all") * 1000000) / 1000000
+        ).alias("tok_share"),
+        (
+            F.floor(
+                F.col("tok_all") * 1.0 / (F.col("n_sources") * F.col("toks")) * 10000
+            )
+            / 10000
+        ).alias("mix_weight"),
+    )
