@@ -222,3 +222,64 @@ def test_streaming_index_merge_equals_rebuild(spark):
     merged, rebuilt = run_streaming_index_merge_smoke(spark, SF_DIR)
     assert merged == rebuilt
     assert len(merged) > 0
+
+
+def test_json_permissive_corrupt_record_capture(spark):
+    """Ingestion robustness: PERMISSIVE mode must load the good rows
+    and capture malformed lines in the _corrupt_record column instead
+    of failing the job — at 100 TB a handful of bad records must never
+    kill a scan; they land in a quarantine column/path for audit."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/mixed.json"
+        with open(path, "w") as f:
+            f.write('{"doc_id": 1, "text": "good row"}\n')
+            f.write('{"doc_id": 2, "text": "also good"}\n')
+            f.write('{"doc_id": 3, "text": NOT VALID JSON\n')
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+                StructField("_corrupt_record", StringType()),
+            ]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        ).cache()
+        try:
+            good = df.filter(df._corrupt_record.isNull())
+            bad = df.filter(df._corrupt_record.isNotNull())
+            assert good.count() == 2
+            assert bad.count() == 1
+            assert "NOT VALID JSON" in bad.collect()[0]["_corrupt_record"]
+        finally:
+            df.unpersist()
+
+
+def test_parquet_merge_schema_evolution(spark):
+    """Schema-evolution reads: two parquet generations with different
+    columns read as one table under mergeSchema=true — the file-level
+    counterpart of g7's by-name union (missing columns null-fill)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.range(3).selectExpr("id", "id * 2 AS old_col").write.parquet(
+            f"{tmp}/data/gen=1"
+        )
+        spark.range(3, 6).selectExpr(
+            "id", "id * 10 AS new_col"
+        ).write.parquet(f"{tmp}/data/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/data")
+        assert {"id", "old_col", "new_col", "gen"} == set(merged.columns)
+        assert merged.count() == 6
+        # old generation reads null for the new column and vice versa
+        assert merged.filter("gen = 1 AND new_col IS NULL").count() == 3
+        assert merged.filter("gen = 2 AND old_col IS NULL").count() == 3
