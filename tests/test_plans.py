@@ -259,6 +259,50 @@ def test_incremental_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
         spark.catalog.dropTempView("t_idx_flat")
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter injection: with a selective dim filter and
+    a non-broadcast join, Catalyst builds a bloom filter from the dim
+    side and applies might_contain on the FACT side before the shuffle
+    — at 100 TB this prunes most of the fact table pre-exchange.  The
+    fixture is far below the 10GB application-side default, so the
+    threshold is lowered to prove the mechanism; production relies on
+    the defaults."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p
+        # the filtered join must agree with the unfiltered-plan count
+        for k in overrides:
+            spark.conf.unset(k)
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        assert j.count() == plain > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_k9_resample_reuses_user_partitioning(spark, sf_dir):
     """The resample pipeline must run on exactly two hash exchanges —
     user_id (shared by span agg and ffill window) and (user_id, bucket)
