@@ -651,6 +651,93 @@ def run_stateful_count_smoke(spark, sf_dir: str) -> int:
         return n
 
 
+def run_stateful_carry_smoke(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Custom state CARRIED ACROSS micro-batches: per-user last purchase
+    value via applyInPandasWithState, run as TWO checkpoint-resumed
+    availableNow executions (first half of the stream, then the rest).
+    A user whose second-half events contain no purchase must still emit
+    the purchase value remembered from the first half — the streaming
+    form of e8's last-known-value, and the proof that custom state
+    survives micro-batch (and restart) boundaries.
+
+    Returns (emitted_final, expected): per-user last purchase from the
+    second run's emissions vs the batch-computed answer over the FULL
+    stream, for exactly the users active in the second half."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cutoff = 1_705_363_200_000_000_000  # 2024-01-16 00:00 UTC in ns
+    batch = load(spark, sf_dir, "events").drop("ts2")
+
+    def carry(key, pdfs, state):
+        ts, ev, val = state.get if state.exists else (-1, -1, None)
+        for pdf in pdfs:
+            pur = pdf[pdf["event_type"] == "purchase"]
+            for _, row in pur.sort_values(["ts", "event_id"]).iterrows():
+                if (int(row["ts"]), int(row["event_id"])) > (ts, ev):
+                    ts, ev, val = int(row["ts"]), int(row["event_id"]), float(row["value"])
+        state.update((ts, ev, val))
+        yield pd.DataFrame({"user_id": [key[0]], "last_purchase": [val]})
+
+    with tempfile.TemporaryDirectory() as workdir:
+        src, ckpt, out = f"{workdir}/src", f"{workdir}/ckpt", f"{workdir}/out"
+        batch.filter(F.col("ts") < cutoff).write.parquet(f"{src}/b1")
+
+        def run_once():
+            stream = spark.readStream.schema(batch.schema).parquet(f"{src}/*")
+            carried = stream.groupBy("user_id").applyInPandasWithState(
+                carry,
+                outputStructType="user_id long, last_purchase double",
+                stateStructType="ts long, ev long, v double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
+            def land(bdf, bid):
+                bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                    "append"
+                ).parquet(out)
+
+            q = (
+                carried.writeStream.foreachBatch(land)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        first_max = (
+            spark.read.parquet(out).agg(F.max("batch_id")).first()[0]
+        )
+        batch.filter(F.col("ts") >= cutoff).write.parquet(f"{src}/b2")
+        run_once()
+        emitted_df = spark.read.parquet(out).filter(
+            F.col("batch_id") > first_max
+        )
+        emitted = {
+            r["user_id"]: r["last_purchase"] for r in emitted_df.collect()
+        }
+
+    active_b2 = batch.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    expected = {
+        r["user_id"]: r["lp"]
+        for r in (
+            batch.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.max_by("value", F.struct("ts", "event_id")).alias("lp")
+            )
+            .join(active_b2, "user_id", "right")
+        ).collect()
+    }
+    return emitted, expected
+
+
 def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
     """Watermark + append-mode late-data semantics, observed end to end.
 

@@ -283,3 +283,19 @@ def test_parquet_merge_schema_evolution(spark):
         # old generation reads null for the new column and vice versa
         assert merged.filter("gen = 1 AND new_col IS NULL").count() == 3
         assert merged.filter("gen = 2 AND old_col IS NULL").count() == 3
+
+
+def test_stateful_carry_across_batches(spark):
+    """applyInPandasWithState state must survive the micro-batch (and
+    checkpoint-restart) boundary: users active in the second half whose
+    second-half events contain no purchase still emit the first-half
+    purchase value."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_stateful_carry_smoke,
+    )
+
+    emitted, expected = run_stateful_carry_smoke(spark, SF_DIR)
+    assert set(emitted) == set(expected)
+    assert len(emitted) > 0
+    for uid, want in expected.items():
+        assert emitted[uid] == want, (uid, emitted[uid], want)
