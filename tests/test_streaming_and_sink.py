@@ -299,3 +299,35 @@ def test_stateful_carry_across_batches(spark):
     assert len(emitted) > 0
     for uid, want in expected.items():
         assert emitted[uid] == want, (uid, emitted[uid], want)
+
+
+def test_text_source_tsv_ingestion(spark):
+    """§2.A text source: the reference archetype ingested raw dump
+    lines (TSV splits of the enwiki dump) — write documents as
+    tab-separated lines, read them back with spark.read.text and a
+    JVM-side split/cast projection, and recover the original rows
+    exactly (fixture text is tab/newline-free, verified by the filter
+    count below)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    assert docs.filter(F.col("text").contains("\t")).count() == 0
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs_tsv"
+        docs.select(
+            F.concat_ws("\t", "doc_id", "lang", "text").alias("value")
+        ).write.text(path)
+        parts = F.split(F.col("value"), "\t", 3)
+        back = spark.read.text(path).select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("lang"),
+            parts.getItem(2).alias("text"),
+        )
+        assert back.schema == docs.schema
+        orig = sorted(docs.collect(), key=lambda r: r["doc_id"])
+        got = sorted(back.collect(), key=lambda r: r["doc_id"])
+        assert got == orig
