@@ -1,0 +1,80 @@
+"""A custom PYTHON DATA SOURCE (Spark 4 ``pyspark.sql.datasource``
+API): the pluggable-connector surface a real ingestion path uses —
+here, a deterministic synthetic "dump" generator standing in for the
+reference archetype's enwiki dump splits.
+
+Why this exists: §2.A covers the file formats Spark ships
+(parquet/CSV/JSON/ORC/text); the Python DataSource API is how an
+engine ingests everything else (an HTTP dump mirror, a proprietary
+archive, a scraping frontier) WITHOUT leaving the DataFrame reader
+abstraction.  The connector below demonstrates the full contract:
+
+* ``partitions()`` declares the split list driver-side (metadata only
+  — like file listings, never data);
+* ``read(partition)`` runs ON EXECUTORS, one call per split, yielding
+  rows — at 100 TB each split maps to one dump file/byte-range and the
+  cluster pulls them in parallel;
+* the source composes with everything downstream: filters, the i-suite
+  tokenize→index pipeline, sinks — it is just another DataFrame.
+
+Determinism: content is a pure function of (doc_id), so any partition
+count yields the same table — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: tiny deterministic vocabulary for synthetic text
+_WORDS = (
+    "spark join query window scan merge sort key fast stream",
+    "table hash group order big small filter customer value data",
+)
+
+
+def _synth_text(doc_id: int) -> str:
+    """Deterministic pseudo-document: words picked by arithmetic on
+    doc_id only (no RNG state — reproducible on any executor)."""
+    a = _WORDS[0].split()
+    b = _WORDS[1].split()
+    n = 8 + (doc_id * 7) % 9
+    return " ".join(
+        (a if (doc_id + i) % 3 else b)[(doc_id * 31 + i * 17) % 10]
+        for i in range(n)
+    )
+
+
+class DumpSplitReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 100))
+        self.nsplits = int(options.get("splits", 4))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.nsplits)]
+
+    def read(self, partition):
+        # executor-side: generate ONLY this split's slice
+        per = -(-self.rows // self.nsplits)  # ceil
+        lo = partition.value * per
+        hi = min(lo + per, self.rows)
+        for doc_id in range(lo, hi):
+            yield (doc_id, _synth_text(doc_id), f"split{partition.value}")
+
+
+class DumpDataSource(DataSource):
+    """``spark.read.format("enwiki_dump").option("rows", N)``."""
+
+    @classmethod
+    def name(cls):
+        return "enwiki_dump"
+
+    def schema(self):
+        return "doc_id bigint, text string, split string"
+
+    def reader(self, schema):
+        return DumpSplitReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the connector on a session."""
+    spark.dataSource.register(DumpDataSource)

@@ -331,3 +331,36 @@ def test_text_source_tsv_ingestion(spark):
         orig = sorted(docs.collect(), key=lambda r: r["doc_id"])
         got = sorted(back.collect(), key=lambda r: r["doc_id"])
         assert got == orig
+
+
+def test_python_data_source_connector(spark):
+    """Custom Python DataSource (Spark 4 connector API): partition-
+    parallel executor-side generation, deterministic content invariant
+    to the split count, and full composition with downstream DataFrame
+    ops (the tokenize pattern)."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources.dump_source import register
+
+    register(spark)
+    df4 = spark.read.format("enwiki_dump").option("rows", "100").option(
+        "splits", "4"
+    ).load()
+    assert df4.count() == 100
+    assert df4.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,split:string>"
+    )
+    # each split generated its own slice on executors
+    assert df4.select("split").distinct().count() == 4
+    # determinism: a different split count yields the identical table
+    df7 = spark.read.format("enwiki_dump").option("rows", "100").option(
+        "splits", "7"
+    ).load()
+    a = sorted((r["doc_id"], r["text"]) for r in df4.collect())
+    b = sorted((r["doc_id"], r["text"]) for r in df7.collect())
+    assert a == b
+    # composes with the i-suite shape: tokenize + aggregate downstream
+    n_tokens = (
+        df4.select(F.explode(F.split("text", " "))).count()
+    )
+    assert n_tokens > 100
