@@ -23,7 +23,12 @@ count yields the same table — asserted in tests.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: tiny deterministic vocabulary for synthetic text
 _WORDS = (
@@ -61,8 +66,37 @@ class DumpSplitReader(DataSourceReader):
             yield (doc_id, _synth_text(doc_id), f"split{partition.value}")
 
 
+class DumpStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the connector: the offset is the next doc_id,
+    each micro-batch serves one fixed page — checkpointed offsets make
+    a second run RESUME where the first committed (asserted in tests),
+    which is the whole streaming-connector contract (a real source
+    tracks dump-mirror byte offsets or an API cursor the same way)."""
+
+    def __init__(self, options):
+        self.page = int(options.get("page", 25))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        rows = [
+            (i, _synth_text(i), f"page{lo // self.page}")
+            for i in range(lo, lo + self.page)
+        ]
+        return iter(rows), {"next": lo + self.page}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (i, _synth_text(i), f"page{start['next'] // self.page}")
+            for i in range(start["next"], end["next"])
+        )
+
+
 class DumpDataSource(DataSource):
-    """``spark.read.format("enwiki_dump").option("rows", N)``."""
+    """``spark.read.format("enwiki_dump").option("rows", N)`` (batch)
+    and ``spark.readStream.format("enwiki_dump")`` (streaming)."""
 
     @classmethod
     def name(cls):
@@ -73,6 +107,9 @@ class DumpDataSource(DataSource):
 
     def reader(self, schema):
         return DumpSplitReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return DumpStreamReader(self.options)
 
 
 def register(spark) -> None:

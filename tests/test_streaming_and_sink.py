@@ -364,3 +364,41 @@ def test_python_data_source_connector(spark):
         df4.select(F.explode(F.split("text", " "))).count()
     )
     assert n_tokens > 100
+
+
+def test_python_data_source_streaming_resume(spark):
+    """Streaming side of the custom connector: offsets are the cursor —
+    a second checkpoint-resumed run must continue at the page where the
+    first committed, never re-serving or skipping docs."""
+    import tempfile
+
+    from bdt_enwikisearch_hadoop_spark.sources.dump_source import register
+
+    register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+
+        def run_once():
+            q = (
+                spark.readStream.format("enwiki_dump")
+                .option("page", "25")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            q.stop()
+
+        run_once()
+        first = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert first == list(range(0, 25))
+        run_once()
+        both = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert both == list(range(0, 50))  # resumed exactly at 25
