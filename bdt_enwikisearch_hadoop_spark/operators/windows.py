@@ -255,3 +255,38 @@ def e8_ignore_nulls_carry(spark, sf_dir) -> DataFrame:
         .over(w.rowsBetween(1, Window.unboundedFollowing))
         .alias("next_purchase"),
     )
+
+
+@query(
+    "e9_windowed_quantile",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           FLOOR(quantile_cont(l_quantity, 0.5)
+                 OVER (PARTITION BY l_returnflag) * 10000) / 10000
+               AS group_median,
+           l_quantity > quantile_cont(l_quantity, 0.5)
+                        OVER (PARTITION BY l_returnflag) AS above_median
+    FROM lineitem
+    """,
+)
+def e9_windowed_quantile(spark, sf_dir) -> DataFrame:
+    """Exact quantile as a WINDOW function: every row carries its
+    return-flag group's median and an above/below flag — the per-row
+    enrichment form of d12's grouped percentiles (feature engineering:
+    'how does this row sit within its cohort'), without a join back.
+
+    100 TB shape: one shuffle on the partition key; the exact quantile
+    needs the whole partition resident (sort-based), so high-cardinality
+    partition keys keep partitions small — for global or very hot keys
+    use approx_percentile over the window instead (mergeable sketch,
+    same plan shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    med = F.expr("percentile(l_quantity, 0.5)").over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.floor(med * 10000) / 10000).alias("group_median"),
+        (F.col("l_quantity") > med).alias("above_median"),
+    )
