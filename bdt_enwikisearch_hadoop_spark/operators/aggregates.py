@@ -478,3 +478,28 @@ def d16_hll_sketch_merge(spark, sf_dir) -> DataFrame:
             F.hll_sketch_estimate("sk").alias("est_customers"),
         )
     )
+
+
+@query("d17_approx_top_k")
+def d17_approx_top_k(spark, sf_dir) -> DataFrame:
+    """Sketch-based heavy hitters (rows-only, sketch family of
+    d3/d13/d16): the top-10 most frequent corpus tokens via Spark 4's
+    approx_top_k — a bounded-memory frequent-items sketch where exact
+    per-term counting would shuffle the full vocabulary.  Output is
+    posexploded to scalar rows (rank, term, cnt) so the rows-only
+    canonicalizer never sees a nested type (the d13 lesson).
+
+    100 TB: the sketch is mergeable and fixed-size (maxItemsTracked),
+    so heavy-hitter tracking costs one narrow pass + a tiny final merge
+    regardless of vocabulary size — the d16 rollup argument applied to
+    frequency instead of cardinality."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+    sk = tok.agg(F.expr("approx_top_k(term, 10)").alias("top"))
+    return sk.select(
+        F.posexplode("top").alias("rank", "entry")
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("entry.item").alias("term"),
+        F.col("entry.count").cast("long").alias("cnt"),
+    )

@@ -26,8 +26,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: tiny deterministic vocabulary for synthetic text
@@ -110,6 +112,59 @@ class DumpDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return DumpStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return DumpTsvWriter(self.options)
+
+
+class _TsvCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class DumpTsvWriter(DataSourceWriter):
+    """Write side of the connector — the TWO-PHASE COMMIT surface:
+    each executor task writes its partition to a uniquely-named part
+    file and returns a commit message; the driver's ``commit()`` seals
+    the job with a manifest only after every task succeeded (``abort()``
+    on any failure leaves no manifest, so readers never see a partial
+    job).  This is exactly how every exactly-once batch sink works at
+    100 TB — the files are cheap, the manifest is the atom."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(part, "w") as f:
+            for row in rows:
+                f.write("\t".join(str(v) for v in row) + "\n")
+                n += 1
+        return _TsvCommit(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(m.path for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 def register(spark) -> None:

@@ -402,3 +402,36 @@ def test_python_data_source_streaming_resume(spark):
             r["doc_id"] for r in spark.read.parquet(out).collect()
         )
         assert both == list(range(0, 50))  # resumed exactly at 25
+
+
+def test_python_data_source_writer_two_phase_commit(spark):
+    """Write side of the custom connector: executor tasks write part
+    files and the driver commit seals a manifest whose row total equals
+    the DataFrame — the two-phase commit protocol every exactly-once
+    batch sink uses."""
+    import json
+    import os
+    import tempfile
+
+    from bdt_enwikisearch_hadoop_spark.sources.dump_source import register
+
+    register(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/sink"
+        df = (
+            spark.read.format("enwiki_dump")
+            .option("rows", "60")
+            .option("splits", "3")
+            .load()
+        )
+        df.write.format("enwiki_dump").mode("append").option(
+            "path", out
+        ).save()
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert manifest["rows"] == 60
+        assert len(manifest["parts"]) >= 1
+        n_lines = 0
+        for p in manifest["parts"]:
+            with open(p) as f:
+                n_lines += sum(1 for _ in f)
+        assert n_lines == 60
