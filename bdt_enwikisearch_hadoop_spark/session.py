@@ -10,11 +10,15 @@ Two concerns live here:
    confs set here are runtime-settable SQL confs, verified on Spark
    4.1.2, so this is safe to call on an already-running session.
 
-The single hard requirement (SURVEY.md §2.0 rule 2): ``events.parquet``
-stores ``ts`` as Parquet ``TIMESTAMP(NANOS)`` which Spark 4.x refuses to
-read (``PARQUET_TYPE_ILLEGAL``) unless
-``spark.sql.legacy.parquet.nanosAsLong=true``; with it the column
-arrives as BIGINT epoch-nanoseconds.
+Fixture-encoding note (SURVEY.md §2.0 rule 2): ``events.parquet`` has
+shipped ``ts`` two ways across fixture refreshes — Parquet
+``TIMESTAMP(NANOS)`` (needs ``spark.sql.legacy.parquet.nanosAsLong=true``
+or Spark 4.x refuses the read with ``PARQUET_TYPE_ILLEGAL``) and native
+``timestamp[us]`` (the current fixtures, no conf needed).  We still set
+the legacy conf best-effort so a NANOS fixture remains readable, but it
+is no longer mandatory: ``sources.io.load`` branches on the dtype it
+actually observes and normalizes either encoding to the same
+(bigint-ns ``ts``, µs-timestamp ``ts2``) contract.
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ from pyspark.sql import SparkSession
 
 #: runtime-settable confs applied to every session we touch.
 _RUNTIME_CONFS = {
-    # mandatory: events.parquet is unreadable without it (SURVEY §2.0 r2)
+    # best-effort back-compat: lets a TIMESTAMP(NANOS)-encoded events
+    # fixture load as BIGINT ns; inert on the current µs fixtures
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # determinism: all time derivations must agree with DuckDB's naive
     # timestamps, which behave like UTC instants under epoch()/time_bucket()
@@ -44,16 +49,9 @@ def prepare(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(key, value)
         except Exception:
-            # best-effort for optional confs only; the mandatory one is
-            # re-verified below so a failure surfaces here, not as an
-            # opaque PARQUET_TYPE_ILLEGAL at read time
+            # all confs here are best-effort: the loader handles both
+            # events fixture encodings, so nothing is session-fatal
             pass
-    mandatory = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(mandatory, "false") != "true":
-        raise RuntimeError(
-            f"could not set {mandatory}=true; events.parquet "
-            "(TIMESTAMP_NANOS) would be unreadable on this session"
-        )
     return spark
 
 

@@ -5,10 +5,20 @@ operation (lazy scan).  Catalyst handles column pruning and predicate
 pushdown into the vectorized Parquet reader automatically, so loaders
 stay dumb on purpose — *never* ``.cache()`` or materialize here.
 
-The one schema repair lives here: ``events.ts`` arrives as BIGINT
-epoch-nanoseconds (see :mod:`..session`); ``load_events`` derives
-``ts2`` (microsecond TIMESTAMP) once so every downstream operator can
-use ordinary time functions.  Raw ``ts`` is kept for exact-ns ordering.
+The one schema repair lives here, and it is dtype-aware because the
+fixtures have shipped ``events.ts`` in two encodings across rounds:
+
+* Parquet ``TIMESTAMP(NANOS)`` read as BIGINT epoch-ns (under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``, see :mod:`..session`);
+* native ``timestamp[us]`` (TIMESTAMP_NTZ, the current fixtures).
+
+Either way ``load`` normalizes to the same two-column contract every
+downstream operator relies on: raw ``ts`` as BIGINT epoch-ns (exact
+integer ordering/arithmetic — gap logic, watermark cutoffs, funnel
+windows all do exact ns math on it) and ``ts2`` as a µs TIMESTAMP for
+ordinary time functions.  The µs fixtures convert exactly:
+``unix_micros(ts) * 1000`` loses nothing because the source has µs
+precision.
 
 At 100 TB these loaders are unchanged: ``sf_dir`` becomes an object-store
 prefix and the same ``spark.read.parquet`` scales out; partition pruning
@@ -47,14 +57,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prepare(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns→µs with FLOOR-division semantics in exact integer arithmetic
-        # (pmod is always >= 0, so this floors for negative epochs too,
-        # matching DuckDB's native TIMESTAMP_NS truncation; plain ts/1000
-        # would go through double and lose precision at 1e18 ns)
-        df = df.withColumn(
-            "ts2",
-            F.timestamp_micros(F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)")),
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type.startswith("timestamp"):
+            # µs-precision TIMESTAMP fixture (arrives as TIMESTAMP_NTZ):
+            # cast to TIMESTAMP first — session tz is pinned UTC so the
+            # instant is unchanged, and ts2 keeps the same LTZ type the
+            # NANOS path produces via timestamp_micros.  Rebuild exact
+            # BIGINT epoch-ns (µs*1000 is lossless at µs precision).
+            ts_ltz = F.col("ts").cast("timestamp")
+            df = (
+                df.withColumn("ts2", ts_ltz)
+                .withColumn("ts", F.unix_micros(ts_ltz) * F.lit(1000))
+            )
+        else:
+            # BIGINT epoch-ns fixture: ns→µs with FLOOR-division semantics
+            # in exact integer arithmetic (pmod is always >= 0, so this
+            # floors for negative epochs too, matching DuckDB's native
+            # TIMESTAMP_NS truncation; plain ts/1000 would go through
+            # double and lose precision at 1e18 ns)
+            df = df.withColumn(
+                "ts2",
+                F.timestamp_micros(
+                    F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)")
+                ),
+            )
     _PLAN_CACHE[key] = df
     return df
 
