@@ -230,8 +230,16 @@ def j21_ann_ivf_store(spark, sf_dir) -> DataFrame:
     opens ONLY the nprobe cells' files (PartitionFilters — pruning
     physically verified in tests/test_plans.py).  The cell shortlist
     is an O(n_cells) driver-side collect of centroid scores — bounded
-    metadata, not corpus data."""
+    metadata, not corpus data.
+
+    Build-once means build ONCE: the store is written on the first call
+    per (session, sf) and every later call serves reads from the existing
+    layout — a second invocation does zero store writes (asserted in
+    tests/test_plans.py).  The dir is removed at interpreter exit so a
+    session doesn't leak a corpus copy in /tmp."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     emb = load(spark, sf_dir, "embeddings")
@@ -242,9 +250,13 @@ def j21_ann_ivf_store(spark, sf_dir) -> DataFrame:
         f"bdt_ivf_store_{spark.sparkContext.applicationId}"
         f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    emb.select(
-        "vec_id", "embedding", F.col("label").alias("cell")
-    ).write.mode("overwrite").partitionBy("cell").parquet(store)
+    # _SUCCESS marks a complete write: a dir without it is a crashed
+    # half-write and gets rebuilt rather than served
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        emb.select(
+            "vec_id", "embedding", F.col("label").alias("cell")
+        ).write.mode("overwrite").partitionBy("cell").parquet(store)
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
     cells = [int(r["label"]) for r in _cell_shortlist(spark, sf_dir).collect()]
     probe = emb.filter(F.col("vec_id") == 0)
     return search_ivf_store(spark, store, cells, probe, k=10, exclude_vec_id=0)

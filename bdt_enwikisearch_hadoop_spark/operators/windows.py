@@ -264,8 +264,9 @@ def e8_ignore_nulls_carry(spark, sf_dir) -> DataFrame:
            FLOOR(quantile_cont(l_quantity, 0.5)
                  OVER (PARTITION BY l_returnflag) * 10000) / 10000
                AS group_median,
-           l_quantity > quantile_cont(l_quantity, 0.5)
-                        OVER (PARTITION BY l_returnflag) AS above_median
+           l_quantity > FLOOR(quantile_cont(l_quantity, 0.5)
+                              OVER (PARTITION BY l_returnflag) * 10000) / 10000
+               AS above_median
     FROM lineitem
     """,
 )
@@ -283,10 +284,15 @@ def e9_windowed_quantile(spark, sf_dir) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag")
     med = F.expr("percentile(l_quantity, 0.5)").over(w)
+    # compare against the SAME 1e-4-truncated median both engines emit:
+    # Spark's percentile and DuckDB's quantile_cont interpolate in
+    # different fp orders, so a non-integral measure can put the raw
+    # medians an epsilon apart and flip the flag for rows sitting on it
+    med_t = F.floor(med * 10000) / 10000
     return li.select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        (F.floor(med * 10000) / 10000).alias("group_median"),
-        (F.col("l_quantity") > med).alias("above_median"),
+        med_t.alias("group_median"),
+        (F.col("l_quantity") > med_t).alias("above_median"),
     )

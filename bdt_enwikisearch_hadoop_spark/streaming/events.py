@@ -333,7 +333,7 @@ def k7_error_burst(spark, sf_dir) -> DataFrame:
     "k8_session_window_native",
     oracle=f"""
     WITH o AS (
-        SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
                CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
                       OR epoch_ns(ts) // 1000
                          - lag(epoch_ns(ts) // 1000) OVER w > {_GAP_NS // 1000}
@@ -342,7 +342,10 @@ def k7_error_burst(spark, sf_dir) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-        SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY tus
+        -- event_id tiebreak (SURVEY §2.0 rule 4): same-µs events would
+        -- otherwise make the cumsum order — and hence session ids —
+        -- nondeterministic; latent under tie-free fixtures, wrong on ties
+        SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS sid
         FROM o

@@ -62,16 +62,24 @@ def main() -> int:
     # elapsed time AND flag the run so a partially-failed round can't
     # quietly pass a perf gate on fewer queries
     total = round(sum(timings.values()) + wasted, 3)
-    result = {
-        "metric": "total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
+    # Field ORDER is load-bearing: the driver records only the last
+    # ~2000 chars of this line, so the headline scalars go LAST and
+    # errors are deduped by message (20 repeats of one AnalysisException
+    # once drowned out all 109 good timings) so a truncated tail still
+    # carries totals + failure summary.
+    result: dict = {"queries": timings}
     if errors:
-        result["errors"] = errors
+        by_msg: dict[str, list[str]] = {}
+        for key, msg in errors.items():
+            by_msg.setdefault(msg[:160], []).append(key)
+        result["errors"] = {
+            msg: keys if len(keys) <= 5 else keys[:5] + [f"+{len(keys)-5} more"]
+            for msg, keys in by_msg.items()
+        }
         result["failed_count"] = len(errors)
+    result.update(
+        {"metric": "total_runtime", "sf": sf, "unit": "sec", "value": total}
+    )
     print(json.dumps(result))
     return 0
 

@@ -321,3 +321,36 @@ def test_c14_hint_forces_shuffled_hash_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "c14_join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_j21_store_build_once_serve_many(spark, sf_dir):
+    """j21's contract is build-once/serve-many: the first invocation
+    writes the partitionBy(cell) store, every later one in the same
+    session serves reads from it.  Assert PHYSICALLY: the store's full
+    file listing (paths + mtimes) is byte-for-byte unchanged by a second
+    invocation — at 100 TB a rewrite-per-query is a corpus-sized write
+    billed to every search."""
+    import os
+    import tempfile
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import j21_ann_ivf_store
+
+    assert j21_ann_ivf_store(spark, sf_dir).count() == 10
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_ivf_store_{spark.sparkContext.applicationId}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    assert os.path.exists(os.path.join(store, "_SUCCESS"))
+
+    def listing():
+        return sorted(
+            (os.path.join(dp, f), os.path.getmtime(os.path.join(dp, f)))
+            for dp, _, fs in os.walk(store)
+            for f in fs
+        )
+
+    before = listing()
+    rows = j21_ann_ivf_store(spark, sf_dir).collect()
+    assert listing() == before
+    assert len(rows) == 10

@@ -580,3 +580,52 @@ def test_cli_search_matches_flagship(spark, sf_dir, tmp_path, capsys):
         assert rc == 0 and served == expect
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cli_idx")
+
+
+def test_windowed_quantile_nonintegral_measure_matches_oracle(spark):
+    """e9's above-median flag must survive a NON-INTEGRAL measure:
+    Spark's percentile() and DuckDB's quantile_cont() interpolate in
+    different fp orders, so raw medians of e.g. thirds can land an ulp
+    apart and flip the flag for rows sitting exactly on the median.
+    Both engines therefore compare against the same 1e-4-truncated
+    median.  Values are adversarial: thirds (non-terminating binary),
+    tenths (inexact binary), and rows exactly AT the interpolated
+    median of an even-sized group."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bdt_enwikisearch_hadoop_spark.testing import compare
+
+    rows = (
+        [("thirds", i, i / 3.0) for i in range(7)]
+        + [("tenths", i, 0.1 * i + 0.01) for i in range(6)]
+        # even group whose interpolated median 0.3 equals a member value
+        + [("atmed", i, v) for i, v in enumerate([0.1, 0.3, 0.3, 0.5])]
+    )
+    df = spark.createDataFrame(rows, "grp string, id int, x double")
+    w = Window.partitionBy("grp")
+    med_t = F.floor(F.expr("percentile(x, 0.5)").over(w) * 10000) / 10000
+    out = df.select(
+        "grp",
+        "id",
+        "x",
+        med_t.alias("group_median"),
+        (F.col("x") > med_t).alias("above_median"),
+    )
+    con = duckdb.connect()
+    try:
+        con.register("t", df.toPandas())
+        oracle = con.execute(
+            """
+            SELECT grp, id, x,
+                   FLOOR(quantile_cont(x, 0.5) OVER (PARTITION BY grp)
+                         * 10000) / 10000 AS group_median,
+                   x > FLOOR(quantile_cont(x, 0.5) OVER (PARTITION BY grp)
+                             * 10000) / 10000 AS above_median
+            FROM t
+            """
+        ).df()
+        assert compare(out, oracle) == []
+    finally:
+        con.close()
