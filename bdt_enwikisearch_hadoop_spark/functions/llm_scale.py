@@ -805,3 +805,183 @@ def j25_source_mix(spark, sf_dir) -> DataFrame:
             / 10000
         ).alias("mix_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j26 — text normalization + PII redaction (round 5)
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) battery applied in order.  Patterns stick to
+#: the regex subset Java (Spark) and RE2 (DuckDB) treat identically —
+#: char classes, bounded repeats, \d/\s, word boundaries; no lookarounds.
+_REDACTIONS = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<phone>"),
+)
+
+
+@query(
+    "j26_normalize_redact",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text),
+                               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                               '<email>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<ip>', 'g'),
+                       '\\+?\\d[\\d\\- ]{7,}\\d', '<phone>', 'g'),
+                   '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+           CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_toks
+    FROM norm
+    """,
+)
+def j26_normalize_redact(spark, sf_dir) -> DataFrame:
+    """Corpus normalization + PII redaction: lowercase, redact
+    email/IPv4/phone shapes, collapse whitespace, trim — the standard
+    first stage of a training-data cleaning pipeline, emitted with
+    post-normalization char/token counts.
+
+    100 TB shape: a pure narrow map pass — regexp_replace chains ride
+    the parquet scan inside one WholeStageCodegen span, no shuffle, no
+    Python.  Pattern cost is what matters at scale: every pattern here
+    is a finite automaton with bounded repeats (no nested quantifiers,
+    no backtracking blowup), so cost is O(bytes) per doc.  The same
+    battery is the place grout/boilerplate strippers slot in as
+    additional (pattern, replacement) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.col("text"))
+    for pat, rep in _REDACTIONS:
+        norm = F.regexp_replace(norm, pat, rep)
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_toks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j27 — asymmetric containment (boilerplate / subset detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j27_containment",
+    oracle=f"WITH {_SHINGLE_CTE}, "
+    """
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           FLOOR(i * 1.0 / sa.n * 10000) / 10000 AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = doc_a
+    WHERE i * 1.0 / sa.n >= 0.5
+    """,
+)
+def j27_containment(spark, sf_dir) -> DataFrame:
+    """Asymmetric near-dup: containment C(A,B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| ≥ 0.5 — catches a document swallowed
+    inside a larger one (quote farms, boilerplate wrappers, page-of-
+    pages), which symmetric Jaccard (j2) misses because the union term
+    dilutes it.  Ordered pairs: (doc_a contained-in doc_b).
+
+    Same candidate machinery as j2: docs sharing zero shingles never
+    meet (shared-shingle equi-join), so this is exact but quadratic
+    inside dense clusters — the correctness oracle.  At 100 TB,
+    generate candidates with j8's banded MinHash buckets and verify
+    containment exactly per candidate (j8 already carries both shingle
+    sets to the verify stage); the j19 decontaminator is this same
+    asymmetric measure with the small side broadcast."""
+    from .llm_pipeline import shingles
+
+    sh = shingles(load(spark, sf_dir, "documents"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cont = F.col("i") / F.col("na")
+    return (
+        inter.join(sa, "doc_a")
+        .filter(cont >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cont * 10000) / 10000).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j28 — cross-source priority dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j28_cross_source_dedup",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, source, md5(lower(text)) AS th FROM documents
+    )
+    SELECT doc_id, source, n_copies
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY th ORDER BY source, doc_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY th) AS n_copies
+        FROM h
+    )
+    WHERE rn = 1
+    """,
+)
+def j28_cross_source_dedup(spark, sf_dir) -> DataFrame:
+    """Cross-source exact dedup with source priority: when the same
+    text appears in several sources, keep ONE copy from the
+    highest-priority source (here: lexicographic source order, doc_id
+    tiebreak per §2.0 rule 4) and record how many copies existed —
+    the keep-the-curated-copy step of multi-corpus training-data
+    assembly (e.g. prefer an archive dump over a crawl of it).
+
+    100 TB shape: ONE shuffle on the text hash; row_number and the
+    per-group count share that single exchange+sort (both window
+    specs partition on th).  The hash — not the text — is the shuffle
+    key, so wide docs don't inflate the exchange beyond their one
+    md5.  Priority is data-driven (ORDER BY inside the window), never
+    a join against a priority table unless priorities are non-lexical
+    — then it's a broadcast join of a tiny source→rank dim first."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("th")
+    )
+    w = Window.partitionBy("th")
+    return (
+        h.withColumn(
+            "rn", F.row_number().over(w.orderBy("source", "doc_id"))
+        )
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_copies")
+    )

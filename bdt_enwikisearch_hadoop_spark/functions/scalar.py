@@ -326,3 +326,46 @@ def h10_regexp(spark, sf_dir) -> DataFrame:
         F.regexp_replace("text", "[aeiou]", "").alias("devoweled"),
         F.col("text").rlike("spark.*join|join.*spark").alias("both_terms"),
     )
+
+
+@query(
+    "h11_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/' || lang || '/doc/'
+                 || doc_id || '?ref=' || source || '&page=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([^&]*)', 1) AS ref,
+           regexp_extract(url, 'page=([^&]*)', 1) AS page
+    FROM u
+    """,
+)
+def h11_url_parse(spark, sf_dir) -> DataFrame:
+    """URL battery: build a canonical URL from document attributes,
+    then take it apart with parse_url (HOST / PATH / QUERY-key
+    extraction) — the link-normalization step of web-corpus pipelines
+    (group by host, dedup by path, strip tracking params).
+
+    100 TB shape: parse_url is a JVM intrinsic riding the scan in one
+    codegen span — per-row string slicing, no shuffle.  The oracle
+    mirrors it with anchored regexes; both sides are linear scans of
+    the URL bytes.  At scale the derived host column is the natural
+    partition/bucket key for per-site aggregation downstream."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"), F.lit("&page=2"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+    )

@@ -559,3 +559,47 @@ def i15_did_you_mean(spark, sf_dir) -> DataFrame:
         .orderBy("dist", F.col("dfc").desc(), "term")
         .limit(5)
     )
+
+
+#: fixed prefix for the wildcard query (matches a small term family in
+#: the fixture vocabulary: stream, st...)
+PREFIX = "st"
+
+
+@query(
+    "i16_prefix_search",
+    oracle=f"WITH {_TOK_CTE} "
+    f"""
+    SELECT doc_id,
+           COUNT(DISTINCT term) AS n_terms,
+           COUNT(*) AS total_tf
+    FROM tok
+    WHERE term LIKE '{PREFIX}%'
+    GROUP BY doc_id
+    ORDER BY total_tf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i16_prefix_search(spark, sf_dir) -> DataFrame:
+    """Wildcard PREFIX retrieval (`st*`): docs ranked by total
+    occurrences of any term starting with the prefix, top-10 with
+    doc_id tiebreak (integer score — no float determinism caveats).
+
+    100 TB shape: the prefix predicate belongs on the TERM DIMENSION,
+    not the corpus — against i5's persisted inverted index (sorted /
+    bucketed by term) a prefix is a contiguous index range scan whose
+    postings are unioned; the raw corpus is never rescanned.  Here the
+    tokenized stream is filtered before the doc_id aggregate, so the
+    shuffle carries only prefix-matching occurrences; StartsWith
+    compiles to a codegen'd comparison riding the scan."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    return (
+        tok.filter(F.col("term").startswith(PREFIX))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .orderBy(F.col("total_tf").desc(), "doc_id")
+        .limit(10)
+    )

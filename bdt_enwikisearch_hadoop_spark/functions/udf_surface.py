@@ -321,3 +321,53 @@ def l7_cogrouped_asof(spark, sf_dir) -> DataFrame:
             _asof_cogroup, schema="event_id long, asof_date date, n_prior long"
         )
     )
+
+
+def _revenue_batches(batches):
+    """mapInArrow body: per-batch vectorized revenue without pandas
+    conversion — columns stay Arrow arrays end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"), rev],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+
+
+@query(
+    "l8_arrow_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    """,
+)
+def l8_arrow_map(spark, sf_dir) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python escape hatch — record
+    batches cross as raw Arrow (no pandas materialization, no index
+    bookkeeping), transformed with pyarrow.compute kernels (C++ SIMD),
+    and returned as Arrow.  Completes the §2.L ladder: l1 row-at-a-time
+    @udf < l5 Arrow-serialized @udf < l2 pandas_udf < THIS — use it
+    when the logic needs a library speaking Arrow natively (tokenizers,
+    image codecs — see functions/multimodal.py, which builds on the
+    same batch plumbing).
+
+    100 TB shape: a narrow map pass — no shuffle; per-task memory is
+    one Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch).
+    The per-row arithmetic itself belongs JVM-side (this exact formula
+    IS built-in expression work) — l8 exists to pin the API surface
+    and its batch shape, not to recommend Python for arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).mapInArrow(
+        _revenue_batches,
+        schema="l_orderkey long, l_linenumber int, revenue double",
+    )
+    return out.withColumn("revenue", F.round("revenue", 4))

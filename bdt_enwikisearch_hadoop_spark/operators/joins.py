@@ -390,3 +390,46 @@ def c15_subquery_exists(spark, sf_dir) -> DataFrame:
                             AND o2.o_totalprice < 5000)
         """
     )
+
+
+@query(
+    "c16_join_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name, s.s_acctbal
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def c16_join_salted(spark, sf_dir) -> DataFrame:
+    """Hand-salted skew join: the fact side tags each row with a
+    deterministic salt in [0, S) and the dimension side is replicated S
+    times (explode over a salt sequence), so one hot supplier key fans
+    out across S reducers instead of pinning one.  The OUTPUT is
+    oracle-identical to the plain equi-join — salting is a purely
+    physical rewrite.
+
+    100 TB role: this is the manual fallback when AQE's skew-join split
+    can't help — AQE splits oversized SORT-MERGE partitions after the
+    map stage, but a single key that alone exceeds executor memory (a
+    null-bucket, a bot user_id, an empty-string join key) still lands
+    in one task; pre-salting spreads even a single-key partition.  Cost
+    model: S× replication of the dim side vs S× parallelism on the hot
+    key — S stays single-digit.  Salt must be DETERMINISTIC from row
+    identity (here xxhash64 of the fact PK), never rand(): retries and
+    speculative tasks must re-derive the same salt or the join drops
+    rows."""
+    s_count = 8
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(s_count)),
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(s_count - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return li.join(
+        sup,
+        (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt),
+    ).select("l_orderkey", "l_linenumber", "s_name", "s_acctbal")

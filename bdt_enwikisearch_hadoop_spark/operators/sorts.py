@@ -169,3 +169,79 @@ def f5_tpch_q3_topk(spark, sf_dir) -> DataFrame:
     return agg.orderBy(
         F.col("revenue").desc(), F.col("orderdate"), F.col("l_orderkey")
     ).limit(10)
+
+
+@query(
+    "f6_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(9,6)) - CAST(l_discount AS DECIMAL(9,6))))
+                 * 100) / 100 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def f6_tpch_q5(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the classic six-table snowflake
+    chain — region→nation→supplier dims onto the customer⋈orders⋈lineitem
+    fact spine, with the c_nationkey = s_nationkey "local supplier"
+    constraint folded into the supplier join.  Revenue uses the exact
+    DECIMAL FLOOR-cents recipe (§2.0 rule 1).
+
+    100 TB shape: region/nation/supplier/customer are all dimension-sized
+    → Catalyst broadcasts every one of them (AQE confirms from runtime
+    stats), so the ONLY shuffle in the whole plan is the final 5-group
+    aggregate exchange; the o_orderdate year slice is pushed into the
+    orders scan (PushedFilters) and prunes the fact spine before any
+    join.  Join ORDER is dictated by selectivity — r_name picks 1-of-5
+    regions, which prunes nations, which prunes suppliers — exactly the
+    reordering Catalyst's cost model performs on the declarative plan;
+    nothing here is hand-scheduled."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(9,6)")
+                    - F.col("l_discount").cast("decimal(9,6)")
+                )
+            )
+            * 100
+        ).cast("double")
+        / 100
+    ).alias("revenue")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -1078,3 +1078,51 @@ def transform_with_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+@query(
+    "k10_time_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('day',  ts)) AS BIGINT) AS day_s,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type, ROLLUP (
+        CAST(epoch(date_trunc('day',  ts)) AS BIGINT),
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+    )
+    """,
+)
+def k10_time_rollup(spark, sf_dir) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: per event type,
+    ONE pass over the log produces hour, day, and all-time aggregate
+    rows via GROUP BY ROLLUP on the (day, hour) bucket hierarchy —
+    supergroup rows carry NULL buckets, exactly the continuous-aggregate
+    ladder a time-series store materializes.
+
+    100 TB shape: ROLLUP expands each input row to its grouping-set
+    combinations BEFORE the exchange, and partial aggregation collapses
+    them map-side, so the shuffle carries (n_hours + n_days + 1) rows
+    per (type, task) — bucket-count-bounded, not data-bounded.  Compare
+    d16's HLL-sketch ladder for when the measure itself (distincts)
+    can't be re-aggregated from finer buckets; COUNT/SUM can, and at
+    petabyte retention you'd persist the hour level and derive day+ by
+    re-aggregating hour rows rather than rescanning the raw log."""
+    e = load(spark, sf_dir, "events")
+    e.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s"),
+        F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("hour_s"),
+        "value",
+    ).createOrReplaceTempView("k10_buckets")
+    return spark.sql(
+        """
+        SELECT event_type, day_s, hour_s,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM k10_buckets
+        GROUP BY event_type, ROLLUP (day_s, hour_s)
+        """
+    )

@@ -354,3 +354,63 @@ def test_j21_store_build_once_serve_many(spark, sf_dir):
     rows = j21_ann_ivf_store(spark, sf_dir).collect()
     assert listing() == before
     assert len(rows) == 10
+
+
+def test_f6_q5_broadcasts_dims_single_agg_shuffle(spark, sf_dir):
+    """TPC-H Q5 at test scale must plan every join as a broadcast hash
+    join (all sides are dim-sized here) with exactly ONE hashpartition
+    exchange — the final 5-group aggregate; no sort-merge join, no
+    cartesian.  At 100 TB the orders⋈lineitem spine flips to SMJ by
+    design; the dims must stay broadcast."""
+    p = _plan(spark, sf_dir, "f6_tpch_q5")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_j26_normalize_is_shuffle_free_map_pass(spark, sf_dir):
+    """Normalization/redaction must ride the scan: zero exchanges,
+    zero Python nodes — the whole regexp battery is codegen'd JVM."""
+    p = _plan(spark, sf_dir, "j26_normalize_redact")
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEvalPython" not in p
+
+
+def test_l8_arrow_map_is_shuffle_free(spark, sf_dir):
+    """mapInArrow is a narrow map: an Arrow-Python map node and NO
+    exchange anywhere in the plan."""
+    p = _plan(spark, sf_dir, "l8_arrow_map")
+    assert "MapInArrow" in p
+    assert "Exchange" not in p
+
+
+def test_c16_salted_join_replicates_dim_and_matches_plain(spark, sf_dir):
+    """The salted join must (a) explode the dim side (Generate node),
+    (b) join on key+salt, and (c) return EXACTLY the plain join's rows
+    — salting is physical, never semantic."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    p = _plan(spark, sf_dir, "c16_join_salted")
+    assert "Generate explode" in p
+    assert "salt" in p
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    salted = QUERIES["c16_join_salted"](spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    plain = li.join(s, li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_linenumber", "s_name", "s_acctbal"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_k10_rollup_expands_before_single_exchange(spark, sf_dir):
+    """ROLLUP must plan as Expand → partial agg → ONE exchange → final
+    agg: grouping-set expansion happens map-side and partial agg
+    collapses it, so the shuffle is bucket-bounded."""
+    p = _plan(spark, sf_dir, "k10_time_rollup")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
