@@ -985,3 +985,134 @@ def j28_cross_source_dedup(spark, sf_dir) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# j29 — one Lloyd iteration (k-means assignment step)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # seed centroids = embeddings of vec_id 0..7 (deterministic)
+
+#: squared-L2 as a SEQUENTIAL left fold in list order — Spark F.aggregate
+#: and DuckDB list_reduce fold identically, so the double is bit-equal
+#: across engines (the j22 trick, applied to distances); the 0.0 init
+#: is exact (0.0 + x == x for the non-negative squares here).
+_KM_DIST_SQL = (
+    "list_reduce(list_transform(list_zip(e.embedding, s.ce),"
+    " z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"
+    "      * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+
+
+@query(
+    "j29_kmeans_step",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS ce
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    d AS (
+        SELECT e.vec_id, s.seed_id, {_KM_DIST_SQL} AS dist
+        FROM embeddings e CROSS JOIN seeds s
+    )
+    SELECT vec_id, seed_id AS cluster,
+           FLOOR(dist * 10000) / 10000 AS dist4
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, seed_id) AS rn
+          FROM d)
+    WHERE rn = 1
+    """,
+)
+def j29_kmeans_step(spark, sf_dir) -> DataFrame:
+    """One Lloyd iteration's ASSIGNMENT step: every vector to its
+    nearest of K=8 deterministic seed centroids (squared L2, seed-id
+    tiebreak) — the inner loop of mini-batch k-means / IVF coarse-
+    quantizer training (j13's cells come from exactly this step).
+
+    100 TB shape: centroids broadcast (K × dim floats — KB even at
+    K=65k), distance is a JVM-side zip_with/aggregate fold riding the
+    scan, and the per-vector argmin is a K-way in-row reduction — the
+    implementation keeps it as a broadcast crossJoin + windowed argmin
+    so the oracle can mirror it exactly; production replaces the
+    window with min_by to stay shuffle-free.  The UPDATE step (new
+    centroids = per-cluster means) is one groupBy over this output;
+    iterate assignment+update to convergence exactly like
+    j20_connected_components iterates label propagation
+    (localCheckpoint per round)."""
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("ce")
+    )
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("ce"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    return (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("seed_id").alias("cluster"),
+            (F.floor(F.col("dist") * 10000) / 10000).alias("dist4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j30 — unigram log-probability quality score (LM-filter proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j30_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t.doc_id,
+           ROUND(AVG(-LN(f.cnt * 1.0 / tot.n)), 4) AS mean_nll,
+           COUNT(*) AS n_toks
+    FROM tok t JOIN freq f USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def j30_unigram_logprob(spark, sf_dir) -> DataFrame:
+    """Unigram-LM quality score: per document, the mean negative log
+    probability of its tokens under the corpus unigram distribution —
+    the cheap proxy for the CCNet/Gopher "LM perplexity" filter
+    (word-salad and boilerplate score high-surprise or low-surprise
+    extremes; both tails get cut).
+
+    100 TB shape: two passes over the token stream — one groupBy(term)
+    builds the frequency table (vocabulary-sized, ≪ corpus after the
+    agg), which then BROADCASTS back onto the second pass, so the
+    per-doc aggregate is the only corpus-sized shuffle.  The frequency
+    table is exactly i3's doc-freq shape; a production pipeline
+    persists it once and reuses it across corpus versions."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "mean_nll"
+            ),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )

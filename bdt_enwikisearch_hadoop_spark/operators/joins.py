@@ -433,3 +433,72 @@ def c16_join_salted(spark, sf_dir) -> DataFrame:
         sup,
         (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt),
     ).select("l_orderkey", "l_linenumber", "s_name", "s_acctbal")
+
+
+def _bucketed_pair(spark, sf_dir):
+    """Build-once-per-(session, sf) bucketed copies of orders and
+    lineitem, both bucketBy(8, orderkey) + sortBy, stored as external
+    tables under a session tmpdir (removed at interpreter exit).
+    Spark's bucketed scan reports the bucket spec as the output
+    partitioning, which is what lets the join skip its exchanges."""
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    t_orders = f"c17_orders_{tag}"
+    t_lineitem = f"c17_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_lineitem):
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"bdt_bucketed_{spark.sparkContext.applicationId}_{tag}",
+        )
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            load(spark, sf_dir, "lineitem")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .mode("overwrite")
+            .saveAsTable(t_lineitem)
+        )
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return spark.table(t_orders), spark.table(t_lineitem)
+
+
+@query(
+    "c17_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def c17_join_bucketed(spark, sf_dir) -> DataFrame:
+    """CO-LOCATED join via bucketing: both sides persisted
+    bucketBy(8, orderkey), so the sort-merge join consumes the bucket
+    layout directly — ZERO exchanges in the plan (guarded in
+    tests/test_plans.py).  The merge hint pins SMJ so the demo can't
+    degenerate into a broadcast at test scale.
+
+    100 TB role: THE amortization play for fact-to-fact joins — pay
+    one bucketed write per table, then every subsequent orders⋈lineitem
+    (same key, bucket counts equal or integer-multiple) runs
+    shuffle-free forever.  Bucket count is chosen for target-cluster
+    parallelism (thousands, not 8); sortBy makes single-file buckets
+    merge without re-sorting.  Same build-once/serve-many economics as
+    j21's IVF store, applied to relational co-location."""
+    o, li = _bucketed_pair(spark, sf_dir)
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+    )

@@ -245,3 +245,168 @@ def f6_tpch_q5(spark, sf_dir) -> DataFrame:
         .agg(revenue)
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@query(
+    "f7_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(9,6)) - CAST(l_discount AS DECIMAL(9,6))))
+                 * 100) / 100 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def f7_tpch_q10(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one quarter — fact spine filtered on BOTH sides
+    (order date on orders, returnflag on lineitem) before the join,
+    then a broadcast nation lookup and a TakeOrdered top-k heap
+    (c_custkey tiebreak, §2.0 rule 4).
+
+    100 TB shape: both fact predicates push into their scans, so the
+    join spine only shuffles the returned-lineitem slice of one
+    quarter; nation broadcasts; the per-customer aggregate is the one
+    big exchange and the top-20 never global-sorts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = (
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(9,6)")
+                    - F.col("l_discount").cast("decimal(9,6)")
+                )
+            )
+            * 100
+        ).cast("double")
+        / 100
+    ).alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "f8_tpch_q14",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(9,6)) - CAST(l_discount AS DECIMAL(9,6)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(9,6)) - CAST(l_discount AS DECIMAL(9,6)))) AS DOUBLE),
+             4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def f8_tpch_q14(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one month's
+    revenue — a conditional-aggregate ratio over the lineitem⋈part
+    join.  Both sums are EXACT decimals (identical across engines);
+    only the final ratio goes through double, rounded 4dp.
+
+    100 TB shape: the ship-month predicate prunes the fact scan to
+    ~1/84th of the data; part is a broadcast dim; CASE-conditioned
+    partial aggregation means ONE pass and one scalar crosses the
+    final exchange — the d15 FILTER-clause pattern fused into a
+    join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(9,6)") - F.col("l_discount").cast("decimal(9,6)")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total = F.sum(rev)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * promo.cast("double")
+                / total.cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "f9_tpch_q6",
+    oracle="""
+    SELECT FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(9,6))) * 100) / 100
+               AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def f9_tpch_q6(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    scan-filter-aggregate — no join, no group — whose entire cost is
+    how little data leaves the scan.
+
+    100 TB shape: all three predicates push into the parquet reader
+    (PushedFilters: date range, discount range, quantity bound —
+    row-group statistics skip most of the file before decode), the
+    scan reads exactly 4 columns, and a single decimal scalar crosses
+    one exchange.  This is the query that proves pushdown works; the
+    plan guard asserts the PushedFilters line."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * F.col("l_discount").cast("decimal(9,6)")
+                    )
+                    * 100
+                ).cast("double")
+                / 100
+            ).alias("forecast_revenue")
+        )
+    )

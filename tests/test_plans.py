@@ -414,3 +414,27 @@ def test_k10_rollup_expands_before_single_exchange(spark, sf_dir):
     p = _plan(spark, sf_dir, "k10_time_rollup")
     assert "Expand" in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_c17_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    """The bucketed orders⋈lineitem must consume the bucket layout:
+    both scans Bucketed: true, a SortMergeJoin, and NOT ONE Exchange
+    anywhere — the co-located join that amortizes one bucketed write
+    across every future join on the key."""
+    p = _plan(spark, sf_dir, "c17_join_bucketed")
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    assert "Exchange" not in p
+
+
+def test_f9_q6_pushes_all_predicates_and_prunes_columns(spark, sf_dir):
+    """Q6 lives or dies on pushdown: the scan must carry the date,
+    discount, and quantity predicates in PushedFilters and read only
+    the four referenced columns."""
+    p = _plan(spark, sf_dir, "f9_tpch_q6")
+    scan = p.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, (col, scan)
+    rs = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in rs
+    assert "l_returnflag" not in rs and "l_orderkey" not in rs
