@@ -603,3 +603,62 @@ def i16_prefix_search(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("total_tf").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "i17_vsm_cosine",
+    oracle=f"WITH {_TFIDF_CTES} "
+    f"""
+    , norms AS (
+        SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT doc_id, SUM(wt) AS qdot
+        FROM w WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+    )
+    SELECT h.doc_id,
+           FLOOR(h.qdot / n.nrm * 10000) / 10000 AS score
+    FROM hits h JOIN norms n USING (doc_id)
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i17_vsm_cosine(spark, sf_dir) -> DataFrame:
+    """Vector-space-model ranked retrieval: cosine between the binary
+    query vector and each document's tf-idf vector — the classic
+    length-NORMALIZED ranking (i6 ranks by raw summed weight, which
+    favors long documents; BM25 (i10) normalizes differently).  Score
+    = Σ_{{t∈Q}} w(t,d) / ‖d‖, conjunctive semantics, top-10 on the
+    4dp-floored score with doc_id tiebreak.
+
+    100 TB shape: document norms are a PER-DOC aggregate over the
+    weight table — corpus-shaped but computed once and persisted
+    alongside i5's index in production (norms change only when the
+    doc changes); the query-time join then touches |Q| postings lists
+    + a doc-keyed norm lookup, never the corpus.  Here both sides
+    derive from the same tfidf stage so Catalyst reuses the exchange."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    hits = (
+        w.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wt").alias("qdot"),
+            F.countDistinct("term").alias("nterms"),
+        )
+        .filter(F.col("nterms") == len(QUERY_TERMS))
+    )
+    score = F.col("qdot") / F.col("nrm")
+    return (
+        hits.join(norms, "doc_id")
+        .select(
+            "doc_id", (F.floor(score * 10000) / 10000).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -503,3 +503,40 @@ def d17_approx_top_k(spark, sf_dir) -> DataFrame:
         F.col("entry.item").alias("term"),
         F.col("entry.count").cast("long").alias("cnt"),
     )
+
+
+@query(
+    "d18_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d18_bitmap_distinct(spark, sf_dir) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps: keys map to
+    (bucket, bit-position), per-(group, bucket) bitmaps are built with
+    bitmap_construct_agg, and the group total is the SUM of per-bucket
+    popcounts (buckets cover disjoint key ranges, so counts add).
+    Oracle-identical to COUNT(DISTINCT) — the difference is the
+    re-aggregation algebra.
+
+    100 TB role: the EXACT counterpart of d16's HLL ladder.
+    COUNT(DISTINCT) plans an expensive key-expand; a bitmap partial is
+    a fixed ≤512 KiB value PER BUCKET that ors/merges associatively —
+    persist the (group, bucket, bitmap) partials once and ANY coarser
+    rollup (status → all-statuses, day → month) is bitmap_or_agg +
+    popcount over partials, never a rescan of raw keys.  Dense integer
+    key spaces suit bitmaps; sparse/string keys go to d16's sketches."""
+    o = load(spark, sf_dir, "orders")
+    part = (
+        o.select(
+            "o_orderstatus",
+            F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+            F.bitmap_bit_position(F.col("o_custkey")).alias("pos"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return part.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
+    )
