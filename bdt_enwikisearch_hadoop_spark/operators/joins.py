@@ -502,3 +502,55 @@ def c17_join_bucketed(spark, sf_dir) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .select("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
     )
+
+
+def _dpp_store(spark, sf_dir) -> str:
+    """Build-once-per-(session, sf) customer store partitioned by
+    c_nationkey — the layout that makes nation-keyed joins prunable."""
+    import atexit
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_dpp_{spark.sparkContext.applicationId}_{tag}",
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        load(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+            "c_nationkey"
+        ).parquet(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@query(
+    "c18_join_dpp",
+    oracle="""
+    SELECT c_custkey, c_acctbal, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+    """,
+)
+def c18_join_dpp(spark, sf_dir) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is partitioned on the
+    join key (customer by c_nationkey), the dim filter (one region)
+    is only known through the join — so Catalyst broadcasts the
+    filtered dim's keys as a runtime subquery and the fact scan
+    prunes to matching PARTITION DIRECTORIES before reading a byte
+    (plan-guarded: dynamicpruningexpression in PartitionFilters).
+
+    100 TB role: static pushdown (a3/f9) needs the predicate ON the
+    scanned table; DPP covers the star-schema reality where
+    selectivity lives in the dim — date-dim month filters pruning a
+    date-partitioned fact are THE canonical case.  Scan cost drops
+    from full-fact to matching-partitions with zero query rewrite;
+    it composes with AQE and survives arbitrary dim predicates.
+    Build-once store, j21 economics."""
+    cust = spark.read.parquet(_dpp_store(spark, sf_dir))
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "c_acctbal", "n_name"
+    )

@@ -438,3 +438,67 @@ def test_f9_q6_pushes_all_predicates_and_prunes_columns(spark, sf_dir):
     rs = p.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_extendedprice" in rs
     assert "l_returnflag" not in rs and "l_orderkey" not in rs
+
+
+def test_c18_dpp_injects_pruning_subquery(spark, sf_dir):
+    """The nation-filtered join must inject a dynamic-pruning subquery
+    into the customer scan's PartitionFilters (the partitioned store
+    itself, read directly, carries NO such filter — so the expression
+    provably comes from the join), and the pruned result must equal
+    the unpartitioned-join rows."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.operators.joins import _dpp_store
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    p = _plan(spark, sf_dir, "c18_join_dpp")
+    assert "dynamicpruningexpression" in p
+    bare = spark.read.parquet(_dpp_store(spark, sf_dir))
+    assert "dynamicpruning" not in (
+        bare._jdf.queryExecution().executedPlan().toString()
+    )
+    dpp = QUERIES["c18_join_dpp"](spark, sf_dir)
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    c = load(spark, sf_dir, "customer")
+    plain = c.join(nat, c.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "c_acctbal", "n_name"
+    )
+    assert dpp.exceptAll(plain).count() == 0
+    assert plain.exceptAll(dpp).count() == 0
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering (the DPP sibling for UNpartitioned
+    facts): a selective dim predicate makes Catalyst build a bloom
+    filter of dim join keys and inject might_contain onto the fact
+    scan side, cutting shuffled fact rows before the join.  Conf-gated
+    demo because the local fixtures sit under the default size
+    thresholds; on a 100 TB cluster the defaults (10 MB creation side,
+    10 GB application side) trigger it exactly where it pays.  Confs
+    restored after — this must not leak into other tests' plans."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in opt or "BloomFilter" in opt
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
