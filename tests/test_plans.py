@@ -466,39 +466,3 @@ def test_c18_dpp_injects_pruning_subquery(spark, sf_dir):
     )
     assert dpp.exceptAll(plain).count() == 0
     assert plain.exceptAll(dpp).count() == 0
-
-
-def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
-    """Runtime row-level filtering (the DPP sibling for UNpartitioned
-    facts): a selective dim predicate makes Catalyst build a bloom
-    filter of dim join keys and inject might_contain onto the fact
-    scan side, cutting shuffled fact rows before the join.  Conf-gated
-    demo because the local fixtures sit under the default size
-    thresholds; on a 100 TB cluster the defaults (10 MB creation side,
-    10 GB application side) trigger it exactly where it pays.  Confs
-    restored after — this must not leak into other tests' plans."""
-    from pyspark.sql import functions as F
-
-    from bdt_enwikisearch_hadoop_spark.sources import load
-
-    overrides = {
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k) for k in overrides}
-    try:
-        for k, v in overrides.items():
-            spark.conf.set(k, v)
-        li = load(spark, sf_dir, "lineitem")
-        o = load(spark, sf_dir, "orders").filter(
-            F.col("o_totalprice") > 400000
-        )
-        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-            "l_orderkey", "l_quantity", "o_totalprice"
-        )
-        opt = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter" in opt or "BloomFilter" in opt
-        assert j.count() > 0
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
