@@ -629,3 +629,82 @@ def test_windowed_quantile_nonintegral_measure_matches_oracle(spark):
         assert compare(out, oracle) == []
     finally:
         con.close()
+
+
+def test_k10_hour_rows_reaggregate_to_day_rows(spark, sf_dir):
+    """The rollup ladder's load-bearing invariant: re-aggregating the
+    HOUR-level rows must reproduce the DAY-level rows exactly (counts
+    integer-exact; sums compared to the same 4dp rounding the query
+    emits) — this is what lets 100 TB retention persist only hour
+    partials and derive everything coarser without a rescan."""
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["k10_time_rollup"](spark, sf_dir)
+    hours = rows.filter(F.col("hour_s").isNotNull())
+    days = rows.filter(
+        F.col("hour_s").isNull() & F.col("day_s").isNotNull()
+    ).select("event_type", "day_s", "n", "sum_value")
+    rolled = (
+        hours.groupBy("event_type", "day_s")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 3).alias("sum_value"),
+        )
+    )
+    d = {(r.event_type, r.day_s): (r.n, round(r.sum_value, 3)) for r in days.collect()}
+    r = {(x.event_type, x.day_s): (x.n, x.sum_value) for x in rolled.collect()}
+    assert set(d) == set(r)
+    for k in d:
+        assert d[k][0] == r[k][0], k
+        assert abs(d[k][1] - r[k][1]) < 2e-3, (k, d[k], r[k])
+
+
+def test_j29_assignment_total_and_seed_fixpoints(spark, sf_dir):
+    """Every vector gets exactly one cluster; each seed vector is its
+    own nearest centroid at distance 0."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    out = QUERIES["j29_kmeans_step"](spark, sf_dir)
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    rows = out.collect()
+    assert len(rows) == n_vecs
+    for r in rows:
+        if r.vec_id < 8:
+            assert r.cluster == r.vec_id and r.dist4 == 0.0, r
+
+
+def test_j28_kept_copies_account_for_every_document(spark, sf_dir):
+    """Priority dedup must partition the corpus: one keeper per
+    distinct text, and keepers' copy counts sum to the corpus size."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    out = QUERIES["j28_cross_source_dedup"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_texts = docs.select(F.lower("text")).distinct().count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("n_copies").alias("s")
+    ).collect()[0]
+    assert agg.k == n_texts
+    assert agg.s == n_docs
+
+
+def test_a4_old_generation_surfaces_added_column_as_null(spark, sf_dir):
+    """Schema-evolution read: every gen=1 row must carry NULL for the
+    later-added column, every gen=2 row a value; generations together
+    must cover all orders exactly once."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    out = QUERIES["a4_scan_merge_schema"](spark, sf_dir)
+    bad_old = out.filter(
+        (F.col("gen") == 1) & F.col("o_orderpriority").isNotNull()
+    ).count()
+    bad_new = out.filter(
+        (F.col("gen") == 2) & F.col("o_orderpriority").isNull()
+    ).count()
+    assert bad_old == 0 and bad_new == 0
+    assert out.count() == load(spark, sf_dir, "orders").count()
