@@ -410,3 +410,61 @@ def f9_tpch_q6(spark, sf_dir) -> DataFrame:
             ).alias("forecast_revenue")
         )
     )
+
+
+@query(
+    "f10_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 180
+    )
+    SELECT c_name, c_custkey, o.o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders o  ON c_custkey = o_custkey
+    JOIN lineitem  ON o.o_orderkey = l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o.o_orderkey, orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def f10_tpch_q18(spark, sf_dir) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, joined back for customer detail — the
+    aggregate-then-semi-join-then-reaggregate shape.
+
+    100 TB shape: the HAVING subquery is ONE partial-agg pass over
+    lineitem producing a key set far smaller than the fact; Catalyst
+    plans the IN as a LEFT SEMI join that prunes orders AND the
+    second lineitem pass before the detail aggregate; top-100 is a
+    TakeOrdered heap.  The quantity sums stay exact (integral doubles
+    well under 2^53 — cast to BIGINT at the edge)."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 180)
+        .select("l_orderkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -708,3 +708,36 @@ def test_a4_old_generation_surfaces_added_column_as_null(spark, sf_dir):
     ).count()
     assert bad_old == 0 and bad_new == 0
     assert out.count() == load(spark, sf_dir, "orders").count()
+
+
+def test_observe_quality_metrics_match_direct_aggregates(spark, sf_dir):
+    """The Observation must report exactly what a separate aggregate
+    pass would — but measured during the pipeline's own action, which
+    is the point (no second 100 TB scan for monitoring)."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.quality_monitor import (
+        observe_quality,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    instrumented, obs = observe_quality(
+        docs.filter(F.col("n_chars") > 200), "docs_q", ["lang", "n_chars"]
+    )
+    instrumented.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = (
+        docs.filter(F.col("n_chars") > 200)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("lang").isNull().cast("long")).alias("ln"),
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == direct.n
+    assert got["lang__nulls"] == direct.ln
+    assert got["n_chars__min"] == direct.mn
+    assert got["n_chars__max"] == direct.mx
