@@ -1116,3 +1116,80 @@ def j30_unigram_logprob(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("n_toks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j31 — exact duplicated-span detection (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # tokens per span: long enough that sharing one is never chance
+
+
+@query(
+    "j31_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {_SPAN_K} - 1], ' ') AS span
+        FROM toks, (SELECT unnest(range(1, 2000)) AS i)
+        WHERE i + {_SPAN_K} - 1 <= len(t)
+    ),
+    shared AS (
+        SELECT span FROM spans GROUP BY span HAVING COUNT(*) > 1
+    )
+    SELECT s.doc_id, COUNT(*) AS n_dup_spans
+    FROM spans s JOIN shared USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def j31_dup_spans(spark, sf_dir) -> DataFrame:
+    """Exact duplicated-SPAN detection: per document, how many of its
+    8-token spans also appear verbatim in some other document — the
+    Spark-expressible core of exact-substring training-data dedup
+    (long verbatim overlaps are boilerplate/licensing/quote mass that
+    near-dup Jaccard dilutes away; the published method suffix-arrays
+    the corpus, this formulation finds the same ≥k-token overlaps via
+    the span inventory).
+
+    100 TB shape: spans explode as a pipelined flatMap riding the scan
+    (DISTINCT per doc first, in-partition); the shared-span filter is
+    one groupBy on the span HASH (shuffle the 16-byte digest, never
+    the span text) whose survivors are corpus-rare; the count-back
+    join is span-keyed.  Downstream, docs with n_dup_spans/n_spans
+    above a threshold get their duplicated ranges cut, not the whole
+    doc dropped."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(_SPAN_K - 1)
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("t", i, _SPAN_K), " "
+                    ),
+                )
+            ).alias("span"),
+        )
+        .where(F.size("t") >= _SPAN_K)
+        .distinct()
+    )
+    shared = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span")
+    )
+    return (
+        spans.join(shared, "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )

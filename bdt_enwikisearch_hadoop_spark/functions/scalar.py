@@ -369,3 +369,40 @@ def h11_url_parse(spark, sf_dir) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
     )
+
+
+@query(
+    "h12_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CASE WHEN o_custkey % 5 = 0 THEN NULL
+                      ELSE o_totalprice / (o_custkey % 5) END, 4)
+               AS safe_div,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           TRY_CAST(o_orderpriority AS DOUBLE) IS NULL AS prio_not_numeric
+    FROM orders
+    """,
+)
+def h12_try_arith(spark, sf_dir) -> DataFrame:
+    """ANSI-mode error-safe arithmetic battery: try_divide turns
+    division-by-zero into NULL instead of a failed 100 TB job;
+    try_cast turns unparseable strings into NULL instead of a
+    mid-stage exception.  The operational point at scale: under ANSI
+    SQL semantics a single malformed row kills the whole stage hours
+    in — try_* expressions are the row-level quarantine that keeps
+    the job alive and makes the bad rows COUNTABLE (pair with
+    observe_quality to alert on the NULL rate).
+
+    Plain map pass riding the scan; the CASE formulation in the
+    oracle is the portable spelling of the same semantics."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 4
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderstatus AS int)").alias("status_as_int"),
+        F.expr("try_cast(o_orderpriority AS double)")
+        .isNull()
+        .alias("prio_not_numeric"),
+    )
