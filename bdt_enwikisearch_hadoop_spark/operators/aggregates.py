@@ -540,3 +540,32 @@ def d18_bitmap_distinct(spark, sf_dir) -> DataFrame:
     return part.groupBy("o_orderstatus").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_customers")
     )
+
+
+@query(
+    "d19_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d19_multi_distinct(spark, sf_dir) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    aggregate — Catalyst plans it with Expand (one replicated stream
+    per distinct column, tagged by grouping id) feeding a single
+    shuffle, then per-tag dedup + final merge: one pass over the fact
+    no matter how many distinct measures ride it.
+
+    100 TB note: Expand multiplies shuffle rows by the number of
+    distinct columns — fine for 2-3 measures; beyond that (or on hot
+    groups) switch each measure to its d3/d16 sketch or d18 bitmap
+    form, which partial-aggregates map-side instead of replicating."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

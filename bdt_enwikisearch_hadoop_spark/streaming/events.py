@@ -1126,3 +1126,48 @@ def k10_time_rollup(spark, sf_dir) -> DataFrame:
         GROUP BY event_type, ROLLUP (day_s, hour_s)
         """
     )
+
+
+@query(
+    "k11_last_state",
+    oracle=f"""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           epoch_ns(ts) // {_NS_PER_S} AS last_s,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def k11_last_state(spark, sf_dir) -> DataFrame:
+    """Latest-state-per-key snapshot (the CDC/materialized-state view):
+    each user's most recent event with their lifetime event count —
+    k4's mirror (first → last) and the batch form of a streaming
+    state store keyed by user.
+
+    100 TB shape: ONE shuffle on user_id serves both window specs
+    (row_number and the count share the exchange; the count ignores
+    ordering so it adds no second sort pass... Spark reuses the sorted
+    partition).  In streaming this is transformWithState holding one
+    row per key; in batch over a changelog it is the standard
+    snapshot-compaction query — run it per partition-day and union
+    with the previous snapshot for incremental compaction."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .withColumn("n_events", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.expr(f"ts DIV {_NS_PER_S}").alias("last_s"),
+            "n_events",
+        )
+    )
