@@ -904,7 +904,15 @@ def j27_containment(spark, sf_dir) -> DataFrame:
     generate candidates with j8's banded MinHash buckets and verify
     containment exactly per candidate (j8 already carries both shingle
     sets to the verify stage); the j19 decontaminator is this same
-    asymmetric measure with the small side broadcast."""
+    asymmetric measure with the small side broadcast.
+
+    |A∩B| is symmetric, so candidates aggregate once UNDIRECTED
+    (a < b — half the pair rows through the groupBy) and both directed
+    containments C(A,B)=i/na, C(B,A)=i/nb are emitted from that one
+    row via an in-row explode.  Measured 4.4 s → 4.1 s at sf0.1: the
+    shared-shingle self-join dominates (j2 pays the same 3.3 s), so
+    the win here is the halved aggregate state, not wall-clock — the
+    real wall-clock lever at scale remains j8's banded candidates."""
     from .llm_pipeline import shingles
 
     sh = shingles(load(spark, sf_dir, "documents"))
@@ -915,23 +923,39 @@ def j27_containment(spark, sf_dir) -> DataFrame:
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi")
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cont = F.col("i") / F.col("na")
-    return (
-        inter.join(sa, "doc_a")
-        .filter(cont >= 0.5)
+    slo = sz.select(F.col("doc_id").alias("lo"), F.col("n").alias("n_lo"))
+    shi = sz.select(F.col("doc_id").alias("hi"), F.col("n").alias("n_hi"))
+    both = (
+        inter.join(slo, "lo")
+        .join(shi, "hi")
         .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(cont * 10000) / 10000).alias("containment"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("doc_a"),
+                        F.col("hi").alias("doc_b"),
+                        (F.col("i") / F.col("n_lo")).alias("cont"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("doc_a"),
+                        F.col("lo").alias("doc_b"),
+                        (F.col("i") / F.col("n_hi")).alias("cont"),
+                    ),
+                )
+            ).alias("z")
         )
+    )
+    return both.filter(F.col("z.cont") >= 0.5).select(
+        F.col("z.doc_a").alias("doc_a"),
+        F.col("z.doc_b").alias("doc_b"),
+        (F.floor(F.col("z.cont") * 10000) / 10000).alias("containment"),
     )
 
 
