@@ -554,3 +554,50 @@ def c18_join_dpp(spark, sf_dir) -> DataFrame:
     return cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
         "c_custkey", "c_acctbal", "n_name"
     )
+
+
+@query(
+    "c19_asof_forward",
+    oracle="""
+    SELECT c.event_id,
+           MIN(epoch_ns(p.ts)) // 1000000000 AS next_purchase_s,
+           COUNT(p.event_id) AS n_later
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    GROUP BY c.event_id
+    """,
+)
+def c19_asof_forward(spark, sf_dir) -> DataFrame:
+    """FORWARD as-of join (c11's mirror): for each CLICK, the earliest
+    PURCHASE of the same user strictly after it, plus how many later
+    purchases exist — per-event next-touch attribution ("which
+    purchase did this click lead to").  c11's backward form answers
+    last-touch; k5's funnel answers the per-USER first-conversion
+    question; this is the per-EVENT version.  Same equi-join +
+    per-row extremal aggregate formulation as the oracle, exact
+    integer-ns comparisons throughout.
+
+    100 TB shape identical to c11: both filtered streams shuffle once
+    on the user key, the time residual filters inside the join, and
+    the per-click MIN partial-aggregates — never a window over the
+    union of both streams (which would shuffle everything together)."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("pts") > F.col("cts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.expr("MIN(pts) DIV 1000000000").alias("next_purchase_s"),
+        F.count("p_id").alias("n_later"),
+    )
