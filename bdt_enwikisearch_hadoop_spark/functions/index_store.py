@@ -31,7 +31,11 @@ from .text_search import term_freq, tfidf, tokenize
 
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
     """Compute TF-IDF postings from the corpus and persist them as a
-    parquet table bucketed+sorted by term."""
+    parquet table bucketed+sorted by term, PLUS the per-document
+    L2 norms as ``{table}_norms`` — the artifact i17's docstring
+    prescribes: norms change only when a document changes, so VSM
+    cosine serving reads |Q| postings rows + a doc-keyed norm column
+    instead of re-aggregating the corpus-wide weight table per query."""
     w = tfidf(load(spark, sf_dir, "documents"))
     index = w.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_count"),
@@ -46,6 +50,17 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
         .bucketBy(buckets, "term")
         .sortBy("term")
         .saveAsTable(table)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}_norms")
+    (
+        norms.write.mode("overwrite")
+        .option("path", f"{path.rstrip('/')}_norms")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{table}_norms")
     )
 
 
@@ -68,6 +83,40 @@ def search_index(
     return (
         scored.select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def search_index_vsm(
+    spark, table: str, terms: tuple[str, ...], k: int = 10
+) -> DataFrame:
+    """i17's VSM cosine ranking served from the PERSISTED index + norms
+    (conjunctive, 4dp-floored score, doc_id tiebreak — identical output
+    contract to the live i17).  The hit set (docs containing all |Q|
+    terms) is query-small, so it BROADCASTS onto the norms table scan:
+    the corpus-sized norms column is never shuffled — the only
+    exchanges in the plan belong to the |Q|-row postings aggregate."""
+    idx = spark.table(table).filter(F.col("term").isin(*terms))
+    hits = (
+        idx.select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.wt").alias("wt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wt").alias("qdot"),
+            F.countDistinct("term").alias("nterms"),
+        )
+        .filter(F.col("nterms") == len(terms))
+    )
+    norms = spark.table(f"{table}_norms")
+    score = F.col("qdot") / F.col("nrm")
+    return (
+        norms.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", (F.floor(score * 10000) / 10000).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
 

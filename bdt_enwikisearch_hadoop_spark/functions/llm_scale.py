@@ -39,10 +39,9 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASH // _N_BANDS
 
 
-@query(
-    "j8_dedup_minhash_lsh",
-    oracle=f"WITH {_SHINGLE_CTE}, "
-    f"""
+#: the LSH candidate + exact-intersection CTE chain, shared verbatim by
+#: j8's and j32's oracles (identical md5 arithmetic in both engines).
+_LSH_CAND_CTE = f"""
     sig AS (
         SELECT doc_id, t.hi,
                MIN(md5(CAST(t.hi AS VARCHAR) || ':' || shingle)) AS mh
@@ -67,6 +66,13 @@ _ROWS_PER_BAND = _N_HASH // _N_BANDS
         JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
         GROUP BY c.doc_a, c.doc_b
     )
+"""
+
+
+@query(
+    "j8_dedup_minhash_lsh",
+    oracle=f"WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE}"
+    """
     SELECT doc_a, doc_b,
            FLOOR(i * 1.0 / (sa.n + sb.n - i) * 10000) / 10000 AS jaccard
     FROM inter
@@ -92,6 +98,22 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     so exact verification is ``array_intersect`` on two in-row shingle
     arrays instead of a re-join against the exploded table."""
     docs = load(spark, sf_dir, "documents")
+    inter = _lsh_verified_pairs(docs)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", (F.floor(jac * 10000) / 10000).alias("jaccard")
+    )
+
+
+def _lsh_verified_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs with EXACT in-row verification — the
+    shared core of j8 (pair report) and j32 (full dedup pipeline).
+    Returns (doc_a, doc_b, i, na, nb) for every LSH candidate pair with
+    its exact shingle-intersection size and both set sizes; callers
+    apply their own Jaccard/containment threshold.  Never an all-pairs
+    or shared-shingle join: candidates come from band-signature
+    equality (O(docs × bands) shuffle), verification is
+    ``array_intersect`` on the two in-row shingle arrays."""
     per_doc = shingle_sets(rebalance(docs))
     sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
@@ -141,7 +163,7 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     # exact verification: fetch both docs' shingle sets, intersect in-row
     sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = (
+    return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -151,10 +173,6 @@ def j8_dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
             F.size("s_a").alias("na"),
             F.size("s_b").alias("nb"),
         )
-    )
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return inter.filter(jac >= 0.8).select(
-        "doc_a", "doc_b", (F.floor(jac * 10000) / 10000).alias("jaccard")
     )
 
 
@@ -1158,8 +1176,12 @@ _SPAN_K = 8  # tokens per span: long enough that sharing one is never chance
     spans AS (
         SELECT DISTINCT doc_id,
                array_to_string(t[i : i + {_SPAN_K} - 1], ' ') AS span
-        FROM toks, (SELECT unnest(range(1, 2000)) AS i)
-        WHERE i + {_SPAN_K} - 1 <= len(t)
+        FROM (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) - {_SPAN_K} + 2)) AS i
+            FROM toks
+            WHERE len(t) >= {_SPAN_K}
+        )
     ),
     shared AS (
         SELECT span FROM spans GROUP BY span HAVING COUNT(*) > 1
@@ -1186,9 +1208,14 @@ def j31_dup_spans(spark, sf_dir) -> DataFrame:
     above a threshold get their duplicated ranges cut, not the whole
     doc dropped."""
     docs = load(spark, sf_dir, "documents")
+    # filter BEFORE the explode select (like shingles()): a <K-token doc
+    # must never reach sequence(1, size-K+1), whose descending range
+    # would feed slice() out-of-bounds if the filter weren't pushed
+    # below the Generate by the optimizer — plan structure, not an
+    # optimizer rewrite, is what guarantees safety here.
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
-    )
+    ).where(F.size("t") >= _SPAN_K)
     spans = (
         toks.select(
             "doc_id",
@@ -1203,7 +1230,6 @@ def j31_dup_spans(spark, sf_dir) -> DataFrame:
                 )
             ).alias("span"),
         )
-        .where(F.size("t") >= _SPAN_K)
         .distinct()
     )
     shared = (
@@ -1216,4 +1242,110 @@ def j31_dup_spans(spark, sf_dir) -> DataFrame:
         spans.join(shared, "span")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# j32 — the 100 TB dedup pipeline, composed end-to-end on the SCALE path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j32_dedup_pipeline_scale",
+    oracle=f"WITH RECURSIVE {_SHINGLE_CTE}, {_LSH_CAND_CTE},"
+    """
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT component, doc_id AS keeper_doc_id, source AS keeper_source,
+           n_members
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY source, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM labeled
+    )
+    WHERE rn = 1
+    """,
+)
+def j32_dedup_pipeline_scale(spark, sf_dir) -> DataFrame:
+    """The SCALE-path dedup pipeline executed end-to-end in one plan:
+    banded MinHash-LSH candidates (j8) → exact in-row Jaccard verify
+    (≥0.8) → connected-components label propagation (j20's pointer
+    doubling) → per-component priority keeper (j28's window) — the
+    composition a FineWeb-style 100 TB dedup stage actually runs, here
+    as a declared, oracle-checked key rather than four documented
+    substitutes.
+
+    Output: ONE row per retained document — its component id, the
+    keeper's doc_id/source (lowest source then doc_id, §2.0 rule 4)
+    and the component's member count (1 for non-duplicated docs).
+
+    Scale shape, stage by stage: candidates are O(docs × bands) rows
+    shuffled (never a shared-shingle or all-pairs join — plan-guarded
+    in tests/test_plans.py); verification is in-row array_intersect on
+    the LSH-small candidate set; component propagation shuffles only
+    the dup-pair EDGE set (orders of magnitude below corpus size) for
+    O(log diameter) rounds under localCheckpoint; the final labels
+    table is dup-graph-sized, so it BROADCASTS back onto the corpus
+    and the keeper window is the pipeline's only corpus-sized shuffle.
+    The oracle expresses the identical md5-derived LSH arithmetic in
+    SQL (engine-identical hex, §2.0 rule 7), so this is a FULL-oracle
+    key: candidate recall affects only which pairs enter the graph,
+    identically in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    inter = _lsh_verified_pairs(docs)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = inter.filter(jac >= 0.8).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels, _rounds = _connected_components(edges)
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(
+            F.broadcast(labels.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    w = Window.partitionBy("component")
+    return (
+        labeled.withColumn(
+            "rn", F.row_number().over(w.orderBy("source", "doc_id"))
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("source").alias("keeper_source"),
+            "n_members",
+        )
     )

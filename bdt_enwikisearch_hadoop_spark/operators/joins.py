@@ -447,9 +447,15 @@ def _bucketed_pair(spark, sf_dir):
     import shutil
     import tempfile
 
+    # table names carry the applicationId (like the data-path key) so a
+    # new session under a persistent metastore (spark-warehouse/) can
+    # never see a stale catalog entry whose backing tmpdir was rmtree'd
+    # by the previous session's atexit — it just rebuilds under its own
+    # names.
+    app = re.sub(r"[^a-z0-9]", "_", spark.sparkContext.applicationId.lower())
     tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
-    t_orders = f"c17_orders_{tag}"
-    t_lineitem = f"c17_lineitem_{tag}"
+    t_orders = f"c17_orders_{tag}_{app}"
+    t_lineitem = f"c17_lineitem_{tag}_{app}"
     if not spark.catalog.tableExists(t_lineitem):
         base = os.path.join(
             tempfile.gettempdir(),

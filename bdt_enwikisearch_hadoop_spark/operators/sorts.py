@@ -468,3 +468,336 @@ def f10_tpch_q18(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# f11–f15 — TPC-H subquery breadth: the remaining classic decorrelation
+# shapes (Q4 EXISTS, Q15 view+scalar-max, Q2 min-cost correlated, Q11
+# scalar-threshold HAVING, Q20 nested semi).  The fixture has no
+# partsupp table and no l_commitdate/l_receiptdate, so Q2/Q4/Q11/Q20
+# keep their SHAPE (the thing Catalyst must decorrelate) with the
+# cost/availability/lateness predicate re-grounded on columns the
+# fixture ships; Q15 is literal minus the missing address columns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f11_tpch_q4_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def f11_tpch_q4_exists(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 (order priority checking) — the EXISTS-against-fact
+    decorrelation shape: a quarter of orders, counted by priority, kept
+    only if SOME lineitem of the order matches a predicate (fixture has
+    no commit/receipt dates, so "late line" becomes "returned line",
+    same shape).  Catalyst rewrites the EXISTS into a LEFT SEMI join
+    (RewritePredicateSubquery) — at 100 TB that is one hash semi-join
+    on the order key with both scans pre-filtered by pushed predicates,
+    never a per-order probe of lineitem."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("f11_orders")
+    li.createOrReplaceTempView("f11_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM f11_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM f11_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "f12_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(9,6))
+                            - CAST(l_discount AS DECIMAL(9,6)))) * 100) / 100
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def f12_tpch_q15(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 (top supplier) — the view/CTE + scalar-threshold shape:
+    a revenue view over one quarter of lineitem, reused twice (once
+    joined to supplier, once under MAX), keeping the supplier(s) whose
+    revenue equals the global max.  Revenue uses the exact DECIMAL
+    FLOOR-cents recipe (§2.0 rule 1) so the equality against MAX is
+    exact in both engines — never compare raw float sums for equality.
+
+    100 TB shape: the view aggregates to supplier-cardinality (tiny) in
+    ONE shuffle; MAX over it is a scalar broadcast; the supplier join
+    broadcasts the dim.  Catalyst reuses the view's exchange for both
+    consumers (ReuseExchange), so lineitem is scanned once."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    total_revenue = (
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(9,6)")
+                    - F.col("l_discount").cast("decimal(9,6)")
+                )
+            )
+            * 100
+        )
+        / 100
+    ).alias("total_revenue")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        total_revenue
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "f13_tpch_q2_mincost",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           FLOOR(unit_cost * 100) / 100 AS best_cost
+    FROM part
+    JOIN cost     ON p_partkey = cost.l_partkey
+    JOIN supplier ON s_suppkey = cost.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      AND unit_cost = (
+          SELECT MIN(c2.unit_cost)
+          FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE r2.r_name = 'EUROPE' AND c2.l_partkey = p_partkey
+      )
+    ORDER BY p_partkey, s_name
+    """,
+)
+def f13_tpch_q2_mincost(spark, sf_dir) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) — the min-cost CORRELATED scalar
+    subquery shape: for each qualifying part, the European supplier(s)
+    whose unit cost equals the minimum European unit cost FOR THAT PART
+    (fixture has no partsupp, so unit cost is derived from lineitem as
+    min(extendedprice/quantity) per part-supplier — same correlation
+    structure).  The equality compares MIN aggregates of identical IEEE
+    doubles, which are order-insensitive and therefore engine-exact;
+    only the displayed cost is floored.
+
+    Catalyst decorrelates the per-part MIN into an aggregate keyed by
+    the correlation column joined back on p_partkey
+    (RewriteCorrelatedScalarSubquery) — at 100 TB: one extra shuffle of
+    the part-keyed min table, never a per-part re-scan.  region/nation/
+    supplier broadcast everywhere they appear."""
+    for name, tbl in (
+        ("f13_lineitem", "lineitem"),
+        ("f13_part", "part"),
+        ("f13_supplier", "supplier"),
+        ("f13_nation", "nation"),
+        ("f13_region", "region"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM f13_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, p_name, s_name, n_name,
+               FLOOR(unit_cost * 100) / 100 AS best_cost
+        FROM f13_part
+        JOIN cost          ON p_partkey = cost.l_partkey
+        JOIN f13_supplier  ON s_suppkey = cost.l_suppkey
+        JOIN f13_nation    ON s_nationkey = n_nationkey
+        JOIN f13_region    ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+          AND unit_cost = (
+              SELECT MIN(c2.unit_cost)
+              FROM cost c2
+              JOIN f13_supplier s2 ON s2.s_suppkey = c2.l_suppkey
+              JOIN f13_nation n2   ON n2.n_nationkey = s2.s_nationkey
+              JOIN f13_region r2   ON r2.r_regionkey = n2.n_regionkey
+              WHERE r2.r_name = 'EUROPE' AND c2.l_partkey = p_partkey
+          )
+        ORDER BY p_partkey, s_name
+        """
+    )
+
+
+@query(
+    "f14_tpch_q11_having",
+    oracle="""
+    SELECT l_partkey,
+           FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) / 100
+               AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+        SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.002
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def f14_tpch_q11_having(spark, sf_dir) -> DataFrame:
+    """TPC-H Q11 (important stock) — the scalar-threshold HAVING shape:
+    per-part value held by one nation's suppliers, kept only when it
+    exceeds a FRACTION of the nation's total (fixture has no partsupp,
+    so value is the extendedprice mass in lineitem — same two-level
+    aggregate structure).  Both sides are exact DECIMAL sums, so the
+    threshold comparison is engine-exact.
+
+    100 TB shape: the uncorrelated scalar subquery runs ONCE (it is the
+    same aggregate one level up — Catalyst reuses the joined scan's
+    exchange), broadcasts as a literal into the HAVING filter, and the
+    per-part aggregate is one shuffle on l_partkey; supplier/nation
+    broadcast onto the fact scan."""
+    for name, tbl in (
+        ("f14_lineitem", "lineitem"),
+        ("f14_supplier", "supplier"),
+        ("f14_nation", "nation"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+                    / 100 AS DOUBLE) AS part_value
+        FROM f14_lineitem
+        JOIN f14_supplier ON l_suppkey = s_suppkey
+        JOIN f14_nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+            SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.002
+            FROM f14_lineitem
+            JOIN f14_supplier ON l_suppkey = s_suppkey
+            JOIN f14_nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+        )
+        ORDER BY part_value DESC, l_partkey
+        """
+    )
+
+
+@query(
+    "f15_tpch_q20_nested",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND s_suppkey IN (
+          SELECT li.l_suppkey
+          FROM lineitem li
+          WHERE li.l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'large%')
+            AND li.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND li.l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY li.l_suppkey, li.l_partkey
+          HAVING SUM(li.l_quantity) > (
+              SELECT 0.3 * SUM(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = li.l_partkey
+                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+          )
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def f15_tpch_q20_nested(spark, sf_dir) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) — the NESTED-semi shape:
+    suppliers in one nation who, for some 'large%' part, shipped more
+    than 30% of that part's annual volume (fixture has no partsupp
+    availqty, so the threshold re-grounds on shipped quantity — the
+    nesting depth is the point: an IN containing a GROUP BY containing
+    a CORRELATED scalar subquery containing another IN).
+
+    Catalyst must decorrelate ALL levels to joins: the part IN becomes
+    a semi join onto lineitem, the correlated per-part total becomes an
+    aggregate joined on l_partkey, the HAVING survivor set semi-joins
+    onto supplier — plan-guarded in tests/test_plans.py (two LeftSemi
+    joins, no per-row subquery execution, no cartesian).  Quantities
+    are integer-valued doubles, so the 0.3× threshold is engine-exact.
+
+    100 TB shape: everything shuffles on l_partkey / l_suppkey once
+    each; part ('large%' names) and the nation's suppliers broadcast."""
+    for name, tbl in (
+        ("f15_lineitem", "lineitem"),
+        ("f15_part", "part"),
+        ("f15_supplier", "supplier"),
+        ("f15_nation", "nation"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM f15_supplier JOIN f15_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (
+              SELECT li.l_suppkey
+              FROM f15_lineitem li
+              WHERE li.l_partkey IN (SELECT p_partkey FROM f15_part
+                                     WHERE p_name LIKE 'large%')
+                AND li.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND li.l_shipdate <  TIMESTAMP '1997-01-01'
+              GROUP BY li.l_suppkey, li.l_partkey
+              HAVING SUM(li.l_quantity) > (
+                  SELECT 0.3 * SUM(l2.l_quantity)
+                  FROM f15_lineitem l2
+                  WHERE l2.l_partkey = li.l_partkey
+                    AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l2.l_shipdate <  TIMESTAMP '1997-01-01'
+              )
+          )
+        ORDER BY s_suppkey
+        """
+    )

@@ -55,7 +55,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # NANOS-encoded fixtures fail at plan/read time unless the
+            # legacy conf took; force schema resolution here so the
+            # diagnostic below fires inside load(), not deep in a query.
+            df.schema
+    except Exception as exc:  # noqa: BLE001 — re-raise with diagnosis
+        if name == "events" and "PARQUET_TYPE_ILLEGAL" in str(exc):
+            raise RuntimeError(
+                "events.parquet is TIMESTAMP(NANOS)-encoded and the "
+                "session could not apply "
+                "spark.sql.legacy.parquet.nanosAsLong=true (prepare() "
+                "sets it best-effort; it may be startup-only in this "
+                "deployment). Start the session with that conf, or "
+                "re-encode the fixture as timestamp[us]."
+            ) from exc
+        raise
     if name == "events":
         ts_type = dict(df.dtypes)["ts"]
         if ts_type.startswith("timestamp"):

@@ -153,11 +153,18 @@ def main(argv: list[str]) -> int:
         QUERIES[argv[2]](spark, sf_dir).explain("formatted")
         return 0
 
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
-    keys = argv[2:] or sorted(QUERIES)
+    json_path = None
+    args = argv[1:]
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    keys = args[1:] or sorted(QUERIES)
     spark = get_spark()
     con = duckdb_connect(sf_dir)
     failures = 0
+    results: dict[str, dict] = {}
     for key in keys:
         t0 = time.time()
         try:
@@ -168,7 +175,21 @@ def main(argv: list[str]) -> int:
         status = "ok" if not problems else "FAIL"
         print(f"{status:4s} {key:28s} {dt:6.2f}s" + ("" if not problems else f"  {problems[0][:300]}"))
         failures += bool(problems)
+        results[key] = {
+            "pass": not problems,
+            "problems": problems,
+            "sec": round(dt, 2),
+        }
     print(f"{len(keys) - failures}/{len(keys)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_keys": len(keys),
+                 "n_passed": len(keys) - failures, "results": results},
+                fh, indent=1,
+            )
     return 1 if failures else 0
 
 

@@ -466,3 +466,38 @@ def test_c18_dpp_injects_pruning_subquery(spark, sf_dir):
     )
     assert dpp.exceptAll(plain).count() == 0
     assert plain.exceptAll(dpp).count() == 0
+
+
+def test_j32_candidates_band_join_never_shared_shingle(spark, sf_dir):
+    """j32's pair-building stage must get candidates from BAND-SIGNATURE
+    equality only — no cartesian product and no shared-shingle join
+    (the exact-quadratic formulation j32 exists to replace).  Shingles
+    may appear in aggregates (minhashing) but never as a join key."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _lsh_verified_pairs,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    p = (
+        _lsh_verified_pairs(load(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    assert join_lines, "candidate join missing from plan"
+    assert any("bk#" in ln for ln in join_lines)
+    assert not any("shingle#" in ln for ln in join_lines)
+
+
+def test_f15_q20_nesting_decorrelates_to_joins(spark, sf_dir):
+    """Q20's three-level nesting (IN → GROUP BY → correlated scalar →
+    inner IN) must decorrelate entirely to joins: semi joins for the IN
+    levels, an aggregate join for the correlated per-part total — never
+    a per-row subquery re-execution or a cartesian product."""
+    p = _plan(spark, sf_dir, "f15_tpch_q20_nested")
+    assert "CartesianProduct" not in p
+    assert p.count("LeftSemi") >= 2, p
+    # decorrelated = no subquery node survives into the physical plan
+    assert "Subquery subquery" not in p

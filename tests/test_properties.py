@@ -110,6 +110,40 @@ def test_index_backed_search_matches_live_search(spark, sf_dir, tmp_path):
         ]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_index")
+        spark.sql("DROP TABLE IF EXISTS t_index_norms")
+
+
+def test_vsm_served_from_store_matches_live_i17(spark, sf_dir, tmp_path):
+    """The persisted norms table must make store-served VSM cosine equal
+    the live i17 (same top-10, same 4dp-floored scores), and the
+    corpus-sized norms side must never shuffle: the query-small hit set
+    broadcasts onto the norms scan (the join is a BroadcastHashJoin and
+    no Exchange hashpartitioning touches the norms columns)."""
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_index,
+        search_index_vsm,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import QUERY_TERMS
+
+    build_index(spark, sf_dir, "t_vsm_index", str(tmp_path / "vsmidx"))
+    try:
+        q = search_index_vsm(spark, "t_vsm_index", QUERY_TERMS, k=10)
+        served = q.collect()
+        live = QUERIES["i17_vsm_cosine"](spark, sf_dir).collect()
+        assert [(r["doc_id"], round(r["score"], 4)) for r in served] == [
+            (r["doc_id"], round(r["score"], 4)) for r in live
+        ]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        norm_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "nrm" in ln
+        ]
+        assert not norm_exchanges, norm_exchanges
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_vsm_index")
+        spark.sql("DROP TABLE IF EXISTS t_vsm_index_norms")
 
 
 def test_every_query_schema_stable_across_scale_factors(spark):
