@@ -31,7 +31,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load, rebalance
-from .llm_pipeline import _SHINGLE_CTE, _duck_cos, shingle_sets, shingles
+from .llm_pipeline import (
+    _SHINGLE_CTE,
+    _duck_cos,
+    cosine,
+    shingle_sets,
+    shingles,
+    vec_double,
+)
 
 # LSH geometry: 16 minhashes → 4 bands × 4 rows.
 _N_HASH = 16
@@ -1348,4 +1355,209 @@ def j32_dedup_pipeline_scale(spark, sf_dir) -> DataFrame:
             F.col("source").alias("keeper_source"),
             "n_members",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j33 — interpolated bigram LM quality score (extends j30's unigram)
+# ---------------------------------------------------------------------------
+
+_LM_LAMBDA = 0.7  # bigram weight; 1-λ backs off to the unigram
+
+
+@query(
+    "j33_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    uc AS (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    big AS (
+        SELECT doc_id,
+               CAST(z[1] AS VARCHAR) AS w1, CAST(z[2] AS VARCHAR) AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+              FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2)
+    SELECT b.doc_id,
+           ROUND(AVG(-LN({_LM_LAMBDA} * bc.c12 * 1.0 / u1.c1
+                         + {1 - _LM_LAMBDA} * u2.c1 * 1.0 / tot.n)), 4)
+               AS mean_nll,
+           COUNT(*) AS n_bigrams
+    FROM big b
+    JOIN bc  ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uc u1 ON u1.term = b.w1
+    JOIN uc u2 ON u2.term = b.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+)
+def j33_bigram_logprob(spark, sf_dir) -> DataFrame:
+    """Interpolated BIGRAM-LM quality score (extends j30's unigram): per
+    document, the mean negative log probability of its token
+    transitions under p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1-λ)·c(w₂)/N —
+    the Jelinek-Mercer backoff that makes the CCNet-style perplexity
+    filter robust to unseen-in-context words (pure bigram MLE would
+    hand every novel transition probability zero; the unigram floor
+    keeps the score finite, exactly why production LM filters
+    interpolate).  Word-salad scores high (improbable transitions),
+    boilerplate scores low; both tails get cut downstream.
+
+    100 TB shape, same as j30 with one more model table: the corpus
+    pass explodes transitions in-row (zip_with on the token array —
+    no positional self-join), the bigram and unigram count tables
+    aggregate to VOCABULARY size (≪ corpus) and BROADCAST back onto
+    the transition stream, so the per-doc aggregate is the only
+    corpus-sized shuffle.  A production pipeline persists both count
+    tables once per corpus version (they are i3's doc-freq shape)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("term"))
+    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    big = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (
+        F.lit(_LM_LAMBDA) * F.col("c12") / F.col("c1w1")
+        + F.lit(1 - _LM_LAMBDA) * F.col("c1w2") / F.col("n")
+    )
+    return (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(
+            F.broadcast(uc.select(F.col("term").alias("w1"),
+                                  F.col("c1").alias("c1w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uc.select(F.col("term").alias("w2"),
+                                  F.col("c1").alias("c1w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(p)), 4).alias("mean_nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j34 — SemDeDup: embedding near-dup WITHIN semantic cells only
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j34_semdedup",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS ce
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    d AS (
+        SELECT e.vec_id, s.seed_id, {_KM_DIST_SQL} AS dist
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, seed_id) AS rn
+              FROM d)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT ca.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_duck_cos('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a
+        JOIN assign ca ON ca.vec_id = a.vec_id
+        JOIN assign cb ON cb.cluster = ca.cluster
+        JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY ca.cluster, a.vec_id, b.vec_id
+    )
+    SELECT cluster, vec_a, vec_b, ROUND(cos, 4) AS cos_sim
+    FROM pairs
+    WHERE ROUND(cos, 4) >= 0.45
+    """,
+)
+def j34_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup (public Abbas et al. construction): embedding near-dup
+    detection restricted to WITHIN-cluster pairs — assign every vector
+    to its nearest of K deterministic seed centroids (j29's assignment
+    step, bit-equal across engines), then compare cosine ≥ 0.45
+    (fixture-calibrated, like j12) only inside each cell.  This is the
+    embedding mirror of j8's candidate pruning: the quadratic pair
+    space shrinks by ~K× (cells are balanced here), and truly-near
+    pairs land in the same cell because they are near the same
+    centroid — property-tested against j12's exact all-pairs output.
+
+    100 TB shape: centroids broadcast; assignment rides the scan
+    (zip_with/aggregate fold, no shuffle); the pair join shuffles on
+    the CELL key so each cell's pairs are produced by that cell's
+    reducers — with a real K (thousands), per-cell population is
+    corpus/K and the within-cell quadratic stays bounded; j12's block
+    grid handles any residual fat cell.  Production iterates j29's
+    Lloyd step to convergence first; the fixed-seed assignment here
+    keeps the key engine-exact and oracle-checkable."""
+    return semdedup_pairs(
+        load(spark, sf_dir, "embeddings"), k_seeds=_KM_K, tau=0.45
+    )
+
+
+def semdedup_pairs(emb: DataFrame, k_seeds: int, tau: float) -> DataFrame:
+    """j34's core on ANY (vec_id, embedding) frame: nearest-seed cell
+    assignment (seeds = the k_seeds lowest vec_ids), then within-cell
+    cosine ≥ tau pairs.  Exposed separately so the planted-duplicate
+    property test can drive it on synthetic corpora."""
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < k_seeds).select(
+            F.col("vec_id").alias("seed_id"),
+            vec_double(F.col("embedding")).alias("ce"),
+        )
+    )
+    sq = F.zip_with(
+        "ve",
+        "ce",
+        lambda x, y: (x - y) * (x - y),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    assign = (
+        emb.select("vec_id", vec_double(F.col("embedding")).alias("ve"))
+        .crossJoin(seeds)
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"), "ve")
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    cos4 = F.round(cosine(F.col("a.ve"), F.col("b.ve")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos4.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
     )

@@ -775,3 +775,38 @@ def test_observe_quality_metrics_match_direct_aggregates(spark, sf_dir):
     assert got["lang__nulls"] == direct.ln
     assert got["n_chars__min"] == direct.mn
     assert got["n_chars__max"] == direct.mx
+
+
+def test_semdedup_within_cell_captures_planted_near_dups(spark):
+    """SemDeDup's within-cell restriction must not lose true
+    near-duplicates: planted copies (tiny deterministic perturbation,
+    cosine ≥ 0.99) land in the same cell as their original — they are
+    near the same centroid by construction — so every planted pair
+    appears in the output, while the pruning still removes most of the
+    random-pair quadratic space.  Fixture embeddings are near-random
+    (max pairwise cosine < 0.5), so this is the property the fixture
+    itself cannot exercise."""
+    import numpy as np
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        semdedup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 64))
+    rows = [
+        (i, [float(x) for x in base[i]]) for i in range(40)
+    ]
+    # plant 10 near-identical copies of vectors 8..17 as ids 100..109
+    for j in range(10):
+        pert = base[8 + j] + 0.001 * rng.normal(size=64)
+        rows.append((100 + j, [float(x) for x in pert]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_pairs(emb, k_seeds=8, tau=0.99).collect()
+    got = {(r.vec_a, r.vec_b) for r in out}
+    expected = {(8 + j, 100 + j) for j in range(10)}
+    assert expected <= got, expected - got
+    # and the cell restriction actually prunes: far fewer pairs than
+    # the 50-vector all-pairs space even at tau=-1 (every pair kept)
+    all_within = semdedup_pairs(emb, k_seeds=8, tau=-1.0).count()
+    assert all_within < 50 * 49 / 2
