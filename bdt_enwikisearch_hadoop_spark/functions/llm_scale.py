@@ -1561,3 +1561,46 @@ def semdedup_pairs(emb: DataFrame, k_seeds: int, tau: float) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= tau)
     )
+
+
+# ---------------------------------------------------------------------------
+# j36 — pipeline quality metrics riding j16's one pass (Observation)
+# ---------------------------------------------------------------------------
+
+
+@query("j36_pipeline_quality_metrics")  # rows-only: Observation metrics
+# are accumulator-style execution artifacts, not a SQL-expressible
+# result set; the VALUES are cross-checked against direct aggregates in
+# tests/test_properties.py (test_observe_quality_metrics_match_direct_
+# aggregates and the j36 shape test)
+def j36_pipeline_quality_metrics(spark, sf_dir) -> DataFrame:
+    """j16's training-data pipeline with its quality metrics emitted as
+    the RESULT: row count + per-column null-count/min/max for the
+    pipeline's output, computed BY the pipeline's own single pass via
+    ``Observation`` (functions/quality_monitor.py) — zero additional
+    scans, which is the whole point at 100 TB where a "count the
+    nulls" follow-up job would double the cost.  The returned frame is
+    the one-row metrics record a production ingest job ships to its
+    monitoring system next to the data it just wrote.
+
+    Bench-visible by design: timing this key times j16's full pipeline
+    WITH observability attached; the delta vs j16 alone is the
+    (near-zero) cost of the metrics."""
+    from .quality_monitor import observe_quality
+
+    pipe = j16_training_data_pipeline(spark, sf_dir)
+    cols = ["doc_id", "lang", "n_tokens", "distinct_ratio"]
+    instrumented, obs = observe_quality(pipe, "j36_metrics", cols)
+    instrumented.count()  # THE pipeline pass; metrics ride it
+    m = obs.get
+    fields = ["n_rows"]
+    for c in cols:
+        fields += [f"{c}__nulls", f"{c}__min", f"{c}__max"]
+    schema = (
+        "n_rows long, doc_id__nulls long, doc_id__min long, "
+        "doc_id__max long, lang__nulls long, lang__min string, "
+        "lang__max string, n_tokens__nulls long, n_tokens__min long, "
+        "n_tokens__max long, distinct_ratio__nulls long, "
+        "distinct_ratio__min double, distinct_ratio__max double"
+    )
+    return spark.createDataFrame([tuple(m[f] for f in fields)], schema)

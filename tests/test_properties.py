@@ -810,3 +810,45 @@ def test_semdedup_within_cell_captures_planted_near_dups(spark):
     # the 50-vector all-pairs space even at tau=-1 (every pair kept)
     all_within = semdedup_pairs(emb, k_seeds=8, tau=-1.0).count()
     assert all_within < 50 * 49 / 2
+
+
+def test_ivfpq_rerank_recall_vs_exact_cell_scan(spark, sf_dir):
+    """IVF-PQ (j35) must recover ≥9 of the 10 true top-k in the SAME
+    probed cells (j13's exact scan) — isolating the error PQ adds:
+    the 4-bit ADC shortlist may drop at most one true neighbor before
+    the exact re-rank.  Scores for commonly-returned ids must be
+    IDENTICAL (the re-rank is exact cosine, not approximated)."""
+    j13 = {r.vec_id: r.score for r in QUERIES["j13_ann_ivf"](spark, sf_dir).collect()}
+    j35 = {r.vec_id: r.score for r in QUERIES["j35_ann_ivfpq"](spark, sf_dir).collect()}
+    common = set(j13) & set(j35)
+    assert len(common) >= 9, (sorted(j13), sorted(j35))
+    assert all(j13[v] == j35[v] for v in common)
+
+
+def test_j36_metrics_equal_direct_aggregates_over_j16(spark, sf_dir):
+    """The Observation-riding metrics key must report exactly what a
+    (costly) second aggregation pass over j16's output would."""
+    from pyspark.sql import functions as F
+
+    m = QUERIES["j36_pipeline_quality_metrics"](spark, sf_dir).collect()[0]
+    direct = (
+        QUERIES["j16_training_data_pipeline"](spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("dmin"),
+            F.max("doc_id").alias("dmax"),
+            F.min("n_tokens").alias("tmin"),
+            F.max("n_tokens").alias("tmax"),
+            F.min("distinct_ratio").alias("rmin"),
+            F.max("distinct_ratio").alias("rmax"),
+        )
+        .collect()[0]
+    )
+    assert m["n_rows"] == direct["n"] > 0
+    assert m["doc_id__min"] == direct["dmin"]
+    assert m["doc_id__max"] == direct["dmax"]
+    assert m["n_tokens__min"] == direct["tmin"]
+    assert m["n_tokens__max"] == direct["tmax"]
+    assert m["distinct_ratio__min"] == direct["rmin"]
+    assert m["distinct_ratio__max"] == direct["rmax"]
+    assert m["doc_id__nulls"] == 0 and m["lang__nulls"] == 0
