@@ -741,6 +741,98 @@ def run_stateful_carry_smoke(spark, sf_dir: str) -> tuple[dict, dict]:
     return emitted, expected
 
 
+def run_two_stage_stateful_smoke(spark, sf_dir: str) -> tuple[set, set, set]:
+    """TWO stateful operators chained under ONE watermark — the
+    multi-stage stateful shape production pipelines hit next: streaming
+    dedup (``dropDuplicates`` on event_id — state store #1) feeding a
+    tumbling-window count per event type (state store #2), append mode,
+    run as two checkpoint-resumed ``availableNow`` executions with
+    DUPLICATED source rows planted in each half.
+
+    Spark requirement this exercises: chaining stateful operators is
+    only legal in append mode with the watermark declared ONCE upstream
+    — both stores evict off the same event-time frontier (dedup keys
+    older than the watermark age out of store #1 exactly when windows
+    seal in store #2).
+
+    Returns (emitted, expected_dedup, expected_with_dups): the windows
+    emitted across both runs, the batch answer over DISTINCT events,
+    and the batch answer over the dup-inflated source.  Callers assert
+    emitted ⊆ expected_dedup (exact counts → dedup state worked across
+    batch AND run boundaries) and emitted ⊄ expected_with_dups (the
+    duplicates would have inflated some window, so stage 1 provably
+    ran)."""
+    import tempfile
+
+    batch = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts", "ts2"
+    )
+    cutoff = 1_705_363_200_000_000_000  # 2024-01-16 00:00 UTC in ns
+
+    def with_dups(df):
+        return df.unionByName(df.filter(F.col("event_id") % 10 == 0))
+
+    with tempfile.TemporaryDirectory() as workdir:
+        src, ckpt, out = f"{workdir}/src", f"{workdir}/ckpt", f"{workdir}/out"
+        with_dups(batch.filter(F.col("ts") < cutoff)).write.parquet(
+            f"{src}/b1"
+        )
+
+        def run_once():
+            stream = spark.readStream.schema(batch.schema).parquet(f"{src}/*")
+            deduped = stream.withWatermark("ts2", "1 hour").dropDuplicates(
+                ["event_id"]
+            )
+            windowed = deduped.groupBy(
+                F.window("ts2", "6 hours").alias("w"), "event_type"
+            ).count()
+            q = (
+                windowed.select(
+                    F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                    "event_type",
+                    "count",
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            q.stop()
+
+        run_once()
+        with_dups(batch.filter(F.col("ts") >= cutoff)).write.parquet(
+            f"{src}/b2"
+        )
+        run_once()
+        emitted = {
+            (r["bucket_s"], r["event_type"], r["count"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def batch_answer(df):
+        return {
+            (r["bucket_s"], r["event_type"], r["count"])
+            for r in (
+                df.groupBy(
+                    F.window("ts2", "6 hours").alias("w"), "event_type"
+                )
+                .count()
+                .select(
+                    F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+                    "event_type",
+                    "count",
+                )
+            ).collect()
+        }
+
+    expected_dedup = batch_answer(batch.dropDuplicates(["event_id"]))
+    expected_with_dups = batch_answer(with_dups(batch))
+    return emitted, expected_dedup, expected_with_dups
+
+
 def run_watermark_late_data_smoke(spark, sf_dir: str) -> tuple[int, int]:
     """Watermark + append-mode late-data semantics, observed end to end.
 

@@ -501,3 +501,51 @@ def test_f15_q20_nesting_decorrelates_to_joins(spark, sf_dir):
     assert p.count("LeftSemi") >= 2, p
     # decorrelated = no subquery node survives into the physical plan
     assert "Subquery subquery" not in p
+
+
+def test_near_dup_candidate_join_engages_aqe_skew_split(spark):
+    """The one realistic 100× failure mode of the exact dedup path that
+    j8's banding doesn't cover: a corpus-hot shingle (stopword-like)
+    funnels every document into ONE reducer of the shared-shingle
+    self-join.  This guard proves the declared mitigation actually
+    fires: on a synthetic corpus where all docs share one shingle, AQE
+    splits the skewed partition (SortMergeJoin(skew=true), both inputs
+    read as 'skewed').  At fixture scale AQE instead broadcasts the
+    tiny side — itself the correct mitigation — so the test disables
+    broadcast to stand in for the 100 TB regime where neither side
+    fits an executor.  Thresholds are lowered only because the
+    synthetic corpus is KB-sized; the RULE exercised is the same one
+    that runs with production defaults."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _near_dup_pairs,
+    )
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        rows = [
+            (i, f"hot0 hot1 hot2 u{i}a u{i}b u{i}c") for i in range(2000)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = _near_dup_pairs(docs)
+        pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

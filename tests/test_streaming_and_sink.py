@@ -435,3 +435,22 @@ def test_python_data_source_writer_two_phase_commit(spark):
             with open(p) as f:
                 n_lines += sum(1 for _ in f)
         assert n_lines == 60
+
+
+def test_two_stage_stateful_dedup_then_window(spark):
+    """Chained stateful operators (dedup → windowed agg) under one
+    watermark, checkpoint-resumed across two availableNow runs: every
+    emitted window must carry the DEDUPLICATED count (exact batch
+    equivalence on emitted windows), and at least one emitted window
+    must differ from the dup-inflated answer — proof the first state
+    store actually dropped the planted duplicates."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_two_stage_stateful_smoke,
+    )
+
+    emitted, dedup, with_dups = run_two_stage_stateful_smoke(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert emitted, "no windows sealed below the watermark"
+    assert emitted <= dedup, emitted - dedup
+    assert not (emitted <= with_dups)
