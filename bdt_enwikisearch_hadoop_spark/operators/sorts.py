@@ -801,3 +801,257 @@ def f15_tpch_q20_nested(spark, sf_dir) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@query(
+    "f16_tpch_q17_smallqty",
+    oracle="""
+    SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
+                      * 100) AS DOUBLE) / 100 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'ECONOMY'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def f16_tpch_q17_smallqty(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) — the correlated-AVG
+    decorrelation shape: lineitems of selected parts whose quantity is
+    below 20% of THAT PART's average quantity, summed into the lost-
+    revenue estimate.  Quantities are integer-valued doubles, so each
+    part's AVG is sum/count of exact integers — the same double in
+    both engines — and the 0.2× threshold comparison is engine-exact;
+    only the final money sum needs the DECIMAL/FLOOR recipe.
+
+    Catalyst decorrelates the per-part AVG into an aggregate keyed by
+    l_partkey joined back to the fact (one extra partkey-sized
+    shuffle); the part dim broadcasts.  A per-row re-execution would
+    re-scan lineitem once per fact row — the quadratic trap the
+    rewrite exists to avoid."""
+    for name, tbl in (
+        ("f16_lineitem", "lineitem"),
+        ("f16_part", "part"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
+                          * 100) AS DOUBLE) / 100 AS avg_yearly
+        FROM f16_lineitem
+        JOIN f16_part ON p_partkey = l_partkey
+        WHERE p_type = 'ECONOMY'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM f16_lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "f17_tpch_q22_antijoin",
+    oracle="""
+    WITH pos AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100)
+                AS DOUBLE) / 100 AS totacctbal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def f17_tpch_q22_antijoin(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) — the anti-join + scalar-
+    average shape: above-average-balance customers with NO urgent
+    order, counted per nation (fixture has no c_phone, so cntrycode →
+    c_nationkey; every fixture customer has orders, so the NOT EXISTS
+    predicate narrows to urgent orders to stay selective).  The
+    above-average test is multiplied through (bal × n > Σbal) so both
+    sides are exact DECIMAL/integer arithmetic — comparing against a
+    float AVG would be engine-dependent at the ulp and could flip
+    boundary rows.
+
+    Catalyst turns NOT EXISTS into a LEFT ANTI hash join on c_custkey
+    with the priority filter pushed into the orders scan, and the
+    uncorrelated scalar aggregate runs once and broadcasts — the
+    classic "who hasn't done X" shape at any scale."""
+    for name, tbl in (
+        ("f17_customer", "customer"),
+        ("f17_orders", "orders"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH pos AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+            FROM f17_customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100)
+                    AS DOUBLE) / 100 AS totacctbal
+        FROM f17_customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+          AND NOT EXISTS (
+              SELECT 1 FROM f17_orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )
+
+
+@query(
+    "f18_tpch_q7_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(FLOOR(SUM(volume) * 100) AS DOUBLE) / 100 AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(9,6))
+                      - CAST(l_discount AS DECIMAL(9,6))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def f18_tpch_q7_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 (volume shipping) — bidirectional nation-pair trade by
+    ship year: the double-dimension-role shape (nation joins TWICE,
+    once for the supplier side, once for the customer side) with a
+    disjunctive cross-pair predicate that must NOT collapse into a
+    cross product.
+
+    100 TB shape: both nation dims and their filters broadcast; the
+    fact spine shuffles once per equi-join key (orderkey, custkey);
+    the two-year slice pushes into the lineitem scan.  The OR predicate
+    stays a join FILTER on broadcast-joined dims — cheap — while the
+    equi-keys carry the join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(9,6)") - F.col("l_discount").cast("decimal(9,6)")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (F.floor(F.sum("volume") * 100).cast("double") / 100).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "f19_tpch_q19_disjunct",
+    oracle="""
+    SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(9,6))
+                             - CAST(l_discount AS DECIMAL(9,6)))) * 100)
+                AS DOUBLE) / 100 AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def f19_tpch_q19_disjunct(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) — the disjunctive-predicate join:
+    three OR'd conjunction arms mixing dim attributes (brand, size)
+    with fact attributes (quantity) over one equi-join (fixture has no
+    container/shipmode/shipinstruct, so the arms use brand/size/
+    quantity — the OR-of-ANDs structure is the point).
+
+    What the optimizer must do (and the plan shows): the join stays an
+    EQUI-join on p_partkey — the disjunction is a post-join filter,
+    never a fallback to a nested-loop theta join — and the common
+    IsNotNull/partkey conditions are factored out and pushed into both
+    scans.  The part dim broadcasts; revenue uses the DECIMAL FLOOR
+    recipe."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    revenue = (
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(9,6)")
+                    - F.col("l_discount").cast("decimal(9,6)")
+                )
+            )
+            * 100
+        ).cast("double")
+        / 100
+    ).alias("revenue")
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(
+            arm("Brand#1", 10, 1, 15)
+            | arm("Brand#2", 20, 10, 25)
+            | arm("Brand#3", 30, 20, 35)
+        )
+        .agg(revenue)
+    )

@@ -549,3 +549,22 @@ def test_near_dup_candidate_join_engages_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_f17_not_exists_is_anti_join(spark, sf_dir):
+    """Q22's NOT EXISTS must lower to a LEFT ANTI hash join with the
+    priority filter pushed to the orders scan — never a per-customer
+    probe."""
+    p = _plan(spark, sf_dir, "f17_tpch_q22_antijoin")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_f19_disjunction_keeps_equi_join(spark, sf_dir):
+    """Q19's OR-of-ANDs must stay a post-join filter over the p_partkey
+    EQUI-join — a nested-loop/cartesian fallback would scan
+    part × lineitem."""
+    p = _plan(spark, sf_dir, "f19_tpch_q19_disjunct")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "p_partkey" in p
