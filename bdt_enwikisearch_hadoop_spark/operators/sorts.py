@@ -1055,3 +1055,455 @@ def f19_tpch_q19_disjunct(spark, sf_dir) -> DataFrame:
         )
         .agg(revenue)
     )
+
+
+# ---------------------------------------------------------------------------
+# f20–f25 — completing the TPC-H shape set (Q1, Q8, Q9, Q12, Q16, Q21):
+# with these, all 22 TPC-H query shapes are represented — literal where
+# the fixture has the columns (Q1), re-grounded where it lacks
+# partsupp / commitdate / shipmode / phone (the optimizer shape — what
+# Catalyst must decorrelate, broadcast, or conditionally aggregate —
+# is preserved in every case).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f20_tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+                AS DOUBLE) / 100 AS sum_base_price,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(9,6))
+                             - CAST(l_discount AS DECIMAL(9,6)))) * 100)
+                AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(FLOOR(CAST(SUM(
+                    CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         AS HUGEINT)
+                    * (1000000 - CAST(ROUND(l_discount * 1000000) AS BIGINT))
+                    * (1000000 + CAST(ROUND(l_tax * 1000000) AS BIGINT))
+                ) AS DOUBLE) / 1e12) AS DOUBLE) / 100 AS sum_charge,
+           CAST(FLOOR(SUM(l_quantity) / COUNT(*) * 10000) AS DOUBLE)
+               / 10000 AS avg_qty,
+           CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*) * 100) AS DOUBLE)
+               / 100 AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def f20_tpch_q1_pricing(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1 (pricing summary) — LITERAL: the canonical wide
+    aggregate over one fact scan, six measures per (returnflag,
+    linestatus) group.  Averages are derived from exact sums — integer
+    quantity sums and DECIMAL money sums — divided by the group count,
+    never a float AVG whose accumulation order differs per engine (the
+    decimal→double conversion of an exact sum is deterministic; the
+    division of two identical doubles is too).  The triple product
+    sum_charge (price × (1-disc) × (1+tax)) overflows both engines'
+    practical decimal widths, so it runs in SCALED-INTEGER arithmetic:
+    cents × micro-units × micro-units as DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact per row and in the sum, converted to
+    double once at the end.
+
+    100 TB shape: the single most scan-bound query in the suite — one
+    pushdown-filtered pass, map-side partial aggregation into SIX
+    groups, one tiny exchange.  This is the query that measures raw
+    columnar scan + codegen throughput, which is why TPC-H puts it
+    first."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-01-01"
+    )
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(9,6)")
+    disc = F.col("l_discount").cast("decimal(9,6)")
+    tax = F.col("l_tax").cast("decimal(9,6)")
+    f2 = lambda c: F.floor(c * 100).cast("double") / 100  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            f2(F.sum(dec_price)).alias("sum_base_price"),
+            f2(F.sum(dec_price * (one - disc))).alias("sum_disc_price"),
+            (
+                F.floor(
+                    F.sum(
+                        F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                        * (
+                            F.lit(1000000)
+                            - F.round(F.col("l_discount") * 1000000).cast(
+                                "long"
+                            )
+                        ).cast("decimal(38,0)")
+                        * (
+                            F.lit(1000000)
+                            + F.round(F.col("l_tax") * 1000000).cast("long")
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).cast("double")
+                / 100
+            ).alias("sum_charge"),
+            (
+                F.floor(
+                    F.sum("l_quantity") / F.count(F.lit(1)) * 10000
+                ).cast("double")
+                / 10000
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(dec_price).cast("double")
+                    / F.count(F.lit(1))
+                    * 100
+                ).cast("double")
+                / 100
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "f21_tpch_q8_share",
+    oracle="""
+    SELECT o_year,
+           CAST(FLOOR(CAST(SUM(CASE WHEN nation = 'NATION_5'
+                                    THEN volume ELSE CAST(0 AS DECIMAL(18,8))
+                               END) AS DOUBLE)
+                      / CAST(SUM(volume) AS DOUBLE) * 10000) AS DOUBLE)
+               / 10000 AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(9,6))
+                      - CAST(l_discount AS DECIMAL(9,6))) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def f21_tpch_q8_share(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 (national market share) — the conditional-ratio shape:
+    one nation's share of a region's order volume per year, computed as
+    SUM(CASE)/SUM over the same rows (never two scans).  Both sums are
+    exact DECIMAL; the ratio converts each exact sum to its (unique)
+    nearest double before dividing, so the quotient is engine-exact,
+    then 4dp-floored.
+
+    100 TB shape: eight-table snowflake where every dim broadcasts
+    (nation TWICE in different roles); the conditional numerator rides
+    the same partial aggregate as the denominator — the CASE costs one
+    column, not one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(9,6)") - F.col("l_discount").cast("decimal(9,6)")
+    )
+    base = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == r.r_regionkey)
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,8)")
+        )
+    )
+    den = F.sum("volume")
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.floor(
+                    num.cast("double") / den.cast("double") * 10000
+                ).cast("double")
+                / 10000
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "f22_tpch_q9_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(FLOOR(SUM(amount) * 100) AS DOUBLE) / 100 AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(9,6))
+                      - CAST(l_discount AS DECIMAL(9,6)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(0.1 AS DECIMAL(3,1))
+                   * CAST(l_quantity AS DECIMAL(9,1)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def f22_tpch_q9_profit(spark, sf_dir) -> DataFrame:
+    """TPC-H Q9 (product-type profit) — profit per supplier nation per
+    year over a name-matched part family (fixture has no partsupp, so
+    unit cost re-grounds as 10% of the part's retail price — the
+    revenue-minus-cost DECIMAL arithmetic and the nation/year rollup
+    are the shape).  All terms are exact DECIMAL products; the sum is
+    floored to cents once at the end.
+
+    100 TB shape: the LIKE filter prunes part first (broadcast), the
+    fact spine shuffles on its equi-keys, and the (nation, year)
+    aggregate is tiny — the query is join-bound, which is why Q9 is
+    TPC-H's join-order stress test."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(9,6)")
+        - F.col("l_discount").cast("decimal(9,6)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.1).cast(
+        "decimal(3,1)"
+    ) * F.col("l_quantity").cast("decimal(9,1)")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.floor(F.sum("amount") * 100).cast("double") / 100).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "f23_tpch_q12_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def f23_tpch_q12_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q12 (shipping modes & priority) — conditional counts of
+    high/low-priority orders among LATE shipments (fixture has no
+    shipmode or commit/receipt dates, so the class key re-grounds on
+    returnflag and "late" on ship-after-order+30d — the join +
+    dual-CASE-count shape is intact).  The row-level date comparison
+    is exact timestamp arithmetic in both engines.
+
+    100 TB shape: one fact⋈fact equi-join on the order key with the
+    year slice pushed into the lineitem scan; both CASE counts ride
+    the same partial aggregate — the canonical "two measures, one
+    pass" pattern."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "f24_tpch_q16_suppcnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def f24_tpch_q16_suppcnt(spark, sf_dir) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) — distinct supplier
+    counts per part attribute group with a NOT IN exclusion subquery
+    (fixture has no partsupp, so the part-supplier relation comes from
+    lineitem; no s_comment, so the "complaints" exclusion re-grounds
+    on low account balance).  NOT IN — unlike NOT EXISTS — is
+    NULL-AWARE: one NULL in the subquery would empty the result, and
+    Catalyst must plan a null-aware anti join, not a plain anti join.
+
+    100 TB shape: the exclusion list is supplier-sized (broadcast anti
+    join); the distinct count shuffles on the group key with the
+    supplier set deduplicated per group — Expand + two-phase
+    aggregate, never a corpus-wide distinct."""
+    for name, tbl in (
+        ("f24_part", "part"),
+        ("f24_lineitem", "lineitem"),
+        ("f24_supplier", "supplier"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM f24_part
+        JOIN f24_lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM f24_supplier WHERE s_acctbal < 2500
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "f25_tpch_q21_waiting",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_2'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def f25_tpch_q21_waiting(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the double
+    correlated EXISTS/NOT-EXISTS over the SAME fact: in finished
+    multi-supplier orders, the supplier whose line was the ONLY
+    returned one (fixture has no receipt/commit dates, so "late"
+    re-grounds on returnflag='R'; the two opposing correlated
+    subqueries against lineitem are the shape — TPC-H's hardest
+    decorrelation).  Catalyst lowers them to a LEFT SEMI and a LEFT
+    ANTI join on l_orderkey, three passes over the same fact that AQE
+    plans off one shuffled copy.
+
+    100 TB shape: all three lineitem legs shuffle on l_orderkey —
+    co-partitioned, so the semi/anti probes are local; supplier/nation
+    broadcast; the final per-supplier count is dimension-sized."""
+    for name, tbl in (
+        ("f25_supplier", "supplier"),
+        ("f25_lineitem", "lineitem"),
+        ("f25_orders", "orders"),
+        ("f25_nation", "nation"),
+    ):
+        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM f25_supplier
+        JOIN f25_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN f25_orders ON o_orderkey = l1.l_orderkey
+        JOIN f25_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name = 'NATION_2'
+          AND EXISTS (
+              SELECT 1 FROM f25_lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM f25_lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )

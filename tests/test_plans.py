@@ -568,3 +568,13 @@ def test_f19_disjunction_keeps_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "p_partkey" in p
+
+
+def test_f25_q21_opposing_subqueries_become_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS and NOT EXISTS against the same fact must lower to
+    one LEFT SEMI and one LEFT ANTI join on l_orderkey — never a
+    per-row re-execution or cartesian."""
+    p = _plan(spark, sf_dir, "f25_tpch_q21_waiting")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
