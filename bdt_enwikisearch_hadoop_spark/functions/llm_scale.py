@@ -34,7 +34,6 @@ from ..sources import load, rebalance
 from .llm_pipeline import (
     _SHINGLE_CTE,
     _duck_cos,
-    cosine,
     shingle_sets,
     shingles,
     vec_double,
@@ -1536,17 +1535,32 @@ def semdedup_pairs(emb: DataFrame, k_seeds: int, tau: float) -> DataFrame:
     )
     dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
     w = Window.partitionBy("vec_id").orderBy("dist", "seed_id")
+    from .llm_pipeline import dot
+
+    # per-VECTOR norm computed once: the pair cosine below is then
+    # dot/(na*nb) — the exact same operations (sum(a*b) /
+    # (sqrt(sum a²)·sqrt(sum b²))) as the oracle's formula, bit-equal,
+    # but the two self-folds run N times instead of N² times.
     assign = (
         emb.select("vec_id", vec_double(F.col("embedding")).alias("ve"))
         .crossJoin(seeds)
         .withColumn("dist", dist)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"), "ve")
+        .select(
+            "vec_id",
+            F.col("seed_id").alias("cluster"),
+            "ve",
+            F.sqrt(dot(F.col("ve"), F.col("ve"))).alias("nrm"),
+        )
     )
     a = assign.alias("a")
     b = assign.alias("b")
-    cos4 = F.round(cosine(F.col("a.ve"), F.col("b.ve")), 4)
+    cos4 = F.round(
+        dot(F.col("a.ve"), F.col("b.ve"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
     return (
         a.join(
             b,

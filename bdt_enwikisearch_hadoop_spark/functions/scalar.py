@@ -422,3 +422,60 @@ def h12_try_arith(spark, sf_dir) -> DataFrame:
         .otherwise(F.lit(True))
         .alias("status_not_numeric"),
     )
+
+
+@query(
+    "h13_interval_datemath",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           strftime(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                    + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                AS BIGINT) AS days_since_epoch0,
+           CAST(datepart('quarter', o_orderdate) AS INT) AS q,
+           CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
+                AS BIGINT) AS months_elapsed
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def h13_interval_datemath(spark, sf_dir) -> DataFrame:
+    """Interval/date arithmetic battery (§2.H breadth): +INTERVAL,
+    month-end via trunc+month-interval, whole-day and whole-month
+    difference counts, and quarter extraction — the due-date /
+    aging-bucket arithmetic every billing or SLA pipeline runs.
+
+    Cross-engine hazards pinned here: Spark's months_between returns
+    FRACTIONAL months (DuckDB's date_diff('month') counts boundary
+    crossings — the Spark side uses a trunc-to-month diff to match
+    exactly); dates are emitted as strings so the µs-vs-ms timestamp
+    encodings can never leak into the hash.  All map-side, rides the
+    scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    trunc_m = F.date_trunc("month", F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(
+            trunc_m + F.expr("INTERVAL 1 MONTH") - F.expr("INTERVAL 1 DAY"),
+            "yyyy-MM-dd",
+        ).alias("month_end"),
+        F.datediff(
+            F.to_date(F.col("o_orderdate")), F.to_date(F.lit("1995-01-01"))
+        )
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.quarter("o_orderdate").alias("q"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("months_elapsed"),
+    ).orderBy("o_orderkey")

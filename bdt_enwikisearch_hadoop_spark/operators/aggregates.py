@@ -569,3 +569,43 @@ def d19_multi_distinct(spark, sf_dir) -> DataFrame:
         F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "d20_conditional_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_quantity >= 25) AS n_bulk,
+           bool_and(l_extendedprice > 0) AS all_positive,
+           bool_or(l_discount > 0.08) AS any_deep_discount,
+           CAST(MAX(CASE WHEN l_tax = 0 THEN l_orderkey END) AS BIGINT)
+               AS max_untaxed_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d20_conditional_aggs(spark, sf_dir) -> DataFrame:
+    """Conditional/boolean aggregate battery (§2.D breadth): count_if,
+    bool_and/bool_or (SQL EVERY/SOME), and the MAX-of-CASE idiom for
+    "latest key where predicate held" — monitoring-dashboard
+    aggregates ("how many bulk lines, is every price sane, did any
+    deep discount occur").  Every aggregate here is deterministic
+    (any_value is deliberately absent: its result is
+    partition-order-dependent, the §2.0 rule 4 violation).
+
+    All four ride ONE partial aggregate — conditions evaluate
+    map-side, the exchange carries six counters per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+            F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+            F.max(
+                F.when(F.col("l_tax") == 0, F.col("l_orderkey"))
+            ).alias("max_untaxed_order"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -152,3 +152,49 @@ def g7_union_byname(spark, sf_dir) -> DataFrame:
         F.col("s_name").alias("name"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "g8_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def g8_intersect_all(spark, sf_dir) -> DataFrame:
+    """INTERSECT ALL — BAG semantics: each supplier key survives
+    min(count_left, count_right) times, unlike g3's set INTERSECT which
+    collapses to one.  The bag form is what reconciliation jobs need
+    ("how many line-level matches", not "which keys match at all").
+
+    Plan shape: Spark rewrites INTERSECT ALL into a per-side count
+    aggregate + join + sequence-explode (generate min(c1,c2) copies) —
+    ONE shuffle per side on the key, never a row-by-row comparison;
+    duplicate-heavy keys collapse to a single counted row before the
+    join, which is exactly how you'd hand-optimize it."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "g9_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_quantity >= 25
+    """,
+)
+def g9_except_all(spark, sf_dir) -> DataFrame:
+    """EXCEPT ALL — bag difference: each key survives
+    max(0, count_left - count_right) times (g4's set EXCEPT answers
+    membership; this answers SURPLUS — e.g. "how many returned lines
+    have no matching high-quantity line", the shape of inventory and
+    ledger reconciliation).  Same counted-aggregate rewrite as g8:
+    per-side counts, join, explode the positive difference."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")
+    return a.exceptAll(b)

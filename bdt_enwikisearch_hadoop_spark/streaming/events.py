@@ -1173,6 +1173,55 @@ def transform_with_state_available() -> bool:
 
 
 @query(
+    "k12_window_topk",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL 6 HOUR, ts)) AS BIGINT)
+                   AS bucket_s,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT bucket_s, event_type, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_s
+                                       ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    WHERE rn <= 2
+    """,
+)
+def k12_window_topk(spark, sf_dir) -> DataFrame:
+    """Per-window top-k: the two busiest event types in every 6-hour
+    window (k1's windowed count composed with e7's per-group rank) —
+    the "trending items per time slice" query every event-analytics
+    surface serves.
+
+    100 TB shape: the windowed count collapses map-side to
+    (n_windows × n_types) rows — TINY — so the rank window runs over
+    an aggregate, never over raw events; both steps share one
+    exchange keyed by the window bucket.  Streaming form: k1's
+    windowed aggregate in append mode feeding the same rank in a
+    foreachBatch sink."""
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.groupBy(F.window("ts2", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+            "event_type",
+            "n",
+        )
+    )
+    rank_w = Window.partitionBy("bucket_s").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 2)
+        .select("bucket_s", "event_type", "n")
+    )
+
+
+@query(
     "k10_time_rollup",
     oracle="""
     SELECT event_type,
