@@ -5,13 +5,15 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli search spark join
     python -m bdt_enwikisearch_hadoop_spark.cli build-index /tmp/idx
     python -m bdt_enwikisearch_hadoop_spark.cli search-index /tmp/idx spark join
+    python -m bdt_enwikisearch_hadoop_spark.cli search-vsm /tmp/idx spark join
     python -m bdt_enwikisearch_hadoop_spark.cli bench-key i6_search_and
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
-build-once/serve-many shape (bucketed postings store, index_store.py).
-All commands accept ``--sf-dir`` (default /root/testdata/sf0.001) and
-``--k``.
+build-once/serve-many shape (bucketed postings store, index_store.py);
+``search-vsm`` serves i17's length-normalized cosine ranking from the
+same store plus its persisted per-document norms table.  All commands
+accept ``--sf-dir`` (default /root/testdata/sf0.001) and ``--k``.
 """
 
 from __future__ import annotations
@@ -71,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--any", action="store_true")
 
+    v = sub.add_parser(
+        "search-vsm",
+        help="length-normalized VSM cosine retrieval from a built index",
+    )
+    v.add_argument("path")
+    v.add_argument("terms", nargs="+")
+    v.add_argument("--table", default="cli_index")
+    v.add_argument("--k", type=int, default=10)
+
     r = sub.add_parser("bench-key", help="run one registered query and print timing")
     r.add_argument("key")
 
@@ -108,6 +119,24 @@ def main(argv: list[str] | None = None) -> int:
         rows = search_index(
             spark, args.table, tuple(args.terms), k=args.k,
             conjunctive=not args.any,
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['score']}")
+        return 0
+
+    if args.cmd == "search-vsm":
+        from .functions.index_store import search_index_vsm
+
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_norms", f"{args.path.rstrip('/')}_norms"),
+        ):
+            if not spark.catalog.tableExists(table):
+                spark.sql(
+                    f"CREATE TABLE {table} USING parquet LOCATION '{path}'"
+                )
+        rows = search_index_vsm(
+            spark, args.table, tuple(args.terms), k=args.k
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['score']}")

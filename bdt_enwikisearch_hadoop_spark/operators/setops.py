@@ -168,11 +168,13 @@ def g8_intersect_all(spark, sf_dir) -> DataFrame:
     collapses to one.  The bag form is what reconciliation jobs need
     ("how many line-level matches", not "which keys match at all").
 
-    Plan shape: Spark rewrites INTERSECT ALL into a per-side count
-    aggregate + join + sequence-explode (generate min(c1,c2) copies) —
-    ONE shuffle per side on the key, never a row-by-row comparison;
-    duplicate-heavy keys collapse to a single counted row before the
-    join, which is exactly how you'd hand-optimize it."""
+    Plan shape (verified via .explain): Spark rewrites INTERSECT ALL
+    into a tagged UNION (each side contributes a marker column) → ONE
+    counting aggregate keyed by the value (both per-side counts ride
+    the same partial/final pair) → `replicaterows(min(c1,c2))` — a
+    single shuffle total, no join at all; duplicate-heavy keys
+    collapse to one counted row map-side, which is exactly how you'd
+    hand-optimize a 100 TB bag intersection."""
     li = load(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     b = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")
@@ -192,8 +194,9 @@ def g9_except_all(spark, sf_dir) -> DataFrame:
     max(0, count_left - count_right) times (g4's set EXCEPT answers
     membership; this answers SURPLUS — e.g. "how many returned lines
     have no matching high-quantity line", the shape of inventory and
-    ledger reconciliation).  Same counted-aggregate rewrite as g8:
-    per-side counts, join, explode the positive difference."""
+    ledger reconciliation).  Same tagged-union + single counting
+    aggregate + replicaterows rewrite as g8 — one shuffle, no join —
+    exploding the positive count difference instead of the min."""
     li = load(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     b = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")

@@ -550,9 +550,15 @@ def f12_tpch_q15(spark, sf_dir) -> DataFrame:
     exact in both engines — never compare raw float sums for equality.
 
     100 TB shape: the view aggregates to supplier-cardinality (tiny) in
-    ONE shuffle; MAX over it is a scalar broadcast; the supplier join
-    broadcasts the dim.  Catalyst reuses the view's exchange for both
-    consumers (ReuseExchange), so lineitem is scanned once."""
+    ONE shuffle, then the global MAX rides a single-partition WINDOW
+    over that aggregate — deliberately, because the scalar-subquery
+    formulation plans the view twice (exchange reuse does not engage
+    across the AQE broadcast boundary; observed: two full lineitem
+    scans), while the window form provably scans lineitem ONCE
+    (plan-guarded in tests/test_plans.py).  A one-partition window is
+    the §2.0-forbidden global-window shape ONLY when applied to raw
+    data; over a supplier-sized aggregate it is a metadata-cost
+    reduction, the same bounded exception as the IVF shortlist."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -573,11 +579,15 @@ def f12_tpch_q15(spark, sf_dir) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         total_revenue
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    from pyspark.sql import Window
+
+    ranked = revenue.withColumn(
+        "mx",
+        F.max("total_revenue").over(Window.partitionBy()),
+    )
     s = load(spark, sf_dir, "supplier")
     return (
-        s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .crossJoin(F.broadcast(mx))
+        s.join(ranked, s.s_suppkey == ranked.supplier_no)
         .filter(F.col("total_revenue") == F.col("mx"))
         .select(
             "s_suppkey",

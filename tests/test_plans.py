@@ -578,3 +578,19 @@ def test_f25_q21_opposing_subqueries_become_semi_and_anti(spark, sf_dir):
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_f12_q15_scans_lineitem_once(spark, sf_dir):
+    """Q15's revenue view must be computed ONCE: the global-max
+    comparison rides a window over the supplier-sized aggregate, so
+    exactly one lineitem scan appears in the plan (the scalar-subquery
+    formulation plans two — the regression this guards against)."""
+    import re
+
+    p = _plan(spark, sf_dir, "f12_tpch_q15")
+    li_scans = [
+        ln
+        for ln in p.splitlines()
+        if "FileScan parquet" in ln and "l_suppkey" in ln
+    ]
+    assert len(li_scans) == 1, p
