@@ -1618,3 +1618,187 @@ def j36_pipeline_quality_metrics(spark, sf_dir) -> DataFrame:
         "distinct_ratio__min double, distinct_ratio__max double"
     )
     return spark.createDataFrame([tuple(m[f] for f in fields)], schema)
+
+
+# ---------------------------------------------------------------------------
+# j37 — chunk-level exact dedup (FineWeb/C4-style line dedup analog)
+# ---------------------------------------------------------------------------
+
+_CHUNK_T = 16  # tokens per chunk (fixture docs have no newlines, so the
+#: "line" unit of published line-level dedup is a fixed token window)
+
+
+@query(
+    "j37_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    ch AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               md5(array_to_string(
+                   t[i * {_CHUNK_T} + 1 : i * {_CHUNK_T} + {_CHUNK_T}],
+                   ' ')) AS h
+        FROM toks,
+             LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(t) / {_CHUNK_T}.0) AS BIGINT))) AS i)
+    ),
+    ranked AS (
+        SELECT doc_id, chunk_idx,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS total_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_chunks,
+           FLOOR(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 10000.0
+                 / COUNT(*)) / 10000 AS retained
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def j37_chunk_dedup(spark, sf_dir) -> DataFrame:
+    """Chunk-level exact dedup across the corpus — the FineWeb/C4
+    "line dedup" published recipe, with a fixed 16-token chunk
+    standing in for the newline unit the fixture lacks: a chunk is
+    kept only at its FIRST corpus occurrence (doc_id, then position,
+    ascending), and every document reports how much of it survives —
+    the remove-duplicated-content-not-whole-docs middle ground between
+    j1 (whole-doc) and j31 (every 8-token span).
+
+    Plan: chunking is IN-ROW array arithmetic on the token array
+    (``transform(sequence(...), i -> array_join(slice(t, ...)))``) —
+    no join, no shuffle, ~1/16 the rows of a token explode.
+    The only corpus-sized shuffle is the hash window deciding the
+    keeper (row_number over chunk-hash); the final per-doc aggregate
+    reuses nothing but doc-keyed rows.  At 100 TB the hot concern is
+    boilerplate chunks repeated millions of times — one hash owning a
+    huge partition — which AQE skew-split handles because rank-by-
+    (doc, pos) only ever KEEPS one row per hash; a two-level
+    min-of-min pre-aggregate (min (doc,idx) per hash per partition)
+    is the documented fallback, same trick as j28's keeper."""
+    docs = load(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(t) / {_CHUNK_T}.0)"
+                    f" AS INT) - 1), i -> "
+                    f"array_join(slice(t, i * {_CHUNK_T} + 1, {_CHUNK_T}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select("doc_id", "chunk_idx", F.md5(F.col("chunk")).alias("h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("kept_chunks"),
+            (
+                F.floor(
+                    F.sum((F.col("rn") == 1).cast("long")) * 10000.0
+                    / F.count(F.lit(1))
+                )
+                / 10000
+            ).alias("retained"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j38 — DSIR importance weight (Xie et al. 2023, unigram features)
+# ---------------------------------------------------------------------------
+
+#: "target distribution" slice of the corpus (the high-quality side of
+#: DSIR's target-vs-raw density ratio); sources are the fixture's only
+#: non-degenerate doc grouping.
+_DSIR_TARGET = ("src1", "src2", "src3")
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+@query(
+    "j38_dsir_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term,
+               COUNT(*) AS cr,
+               CAST(SUM(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM tok GROUP BY term
+    ),
+    tots AS (SELECT SUM(cr) AS r, SUM(ct) AS t, COUNT(*) AS v FROM freq),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, term)
+    SELECT tf.doc_id,
+           FLOOR(SUM(tf * (LN((ct + 1.0) / (t + v))
+                           - LN((cr + 1.0) / (r + v)))) * 10000) / 10000
+               AS logw,
+           CAST(SUM(tf) AS BIGINT) AS n_toks
+    FROM tf JOIN freq USING (term) CROSS JOIN tots
+    GROUP BY tf.doc_id
+    """,
+)
+def j38_dsir_score(spark, sf_dir) -> DataFrame:
+    """DSIR importance weight (Data Selection via Importance
+    Resampling, Xie et al. 2023): per document, the log density ratio
+    of a TARGET language model over the RAW-corpus model, with unigram
+    features and add-1 smoothing over the shared vocabulary —
+    log w(x) = Σ_t tf_t(x) · (ln p̂_target(t) − ln p̂_raw(t)).
+    Documents that look like the target slice score high and would be
+    kept under importance resampling; the published pipeline hashes
+    n-grams into buckets, which for the fixture vocabulary (≪ bucket
+    count) is identity — plain unigrams keep the oracle exact.
+
+    Plan: ONE tokenize pass feeds both distributions — the per-term
+    aggregate carries (raw count, conditional target count) side by
+    side, so the target slice costs a CASE, not a second scan.  The
+    vocabulary table and its 3-scalar totals BROADCAST onto the
+    per-doc tf aggregate (the only corpus-sized shuffle).  At 100 TB
+    with hashed features the vocab table is fixed-size (2^16 buckets)
+    regardless of corpus — strictly broadcastable; the score pass is
+    embarrassingly parallel."""
+    return dsir_scores(load(spark, sf_dir, "documents"), _DSIR_TARGET)
+
+
+def dsir_scores(docs: DataFrame, target_sources) -> DataFrame:
+    """j38's core, parameterized by the target slice (a degenerate
+    target == every source must score exactly 0.0 for every doc —
+    ct==cr termwise so the log-ratio vanishes; property-tested)."""
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("source").isin(*target_sources).cast("long")).alias("ct"),
+    )
+    tots = freq.agg(
+        F.sum("cr").alias("r"), F.sum("ct").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    contrib = F.col("tf") * (
+        F.log((F.col("ct") + 1.0) / (F.col("t") + F.col("v")))
+        - F.log((F.col("cr") + 1.0) / (F.col("r") + F.col("v")))
+    )
+    return (
+        tf.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("doc_id")
+        .agg(
+            (F.floor(F.sum(contrib) * 10000) / 10000).alias("logw"),
+            F.sum("tf").alias("n_toks"),
+        )
+    )

@@ -662,3 +662,138 @@ def i17_vsm_cosine(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i18 — arbitrary-length phrase search over a positional index
+# ---------------------------------------------------------------------------
+
+#: fixed 3-token phrase (frequent in the fixture vocabulary; several
+#: docs contain it more than once, so occurrence counting is exercised).
+PHRASE3 = ("slow", "hash", "batch")
+
+
+@query(
+    "i18_phrase_positional",
+    oracle=f"WITH {_TOK_CTE} "
+    f"""
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM tok a
+    JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.term = '{PHRASE3[0]}' AND b.term = '{PHRASE3[1]}'
+      AND c.term = '{PHRASE3[2]}'
+    GROUP BY a.doc_id
+    """,
+)
+def i18_phrase_positional(spark, sf_dir) -> DataFrame:
+    """Arbitrary-length phrase query evaluated the way a POSITIONAL
+    inverted index serves it: one postings row (term, doc_id,
+    positions[]) per query term, doc-keyed equi-joins between the k
+    postings lists, then the adjacency check runs IN-ROW over the
+    position arrays with higher-order functions — no per-position
+    join rows, unlike i8's row-level self-join (the right plan for a
+    2-term phrase, but k-1 position-level shuffles for a k-term one).
+
+    Plan: tokenize → filter to the query terms BEFORE any shuffle —
+    Catalyst pushes each branch's single-term predicate below its
+    postings groupBy, so every exchange carries ONE term's positions
+    (|docs-with-term| rows, never the corpus), and the doc-keyed joins
+    between the three postings slices are BroadcastHashJoins.
+    ``size(filter(p0, p -> contains(p1,p+1) && contains(p2,p+2)))``
+    counts occurrences JVM-side.  At 100 TB the postings come from the
+    persisted i5-style index (term-pruned scan), so query cost is
+    3 postings lists + 2 small joins, independent of corpus size."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    posting = (
+        tok.filter(F.col("term").isin(*PHRASE3))
+        .groupBy("term", "doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+    )
+    p0 = posting.filter(F.col("term") == PHRASE3[0]).select("doc_id", F.col("ps").alias("p0"))
+    p1 = posting.filter(F.col("term") == PHRASE3[1]).select("doc_id", F.col("ps").alias("p1"))
+    p2 = posting.filter(F.col("term") == PHRASE3[2]).select("doc_id", F.col("ps").alias("p2"))
+    n = F.size(
+        F.expr(
+            "filter(p0, p -> array_contains(p1, p + 1) "
+            "AND array_contains(p2, p + 2))"
+        )
+    )
+    return (
+        p0.join(p1, "doc_id")
+        .join(p2, "doc_id")
+        .select("doc_id", n.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# i20 — query-likelihood ranking with Dirichlet smoothing (Zhai &
+# Lafferty 2001; the classic LM-based alternative to BM25/VSM)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 100  # Dirichlet prior mass; ~fixture mean doc length
+
+
+@query(
+    "i20_query_likelihood",
+    oracle=f"WITH {_TOK_CTE}, "
+    f"""
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS ctot FROM tok),
+    qstats AS (SELECT term, COUNT(*) AS cf FROM tok
+               WHERE term IN ({_TERMS_SQL}) GROUP BY term),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term),
+    cand AS (SELECT DISTINCT doc_id FROM tf)
+    SELECT cand.doc_id,
+           FLOOR(SUM(LN((COALESCE(tf.tf, 0) + {_QL_MU} * cf / ctot)
+                        / (dl + {_QL_MU}))) * 10000) / 10000 AS score
+    FROM cand
+    CROSS JOIN qstats
+    CROSS JOIN corpus
+    JOIN dl USING (doc_id)
+    LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = qstats.term
+    GROUP BY cand.doc_id
+    ORDER BY score DESC, cand.doc_id
+    LIMIT 10
+    """,
+)
+def i20_query_likelihood(spark, sf_dir) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing:
+    score(d) = Σ_{t∈Q} ln( (tf_{t,d} + μ·cf_t/|C|) / (|d| + μ) ),
+    disjunctive candidates (≥1 query term), top-10, 4dp-floored score
+    with doc_id tiebreak.  Docs NOT containing a query term still pay
+    that term's smoothed probability — the zero-tf contribution — so
+    candidates are crossed with the per-term stats and tf left-joined.
+
+    Plan: term stats (cf per query term, corpus size, per-doc length)
+    are aggregates of the one tokenize pass; cf/ctot is a |Q|-row
+    table and the corpus total a single-row scalar — both BROADCAST,
+    never collected.  The only corpus-shaped shuffles are the tf and
+    dl aggregations (at 100 TB both live precomputed beside the i5
+    index; dl is the same per-doc stat BM25 needs).  The candidate ×
+    query-term expansion is |cand|·|Q| rows — query-shaped, tiny."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = tok.agg(F.count(F.lit(1)).alias("ctot"))
+    qtok = tok.filter(F.col("term").isin(*QUERY_TERMS))
+    qstats = qtok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cand = tf.select("doc_id").distinct()
+    contrib = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0))
+         + F.lit(_QL_MU) * F.col("cf") / F.col("ctot"))
+        / (F.col("dl") + F.lit(_QL_MU))
+    )
+    return (
+        cand.join(F.broadcast(qstats))
+        .join(F.broadcast(corpus))
+        .join(dl, "doc_id")
+        .join(tf, ["doc_id", "term"], "left")
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(contrib) * 10000) / 10000).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -1312,3 +1312,136 @@ def k11_last_state(spark, sf_dir) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "k13_pattern_sequence",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ns(ts) AS tns,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(epoch_ns(ts), 2) OVER w AS end_tns,
+               lead(event_id, 2) OVER w AS end_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS start_event_id,
+           end_event_id,
+           tns // {_NS_PER_S} AS start_s,
+           end_tns // {_NS_PER_S} AS end_s
+    FROM ev
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+)
+def k13_pattern_sequence(spark, sf_dir) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: emit every place a
+    user's event stream contains the STRICTLY CONSECUTIVE pattern
+    view → click → purchase (no other event of that user in between —
+    the contiguous-match semantics of SQL row-pattern matching, unlike
+    k5's funnel which allows gaps).
+
+    Spark has no MATCH_RECOGNIZE; the portable formulation is lead()
+    over the per-user order: a row matches iff its type is 'view' and
+    the next two types are 'click','purchase'.  ONE shuffle on user_id
+    and ONE in-partition sort serve all four lead() columns (same
+    window spec → same exchange + sort pass), then the match predicate
+    is a narrow filter — linear in the log, state bounded by the
+    pattern length, exactly how a streaming CEP engine would evaluate
+    it.  Timestamps compared/emitted as exact bigint ns → epoch s."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+            F.lead("ts", 2).over(w).alias("end_tns"),
+            F.lead("event_id", 2).over(w).alias("end_event_id"),
+        )
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            "end_event_id",
+            F.expr(f"ts DIV {_NS_PER_S}").alias("start_s"),
+            F.expr(f"end_tns DIV {_NS_PER_S}").alias("end_s"),
+        )
+    )
+
+
+@query(
+    "k14_scd2_build",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+        FROM events
+    ),
+    island AS (
+        SELECT user_id, event_type AS state,
+               MIN(tns) AS from_tns, COUNT(*) AS n_events
+        FROM ev GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, state,
+           from_tns // {_NS_PER_S} AS valid_from_s,
+           lead(from_tns) OVER (PARTITION BY user_id ORDER BY from_tns)
+               // {_NS_PER_S} AS valid_to_s,
+           n_events,
+           CAST(lead(from_tns) OVER (PARTITION BY user_id
+                                     ORDER BY from_tns) IS NULL
+                AS INT) AS is_current
+    FROM island
+    """,
+)
+def k14_scd2_build(spark, sf_dir) -> DataFrame:
+    """SCD Type-2 dimension build from a change log: collapse each
+    user's CONSECUTIVE runs of the same event_type into versioned
+    rows with [valid_from, valid_to) validity and an is_current flag —
+    the standard warehouse history table, derived with gaps-and-islands
+    (difference of two row_numbers) exactly like k3's sessionization.
+
+    Plan: one shuffle on user_id whose sorted partitions serve both
+    row_number specs (the second adds event_type to the partition key —
+    a narrow regrouping of already-sorted rows), one (user, type, grp)
+    aggregate, then lead() per user for the validity chain on the
+    island table, which is run-count-sized, far smaller than the log.
+    At 100 TB this is the per-partition-day compaction job: union the
+    previous snapshot's open rows with today's log and rebuild only
+    touched users (the user_id shuffle prunes to changed keys)."""
+    e = load(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_all = Window.partitionBy("user_id").orderBy(*order)
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    islands = (
+        e.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+        )
+        .groupBy("user_id", F.col("event_type").alias("state"), "grp")
+        .agg(F.min("ts").alias("from_tns"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w_chain = Window.partitionBy("user_id").orderBy("from_tns")
+    return (
+        islands.withColumn("to_tns", F.lead("from_tns").over(w_chain))
+        .select(
+            "user_id",
+            "state",
+            F.expr(f"from_tns DIV {_NS_PER_S}").alias("valid_from_s"),
+            # exact bigint floor-div — ns epochs overflow double's 2^53
+            F.expr(f"to_tns DIV {_NS_PER_S}").alias("valid_to_s"),
+            "n_events",
+            F.col("to_tns").isNull().cast("int").alias("is_current"),
+        )
+    )

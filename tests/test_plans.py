@@ -594,3 +594,25 @@ def test_f12_q15_scans_lineitem_once(spark, sf_dir):
         if "FileScan parquet" in ln and "l_suppkey" in ln
     ]
     assert len(li_scans) == 1, p
+
+
+def test_i18_postings_term_pruned_and_broadcast_joined(spark, sf_dir):
+    """Positional phrase search must never shuffle position-level join
+    rows: each postings build is filtered to its single query term
+    BELOW the (term, doc) exchange, and the doc-keyed joins between
+    the three postings slices broadcast."""
+    p = _plan(spark, sf_dir, "i18_phrase_positional")
+    assert "IN (slow,hash,batch)" in p  # pushed below the postings agg
+    assert p.count("BroadcastHashJoin") == 2
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_j38_vocab_broadcasts_onto_tf(spark, sf_dir):
+    """DSIR's vocabulary table and scalar totals must broadcast onto
+    the per-doc tf aggregate — the only corpus-sized shuffles are the
+    two token aggregations, never a term-keyed sort-merge join."""
+    p = _plan(spark, sf_dir, "j38_dsir_score")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in p  # the single-row totals
+    assert "SortMergeJoin" not in p

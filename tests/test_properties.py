@@ -852,3 +852,74 @@ def test_j36_metrics_equal_direct_aggregates_over_j16(spark, sf_dir):
     assert m["distinct_ratio__min"] == direct["rmin"]
     assert m["distinct_ratio__max"] == direct["rmax"]
     assert m["doc_id__nulls"] == 0 and m["lang__nulls"] == 0
+
+
+def test_k14_scd2_versions_tile_per_user(spark, sf_dir):
+    """SCD-2 invariants: per user, version rows chain exactly —
+    each valid_to equals the next valid_from, intervals never
+    overlap, and precisely ONE open (is_current) row exists."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["k14_scd2_build"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.valid_from_s)
+        assert sum(r.is_current for r in vs) == 1, user
+        assert vs[-1].is_current == 1 and vs[-1].valid_to_s is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_s == b.valid_from_s, user
+            assert a.valid_from_s <= a.valid_to_s, user
+
+
+def test_j37_kept_chunks_equal_distinct_hashes(spark, sf_dir):
+    """Chunk dedup accounting: exactly one keeper per distinct chunk
+    hash corpus-wide, and no document retains more than it has."""
+    import pyspark.sql.functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    agg = (
+        QUERIES["j37_chunk_dedup"](spark, sf_dir)
+        .agg(
+            F.sum("kept_chunks").alias("kept"),
+            F.sum("total_chunks").alias("total"),
+            F.max(F.col("kept_chunks") > F.col("total_chunks")).alias("over"),
+        )
+        .first()
+    )
+    n_hashes = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(split(lower(text),"
+                    "' ')) / 16.0) AS INT) - 1), i -> md5(array_join("
+                    "slice(split(lower(text), ' '), i * 16 + 1, 16), ' ')))"
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.kept == n_hashes
+    assert not agg.over and agg.kept <= agg.total
+
+
+def test_j38_degenerate_target_scores_exactly_zero(spark, sf_dir):
+    """DSIR with target == the whole corpus: ct == cr for every term,
+    so the per-term log-ratio vanishes and every document's weight is
+    exactly 0.0 — bit-exact, not approximately."""
+    import pyspark.sql.functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import dsir_scores
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    all_sources = [r.source for r in docs.select("source").distinct().collect()]
+    scored = dsir_scores(docs, all_sources)
+    assert scored.filter(F.col("logw") != 0.0).count() == 0
+    assert scored.count() == docs.count()
