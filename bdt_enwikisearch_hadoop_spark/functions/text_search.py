@@ -668,9 +668,10 @@ def i17_vsm_cosine(spark, sf_dir) -> DataFrame:
 # i18 — arbitrary-length phrase search over a positional index
 # ---------------------------------------------------------------------------
 
-#: fixed 3-token phrase (frequent in the fixture vocabulary; several
-#: docs contain it more than once, so occurrence counting is exercised).
-PHRASE3 = ("slow", "hash", "batch")
+#: fixed 3-token phrase — present at EVERY fixture scale (so the parity
+#: test never passes on an empty result set), with multi-occurrence docs
+#: at sf0.1 exercising the per-doc occurrence count.
+PHRASE3 = ("join", "part", "filter")
 
 
 @query(

@@ -602,7 +602,7 @@ def test_i18_postings_term_pruned_and_broadcast_joined(spark, sf_dir):
     BELOW the (term, doc) exchange, and the doc-keyed joins between
     the three postings slices broadcast."""
     p = _plan(spark, sf_dir, "i18_phrase_positional")
-    assert "IN (slow,hash,batch)" in p  # pushed below the postings agg
+    assert "IN (join,part,filter)" in p  # pushed below the postings agg
     assert p.count("BroadcastHashJoin") == 2
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
