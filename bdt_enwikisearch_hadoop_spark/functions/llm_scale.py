@@ -34,6 +34,7 @@ from ..sources import load, rebalance
 from .llm_pipeline import (
     _SHINGLE_CTE,
     _duck_cos,
+    dot,
     shingle_sets,
     shingles,
     vec_double,
@@ -1802,3 +1803,272 @@ def dsir_scores(docs: DataFrame, target_sources) -> DataFrame:
             F.sum("tf").alias("n_toks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j39 — overlapping-window chunking (RAG / context-window ingest)
+# ---------------------------------------------------------------------------
+
+_RAG_SIZE = 16  # tokens per chunk
+_RAG_STRIDE = 8  # overlap = size - stride
+
+
+@query(
+    "j39_rag_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source,
+                         string_split(lower(text), ' ') AS t
+                  FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * {_RAG_STRIDE} AS INT) AS start_tok,
+           CAST(least({_RAG_SIZE}, len(t) - i * {_RAG_STRIDE}) AS INT)
+               AS n_toks,
+           array_to_string(
+               t[i * {_RAG_STRIDE} + 1 : i * {_RAG_STRIDE} + {_RAG_SIZE}],
+               ' ') AS chunk_text,
+           lang, source
+    FROM toks,
+         LATERAL (SELECT unnest(range(0,
+             GREATEST(1, CAST(ceil((len(t) - {_RAG_SIZE}) / {_RAG_STRIDE}.0)
+                        AS BIGINT) + 1))) AS i)
+    WHERE i * {_RAG_STRIDE} < len(t)
+    """,
+)
+def j39_rag_chunks(spark, sf_dir) -> DataFrame:
+    """Overlapping-window chunking — the standard RAG / context-window
+    ingest transform: 16-token windows at stride 8 (50% overlap so no
+    phrase is ever split across ALL chunks containing it), each chunk
+    carrying its provenance (doc_id, chunk_idx, token offset) and the
+    document metadata (lang, source) it must travel with through
+    embedding and retrieval.  Window starts run to the last position
+    that still yields new tokens; the final window may be short.
+
+    Plan: like j37, chunk enumeration is IN-ROW array arithmetic
+    (``transform(sequence(...))`` over the token array then ONE
+    posexplode) — no join, no shuffle at all: the whole operator is a
+    pipelined flatMap riding the scan, and at 100 TB it is bounded by
+    scan + write bandwidth.  Downstream embedding is a mapInPandas
+    over these rows (m-family plumbing); the chunk store is written
+    partitioned by source for retrieval-side pruning."""
+    docs = load(spark, sf_dir, "documents")
+    n_starts = (
+        f"GREATEST(1, CAST(ceil((size(t) - {_RAG_SIZE}) / {_RAG_STRIDE}.0) "
+        f"AS INT) + 1)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.split(F.lower(F.col("text")), " ").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("t").alias("n"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_starts} - 1), i -> "
+                    f"array_join(slice(t, i * {_RAG_STRIDE} + 1, {_RAG_SIZE}),"
+                    f" ' '))"
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .filter(F.col("chunk_idx") * _RAG_STRIDE < F.col("n"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * _RAG_STRIDE).alias("start_tok"),
+            F.least(
+                F.lit(_RAG_SIZE), F.col("n") - F.col("chunk_idx") * _RAG_STRIDE
+            ).alias("n_toks"),
+            "chunk_text",
+            "lang",
+            "source",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# j40 — PageRank over the embedding kNN graph (iterative, full oracle)
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85  # damping
+_PR_BASE = 0.15  # (1-d) written as a LITERAL shared by both engines:
+#: Python's 1 - 0.85 is 0.15000000000000002, NOT the double "0.15"
+#: parses to — a 1-ulp trap that breaks bit-equality
+_PR_ITERS = 5  # fixed iteration count => SQL-unrollable oracle
+_PR_K = 3  # out-degree of the kNN graph
+
+
+def _pr_oracle() -> str:
+    parts = [
+        f"""WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    edges AS (
+        SELECT qid, nid FROM pairs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) <= {_PR_K}
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    r0 AS (SELECT vec_id, 1.0 / n AS r FROM embeddings CROSS JOIN n)"""
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    r{it} AS (
+        SELECT b.vec_id,
+               {_PR_BASE} / n.n + {_PR_D} * COALESCE(c.s, 0) AS r
+        FROM embeddings b
+        CROSS JOIN n
+        LEFT JOIN (
+            SELECT e.nid,
+                   list_reduce(
+                       list_transform(list(p.r ORDER BY e.qid),
+                                      x -> x / {_PR_K}.0),
+                       (acc, x) -> acc + x) AS s
+            FROM edges e JOIN r{it - 1} p ON p.vec_id = e.qid
+            GROUP BY e.nid
+        ) c ON c.nid = b.vec_id
+    )"""
+        )
+    parts.append(f"\n    SELECT vec_id, r AS rank FROM r{_PR_ITERS}")
+    return "".join(parts)
+
+
+@query("j40_pagerank", oracle=_pr_oracle())
+def j40_pagerank(spark, sf_dir) -> DataFrame:
+    """PageRank over the directed embedding kNN graph (each vector →
+    its 3 nearest cosine neighbors): 5 synchronous iterations of
+    r' = (1-d)/N + d·Σ_in r/3, d = 0.85 — the canonical iterative
+    graph algorithm, here used the way data pipelines actually use it:
+    centrality over a similarity graph picks REPRESENTATIVE documents
+    (high rank = prototypical, low rank = outlier) for curation and
+    curriculum ordering.  Out-degree is exactly k for every node, so
+    there is no dangling mass; the fixed iteration count makes the
+    oracle exactly expressible as 5 unrolled SQL CTEs.
+
+    Cross-engine BIT-EQUALITY, no rounding anywhere: the only
+    order-sensitive operation — the in-edge contribution sum — is a
+    SEQUENTIAL fold over the in-neighbor ranks sorted by source id
+    (Spark ``array_sort + F.aggregate`` ≡ DuckDB ``list(ORDER BY) +
+    list_reduce``; 0.0 + x == x makes the inits identical), the j29
+    trick applied to a fixed-point loop.  All scalar constants are
+    shared double literals — note _PR_BASE: Python's ``1 - 0.85``
+    differs from the double ``0.15`` by one ulp.  Edge selection ranks
+    on the 4dp-rounded cosine with nid tiebreak (j4's recipe) — at
+    4dp, numpy-matmul cosines agree with the oracle's fold (the same
+    contract j12's block grid has held since round 3).
+
+    Scale: the kNN build rides j12's distributed block-pair grid (one
+    numpy matmul per block pair, no corpus-sized collect/broadcast),
+    with MAP-SIDE partial top-k: each task emits only its own top-3
+    per query vector, so the global window ranks B·k candidate rows
+    per node instead of N — the global top-k is always a subset of the
+    per-task top-ks because the tasks partition the candidate set.
+    At 100 TB the grid is replaced by j13/j21-style IVF or j22 LSH
+    candidates (same swap as the dedup family; the PageRank loop only
+    ever touches the EDGE list).  Each iteration is one join + one
+    aggregate shuffled on vec_id — O(E) per round with k·N edges, and
+    ``localCheckpoint`` truncates lineage per round exactly like j20's
+    pointer doubling."""
+    import numpy as np
+    import pandas as pd
+
+    B = _J12_BLOCKS
+    k = _PR_K
+
+    def block_topk(key, pdf):
+        ga, gb = int(key[0]), int(key[1])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qs, ns, cs = [], [], []
+
+        def emit(q_ids, q_mat, n_ids, n_mat, same):
+            if len(q_ids) == 0 or len(n_ids) == 0:
+                return
+            sims = np.round(q_mat @ n_mat.T, 4)
+            for row in range(len(q_ids)):
+                s, cand = sims[row], n_ids
+                if same:  # drop the self-pair
+                    keep = cand != q_ids[row]
+                    s, cand = s[keep], cand[keep]
+                top = np.lexsort((cand, -s))[:k]
+                qs.extend([q_ids[row]] * len(top))
+                ns.extend(cand[top])
+                cs.extend(s[top])
+
+        if ga == gb:
+            emit(ids, mat, ids, mat, True)
+        else:
+            a_side = pdf["blk"].to_numpy() == ga
+            emit(ids[a_side], mat[a_side], ids[~a_side], mat[~a_side], False)
+            emit(ids[~a_side], mat[~a_side], ids[a_side], mat[a_side], False)
+        return pd.DataFrame({"qid": qs, "nid": ns, "cos": cs})
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    grid = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(B)).alias("blk"),
+        F.explode(F.array(*[F.lit(j) for j in range(B)])).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least(F.col("blk"), F.col("other")).alias("ga"),
+        F.greatest(F.col("blk"), F.col("other")).alias("gb"),
+    )
+    cand = grid.groupBy("ga", "gb").applyInPandas(
+        block_topk, schema="qid long, nid long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    edges = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid")
+        .localCheckpoint()  # edges feed every iteration: build once
+    )
+    n = emb.count()  # bounded scalar (metadata-sized), like j20's rounds
+    nodes = emb.select("vec_id")
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("vec_id", "qid"), "qid")
+            .groupBy("nid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("qid", "r"))).alias("xs")
+            )
+            .select(
+                "nid",
+                F.aggregate(
+                    F.col("xs"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["r"] / _PR_K,
+                ).alias("s"),
+            )
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("nid", "vec_id"), "vec_id", "left"
+            )
+            .select(
+                "vec_id",
+                (
+                    F.lit(_PR_BASE / n)
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("vec_id", F.col("r").alias("rank"))

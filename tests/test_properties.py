@@ -923,3 +923,42 @@ def test_j38_degenerate_target_scores_exactly_zero(spark, sf_dir):
     scored = dsir_scores(docs, all_sources)
     assert scored.filter(F.col("logw") != 0.0).count() == 0
     assert scored.count() == docs.count()
+
+
+def test_j39_chunks_reconstruct_every_document(spark, sf_dir):
+    """Overlap accounting: taking the first stride(=8) tokens of every
+    chunk, plus the remainder of each doc's final chunk, must
+    reconstruct the original token stream exactly — no token lost or
+    duplicated by the windowing."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    chunks = QUERIES["j39_rag_chunks"](spark, sf_dir).collect()
+    originals = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(originals)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c.chunk_idx)
+        toks: list = []
+        for c in cs[:-1]:
+            toks.extend(c.chunk_text.split(" ")[:8])
+        toks.extend(cs[-1].chunk_text.split(" "))
+        assert toks == originals[doc_id], doc_id
+        assert all(c.start_tok == c.chunk_idx * 8 for c in cs)
+
+
+def test_j40_rank_mass_conserved(spark, sf_dir):
+    """With every node emitting exactly k out-edges there is no
+    dangling mass, so total PageRank stays 1 through every iteration
+    (up to float accumulation ~1e-12)."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["j40_pagerank"](spark, sf_dir).collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r.rank > 0 for r in rows)
