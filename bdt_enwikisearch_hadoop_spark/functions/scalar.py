@@ -479,3 +479,45 @@ def h13_interval_datemath(spark, sf_dir) -> DataFrame:
         .cast("long")
         .alias("months_elapsed"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "h14_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS and_line,
+           bit_or(l_linenumber) AS or_line,
+           bit_xor(l_orderkey) AS xor_order,
+           MIN(l_orderkey & l_partkey) AS min_and,
+           MAX(l_orderkey | l_linenumber) AS max_or,
+           MIN((l_orderkey << 2) | l_linenumber) AS min_shift_or,
+           CAST(SUM(bit_count(CAST(l_partkey AS BIGINT))) AS BIGINT)
+               AS popcount_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def h14_bitwise(spark, sf_dir) -> DataFrame:
+    """Bitwise surface battery: the bit_and/bit_or/bit_xor AGGREGATES
+    (flag-intersection / union / parity fingerprints over packed
+    bitfields) alongside scalar &, |, shifts and popcount — all
+    integer-exact, so both engines agree bit for bit.
+
+    Everything folds map-side into one partial aggregate per group:
+    bitwise aggregates are commutative/associative, the ideal partial-
+    agg shape; popcount rides the same pass.  (Bitmap-based distinct
+    counting over these primitives is d18.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_linenumber)").alias("and_line"),
+        F.expr("bit_or(l_linenumber)").alias("or_line"),
+        F.expr("bit_xor(l_orderkey)").alias("xor_order"),
+        F.expr("MIN(l_orderkey & l_partkey)").alias("min_and"),
+        F.expr("MAX(l_orderkey | l_linenumber)").alias("max_or"),
+        F.expr("MIN(shiftleft(l_orderkey, 2) | l_linenumber)").alias(
+            "min_shift_or"
+        ),
+        F.expr("SUM(bit_count(CAST(l_partkey AS BIGINT)))").alias(
+            "popcount_sum"
+        ),
+    )

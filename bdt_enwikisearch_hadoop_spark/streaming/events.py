@@ -1445,3 +1445,60 @@ def k14_scd2_build(spark, sf_dir) -> DataFrame:
             F.col("to_tns").isNull().cast("int").alias("is_current"),
         )
     )
+
+
+@query(
+    "k15_interarrival",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               epoch_ns(ts) - lag(epoch_ns(ts)) OVER w AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           COUNT(gap) AS n_gaps,
+           FLOOR(SUM(gap) * 10000.0 / COUNT(gap) / {_NS_PER_S}) / 10000
+               AS mean_gap_s,
+           FLOOR(quantile_cont(gap, 0.5) / {_NS_PER_S} * 10000) / 10000
+               AS p50_gap_s,
+           FLOOR(quantile_cont(gap, 0.9) / {_NS_PER_S} * 10000) / 10000
+               AS p90_gap_s
+    FROM g
+    WHERE gap IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def k15_interarrival(spark, sf_dir) -> DataFrame:
+    """Inter-arrival-time distribution per event type — mean / median /
+    p90 gap between consecutive events of each type, the arrival-rate
+    profile that sizes streaming state, watermarks and alert
+    thresholds (a p90 gap ≫ median flags bursty traffic).
+
+    One shuffle on event_type, one in-partition sort serving the lag;
+    the mean is an EXACT bigint-ns sum divided once at the end (never
+    a float AVG, whose accumulation order differs across engines), and
+    the percentiles are interpolating quantiles over ns-scale values
+    that sit far inside double's exact-integer range (d12's recipe).
+    At 100 TB event_type is low-cardinality → AQE skew handling, or
+    re-key by (type, day) and merge the per-day sketches (d13)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type", (F.col("ts") - F.lag("ts").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        (
+            F.floor(F.sum("gap") * 10000.0 / F.count("gap") / _NS_PER_S)
+            / 10000
+        ).alias("mean_gap_s"),
+        (
+            F.floor(F.expr("percentile(gap, 0.5)") / _NS_PER_S * 10000)
+            / 10000
+        ).alias("p50_gap_s"),
+        (
+            F.floor(F.expr("percentile(gap, 0.9)") / _NS_PER_S * 10000)
+            / 10000
+        ).alias("p90_gap_s"),
+    )
