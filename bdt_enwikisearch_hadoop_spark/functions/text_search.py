@@ -860,3 +860,108 @@ def i21_postings_delta(spark, sf_dir) -> DataFrame:
             / 10000
         ).alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i19 — suffix-stripping stemmer (Porter step-1 subset)
+# ---------------------------------------------------------------------------
+
+#: inflection suffixes appended to every vocabulary term IN-QUERY so
+#: the stemmer has real work at any fixture scale (the fixture
+#: vocabulary itself is all base forms): '' keeps the base form as its
+#: own surface.
+_STEM_SUFFIXES = ("", "s", "es", "ies", "ing", "ed")
+
+
+@query(
+    "i19_stemming",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS base
+        FROM documents
+    ),
+    surf AS (
+        SELECT base, base || sfx AS surface
+        FROM vocab
+        CROSS JOIN (SELECT unnest(
+            [{", ".join(repr(s) for s in _STEM_SUFFIXES)}]) AS sfx)
+    ),
+    stemmed AS (
+        SELECT surface,
+               CASE
+                   WHEN surface LIKE '%sses' THEN
+                       left(surface, length(surface) - 2)
+                   WHEN surface LIKE '%ies' THEN
+                       left(surface, length(surface) - 2)
+                   WHEN surface LIKE '%ing' AND length(surface) > 5 THEN
+                       left(surface, length(surface) - 3)
+                   WHEN surface LIKE '%ed' AND length(surface) > 4 THEN
+                       left(surface, length(surface) - 2)
+                   WHEN surface LIKE '%ss' THEN surface
+                   WHEN surface LIKE '%s' THEN
+                       left(surface, length(surface) - 1)
+                   ELSE surface
+               END AS stem
+        FROM surf
+    )
+    SELECT stem,
+           COUNT(*) AS n_surface_forms,
+           list_sort(list(surface)) AS surfaces
+    FROM (SELECT DISTINCT surface, stem FROM stemmed)
+    GROUP BY stem
+    """,
+)
+def i19_stemming(spark, sf_dir) -> DataFrame:
+    """Suffix-stripping stemmer (a Porter step-1 subset: sses→ss,
+    ies→i, ing/ed stripped above a length floor, terminal s dropped
+    unless ss) folding inflected surface forms onto one stem — the
+    index-time normalization the reference archetype applies before
+    TF/DF so 'joins'/'joining' hit the 'join' postings list.  The
+    fixture vocabulary is all base forms, so the query GENERATES the
+    inflections deterministically (cross join with a suffix battery)
+    and the result groups every stem with its sorted surface forms —
+    vacuous-proof at every scale factor.
+
+    The rule chain is a CASE priority ladder (first match wins), the
+    exact same ladder in both engines — string ops only, no regex
+    dialect hazard.  Plan: vocabulary-sized all the way (distinct
+    terms × 6 suffixes); at 100 TB the stem map is built once from
+    the vocabulary table and BROADCAST onto the token stream, a narrow
+    map pass like j10/j11."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("base")
+        )
+        .distinct()
+    )
+    surf = vocab.select(
+        F.explode(
+            F.array(*[F.concat(F.col("base"), F.lit(s)) for s in _STEM_SUFFIXES])
+        ).alias("surface")
+    ).distinct()
+    ln = F.length("surface")
+    stem = (
+        F.when(F.col("surface").endswith("sses"), F.expr("left(surface, length(surface) - 2)"))
+        .when(F.col("surface").endswith("ies"), F.expr("left(surface, length(surface) - 2)"))
+        .when(
+            F.col("surface").endswith("ing") & (ln > 5),
+            F.expr("left(surface, length(surface) - 3)"),
+        )
+        .when(
+            F.col("surface").endswith("ed") & (ln > 4),
+            F.expr("left(surface, length(surface) - 2)"),
+        )
+        .when(F.col("surface").endswith("ss"), F.col("surface"))
+        .when(F.col("surface").endswith("s"), F.expr("left(surface, length(surface) - 1)"))
+        .otherwise(F.col("surface"))
+    )
+    return (
+        surf.select("surface", stem.alias("stem"))
+        .distinct()
+        .groupBy("stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_surface_forms"),
+            F.array_sort(F.collect_list("surface")).alias("surfaces"),
+        )
+    )

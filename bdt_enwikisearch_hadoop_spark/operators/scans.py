@@ -133,3 +133,64 @@ def a4_scan_merge_schema(spark, sf_dir) -> DataFrame:
             F.col("gen").cast("int").alias("gen"),
         )
     )
+
+
+@query(
+    "a5_xml_dump_parse",
+    oracle="""
+    WITH xml AS (
+        SELECT '<page><id>' || doc_id || '</id><lang>' || lang
+               || '</lang><source>' || source || '</source><text>' || text
+               || '</text></page>' AS raw
+        FROM documents
+    )
+    SELECT CAST(regexp_extract(raw, '<id>(\\d+)</id>', 1) AS BIGINT)
+               AS doc_id,
+           regexp_extract(raw, '<lang>([^<]*)</lang>', 1) AS lang,
+           regexp_extract(raw, '<source>([^<]*)</source>', 1) AS source,
+           length(regexp_extract(raw, '<text>([^<]*)</text>', 1))
+               AS text_chars
+    FROM xml
+    """,
+)
+def a5_xml_dump_parse(spark, sf_dir) -> DataFrame:
+    """XML dump ingestion — the reference archetype's actual input
+    format (MediaWiki ``<page>`` dumps): serialize each fixture row to
+    a ``<page>`` element, then parse it back with Spark 4's native
+    ``from_xml`` against an explicit schema and project typed columns.
+    The roundtrip construction lets a DuckDB oracle (regexp field
+    extraction — DuckDB has no XML reader) verify the PARSE step
+    end-to-end; fixture text is [a-z ]-only so no escaping ambiguity.
+
+    Plan: both serialize and parse are per-row projections — a pure
+    map pass, zero shuffles, bounded by scan bandwidth.  On a real
+    dump the raw XML arrives via text/newline-delimited source (the
+    sources/dump_source.py connector) and this same from_xml
+    projection runs directly on the wire column; schema-on-read means
+    malformed pages surface as NULLs, filterable without job failure."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat(
+            F.lit("<page><id>"),
+            F.col("doc_id"),
+            F.lit("</id><lang>"),
+            F.col("lang"),
+            F.lit("</lang><source>"),
+            F.col("source"),
+            F.lit("</source><text>"),
+            F.col("text"),
+            F.lit("</text></page>"),
+        ).alias("raw")
+    )
+    parsed = raw.select(
+        F.from_xml(
+            "raw",
+            "struct<id:bigint, lang:string, source:string, text:string>",
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p.id").alias("doc_id"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.source").alias("source"),
+        F.length("p.text").alias("text_chars"),
+    )
