@@ -843,7 +843,12 @@ def i21_postings_delta(spark, sf_dir) -> DataFrame:
     layout decision: gaps shrink as postings densify, so hot terms
     compress best exactly when their lists are longest."""
     tok = tokenize(load(spark, sf_dir, "documents"))
-    posting = tok.select("term", "doc_id").distinct()
+    return postings_delta(tok.select("term", "doc_id").distinct())
+
+
+def postings_delta(posting: DataFrame) -> DataFrame:
+    """i21's core over any distinct (term, doc_id) frame — separated so
+    property tests can drive it with generated posting sets."""
     w = Window.partitionBy("term").orderBy("doc_id")
     gaps = posting.withColumn(
         "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))

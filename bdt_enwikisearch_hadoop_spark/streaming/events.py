@@ -1421,7 +1421,12 @@ def k14_scd2_build(spark, sf_dir) -> DataFrame:
     At 100 TB this is the per-partition-day compaction job: union the
     previous snapshot's open rows with today's log and rebuild only
     touched users (the user_id shuffle prunes to changed keys)."""
-    e = load(spark, sf_dir, "events")
+    return scd2_build(load(spark, sf_dir, "events"))
+
+
+def scd2_build(e: DataFrame) -> DataFrame:
+    """k14's core over any (user_id, event_type, ts, event_id) frame —
+    separated so property tests can drive it with generated logs."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_all = Window.partitionBy("user_id").orderBy(*order)
     w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)

@@ -962,3 +962,119 @@ def test_j40_rank_mass_conserved(spark, sf_dir):
     total = sum(r.rank for r in rows)
     assert abs(total - 1.0) < 1e-9
     assert all(r.rank > 0 for r in rows)
+
+
+def test_scd2_matches_python_reference_on_random_logs(spark):
+    """Hypothesis: the windowed SCD-2 build equals a plain sequential
+    Python reference (sort per user, collapse consecutive runs, chain
+    validity) on arbitrary small event logs, including duplicate
+    timestamps (event_id breaks the tie)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import scd2_build
+
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.sampled_from(["a", "b", "c"]),  # event_type
+        st.integers(min_value=0, max_value=20),  # ts in seconds
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=30))
+    def check(events):
+        rows = [
+            (u, t, s * 1_000_000_000, i) for i, (u, t, s) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, event_id long"
+        )
+        got = {
+            (r.user_id, r.valid_from_s): (
+                r.state, r.valid_to_s, r.n_events, r.is_current
+            )
+            for r in scd2_build(df).collect()
+        }
+        want = {}
+        for u in {r[0] for r in rows}:
+            mine = sorted(
+                (r for r in rows if r[0] == u), key=lambda r: (r[2], r[3])
+            )
+            runs = []  # [state, from_s, n]
+            for _, t, ts, _ in mine:
+                if runs and runs[-1][0] == t:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([t, ts // 1_000_000_000, 1])
+            for i, (state, from_s, n) in enumerate(runs):
+                to_s = runs[i + 1][1] if i + 1 < len(runs) else None
+                want[(u, from_s)] = (state, to_s, n, int(to_s is None))
+        assert got == want
+
+    check()
+
+
+def test_postings_delta_matches_python_vlq_reference(spark):
+    """Hypothesis: delta-gap + VLQ byte accounting equals a direct
+    Python varint cost model on arbitrary posting sets (including
+    doc_id 0 and maximal gaps)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        postings_delta,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["t0", "t1", "t2"]),
+            st.sets(st.integers(min_value=0, max_value=10**9), min_size=1,
+                    max_size=15),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def check(postings):
+        rows = [(t, d) for t, ds in postings.items() for d in ds]
+        df = spark.createDataFrame(rows, "term string, doc_id long")
+        got = {
+            r.term: (r.df, r.raw_bytes, r.vlq_bytes)
+            for r in postings_delta(df).collect()
+        }
+        for t, ds in postings.items():
+            ordered = sorted(ds)
+            gaps = [ordered[0]] + [
+                b - a for a, b in zip(ordered, ordered[1:])
+            ]
+            vlq = sum((max(g.bit_length(), 1) + 6) // 7 for g in gaps)
+            assert got[t] == (len(ds), 8 * len(ds), vlq), t
+
+    check()
+
+
+def test_a5_malformed_xml_surfaces_as_nulls(spark):
+    """The a5 docstring claim: schema-on-read means malformed pages
+    become NULL rows, not job failures."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("<page><id>7</id><lang>en</lang><source>s</source>"
+             "<text>ok</text></page>",),
+            ("<page><id>not-a-number</id><lang>en</lang>"
+             "<source>s</source><text>bad id</text></page>",),
+            ("totally not xml",),
+        ],
+        "raw string",
+    )
+    parsed = df.select(
+        F.from_xml(
+            "raw", "struct<id:bigint, lang:string, source:string, text:string>"
+        ).alias("p")
+    ).select("p.id", "p.lang")
+    rows = parsed.collect()
+    assert len(rows) == 3  # no crash
+    assert rows[0].id == 7 and rows[0].lang == "en"
+    # PERMISSIVE mode nulls the whole malformed record (page
+    # granularity) — filterable, never a job failure
+    assert rows[1].id is None and rows[1].lang is None
+    assert rows[2].id is None and rows[2].lang is None
