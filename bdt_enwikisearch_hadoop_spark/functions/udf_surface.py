@@ -371,3 +371,57 @@ def l8_arrow_map(spark, sf_dir) -> DataFrame:
         schema="l_orderkey long, l_linenumber int, revenue double",
     )
     return out.withColumn("revenue", F.round("revenue", 4))
+
+
+def _flag_stats_arrow(table):
+    """Per-group exact stats computed with pyarrow.compute kernels —
+    runs once per (returnflag) group, receives the whole group as ONE
+    Arrow table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qty = table.column("l_quantity")
+    return pa.table(
+        {
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "n": [table.num_rows],
+            "sum_qty": [pc.sum(qty).as_py()],
+            "max_qty": [pc.max(qty).as_py()],
+        }
+    )
+
+
+@query(
+    "l9_apply_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def l9_apply_in_arrow(spark, sf_dir) -> DataFrame:
+    """``groupBy().applyInArrow`` — the Spark 4 grouped-map variant
+    that hands each group to Python as a single Arrow TABLE (no pandas
+    conversion; l8's zero-copy batch story, now with grouping).  The
+    right surface when grouped logic needs an Arrow-native library
+    (per-group tokenizer runs, per-entity model scoring); for plain
+    stats like these the JVM aggregate is strictly better — this key
+    pins the API and verifies the Arrow path agrees with the exact SQL
+    aggregate bit-for-bit on counts/max (sum re-rounded 4dp).
+
+    100 TB shape: one shuffle on the group key, then each group
+    materializes as one Arrow table in the Python worker — group size
+    is the memory bound, so keys must be finer than executor memory
+    (here 3 flags is the DEMO of the API, not the recommended
+    cardinality; cogrouped/windowed variants shard further, see l7)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.select("l_returnflag", "l_quantity").groupBy(
+        "l_returnflag"
+    ).applyInArrow(
+        _flag_stats_arrow,
+        schema="l_returnflag string, n long, sum_qty double, max_qty double",
+    )
+    return out.withColumn("sum_qty", F.round("sum_qty", 4))

@@ -607,3 +607,39 @@ def c19_asof_forward(spark, sf_dir) -> DataFrame:
         F.expr("MIN(pts) DIV 1000000000").alias("next_purchase_s"),
         F.count("p_id").alias("n_later"),
     )
+
+
+@query(
+    "c20_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def c20_lateral_topk(spark, sf_dir) -> DataFrame:
+    """LATERAL correlated subquery join — each customer's two most
+    expensive orders, written the way SQL users actually write per-row
+    top-k (a correlated FROM-clause subquery with ORDER BY + LIMIT),
+    exercising Spark's lateral-join decorrelation rather than the
+    hand-rolled window formulation (e7 is the window twin; both must
+    agree — asserted in pytest).
+
+    Catalyst rewrites the lateral subquery into a window-style ranked
+    join: ONE shuffle on the correlation key, never a per-customer
+    re-execution of the inner query — the plan is guarded against
+    cartesian/nested-loop fallback.  At 100 TB the inner ORDER BY
+    LIMIT is per-key (bounded heap), not a global sort."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c20_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("c20_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM c20_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM c20_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

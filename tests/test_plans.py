@@ -616,3 +616,13 @@ def test_j38_vocab_broadcasts_onto_tf(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in p  # the single-row totals
     assert "SortMergeJoin" not in p
+
+
+def test_c20_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    """The LATERAL ORDER BY+LIMIT subquery must lower to per-key
+    WindowGroupLimit (bounded heaps, map-side pre-limit before the
+    exchange) — never a nested-loop re-execution per outer row."""
+    p = _plan(spark, sf_dir, "c20_lateral_topk")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1078,3 +1078,35 @@ def test_a5_malformed_xml_surfaces_as_nulls(spark):
     # granularity) — filterable, never a job failure
     assert rows[1].id is None and rows[1].lang is None
     assert rows[2].id is None and rows[2].lang is None
+
+
+def test_c20_lateral_equals_window_topk(spark, sf_dir):
+    """The LATERAL correlated top-2 must equal the hand-rolled window
+    formulation row for row."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    lateral = {
+        (r.c_custkey, r.o_orderkey, r.o_totalprice)
+        for r in QUERIES["c20_lateral_topk"](spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    windowed = {
+        (r.o_custkey, r.o_orderkey, r.o_totalprice)
+        for r in load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+            "o_custkey",
+        )
+        .collect()
+    }
+    assert lateral == windowed and lateral
