@@ -140,7 +140,9 @@ def a4_scan_merge_schema(spark, sf_dir) -> DataFrame:
     oracle="""
     WITH xml AS (
         SELECT '<page><id>' || doc_id || '</id><lang>' || lang
-               || '</lang><source>' || source || '</source><text>' || text
+               || '</lang><source>' || source || '</source><text>'
+               || replace(replace(replace(text,
+                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
                || '</text></page>' AS raw
         FROM documents
     )
@@ -148,7 +150,9 @@ def a4_scan_merge_schema(spark, sf_dir) -> DataFrame:
                AS doc_id,
            regexp_extract(raw, '<lang>([^<]*)</lang>', 1) AS lang,
            regexp_extract(raw, '<source>([^<]*)</source>', 1) AS source,
-           length(regexp_extract(raw, '<text>([^<]*)</text>', 1))
+           length(replace(replace(replace(
+               regexp_extract(raw, '<text>([^<]*)</text>', 1),
+               '&lt;', '<'), '&gt;', '>'), '&amp;', '&'))
                AS text_chars
     FROM xml
     """,
@@ -160,7 +164,10 @@ def a5_xml_dump_parse(spark, sf_dir) -> DataFrame:
     ``from_xml`` against an explicit schema and project typed columns.
     The roundtrip construction lets a DuckDB oracle (regexp field
     extraction — DuckDB has no XML reader) verify the PARSE step
-    end-to-end; fixture text is [a-z ]-only so no escaping ambiguity.
+    end-to-end; text is entity-escaped during serialization on both
+    sides (from_xml unescapes, the oracle unescapes explicitly), so a
+    fixture refresh introducing <, > or & cannot desynchronize the
+    engines.
 
     Plan: both serialize and parse are per-row projections — a pure
     map pass, zero shuffles, bounded by scan bandwidth.  On a real
@@ -178,7 +185,11 @@ def a5_xml_dump_parse(spark, sf_dir) -> DataFrame:
             F.lit("</lang><source>"),
             F.col("source"),
             F.lit("</source><text>"),
-            F.col("text"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "&", "&amp;"),
+                    "<", "&lt;"),
+                ">", "&gt;"),
             F.lit("</text></page>"),
         ).alias("raw")
     )

@@ -1110,3 +1110,33 @@ def test_c20_lateral_equals_window_topk(spark, sf_dir):
         .collect()
     }
     assert lateral == windowed and lateral
+
+
+def test_a5_entity_escaping_roundtrips_special_chars(spark):
+    """a5's serialize path entity-escapes <, > and & — from_xml must
+    recover the original text exactly, so a fixture refresh with
+    markup-like content cannot desynchronize the engines."""
+    import pyspark.sql.functions as F
+
+    texts = ["a < b > c & d", "&amp; already-escaped-looking", "plain"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    raw = df.select(
+        F.concat(
+            F.lit("<page><text>"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+                ),
+                ">",
+                "&gt;",
+            ),
+            F.lit("</text></page>"),
+        ).alias("raw"),
+        "text",
+    )
+    parsed = raw.select(
+        "text",
+        F.from_xml("raw", "struct<text:string>").alias("p"),
+    ).select("text", F.col("p.text").alias("rt"))
+    for r in parsed.collect():
+        assert r.rt == r.text, (r.text, r.rt)
