@@ -970,3 +970,78 @@ def i19_stemming(spark, sf_dir) -> DataFrame:
             F.array_sort(F.collect_list("surface")).alias("surfaces"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# i22 — THE LIFECYCLE, composed: dump → parse → index → ranked search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i22_dump_to_search",
+    oracle=f"""
+    WITH xml AS (
+        SELECT '<page><id>' || doc_id || '</id><lang>' || lang
+               || '</lang><source>' || source || '</source><text>'
+               || replace(replace(replace(text,
+                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+               || '</text></page>' AS raw
+        FROM documents
+    ),
+    parsed AS (
+        SELECT CAST(regexp_extract(raw, '<id>(\\d+)</id>', 1) AS BIGINT)
+                   AS doc_id,
+               replace(replace(replace(
+                   regexp_extract(raw, '<text>([^<]*)</text>', 1),
+                   '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS text
+        FROM xml
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM parsed
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM parsed),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * LN(nd * 1.0 / dfc) AS wt
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i22_dump_to_search(spark, sf_dir) -> DataFrame:
+    """The reference's ENTIRE lifecycle as ONE Catalyst plan: XML dump
+    pages → from_xml parse → tokenize → TF → DF → TF-IDF → conjunctive
+    ranked top-10 — what the Hadoop original ran as N chained
+    MapReduce jobs with an HDFS round-trip between every pair (dump
+    split, wordcount, docfreq, tfidf, index, query), with each
+    boundary a full disk write + read.  Here the whole chain is lazy:
+    Catalyst sees every stage at once, pipelines parse+tokenize into
+    the scan (no materialization anywhere), drops the unused parsed
+    fields (lang/source) in the projection right above the parse, and
+    the only shuffles are the TF aggregate and the query-term join —
+    identical physics to i6, plus a parse stage costing one map pass.
+
+    Must produce EXACTLY i6's results (same docs, same scores): the
+    roundtrip is the identity on the corpus — asserted in pytest on
+    top of the oracle."""
+    from ..operators.scans import parse_pages, serialize_pages
+
+    docs = load(spark, sf_dir, "documents")
+    parsed = parse_pages(serialize_pages(docs)).select("doc_id", "text")
+    w = tfidf(parsed).filter(F.col("term").isin(*QUERY_TERMS))
+    scored = w.groupBy("doc_id").agg(
+        F.round(F.sum("wt"), 4).alias("score"),
+        F.countDistinct("term").alias("nterms"),
+    )
+    return (
+        scored.filter(F.col("nterms") == len(QUERY_TERMS))
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )

@@ -175,8 +175,20 @@ def a5_xml_dump_parse(spark, sf_dir) -> DataFrame:
     sources/dump_source.py connector) and this same from_xml
     projection runs directly on the wire column; schema-on-read means
     malformed pages surface as NULLs, filterable without job failure."""
-    docs = load(spark, sf_dir, "documents")
-    raw = docs.select(
+    parsed = parse_pages(serialize_pages(load(spark, sf_dir, "documents")))
+    return parsed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("text_chars"),
+    )
+
+
+def serialize_pages(docs: DataFrame) -> DataFrame:
+    """documents → one entity-escaped ``<page>`` XML string per row
+    (the dump wire format a5 parses; shared with i22's composed
+    dump-to-search lifecycle)."""
+    return docs.select(
         F.concat(
             F.lit("<page><id>"),
             F.col("doc_id"),
@@ -193,15 +205,20 @@ def a5_xml_dump_parse(spark, sf_dir) -> DataFrame:
             F.lit("</text></page>"),
         ).alias("raw")
     )
-    parsed = raw.select(
+
+
+def parse_pages(raw: DataFrame) -> DataFrame:
+    """raw ``<page>`` XML → typed (doc_id, lang, source, text) via
+    Spark 4's native from_xml; malformed pages null out whole-record
+    (PERMISSIVE), pinned in pytest."""
+    return raw.select(
         F.from_xml(
             "raw",
             "struct<id:bigint, lang:string, source:string, text:string>",
         ).alias("p")
-    )
-    return parsed.select(
+    ).select(
         F.col("p.id").alias("doc_id"),
         F.col("p.lang").alias("lang"),
         F.col("p.source").alias("source"),
-        F.length("p.text").alias("text_chars"),
+        F.col("p.text").alias("text"),
     )

@@ -1351,7 +1351,12 @@ def k13_pattern_sequence(spark, sf_dir) -> DataFrame:
     is a narrow filter — linear in the log, state bounded by the
     pattern length, exactly how a streaming CEP engine would evaluate
     it.  Timestamps compared/emitted as exact bigint ns → epoch s."""
-    e = load(spark, sf_dir, "events")
+    return detect_sequence(load(spark, sf_dir, "events"))
+
+
+def detect_sequence(e: DataFrame) -> DataFrame:
+    """k13's core over any (user_id, event_type, ts, event_id) frame —
+    separated so property tests can drive it with generated logs."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.select(
@@ -1385,23 +1390,25 @@ def k13_pattern_sequence(spark, sf_dir) -> DataFrame:
     WITH ev AS (
         SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns,
                ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id)
                - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                     ORDER BY ts, event_id) AS grp
         FROM events
     ),
     island AS (
-        SELECT user_id, event_type AS state,
+        SELECT user_id, event_type AS state, MIN(rn) AS seq,
                MIN(tns) AS from_tns, COUNT(*) AS n_events
         FROM ev GROUP BY user_id, event_type, grp
     )
     SELECT user_id, state,
            from_tns // {_NS_PER_S} AS valid_from_s,
-           lead(from_tns) OVER (PARTITION BY user_id ORDER BY from_tns)
+           lead(from_tns) OVER (PARTITION BY user_id ORDER BY seq)
                // {_NS_PER_S} AS valid_to_s,
            n_events,
            CAST(lead(from_tns) OVER (PARTITION BY user_id
-                                     ORDER BY from_tns) IS NULL
+                                     ORDER BY seq) IS NULL
                 AS INT) AS is_current
     FROM island
     """,
@@ -1426,18 +1433,29 @@ def k14_scd2_build(spark, sf_dir) -> DataFrame:
 
 def scd2_build(e: DataFrame) -> DataFrame:
     """k14's core over any (user_id, event_type, ts, event_id) frame —
-    separated so property tests can drive it with generated logs."""
+    separated so property tests can drive it with generated logs.
+
+    The validity chain orders islands by the SEQUENTIAL position of
+    each island's first event (min row_number), never by from_tns
+    alone: two runs can start within the same emitted second, and a
+    tied ORDER BY would make the lead() chain engine-dependent —
+    hypothesis-found hazard, pinned in tests."""
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_all = Window.partitionBy("user_id").orderBy(*order)
     w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
     islands = (
-        e.withColumn(
-            "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+        e.withColumn("rn", F.row_number().over(w_all))
+        .withColumn(
+            "grp", F.col("rn") - F.row_number().over(w_type)
         )
         .groupBy("user_id", F.col("event_type").alias("state"), "grp")
-        .agg(F.min("ts").alias("from_tns"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.min("rn").alias("seq"),
+            F.min("ts").alias("from_tns"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
-    w_chain = Window.partitionBy("user_id").orderBy("from_tns")
+    w_chain = Window.partitionBy("user_id").orderBy("seq")
     return (
         islands.withColumn("to_tns", F.lead("from_tns").over(w_chain))
         .select(

@@ -988,13 +988,12 @@ def test_scd2_matches_python_reference_on_random_logs(spark):
         df = spark.createDataFrame(
             rows, "user_id long, event_type string, ts long, event_id long"
         )
-        got = {
-            (r.user_id, r.valid_from_s): (
-                r.state, r.valid_to_s, r.n_events, r.is_current
-            )
+        got = sorted(
+            (r.user_id, r.state, r.valid_from_s, r.valid_to_s,
+             r.n_events, r.is_current)
             for r in scd2_build(df).collect()
-        }
-        want = {}
+        )
+        want = []
         for u in {r[0] for r in rows}:
             mine = sorted(
                 (r for r in rows if r[0] == u), key=lambda r: (r[2], r[3])
@@ -1007,8 +1006,8 @@ def test_scd2_matches_python_reference_on_random_logs(spark):
                     runs.append([t, ts // 1_000_000_000, 1])
             for i, (state, from_s, n) in enumerate(runs):
                 to_s = runs[i + 1][1] if i + 1 < len(runs) else None
-                want[(u, from_s)] = (state, to_s, n, int(to_s is None))
-        assert got == want
+                want.append((u, state, from_s, to_s, n, int(to_s is None)))
+        assert got == sorted(want)
 
     check()
 
@@ -1140,3 +1139,60 @@ def test_a5_entity_escaping_roundtrips_special_chars(spark):
     ).select("text", F.col("p.text").alias("rt"))
     for r in parsed.collect():
         assert r.rt == r.text, (r.text, r.rt)
+
+
+def test_sequence_detection_matches_python_reference(spark):
+    """Hypothesis: the lead()-based consecutive-pattern match equals a
+    sequential Python scan over each user's ordered events, including
+    overlapping matches and duplicate timestamps."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import detect_sequence
+
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=12),  # ts seconds
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=3, max_size=25))
+    def check(events):
+        rows = [
+            (u, t, s * 1_000_000_000, i) for i, (u, t, s) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long, event_id long"
+        )
+        got = {
+            (r.user_id, r.start_event_id, r.end_event_id)
+            for r in detect_sequence(df).collect()
+        }
+        want = set()
+        for u in {r[0] for r in rows}:
+            mine = sorted(
+                (r for r in rows if r[0] == u), key=lambda r: (r[2], r[3])
+            )
+            for a, b, c in zip(mine, mine[1:], mine[2:]):
+                if (a[1], b[1], c[1]) == ("view", "click", "purchase"):
+                    want.add((u, a[3], c[3]))
+        assert got == want
+
+    check()
+
+
+def test_dump_to_search_equals_flagship(spark, sf_dir):
+    """i22 (XML parse → index → search in one plan) must produce
+    exactly the flagship i6's ranked results — the roundtrip is the
+    identity on the corpus."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    composed = [
+        (r.doc_id, r.score)
+        for r in QUERIES["i22_dump_to_search"](spark, sf_dir).collect()
+    ]
+    flagship = [
+        (r.doc_id, r.score)
+        for r in QUERIES["i6_search_and"](spark, sf_dir).collect()
+    ]
+    assert composed == flagship and composed
