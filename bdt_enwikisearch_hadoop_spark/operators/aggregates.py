@@ -609,3 +609,50 @@ def d20_conditional_aggs(spark, sf_dir) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "d21_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+        SELECT l_returnflag, l_linenumber, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linenumber
+    )
+    SELECT l_returnflag,
+           l_linenumber AS modal_line,
+           cnt AS modal_count
+    FROM counted
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY cnt DESC, l_linenumber) = 1
+    """,
+)
+def d21_mode_deterministic(spark, sf_dir) -> DataFrame:
+    """Deterministic MODE: the most frequent l_linenumber per return
+    flag, ties broken by the SMALLEST value — the §2.0-safe spelling
+    of an aggregate both engines ship with unspecified tie behavior
+    (Spark ``mode()`` and DuckDB ``mode()`` may disagree on ties, so
+    neither is oracle-usable; the count+rank formulation pins it).
+
+    Two-phase shape: the (flag, value) count aggregate collapses the
+    fact table map-side first, then the rank window runs over the
+    value-cardinality-sized counted table — at 100 TB the window input
+    is |groups|·|distinct values| rows, not the corpus."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_linenumber")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linenumber").alias("modal_line"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )
