@@ -120,7 +120,12 @@ def k3_session(spark, sf_dir) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap via
     gaps-and-islands (portable formulation, identical in the oracle —
     deliberately NOT session_window(), SURVEY §2.K)."""
-    e = load(spark, sf_dir, "events")
+    return sessionize(load(spark, sf_dir, "events"))
+
+
+def sessionize(e: DataFrame) -> DataFrame:
+    """k3's core over any (user_id, event_id, ts) frame — separated so
+    property tests can drive it with generated logs."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = e.withColumn(
@@ -425,7 +430,12 @@ def k9_resample_ffill(spark, sf_dir) -> DataFrame:
     ffill window all reuse the same key, so AQE coalesces this into a
     user_id-partitioned pipeline with no cross-key traffic; grid rows
     ≈ Σ user-active-hours, linear in the log."""
-    ev = load(spark, sf_dir, "events")
+    return resample_ffill(load(spark, sf_dir, "events"))
+
+
+def resample_ffill(ev: DataFrame) -> DataFrame:
+    """k9's core over any (user_id, ts, ts2, value, event_id) frame —
+    separated so property tests can drive it with generated logs."""
     obs = ev.select(
         "user_id",
         F.date_trunc("hour", F.col("ts2")).alias("bucket"),

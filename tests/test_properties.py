@@ -1196,3 +1196,110 @@ def test_dump_to_search_equals_flagship(spark, sf_dir):
         for r in QUERIES["i6_search_and"](spark, sf_dir).collect()
     ]
     assert composed == flagship and composed
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Hypothesis: gaps-and-islands sessionization equals a sequential
+    Python scan (30-min gap rule, duplicate timestamps allowed)."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import sessionize
+
+    NS = 1_000_000_000
+    GAP = 30 * 60
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=4 * 3600),  # ts seconds
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=30))
+    def check(events):
+        rows = [(u, i, s * NS) for i, (u, s) in enumerate(events)]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+        got = sorted(
+            (r.user_id, r.session_id, r.n_events, r.start_s, r.dur_s)
+            for r in sessionize(df).collect()
+        )
+        want = []
+        for u in {r[0] for r in rows}:
+            mine = sorted(
+                (r for r in rows if r[0] == u), key=lambda r: (r[2], r[1])
+            )
+            sid = 0
+            sess: list = []  # ts seconds of current session
+            prev = None
+            for _, _, tns in mine:
+                s = tns // NS
+                if prev is not None and s - prev <= GAP:
+                    sess.append(s)
+                else:
+                    if sess:
+                        want.append(
+                            (u, sid, len(sess), sess[0], sess[-1] - sess[0])
+                        )
+                    sid += 1
+                    sess = [s]
+                prev = s
+            want.append((u, sid, len(sess), sess[0], sess[-1] - sess[0]))
+        assert got == sorted(want)
+
+    check()
+
+
+def test_resample_ffill_matches_python_reference(spark):
+    """Hypothesis: the dense hourly grid with forward-fill equals a
+    sequential pandas-free Python reference — last observation per
+    bucket wins (ts, event_id tiebreak), gaps carry the previous
+    value, and the grid spans exactly [first, last] active hour."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import resample_ffill
+
+    NS = 1_000_000_000
+    H = 3600
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=1),  # user
+        st.integers(min_value=0, max_value=6 * 3600),  # ts seconds
+        st.integers(min_value=-5, max_value=5),  # value
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=25))
+    def check(events):
+        rows = [
+            (u, i, s * NS, float(v)) for i, (u, s, v) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts long, value double"
+        ).withColumn(
+            "ts2", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+        got = sorted(
+            (r.user_id, r.bucket_s, r.value_ffill)
+            for r in resample_ffill(df).collect()
+        )
+        want = []
+        for u in {r[0] for r in rows}:
+            mine = sorted(
+                (r for r in rows if r[0] == u), key=lambda r: (r[2], r[1])
+            )
+            secs = [r[2] // NS for r in mine]
+            lo, hi = (secs[0] // H) * H, (secs[-1] // H) * H
+            # max-(ts,event_id) observation per bucket
+            by_bucket: dict = {}
+            for _, eid, tns, v in mine:
+                b = (tns // NS // H) * H
+                key = (tns, eid)
+                if b not in by_bucket or key > by_bucket[b][0]:
+                    by_bucket[b] = (key, v)
+            carry = None
+            for b in range(lo, hi + H, H):
+                if b in by_bucket:
+                    carry = by_bucket[b][1]
+                want.append((u, b, carry))
+        assert got == sorted(want)
+
+    check()
