@@ -1045,3 +1045,92 @@ def i22_dump_to_search(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i23 — term co-occurrence / pointwise mutual information (collocations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i23_cooccurrence_pmi",
+    oracle="""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dt),
+    tdf AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS codf
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY a.term, b.term
+    )
+    SELECT term_a, term_b, codf,
+           FLOOR(LN(codf * 1.0 * nd / (fa.df * fb.df)) * 10000) / 10000
+               AS pmi
+    FROM pairs
+    JOIN tdf fa ON fa.term = term_a
+    JOIN tdf fb ON fb.term = term_b
+    CROSS JOIN n
+    WHERE codf >= 5
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 20
+    """,
+)
+def i23_cooccurrence_pmi(spark, sf_dir) -> DataFrame:
+    """Collocation mining: document-level pointwise mutual information
+    for term pairs — PMI = ln( P(a,b) / (P(a)·P(b)) ) with document
+    frequencies as the probability estimates, min-support 5 docs,
+    top-20 (pmi desc, pair asc).  High PMI = terms that co-occur far
+    above chance — the classic related-terms / query-expansion signal
+    the reference archetype's search layer would mine from its own
+    index.
+
+    Plan: one distinct (doc, term) pass feeds all three statistics
+    (N, per-term df, pair co-df) — the pair self-join is per-doc
+    quadratic in DISTINCT terms per doc (~30 in fixture, bounded by
+    vocabulary not doc length), shuffled on doc_id once; the df table
+    is vocabulary-sized and broadcasts onto the pair aggregate.  At
+    100 TB: prune the vocabulary first (i12's min/max-df prune) so the
+    per-doc pair expansion stays k², k ≲ 10³, and the pair space is
+    capped by vocab², not corpus size."""
+    dt = (
+        tokenize(load(spark, sf_dir, "documents"))
+        .select("doc_id", "term")
+        .distinct()
+    )
+    n = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    tdf = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("codf"))
+        .filter(F.col("codf") >= 5)
+    )
+    fa = tdf.select(F.col("term").alias("term_a"), F.col("df").alias("dfa"))
+    fb = tdf.select(F.col("term").alias("term_b"), F.col("df").alias("dfb"))
+    pmi = F.log(
+        F.col("codf") * F.lit(1.0) * F.col("nd") / (F.col("dfa") * F.col("dfb"))
+    )
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .join(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "codf",
+            (F.floor(pmi * 10000) / 10000).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(20)
+    )

@@ -200,7 +200,12 @@ def k5_funnel(spark, sf_dir) -> DataFrame:
     stage are joined), so the dominant cost is the first pass over the
     raw log; everything later touches per-user rows.  All comparisons
     are exact BIGINT nanoseconds; positive-epoch DIV == floor-div."""
-    e = load(spark, sf_dir, "events")
+    return funnel(load(spark, sf_dir, "events"))
+
+
+def funnel(e: DataFrame) -> DataFrame:
+    """k5's core over any (user_id, event_type, ts) frame — separated
+    so property tests can drive it with generated logs."""
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

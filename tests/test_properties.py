@@ -1303,3 +1303,48 @@ def test_resample_ffill_matches_python_reference(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_funnel_matches_python_reference(spark):
+    """Hypothesis: the staged min-aggregate funnel equals a sequential
+    reference — earliest view, earliest click strictly after it,
+    earliest purchase strictly after that — on arbitrary logs."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import funnel
+
+    NS = 1_000_000_000
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=50),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=30))
+    def check(events):
+        rows = [(u, t, s * NS) for (u, t, s) in events]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        got = {
+            r.user_id: (r.view_s, r.click_s, r.purchase_s)
+            for r in funnel(df).collect()
+        }
+        want = {}
+        for u in {r[0] for r in rows}:
+            mine = [(t, tns // NS) for uu, t, tns in rows if uu == u]
+            views = [s for t, s in mine if t == "view"]
+            if not views:
+                continue  # funnel keys off users with a view
+            v = min(views)
+            clicks = [s for t, s in mine if t == "click" and s > v]
+            c = min(clicks) if clicks else None
+            ps = (
+                [s for t, s in mine if t == "purchase" and s > c]
+                if c is not None
+                else []
+            )
+            p = min(ps) if ps else None
+            want[u] = (v, c, p)
+        assert got == want
+
+    check()
