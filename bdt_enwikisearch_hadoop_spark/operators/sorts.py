@@ -12,7 +12,7 @@ unique tiebreaker (§2.0 rule 4) so LIMIT results are deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
@@ -1516,4 +1516,55 @@ def f25_tpch_q21_waiting(spark, sf_dir) -> DataFrame:
         ORDER BY numwait DESC, s_name
         LIMIT 100
         """
+    )
+
+
+@query(
+    "f26_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) AS INT) AS yr,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag, year(l_shipdate)
+    )
+    SELECT l_returnflag, yr, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           FLOOR((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w * 10000) / 10000 AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY yr)
+    """,
+)
+def f26_yoy_growth(spark, sf_dir) -> DataFrame:
+    """Year-over-year revenue growth per return flag — the canonical
+    BI ladder: a corpus-sized aggregate first, then window analytics
+    over the AGGREGATE (lag + ratio), never over raw rows.  First year
+    per flag has NULL prev/growth by definition.
+
+    The window input is |flags|·|years| rows (~21 here), so its sort
+    is free; the only real cost is the one fact-table aggregate with
+    map-side partials.  Revenue is rounded 4dp BEFORE the ratio so
+    both engines difference identical doubles; the growth ratio is
+    FLOOR-truncated (§2.0 rule 1).  At 100 TB this reads a per-day
+    pre-aggregate (k10's rollup ladder), not the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        "l_returnflag", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "l_returnflag",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.floor((F.col("revenue") - prev) / prev * 10000) / 10000).alias(
+            "yoy_growth"
+        ),
     )

@@ -1540,3 +1540,78 @@ def k15_interarrival(spark, sf_dir) -> DataFrame:
             / 10000
         ).alias("p90_gap_s"),
     )
+
+
+_K16_WINDOW_NS = 24 * 3600 * _NS_PER_S  # stage deadline: 24 h (converts at every fixture SF)
+
+
+@query(
+    "k16_bounded_funnel",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+    v AS (SELECT user_id, MIN(tns) AS t_view FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(tns) AS t_click
+          FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND tns > t_view
+            AND tns <= t_view + {_K16_WINDOW_NS}
+          GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(tns) AS t_purchase
+          FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND tns > t_click
+            AND tns <= t_click + {_K16_WINDOW_NS}
+          GROUP BY ev.user_id)
+    SELECT v.user_id,
+           t_view // {_NS_PER_S} AS view_s,
+           t_click // {_NS_PER_S} AS click_s,
+           t_purchase // {_NS_PER_S} AS purchase_s,
+           CAST(t_purchase IS NOT NULL AS INT) AS converted
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def k16_bounded_funnel(spark, sf_dir) -> DataFrame:
+    """Time-bounded conversion funnel: view → click WITHIN 24 HOURS →
+    purchase within 24 hours of the click — k5's unbounded chain plus
+    the per-stage deadline real attribution models impose (a purchase
+    a week later is not the same conversion).  Same monotone-shrinking
+    staged min-aggregate shape as k5 — the deadline is one extra exact
+    integer-ns predicate per stage, free at any scale; in streaming
+    this is the state-TTL that lets the store evict stalled funnels
+    (state bounded by the deadline, not the stream length)."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + _K16_WINDOW_NS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + _K16_WINDOW_NS)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr(f"t_view DIV {_NS_PER_S}").alias("view_s"),
+            F.expr(f"t_click DIV {_NS_PER_S}").alias("click_s"),
+            F.expr(f"t_purchase DIV {_NS_PER_S}").alias("purchase_s"),
+            F.col("t_purchase").isNotNull().cast("int").alias("converted"),
+        )
+    )

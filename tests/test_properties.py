@@ -1348,3 +1348,28 @@ def test_funnel_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_bounded_funnel_is_subset_of_unbounded(spark, sf_dir):
+    """Every deadline-bounded conversion is also an unbounded one, and
+    its stage times can never precede the unbounded funnel's earliest
+    stages."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    bounded = {
+        r.user_id: r
+        for r in QUERIES["k16_bounded_funnel"](spark, sf_dir).collect()
+    }
+    unbounded = {
+        r.user_id: r for r in QUERIES["k5_funnel"](spark, sf_dir).collect()
+    }
+    assert set(bounded) == set(unbounded)  # both key off users with a view
+    converted = [u for u, r in bounded.items() if r.converted]
+    assert converted  # fixture has 1h conversions
+    for u, b in bounded.items():
+        ub = unbounded[u]
+        assert b.view_s == ub.view_s
+        if b.click_s is not None:
+            assert ub.click_s is not None and ub.click_s <= b.click_s
+        if b.converted:
+            assert ub.purchase_s is not None
