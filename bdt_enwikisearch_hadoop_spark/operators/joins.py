@@ -643,3 +643,40 @@ def c20_lateral_topk(spark, sf_dir) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "c21_existence_flag",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 300000) AS INT)
+               AS has_big_order
+    FROM customer
+    """,
+)
+def c21_existence_flag(spark, sf_dir) -> DataFrame:
+    """Existence as a PROJECTED column, not a filter: every customer
+    with a flag for whether they placed a >300k order.  Semi/anti
+    joins (c5/c6) can only keep or drop rows; when the predicate's
+    result must survive into the output, Spark plans its third,
+    less-known sibling — ExistenceJoin — which augments each left row
+    with the match bit in ONE pass instead of scanning the fact table
+    twice (the LEFT JOIN + DISTINCT + IS NOT NULL workaround).
+
+    One shuffle each side on the key (or broadcast of the filtered
+    order keys — fixture-sized here); the build side is pre-filtered
+    by the pushed o_totalprice predicate before it ever reaches the
+    join.  Plan-guarded: the physical plan must contain an
+    ExistenceJoin, never two scans of orders."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c21_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("c21_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               CAST(c_custkey IN (SELECT o_custkey FROM c21_orders
+                                  WHERE o_totalprice > 300000) AS INT)
+                   AS has_big_order
+        FROM c21_customer
+        """
+    )

@@ -626,3 +626,12 @@ def test_c20_lateral_decorrelates_to_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c21_plans_existence_join_single_orders_scan(spark, sf_dir):
+    """Projected IN-subquery must plan as ExistenceJoin (the match bit
+    rides the join) with exactly ONE scan of orders — never the
+    LEFT JOIN + DISTINCT double-scan workaround."""
+    p = _plan(spark, sf_dir, "c21_existence_flag")
+    assert "ExistenceJoin" in p
+    assert p.count("orders.parquet") == 1
