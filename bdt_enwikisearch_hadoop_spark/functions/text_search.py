@@ -1087,11 +1087,15 @@ def i23_cooccurrence_pmi(spark, sf_dir) -> DataFrame:
     the reference archetype's search layer would mine from its own
     index.
 
-    Plan: one distinct (doc, term) pass feeds all three statistics
-    (N, per-term df, pair co-df) — the pair self-join is per-doc
-    quadratic in DISTINCT terms per doc (~30 in fixture, bounded by
-    vocabulary not doc length), shuffled on doc_id once; the df table
-    is vocabulary-sized and broadcasts onto the pair aggregate.  At
+    Plan: all three statistics (N, per-term df, pair co-df) derive
+    from the same distinct (doc, term) projection — Catalyst
+    re-derives it per branch here (each re-derivation is a pipelined
+    scan+explode+distinct, cheap at fixture scale); a production run
+    persists that table once (it IS the i5 index build's input) so
+    every branch reads one materialized artifact.  The pair self-join
+    is per-doc quadratic in DISTINCT terms per doc (~30 in fixture,
+    bounded by vocabulary not doc length); the df tables are
+    vocabulary-sized and broadcast onto the pair aggregate.  At
     100 TB: prune the vocabulary first (i12's min/max-df prune) so the
     per-doc pair expansion stays k², k ≲ 10³, and the pair space is
     capped by vocab², not corpus size."""
