@@ -836,9 +836,10 @@ def i21_postings_delta(spark, sf_dir) -> DataFrame:
     an exact INTEGER path in both engines, never float log2 (whose
     3.999… artifacts misround exact powers of two).
 
-    Plan: one distinct on (term, doc_id), one term-partitioned window
-    for the lag — both ride a single term-keyed exchange (same
-    partitioning), then the per-term aggregate is narrow.  At 100 TB
+    Plan: the distinct shuffles on (term, doc_id), the lag window
+    re-partitions on term alone, and the final per-term aggregate
+    reuses the window's sorted partitions (two exchanges total, no
+    third before the aggregate).  At 100 TB
     this runs beside the i5 index build and its output IS the storage
     layout decision: gaps shrink as postings densify, so hot terms
     compress best exactly when their lists are longest."""
