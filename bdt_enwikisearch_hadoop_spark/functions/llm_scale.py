@@ -2072,3 +2072,76 @@ def j40_pagerank(spark, sf_dir) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("vec_id", F.col("r").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# j42 — DSIR selection: keep the top quartile per source by importance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j42_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term,
+               COUNT(*) AS cr,
+               CAST(SUM(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM tok GROUP BY term
+    ),
+    tots AS (SELECT SUM(cr) AS r, SUM(ct) AS t, COUNT(*) AS v FROM freq),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           GROUP BY doc_id, term),
+    scored AS (
+        SELECT tf.doc_id,
+               FLOOR(SUM(tf * (LN((ct + 1.0) / (t + v))
+                               - LN((cr + 1.0) / (r + v)))) * 10000) / 10000
+                   AS logw
+        FROM tf JOIN freq USING (term) CROSS JOIN tots
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT d.source, s.doc_id, s.logw,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY s.logw DESC, s.doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY d.source) AS n_src
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source, doc_id, logw, rnk
+    FROM ranked
+    WHERE rnk <= CAST(ceil(n_src / 4.0) AS BIGINT)
+    """,
+)
+def j42_dsir_select(spark, sf_dir) -> DataFrame:
+    """DSIR SELECTION — the second half of the published recipe: rank
+    every document by its importance weight (j38) and keep the top
+    quartile PER SOURCE (stratified, so no source is wiped out by a
+    corpus-level cutoff).  Ranking uses the 4dp-FLOORED weight with a
+    doc_id tiebreak: the floored value is the engine-identical
+    quantity (j38's parity surface), so the kept set can never flip on
+    a last-ulp float difference between engines.
+
+    Plan: j38's scoring (vocab table broadcast onto one tf shuffle) +
+    one doc-keyed join to recover source + ONE window over
+    (source)-partitioned scores — both window functions (rank, count)
+    share the exchange.  At 100 TB the selection is a per-source
+    top-p: rank windows over high-cardinality strata stay bounded,
+    and the quartile threshold needs no global sort — exactly how the
+    published pipeline resamples."""
+    docs = load(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, _DSIR_TARGET).select("doc_id", "logw")
+    w = Window.partitionBy("source").orderBy(
+        F.col("logw").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rnk") <= F.ceil(F.col("n_src") / 4.0).cast("long"))
+        .select("source", "doc_id", "logw", "rnk")
+    )

@@ -1615,3 +1615,63 @@ def k16_bounded_funnel(spark, sf_dir) -> DataFrame:
             F.col("t_purchase").isNotNull().cast("int").alias("converted"),
         )
     )
+
+
+@query(
+    "k17_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+                   AS bucket_s,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               AVG(n) AS mu,
+               stddev_samp(n) AS sigma
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.bucket_s, h.n,
+           FLOOR((h.n - mu) / sigma * 10000) / 10000 AS z
+    FROM hourly h JOIN stats USING (event_type)
+    WHERE ABS((h.n - mu) / sigma) > 2
+    """,
+)
+def k17_anomaly_zscore(spark, sf_dir) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type whose
+    z-score against that type's own hourly distribution exceeds 2 —
+    the standard ops-monitoring shape (traffic spikes, error bursts;
+    k7's error-burst twin generalized to every type and both tails).
+
+    The ladder: ONE corpus-sized aggregate to hourly counts, then
+    mean/stddev run over the tiny per-type hourly table, broadcast
+    back onto it — the fact table is read once, everything after is
+    |types|·|hours| rows.  AVG/STDDEV here aggregate small exact
+    integers (hourly counts), the d8-proven parity surface; the final
+    z is floored 4dp AFTER the filter so threshold and output use the
+    same engine-identical arithmetic."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.window("ts2", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "event_type",
+        F.unix_timestamp(F.col("w.start")).alias("bucket_s"),
+        "n",
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select(
+            "event_type",
+            "bucket_s",
+            "n",
+            (F.floor(z * 10000) / 10000).alias("z"),
+        )
+    )
