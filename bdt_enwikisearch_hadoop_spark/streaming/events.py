@@ -123,12 +123,13 @@ def k3_session(spark, sf_dir) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))
 
 
-def sessionize(e: DataFrame) -> DataFrame:
-    """k3's core over any (user_id, event_id, ts) frame — separated so
-    property tests can drive it with generated logs."""
+def session_ids(e: DataFrame) -> DataFrame:
+    """Per-EVENT session assignment (gaps-and-islands): the input frame
+    plus a ``sid`` column, 1-based per user.  Extra columns pass
+    through — k18 keeps event_type to funnel within each session."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = e.withColumn(
+    return e.withColumn(
         "newf",
         F.when(
             F.lag("ts").over(w).isNull()
@@ -136,6 +137,12 @@ def sessionize(e: DataFrame) -> DataFrame:
             1,
         ).otherwise(0),
     ).withColumn("sid", F.sum("newf").over(wcum))
+
+
+def sessionize(e: DataFrame) -> DataFrame:
+    """k3's core over any (user_id, event_id, ts) frame — separated so
+    property tests can drive it with generated logs."""
+    flagged = session_ids(e)
     return flagged.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.expr(f"MIN(ts) DIV {_NS_PER_S}").alias("start_s"),
@@ -1673,5 +1680,101 @@ def k17_anomaly_zscore(spark, sf_dir) -> DataFrame:
             "bucket_s",
             "n",
             (F.floor(z * 10000) / 10000).alias("z"),
+        )
+    )
+
+
+@query(
+    "k18_session_conversion",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+               CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                      OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > {_GAP_NS}
+                    THEN 1 ELSE 0 END AS newf
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, CAST(SUM(newf) OVER (PARTITION BY user_id
+                                       ORDER BY tns, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS sid
+        FROM o
+    ),
+    v AS (SELECT user_id, sid, MIN(tns) AS t_view FROM s
+          WHERE event_type = 'view' GROUP BY user_id, sid),
+    c AS (SELECT s.user_id, s.sid, MIN(tns) AS t_click
+          FROM s JOIN v USING (user_id, sid)
+          WHERE event_type = 'click' AND tns > t_view
+          GROUP BY s.user_id, s.sid),
+    p AS (SELECT s.user_id, s.sid, MIN(tns) AS t_purchase
+          FROM s JOIN c USING (user_id, sid)
+          WHERE event_type = 'purchase' AND tns > t_click
+          GROUP BY s.user_id, s.sid),
+    sess AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s
+             GROUP BY user_id, sid)
+    SELECT sess.user_id, sid AS session_id, n_events,
+           CAST(t_view IS NOT NULL AS INT) AS saw_view,
+           CAST(t_purchase IS NOT NULL AS INT) AS converted
+    FROM sess
+    LEFT JOIN v USING (user_id, sid)
+    LEFT JOIN c USING (user_id, sid)
+    LEFT JOIN p USING (user_id, sid)
+    """,
+)
+def k18_session_conversion(spark, sf_dir) -> DataFrame:
+    """IN-SESSION conversion — the product-analytics composition of k3
+    and k5: within each 30-minute-gap session, did the user complete
+    view → click-after-view → purchase-after-click before the session
+    ended?  Per-session rows with the lifecycle flags (a user can
+    convert in one session and just browse in the next — the
+    per-session rate is the metric product teams actually track;
+    k5's per-user funnel can't distinguish those visits).
+
+    Plan: session assignment is ONE user_id shuffle (the lag + running
+    sum share the sorted partition); every staged funnel aggregate is
+    then keyed by (user_id, sid) — a REFINEMENT of the user
+    partitioning, so the stage tables stay co-partitioned and shrink
+    monotonically exactly like k5.  In streaming this is
+    session_window state with the funnel evaluated at window close."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    s = session_ids(e).select(
+        "user_id", F.col("sid").cast("long").alias("sid"), "event_type",
+        "ts", "event_id",
+    )
+    keys = ["user_id", "sid"]
+    v = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        s.filter(F.col("event_type") == "click")
+        .join(v, keys)
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(c, keys)
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy(*keys)
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    sess = s.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sess.join(v, keys, "left")
+        .join(c, keys, "left")
+        .join(p, keys, "left")
+        .select(
+            "user_id",
+            F.col("sid").alias("session_id"),
+            "n_events",
+            F.col("t_view").isNotNull().cast("int").alias("saw_view"),
+            F.col("t_purchase").isNotNull().cast("int").alias("converted"),
         )
     )

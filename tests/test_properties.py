@@ -1373,3 +1373,29 @@ def test_bounded_funnel_is_subset_of_unbounded(spark, sf_dir):
             assert ub.click_s is not None and ub.click_s <= b.click_s
         if b.converted:
             assert ub.purchase_s is not None
+
+
+def test_session_conversion_accounting(spark, sf_dir):
+    """k18 invariants: session event counts re-total to the raw log,
+    every converted session saw a view first, and session ids match
+    k3's session inventory exactly."""
+    import pyspark.sql.functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    k18 = QUERIES["k18_session_conversion"](spark, sf_dir).cache()
+    try:
+        total = k18.agg(F.sum("n_events")).first()[0]
+        assert total == load(spark, sf_dir, "events").count()
+        assert k18.filter(
+            (F.col("converted") == 1) & (F.col("saw_view") == 0)
+        ).count() == 0
+        k3 = QUERIES["k3_session"](spark, sf_dir)
+        a = {(r.user_id, r.session_id, r.n_events) for r in k3.collect()}
+        b = {
+            (r.user_id, r.session_id, r.n_events) for r in k18.collect()
+        }
+        assert a == b
+    finally:
+        k18.unpersist()
