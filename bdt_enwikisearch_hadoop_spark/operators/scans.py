@@ -222,3 +222,72 @@ def parse_pages(raw: DataFrame) -> DataFrame:
         F.col("p.source").alias("source"),
         F.col("p.text").alias("text"),
     )
+
+
+def _csv_dir(spark, sf_dir) -> str:
+    """Build-once-per-(session, sf) CSV staging of documents (the c17
+    pattern): the fixture ships parquet only, so the CSV source is
+    exercised by round-tripping through a session tmpdir."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_csv_{spark.sparkContext.applicationId}_{tag}",
+    )
+    if not os.path.isdir(base):
+        (
+            load(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)  # robust to future delimiter-bearing text
+            .csv(base)
+        )
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@query(
+    "a6_csv_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def a6_csv_scan(spark, sf_dir) -> DataFrame:
+    """CSV source with an EXPLICIT schema (never inferSchema — schema
+    inference is a full extra pass over the data and type-guesses):
+    documents staged once per session as quoted CSV, read back typed,
+    and aggregated per source.  The oracle reads the original parquet,
+    so the equality proves the CSV round-trip is lossless including
+    quoting.
+
+    Scale: CSV is the interchange format 100 TB pipelines RECEIVE, not
+    what they should scan repeatedly — it is row-oriented, has no
+    column pruning, no predicate pushdown, no statistics (contrast a2/
+    a3's parquet scans, plan-guarded for both).  The right pattern is
+    exactly this shape: one schema-checked pass that lands the data as
+    parquet (the staging write), every later query reading columnar."""
+    csv_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs = (
+        spark.read.schema(csv_schema)
+        .option("header", True)
+        .csv(_csv_dir(spark, sf_dir))
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
