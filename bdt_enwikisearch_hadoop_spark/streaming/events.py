@@ -274,7 +274,12 @@ def k6_retention(spark, sf_dir) -> DataFrame:
     log-sized shuffle); the self-join then runs on the tiny per-day
     activity table.  Ratio FLOOR-truncated (integer/integer, §2.0
     rule 1)."""
-    e = load(spark, sf_dir, "events")
+    return retention(load(spark, sf_dir, "events"))
+
+
+def retention(e: DataFrame) -> DataFrame:
+    """k6's core over any (user_id, ts2) frame — separated so property
+    tests can drive it with generated logs."""
     acts = e.select("user_id", F.to_date("ts2").alias("d")).distinct()
     act = acts.groupBy("d").agg(F.count(F.lit(1)).alias("n_active"))
     prev = acts.select("user_id", F.date_add("d", 1).alias("d"))

@@ -1399,3 +1399,42 @@ def test_session_conversion_accounting(spark, sf_dir):
         assert a == b
     finally:
         k18.unpersist()
+
+
+def test_retention_matches_python_reference(spark):
+    """Hypothesis: day-over-day retention equals a direct Python
+    computation over (user, day) activity sets, including day
+    boundaries (events seconds before/after midnight UTC)."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import retention
+
+    DAY = 86400
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=4 * DAY - 1),  # ts seconds
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=30))
+    def check(events):
+        df = spark.createDataFrame(
+            [(u, s * 1_000_000) for u, s in events], "user_id long, us long"
+        ).select("user_id", F.timestamp_micros("us").alias("ts2"))
+        got = {
+            r.day_s: (r.n_active, r.n_retained, r.retention)
+            for r in retention(df).collect()
+        }
+        acts = {(u, (s // DAY) * DAY) for u, s in events}
+        days = sorted({d for _, d in acts})
+        want = {}
+        for d in days:
+            active = {u for u, dd in acts if dd == d}
+            retained = {u for u in active if (u, d - DAY) in acts}
+            frac = len(retained) * 10000 // len(active) / 10000
+            want[d] = (len(active), len(retained), frac)
+        assert got == want
+
+    check()
