@@ -33,6 +33,7 @@ from .functions import (  # noqa: F401
     llm_pipeline,
     llm_scale,
     ann,
+    dataset_ops,
     multimodal,
     udf_surface,
 )

@@ -1,0 +1,233 @@
+"""Dataset curation operators (j43-j45): the data-quality /
+sampling / outlier-handling passes a production training-data pipeline
+runs between ingestion and training (mandated by BASELINE.json:6 —
+pipeline operators as first-class, scale-designed components).
+
+Scale notes (100 TB):
+
+* ``j43`` constraint validation is ONE fact scan: every row-level
+  check is a conditional aggregate that partial-aggregates map-side,
+  the pk-uniqueness check is a distinct-count over the same exchange,
+  and referential integrity rides a single key join (broadcast when
+  the dim fits, bucketed SMJ when it does not).  The output is
+  check-count-bounded (rows = number of declared constraints), never
+  data-bounded — the Deequ insight: metrics first, verdicts derived.
+* ``j44`` weighted sampling without replacement (Efraimidis-Spirakis
+  A-ES): each row gets the key ``u^(1/w)`` from a content-hash uniform
+  ``u`` — top-k by key IS a w-weighted sample without replacement.
+  One map pass + a size-k ``TakeOrderedAndProject``; no per-group
+  state, no rejection loop, deterministic across engines and runs
+  (md5-derived ``u``, same §2.0 rule-7 discipline as j15/j8).
+* ``j45`` winsorization clips a skewed measure at a per-group
+  DISCRETE p95 — the quantile is picked by row-number against a
+  ceil(0.95·n) rank (exact integer output, no interpolation float to
+  drift cross-engine).  Per-group quantile = one sort-shuffle of the
+  (group, measure) pairs; the clip itself is a broadcast join of the
+  group→threshold table (group-count-bounded) back onto the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..registry import query
+from ..sources import load
+
+_SAMPLE_K = 20
+
+
+@query(
+    "j43_dq_constraints",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN l.l_quantity IS NULL THEN 1 ELSE 0 END)
+                   AS null_qty,
+               SUM(CASE WHEN l.l_discount < 0 OR l.l_discount > 1
+                        THEN 1 ELSE 0 END) AS bad_discount,
+               SUM(CASE WHEN l.l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                   AS bad_price,
+               COUNT(*) - COUNT(DISTINCT (l.l_orderkey, l.l_linenumber))
+                   AS dup_pk,
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS orphans
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT chk AS check, violations,
+           FLOOR((1 - violations * 1.0 / n_rows) * 10000) / 10000
+               AS pass_ratio
+    FROM (
+        SELECT n_rows, 'completeness_quantity' AS chk,
+               null_qty AS violations FROM m
+        UNION ALL SELECT n_rows, 'range_discount', bad_discount FROM m
+        UNION ALL SELECT n_rows, 'positive_price', bad_price FROM m
+        UNION ALL SELECT n_rows, 'unique_pk', dup_pk FROM m
+        UNION ALL SELECT n_rows, 'ref_integrity_orderkey', orphans FROM m
+    )
+    """,
+)
+def j43_dq_constraints(spark, sf_dir) -> DataFrame:
+    """Deequ-style data-quality constraint suite, computed as METRICS in
+    one pass and unpivoted into one row per declared check:
+    completeness (NULL fraction), value ranges, positivity, primary-key
+    uniqueness (the fixture genuinely violates it — ~14k duplicate
+    (orderkey, linenumber) rows), and referential integrity against the
+    orders dim (a left join; orphans are NULL probe hits).
+
+    100 TB shape: all row-level checks are conditional aggregates over
+    ONE fact scan with map-side partials; pk-uniqueness shares the same
+    single exchange as a distinct-count; the dim join broadcasts (or
+    runs bucketed at dim scale).  Output is constraint-count-bounded —
+    5 rows regardless of corpus size — so validation adds one pass, not
+    one pass per check (the anti-pattern this operator replaces)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").isNull().cast("long")).alias(
+                "null_qty"
+            ),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+                .cast("long")
+            ).alias("bad_discount"),
+            F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias(
+                "bad_price"
+            ),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct("l_orderkey", "l_linenumber")
+            ).alias("dup_pk"),
+            F.sum(F.col("o_orderkey").isNull().cast("long")).alias(
+                "orphans"
+            ),
+        )
+    )
+    stacked = m.select(
+        F.expr(
+            "stack(5,"
+            " 'completeness_quantity', null_qty,"
+            " 'range_discount', bad_discount,"
+            " 'positive_price', bad_price,"
+            " 'unique_pk', dup_pk,"
+            " 'ref_integrity_orderkey', orphans) AS (check, violations)"
+        ),
+        "n_rows",
+    )
+    return stacked.select(
+        "check",
+        "violations",
+        (
+            F.floor((1 - F.col("violations") / F.col("n_rows")) * 10000)
+            / 10000
+        ).alias("pass_ratio"),
+    )
+
+
+@query(
+    "j44_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           FLOOR(POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT / 4294967296.0,
+                     1.0 / GREATEST(n_chars, 1)) * 10000) / 10000 AS wkey
+    FROM documents
+    ORDER BY POW(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT / 4294967296.0,
+                 1.0 / GREATEST(n_chars, 1)) DESC, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def j44_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    the public exponential-sort construction): every doc draws the key
+    ``u^(1/w)`` with ``u`` a deterministic md5-derived uniform and
+    ``w = n_chars`` its weight; the global top-k by key is exactly a
+    w-weighted sample without replacement.  Long documents are
+    proportionally more likely to be kept — the length-weighted corpus
+    subsample a token-budgeted training run wants.
+
+    100 TB shape: one map pass (hash + pow per row) and a size-k
+    ``TakeOrderedAndProject`` — per-partition top-k heaps merged on the
+    driver, never a global sort.  Reproducible on any engine and any
+    partitioning because ``u`` is content-derived (j15's rule-7 hash
+    discipline), unlike rand()-keyed reservoirs."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.greatest("n_chars", F.lit(1)))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            key.alias("k_full"),
+        )
+        .orderBy(F.desc("k_full"), "doc_id")
+        .limit(_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.floor(F.col("k_full") * 10000) / 10000).alias("wkey"),
+        )
+    )
+
+
+@query(
+    "j45_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    thresh AS (
+        SELECT source, n_chars AS p95
+        FROM ranked
+        WHERE rn = CEIL(0.95 * n)
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           LEAST(d.n_chars, t.p95) AS clipped
+    FROM documents d JOIN thresh t USING (source)
+    """,
+)
+def j45_winsorize(spark, sf_dir) -> DataFrame:
+    """Per-group p95 winsorization of a skewed measure (n_chars per
+    source) — the outlier-clipping pass that stops a handful of
+    mega-documents from dominating token budgets.  The p95 is DISCRETE:
+    the value at row-number ceil(0.95·n) in sort order, so the
+    threshold is an actual observed integer and the whole operator is
+    exact integer arithmetic end-to-end (interpolated percentiles are
+    d12's job; a clip boundary must not sit on a cross-engine float
+    ulp).
+
+    100 TB shape: the threshold table is one sort-shuffle of (group,
+    measure) — per-group top-5% selection, which AQE splits on skewed
+    groups — and is group-count-bounded, so the clip join back onto the
+    corpus BROADCASTS.  Net: one wide pass + one map-side join, no
+    corpus re-sort."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    thresh = (
+        d.select(
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")))
+        .select("source", F.col("n_chars").alias("p95"))
+    )
+    return d.join(F.broadcast(thresh), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least("n_chars", "p95").alias("clipped"),
+    )

@@ -680,3 +680,77 @@ def c21_existence_flag(spark, sf_dir) -> DataFrame:
         FROM c21_customer
         """
     )
+
+
+@query(
+    "c22_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    snap_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+                WHEN b.o_orderkey IS NULL THEN 'deleted'
+                ELSE 'updated' END AS change,
+           FLOOR(a.o_totalprice * 10000) / 10000 AS old_price,
+           FLOOR(b.o_totalprice * 10000) / 10000 AS new_price
+    FROM snap_old a FULL OUTER JOIN snap_new b
+      ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def c22_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Snapshot CDC diff: given yesterday's and today's snapshot of a
+    keyed table, emit the change set — inserted / deleted / updated
+    rows, unchanged rows dropped.  The two snapshots here are derived
+    deterministically from the orders fixture (modulus membership for
+    inserts/deletes, a *1.1 repricing for updates), so the diff is
+    fully oracle-checkable; in production they are two table versions.
+
+    100 TB shape: ONE full-outer sort-merge join keyed on the pk —
+    each snapshot shuffles once, and when both snapshots are bucketed
+    by pk (the natural layout for versioned tables, c17's machinery)
+    the exchange disappears entirely and the diff is a zero-shuffle
+    zip of co-located buckets.  Classification and the unchanged-row
+    filter are map-side expressions after the join; output is
+    change-bounded, not table-bounded.  The float update comparison is
+    safe cross-engine because both engines compute the identical IEEE
+    double for price*1.1."""
+    o = load(spark, sf_dir, "orders")
+    snap_old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_totalprice").alias("p_old"),
+    )
+    snap_new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_new"),
+    )
+    d = snap_old.join(
+        snap_new, snap_old.k_old == snap_new.k_new, "full_outer"
+    )
+    return d.filter(
+        F.col("k_old").isNull()
+        | F.col("k_new").isNull()
+        | (F.col("p_old") != F.col("p_new"))
+    ).select(
+        F.coalesce("k_old", "k_new").alias("o_orderkey"),
+        F.when(F.col("k_old").isNull(), "inserted")
+        .when(F.col("k_new").isNull(), "deleted")
+        .otherwise("updated")
+        .alias("change"),
+        (F.floor(F.col("p_old") * 10000) / 10000).alias("old_price"),
+        (F.floor(F.col("p_new") * 10000) / 10000).alias("new_price"),
+    )

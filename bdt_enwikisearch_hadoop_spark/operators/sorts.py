@@ -1568,3 +1568,54 @@ def f26_yoy_growth(spark, sf_dir) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@query(
+    "f27_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def f27_skyline(spark, sf_dir) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part strictly
+    dominates on (lower price, bigger size).  The textbook formulation
+    is the oracle's quadratic NOT EXISTS self-join; this impl is the
+    O(n log n) WINDOW form: collapse to one row per distinct price
+    (max size at that price), running-max the sizes in price order,
+    and a part is on the frontier iff its size equals the max at its
+    own price AND beats the running max over all STRICTLY lower prices
+    (rows-frame lag of the prefix max — ties on both axes survive, as
+    strict dominance requires).
+
+    100 TB shape: the per-price collapse is one map-side-combined
+    groupBy whose output is price-domain-bounded, so the prefix-max
+    window runs over a dim-sized table (the classic two-phase prefix
+    scan if the domain ever grows), and the verdict joins back
+    BROADCAST onto the corpus — never an all-pairs comparison.  The
+    plan must contain no CartesianProduct/BroadcastNestedLoopJoin
+    (plan-guarded)."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("mx")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lvl = per_price.withColumn("m_lt", F.max("mx").over(w))
+    return (
+        p.join(F.broadcast(lvl), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("mx"))
+            & (F.col("m_lt").isNull() | (F.col("p_size") > F.col("m_lt")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

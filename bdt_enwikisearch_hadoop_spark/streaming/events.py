@@ -1783,3 +1783,53 @@ def k18_session_conversion(spark, sf_dir) -> DataFrame:
             F.col("t_purchase").isNotNull().cast("int").alias("converted"),
         )
     )
+
+
+@query(
+    "k19_incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+    FROM events
+    GROUP BY event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+    """,
+)
+def k19_incremental_agg_merge(spark, sf_dir) -> DataFrame:
+    """Incremental view maintenance: a BASE aggregate (events before
+    Jan 16) merged with a late-arriving DELTA batch (Jan 16 onward) by
+    re-aggregating their mergeable partial states — count adds, sum
+    adds — and the merged result must equal the full recompute (the
+    oracle aggregates the whole log directly).  The measure runs in
+    scaled-integer cents (f20's discipline) so partial-then-merge is
+    bit-exact associative arithmetic, not float-order-dependent.
+
+    100 TB shape: THE pattern that amortizes a petabyte fact table —
+    the base states are computed once and persisted (group-bounded,
+    not data-bounded); each new ingest batch aggregates alone and
+    merges in a shuffle that only carries (groups × 2) partial rows.
+    Only re-aggregable states qualify (count/sum/min/max, HLL sketches
+    — d16's ladder); AVG must be carried as (sum, count), never as a
+    merged average of averages."""
+    e = load(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day_s = F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day_s).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    base = partial(e.filter(F.col("ts2") < split))
+    delta = partial(e.filter(F.col("ts2") >= split))
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type", "day_s")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )

@@ -635,3 +635,44 @@ def test_c21_plans_existence_join_single_orders_scan(spark, sf_dir):
     p = _plan(spark, sf_dir, "c21_existence_flag")
     assert "ExistenceJoin" in p
     assert p.count("orders.parquet") == 1
+
+
+def test_f27_skyline_is_window_not_all_pairs(spark, sf_dir):
+    """The skyline claim: frontier via prefix-max window + broadcast
+    verdict join, never the oracle's quadratic self-join."""
+    p = _plan(spark, sf_dir, "f27_skyline")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_c22_diff_is_one_full_outer_join(spark, sf_dir):
+    """The CDC diff must be ONE full-outer SMJ over the pk — not a
+    union of semi/anti passes that scans each snapshot twice."""
+    p = _plan(spark, sf_dir, "c22_snapshot_diff")
+    assert "FullOuter" in p
+    assert p.count("SortMergeJoin") == 1
+
+
+def test_j43_dq_suite_is_single_fact_scan(spark, sf_dir):
+    """All five constraints must ride ONE lineitem scan (metrics in one
+    aggregate, unpivoted afterward) — one pass per check is the
+    anti-pattern this operator exists to replace."""
+    p = _plan(spark, sf_dir, "j43_dq_constraints")
+    assert p.count("lineitem.parquet") == 1
+
+
+def test_j44_weighted_sample_is_topk_heap(spark, sf_dir):
+    """A-ES sampling = map pass + size-k heap; a global sort would be
+    the 100 TB regression."""
+    p = _plan(spark, sf_dir, "j44_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_j45_clip_join_broadcasts(spark, sf_dir):
+    """The group->p95 table is group-bounded: the clip join back onto
+    the corpus must broadcast, never shuffle the corpus."""
+    p = _plan(spark, sf_dir, "j45_winsorize")
+    assert "BroadcastHashJoin" in p
