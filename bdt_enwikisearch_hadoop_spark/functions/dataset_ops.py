@@ -231,3 +231,93 @@ def j45_winsorize(spark, sf_dir) -> DataFrame:
         "n_chars",
         F.least("n_chars", "p95").alias("clipped"),
     )
+
+
+@query(
+    "j46_url_dedup",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://cdn.example.org/p/'
+                             || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.ORG/p/'
+                             || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 2 THEN 'http://cdn.example.org/p/'
+                             || CAST(doc_id % 50 AS VARCHAR) || '/'
+                 ELSE 'https://cdn.example.org/p/'
+                      || CAST(doc_id % 50 AS VARCHAR)
+                      || '?utm_source=x&utm_campaign=y'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(url), '^http://', 'https://'),
+                       '\\?utm[^#]*$', ''),
+                   '/$', '') AS curl
+        FROM raw
+    )
+    SELECT curl, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM canon
+    GROUP BY curl
+    """,
+)
+def j46_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of a web-corpus
+    pipeline, upstream of any content hashing: the same page arrives
+    under case-varied hosts, http/https, trailing slashes and utm_*
+    tracking params; canonicalize (lowercase, force https, strip
+    tracking query, strip trailing slash) and keep the first-crawled
+    copy per canonical URL.  The messy variants here are derived
+    deterministically from doc_id so the whole pass is oracle-checked
+    (four syntactic variants collapsing onto doc_id%50 canonical pages).
+
+    100 TB shape: canonicalization is per-row regex riding the scan
+    (anchored, backtracking-free — j26's discipline), and the keeper
+    pick is ONE groupBy on the canonical string; because it dedups on a
+    short derived key, the exchange carries URLs, never document
+    bodies.  Run this before content dedup (j1/j8): it removes the
+    bulk crawl-duplication for the cost of a metadata shuffle."""
+    d = load(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://cdn.example.org/p/"), page),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("HTTPS://CDN.EXAMPLE.ORG/p/"), page),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://cdn.example.org/p/"), page, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.example.org/p/"),
+                page,
+                F.lit("?utm_source=x&utm_campaign=y"),
+            )
+        )
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), "^http://", "https://"),
+            r"\?utm[^#]*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

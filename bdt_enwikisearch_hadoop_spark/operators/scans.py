@@ -291,3 +291,60 @@ def a6_csv_scan(spark, sf_dir) -> DataFrame:
             "total_tokens"
         ),
     )
+
+
+def _jsonl_dir(spark, sf_dir) -> str:
+    """Build-once-per-(session, sf) JSON-lines staging of documents
+    (a6's pattern for the other interchange format pipelines receive)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_jsonl_{spark.sparkContext.applicationId}_{tag}",
+    )
+    if not os.path.isdir(base):
+        load(spark, sf_dir, "documents").write.mode("overwrite").json(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@query(
+    "a7_jsonl_scan",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def a7_jsonl_scan(spark, sf_dir) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema (the web-corpus
+    interchange format — WARC-derived corpora, API exports and
+    annotation dumps all arrive as JSONL): documents staged once per
+    session as JSONL, read back typed, aggregated per language.  The
+    oracle reads the original parquet, so equality proves the JSON
+    round-trip lossless — including text fields full of quotes and
+    escapes, the place naive JSON handling corrupts silently.
+
+    Scale: same verdict as a6 — JSONL is row-oriented with every key
+    name repeated per row (~2× CSV bytes), no pruning, no pushdown, no
+    stats; schema inference would add a full extra pass, so the schema
+    is declared.  The production shape is ONE schema-checked pass that
+    lands parquet, then columnar reads forever after."""
+    json_schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs = spark.read.schema(json_schema).json(_jsonl_dir(spark, sf_dir))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1604,18 +1604,24 @@ def f27_skyline(spark, sf_dir) -> DataFrame:
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    per_price = p.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("mx")
-    )
-    w = Window.orderBy("p_retailprice").rowsBetween(
+    return pareto_frontier(p, "p_retailprice", "p_size")
+
+
+def pareto_frontier(df: DataFrame, price_col: str, size_col: str) -> DataFrame:
+    """The reusable window-form 2-D skyline over (minimize price_col,
+    maximize size_col); strict dominance, ties on both axes survive.
+    Property-tested against a brute-force dominance scan on random
+    points (tests/test_properties.py)."""
+    per_price = df.groupBy(price_col).agg(F.max(size_col).alias("mx"))
+    w = Window.orderBy(price_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     lvl = per_price.withColumn("m_lt", F.max("mx").over(w))
     return (
-        p.join(F.broadcast(lvl), "p_retailprice")
+        df.join(F.broadcast(lvl), price_col)
         .filter(
-            (F.col("p_size") == F.col("mx"))
-            & (F.col("m_lt").isNull() | (F.col("p_size") > F.col("m_lt")))
+            (F.col(size_col) == F.col("mx"))
+            & (F.col("m_lt").isNull() | (F.col(size_col) > F.col("m_lt")))
         )
-        .select("p_partkey", "p_retailprice", "p_size")
+        .select(df.columns)
     )

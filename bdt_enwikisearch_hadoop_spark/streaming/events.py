@@ -1813,7 +1813,16 @@ def k19_incremental_agg_merge(spark, sf_dir) -> DataFrame:
     — d16's ladder); AVG must be carried as (sum, count), never as a
     merged average of averages."""
     e = load(spark, sf_dir, "events")
-    split = F.lit("2024-01-16").cast("timestamp")
+    return merge_partial_aggregates(e, "2024-01-16")
+
+
+def merge_partial_aggregates(e: DataFrame, split_ts: str) -> DataFrame:
+    """k19's reusable core: partial (count, sum-of-cents) states from
+    the base (< split_ts) and delta (>= split_ts) slices, re-aggregated
+    — equal to the direct aggregate for EVERY split point because both
+    states are associative integer arithmetic (property-tested against
+    random splits in tests/test_properties.py)."""
+    split = F.lit(split_ts).cast("timestamp")
     cents = F.round(F.col("value") * 100).cast("long")
     day_s = F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s")
 
@@ -1833,3 +1842,79 @@ def k19_incremental_agg_merge(spark, sf_dir) -> DataFrame:
             F.sum("sum_cents").alias("sum_cents"),
         )
     )
+
+
+def run_incremental_merge_stream_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """k19's merge pattern run as a STREAM: events arrive one file per
+    micro-batch, foreachBatch aggregates the batch into its partial
+    (count, sum-of-cents) states and merges them into a persisted state
+    table by re-aggregation (state ∪ delta → groupBy — the MERGE an
+    actual lakehouse sink would do in place).  Returns (merged, direct)
+    canonical contents; incremental maintenance must equal the batch
+    recompute because the states are associative integers.
+
+    State version directories are immutable (write-new, swap-pointer):
+    overwriting a parquet dir that the next batch reads is the classic
+    self-read corruption, and the versioned layout is also what gives
+    exactly-once semantics on retry."""
+    import tempfile
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    day_s = F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day_s).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        batch = load(spark, sf_dir, "events").drop("ts2")
+        src = f"{workdir}/src"
+        batch.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn(
+                "ts2",
+                F.timestamp_micros(
+                    F.expr("CAST((ts - pmod(ts, 1000)) DIV 1000 AS LONG)")
+                ),
+            )
+        )
+        state_path: list[str] = []  # latest committed state version
+
+        def merge(batch_df, batch_id):
+            delta = partial(batch_df)
+            if state_path:
+                merged = (
+                    spark.read.parquet(state_path[-1])
+                    .unionAll(delta)
+                    .groupBy("event_type", "day_s")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("sum_cents").alias("sum_cents"),
+                    )
+                )
+            else:
+                merged = delta
+            new_version = f"{workdir}/state_v{batch_id}"
+            merged.write.mode("overwrite").parquet(new_version)
+            state_path.append(new_version)
+
+        q = stream.writeStream.foreachBatch(merge).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+        q.stop()
+        merged_rows = sorted(
+            (r.event_type, r.day_s, r.n, r.sum_cents)
+            for r in spark.read.parquet(state_path[-1]).collect()
+        )
+    e = load(spark, sf_dir, "events")
+    direct_rows = sorted(
+        (r.event_type, r.day_s, r.n, r.sum_cents)
+        for r in partial(e).collect()
+    )
+    return merged_rows, direct_rows

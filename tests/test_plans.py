@@ -676,3 +676,11 @@ def test_j45_clip_join_broadcasts(spark, sf_dir):
     the corpus must broadcast, never shuffle the corpus."""
     p = _plan(spark, sf_dir, "j45_winsorize")
     assert "BroadcastHashJoin" in p
+
+
+def test_j46_dedup_shuffles_urls_not_bodies(spark, sf_dir):
+    """URL dedup's one exchange must carry the canonical-url aggregate,
+    and the document text column must never be read at all."""
+    p = _plan(spark, sf_dir, "j46_url_dedup")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "text" not in p.split("ReadSchema")[1][:200]

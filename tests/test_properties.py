@@ -1438,3 +1438,117 @@ def test_retention_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Hypothesis: the window-form Pareto frontier equals the O(n²)
+    dominance scan on arbitrary (price, size) points — including
+    duplicate points and full ties on either axis."""
+    from hypothesis import given, settings, strategies as st
+
+    from bdt_enwikisearch_hadoop_spark.operators.sorts import pareto_frontier
+
+    pt = st.tuples(
+        st.integers(min_value=0, max_value=8),   # price
+        st.integers(min_value=0, max_value=8),   # size
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(pt, min_size=1, max_size=25))
+    def check(points):
+        rows = [(i, float(p), s) for i, (p, s) in enumerate(points)]
+        df = spark.createDataFrame(rows, "id long, price double, size int")
+        got = sorted(r.id for r in pareto_frontier(df, "price", "size").collect())
+        want = sorted(
+            i
+            for i, p, s in rows
+            if not any(
+                (q <= p and t >= s and (q < p or t > s))
+                for _, q, t in rows
+            )
+        )
+        assert got == want
+
+    check()
+
+
+def test_incremental_merge_split_invariant(spark, sf_dir):
+    """The merged base+delta aggregate must equal the direct aggregate
+    for EVERY split point, not just the declared one — the defining
+    property of mergeable partial states."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        merge_partial_aggregates,
+    )
+
+    e = load(spark, sf_dir, "events")
+    direct = sorted(
+        (r.event_type, r.day_s, r.n, r.sum_cents)
+        for r in e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .collect()
+    )
+    for split in ("2024-01-01", "2024-01-09", "2024-01-23", "2025-01-01"):
+        merged = sorted(
+            (r.event_type, r.day_s, r.n, r.sum_cents)
+            for r in merge_partial_aggregates(e, split).collect()
+        )
+        assert merged == direct, split
+
+
+def test_winsorize_invariants(spark, sf_dir):
+    """Clipping invariants: never above the original, at most ~5% of
+    each group clipped, and the clip ceiling is an observed value."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["j45_winsorize"](spark, sf_dir).collect()
+    assert rows
+    per_src = defaultdict(list)
+    for r in rows:
+        assert r.clipped <= r.n_chars
+        per_src[r.source].append(r)
+    observed = defaultdict(set)
+    for r in load(spark, sf_dir, "documents").collect():
+        observed[r.source].add(r.n_chars)
+    for src, rs in per_src.items():
+        n = len(rs)
+        clipped = [r for r in rs if r.clipped < r.n_chars]
+        # discrete p95 at rank ceil(.95 n): >5% strictly above it is
+        # impossible; allow the boundary row
+        assert len(clipped) <= n - int(-(-0.95 * n // 1)) + 1
+        ceiling = max(r.clipped for r in rs)
+        assert ceiling in observed[src]
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """j44's top-k by u^(1/w) must equal a direct Python computation of
+    the same md5-derived keys — proving the sample is a pure function
+    of content, independent of partitioning or engine."""
+    import hashlib
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = []
+    for r in docs.collect():
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        keyed.append((u ** (1.0 / max(r.n_chars, 1)), -r.doc_id, r.doc_id))
+    want = {d for _, _, d in sorted(keyed, reverse=True)[:20]}
+    got = {
+        r.doc_id for r in QUERIES["j44_weighted_sample"](spark, sf_dir).collect()
+    }
+    assert got == want

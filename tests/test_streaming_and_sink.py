@@ -454,3 +454,15 @@ def test_two_stage_stateful_dedup_then_window(spark):
     assert emitted, "no windows sealed below the watermark"
     assert emitted <= dedup, emitted - dedup
     assert not (emitted <= with_dups)
+
+
+def test_streaming_incremental_merge_equals_batch(spark):
+    """k19's IVM pattern under streaming: per-micro-batch partial
+    states merged into a versioned state table must equal the direct
+    batch aggregate once the stream drains."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_incremental_merge_stream_smoke,
+    )
+
+    merged, direct = run_incremental_merge_stream_smoke(spark, SF_DIR)
+    assert merged == direct and len(merged) > 0
