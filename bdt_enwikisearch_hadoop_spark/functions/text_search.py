@@ -1139,3 +1139,125 @@ def i23_cooccurrence_pmi(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# i25 — two-stage retrieval cascade: BM25 recall -> VSM precision re-rank
+# ---------------------------------------------------------------------------
+
+_SHORTLIST = 100
+
+
+@query(
+    "i25_two_stage_rerank",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS nd2, AVG(dl) AS avgdl FROM dl),
+    btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term),
+    bdf AS (SELECT term, COUNT(*) AS dfc2 FROM btf GROUP BY term),
+    bm25 AS (
+        SELECT btf.doc_id,
+               FLOOR(SUM(
+                   LN(1 + (nd2 - dfc2 + 0.5) / (dfc2 + 0.5))
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ) * 10000) / 10000 AS bm25
+        FROM btf JOIN bdf USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY btf.doc_id
+    ),
+    short AS (SELECT doc_id, bm25 FROM bm25
+              ORDER BY bm25 DESC, doc_id LIMIT {_SHORTLIST}),
+    norms AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm
+              FROM w GROUP BY doc_id),
+    qdot AS (SELECT doc_id, SUM(wt) AS qd FROM w
+             WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id)
+    SELECT s.doc_id, s.bm25,
+           FLOOR(q.qd / nm.nrm * 10000) / 10000 AS cosine
+    FROM short s JOIN qdot q USING (doc_id) JOIN norms nm USING (doc_id)
+    ORDER BY cosine DESC, s.doc_id
+    LIMIT 10
+    """,
+)
+def i25_two_stage_rerank(spark, sf_dir) -> DataFrame:
+    """Two-stage retrieval cascade — the architecture of every modern
+    search stack: a cheap RECALL stage (BM25 over the inverted index,
+    i10) takes the corpus to a 100-doc shortlist, then an expensive
+    PRECISION stage (length-normalized VSM cosine, i17's scorer in
+    disjunctive form) re-ranks only the shortlist for the final top-10.
+    The shortlist cutoff ranks on the 4dp-FLOORED BM25 score with a
+    doc_id tiebreak (j42's discipline) so the stage boundary can never
+    flip on a last-ulp float difference between engines.
+
+    100 TB shape: stage 1 is i10's physics (query-term-filtered TF
+    slice + broadcast corpus stats — index-served in production);
+    stage 2's cost is SHORTLIST-sized, not corpus-sized: the 100-row
+    shortlist broadcasts onto the postings slice and the persisted
+    norm column (index_store), so making the precision scorer 10×
+    fancier — including a cross-encoder via mapInPandas on 100 rows —
+    adds nothing to the corpus pass.  This cascade is why engines can
+    afford expensive rankers at all."""
+    docs = load(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("nd2"), F.avg("dl").alias("avgdl")
+    )
+    btf = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bdf = btf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc2"))
+    s = (
+        F.log(
+            1
+            + (F.col("nd2") - F.col("dfc2") + F.lit(0.5))
+            / (F.col("dfc2") + F.lit(0.5))
+        )
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    shortlist = (
+        btf.join(bdf, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(s) * 10000) / 10000).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_SHORTLIST)
+    )
+    w = tfidf(docs)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    qdot = (
+        w.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("qd"))
+    )
+    return (
+        F.broadcast(shortlist)
+        .join(qdot, "doc_id")
+        .join(norms, "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            (F.floor(F.col("qd") / F.col("nrm") * 10000) / 10000).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(10)
+    )

@@ -21,7 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
@@ -753,4 +753,96 @@ def c22_snapshot_diff(spark, sf_dir) -> DataFrame:
         .alias("change"),
         (F.floor(F.col("p_old") * 10000) / 10000).alias("old_price"),
         (F.floor(F.col("p_new") * 10000) / 10000).alias("new_price"),
+    )
+
+
+@query(
+    "c23_temporal_join",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id, epoch_ns(ts) AS tns,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS grp
+        FROM events
+    ),
+    island AS (
+        SELECT user_id, event_type AS state, MIN(rn) AS seq,
+               MIN(tns) AS from_tns
+        FROM ev GROUP BY user_id, event_type, grp
+    ),
+    ver AS (
+        SELECT user_id, state, seq, from_tns,
+               lead(from_tns) OVER (PARTITION BY user_id ORDER BY seq)
+                   AS to_tns
+        FROM island
+    ),
+    p AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tns
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT p.event_id, p.user_id, p.tns,
+               v.state, v.from_tns, v.to_tns,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.seq DESC) AS rk
+        FROM p JOIN ver v
+          ON v.user_id = p.user_id AND v.from_tns <= p.tns
+    )
+    SELECT event_id, user_id,
+           tns // 1000000000 AS ts_s,
+           state,
+           from_tns // 1000000000 AS valid_from_s
+    FROM m
+    WHERE rk = 1 AND (to_tns IS NULL OR tns < to_tns)
+    """,
+)
+def c23_temporal_join(spark, sf_dir) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase event joined to the
+    SCD Type-2 dimension version (k14's ns-precision island chain over
+    the same log) that was VALID at the purchase's timestamp — the
+    canonical warehouse question "which state was this user in when
+    they bought".  Match = the latest version with valid_from <= ts
+    (seq-desc tiebreak pins duplicate-timestamp version bursts, the
+    hypothesis-found k14 hazard) that the [from, to) interval actually
+    contains.
+
+    100 TB shape: an equi-join on user_id — both sides shuffle ONCE on
+    the same key the dimension build itself used, so with the SCD table
+    persisted bucketed-by-user the fact side is the only exchange; the
+    interval predicate filters per-user pairs (version-count × events
+    per user, never a time-range cross product), and the rk=1 window
+    rides the join's partitioning.  This is c11's as-of pattern pointed
+    at a versioned dimension instead of a raw event stream."""
+    from ..streaming.events import scd2_islands
+
+    e = load(spark, sf_dir, "events")
+    ver = scd2_islands(e).select(
+        "user_id", "state", "seq", "from_tns", "to_tns"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("tns")
+    )
+    m = purchases.join(
+        ver,
+        (ver.user_id == purchases.p_user)
+        & (ver.from_tns <= purchases.tns),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("seq"))
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(
+            (F.col("rk") == 1)
+            & (F.col("to_tns").isNull() | (F.col("tns") < F.col("to_tns")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("tns DIV 1000000000").alias("ts_s"),
+            "state",
+            F.expr("from_tns DIV 1000000000").alias("valid_from_s"),
+        )
     )

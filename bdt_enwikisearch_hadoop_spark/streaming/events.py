@@ -1458,9 +1458,11 @@ def k14_scd2_build(spark, sf_dir) -> DataFrame:
     return scd2_build(load(spark, sf_dir, "events"))
 
 
-def scd2_build(e: DataFrame) -> DataFrame:
+def scd2_islands(e: DataFrame) -> DataFrame:
     """k14's core over any (user_id, event_type, ts, event_id) frame —
-    separated so property tests can drive it with generated logs.
+    ns-precision [from_tns, to_tns) version chain (to_tns NULL = open),
+    separated so property tests and the point-in-time join (c23) can
+    drive it directly.
 
     The validity chain orders islands by the SEQUENTIAL position of
     each island's first event (min row_number), never by from_tns
@@ -1483,17 +1485,20 @@ def scd2_build(e: DataFrame) -> DataFrame:
         )
     )
     w_chain = Window.partitionBy("user_id").orderBy("seq")
-    return (
-        islands.withColumn("to_tns", F.lead("from_tns").over(w_chain))
-        .select(
-            "user_id",
-            "state",
-            F.expr(f"from_tns DIV {_NS_PER_S}").alias("valid_from_s"),
-            # exact bigint floor-div — ns epochs overflow double's 2^53
-            F.expr(f"to_tns DIV {_NS_PER_S}").alias("valid_to_s"),
-            "n_events",
-            F.col("to_tns").isNull().cast("int").alias("is_current"),
-        )
+    return islands.withColumn("to_tns", F.lead("from_tns").over(w_chain))
+
+
+def scd2_build(e: DataFrame) -> DataFrame:
+    """k14's declared surface: the ns-precision island chain floored to
+    second-precision validity columns (exact bigint floor-div — ns
+    epochs overflow double's 2^53)."""
+    return scd2_islands(e).select(
+        "user_id",
+        "state",
+        F.expr(f"from_tns DIV {_NS_PER_S}").alias("valid_from_s"),
+        F.expr(f"to_tns DIV {_NS_PER_S}").alias("valid_to_s"),
+        "n_events",
+        F.col("to_tns").isNull().cast("int").alias("is_current"),
     )
 
 

@@ -684,3 +684,21 @@ def test_j46_dedup_shuffles_urls_not_bodies(spark, sf_dir):
     p = _plan(spark, sf_dir, "j46_url_dedup")
     assert p.count("Exchange hashpartitioning") == 1
     assert "text" not in p.split("ReadSchema")[1][:200]
+
+
+def test_c23_temporal_join_is_keyed_never_cartesian(spark, sf_dir):
+    """The point-in-time join must hash on user_id with the interval
+    predicate as a post-join filter — a time-range cross product would
+    be the 100 TB regression."""
+    p = _plan(spark, sf_dir, "c23_temporal_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_i25_rerank_broadcasts_shortlist(spark, sf_dir):
+    """Stage 2's cost must be shortlist-sized: the 100-row BM25
+    shortlist broadcasts onto the scoring joins, and the final cut is
+    a top-k heap."""
+    p = _plan(spark, sf_dir, "i25_two_stage_rerank")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
