@@ -348,3 +348,72 @@ def a7_jsonl_scan(spark, sf_dir) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def zvalue(col_a, col_b):
+    """16-bit Morton/Z-value of two 8-bit keys (bit interleave, a
+    bits in even positions, b in odd) — pure integer bit arithmetic,
+    identical in any engine.  Sorting a table by this single scalar
+    co-locates 2-D-adjacent rows, which turns per-row-group min/max
+    stats into a 2-D pruning index (the layout trick behind
+    Z-ORDER clustering in lakehouse table formats)."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(col_a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(col_b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+_Z_SQL = " + ".join(
+    f"((((l_partkey % 256) >> {i}) & 1) << {2 * i})"
+    f" + ((((l_suppkey % 256) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@query(
+    "a8_zorder_scan",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           l_partkey % 256 AS pk8, l_suppkey % 256 AS sk8,
+           {_Z_SQL} AS zval
+    FROM lineitem
+    WHERE l_partkey % 256 BETWEEN 10 AND 20
+      AND l_suppkey % 256 BETWEEN 30 AND 40
+    """,
+)
+def a8_zorder_scan(spark, sf_dir) -> DataFrame:
+    """Z-order (Morton) clustering key + a 2-D box predicate: the
+    declared surface of multi-dimensional data layout.  A table sorted
+    by ONE column prunes row groups only for predicates on that column;
+    interleaving the bits of two keys into a single z-value and sorting
+    by it gives BOTH columns compact per-row-group min/max ranges, so
+    the same footer-stats machinery prunes 2-D boxes.  The z arithmetic
+    is exact integer bit ops — engine-identical by construction.
+
+    100 TB shape: layout is free at write time (one extra sort key on
+    the ingest pass, a2/a6's landing write) and pays on every read
+    thereafter; the physical effect is proven in pytest by counting
+    row groups whose (pk8, sk8) stats intersect the box under a
+    z-sorted vs a pk-sorted layout of the same rows
+    (tests/test_plans.py::test_zorder_layout_prunes_row_groups)."""
+    li = load(spark, sf_dir, "lineitem")
+    pk8 = (F.col("l_partkey") % 256).alias("pk8")
+    sk8 = (F.col("l_suppkey") % 256).alias("sk8")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            pk8,
+            sk8,
+            zvalue(F.col("l_partkey") % 256, F.col("l_suppkey") % 256).alias(
+                "zval"
+            ),
+        )
+        .filter(F.col("pk8").between(10, 20) & F.col("sk8").between(30, 40))
+    )

@@ -1923,3 +1923,59 @@ def run_incremental_merge_stream_smoke(spark, sf_dir: str) -> tuple[list, list]:
         for r in partial(e).collect()
     )
     return merged_rows, direct_rows
+
+
+@query(
+    "k20_gap_detect",
+    oracle="""
+    WITH obs AS (
+        SELECT DISTINCT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s
+        FROM events
+    ),
+    span AS (
+        SELECT event_type, MIN(hour_s) AS h0, MAX(hour_s) AS h1
+        FROM obs GROUP BY event_type
+    ),
+    expected AS (
+        SELECT event_type, h0 + 3600 * CAST(i AS BIGINT) AS hour_s
+        FROM span,
+        LATERAL (SELECT unnest(range(0,
+                     CAST((h1 - h0) / 3600 + 1 AS BIGINT))) AS i)
+    )
+    SELECT e.event_type, e.hour_s
+    FROM expected e LEFT JOIN obs o USING (event_type, hour_s)
+    WHERE o.hour_s IS NULL
+    """,
+)
+def k20_gap_detect(spark, sf_dir) -> DataFrame:
+    """Ingestion-completeness monitoring: the hourly buckets where a
+    type emitted NOTHING — each type's expected calendar is its own
+    [first, last] hour span densified, anti-joined against the hours
+    actually observed (the fixture genuinely has ~40-50 silent hours
+    per type).  k17 flags volume anomalies in hours that exist; this
+    finds the hours that don't — the pipeline-is-down signal a
+    completeness SLA alerts on.
+
+    100 TB shape: the observed-hours table is bucket-bounded (types ×
+    hours), built by ONE distinct pass the aggregate collapses
+    map-side; the calendar explode and the anti-join run on that tiny
+    table, so detection cost is calendar-sized regardless of event
+    volume.  Same grid-densify machinery as k9, minus the per-user
+    dimension."""
+    e = load(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("hour_s"),
+        )
+        .distinct()
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("hour_s").alias("h0"), F.max("hour_s").alias("h1")
+    )
+    expected = span.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_s"),
+    )
+    return expected.join(obs, ["event_type", "hour_s"], "left_anti")

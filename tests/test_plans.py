@@ -702,3 +702,65 @@ def test_i25_rerank_broadcasts_shortlist(spark, sf_dir):
     p = _plan(spark, sf_dir, "i25_two_stage_rerank")
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_zorder_layout_prunes_row_groups(spark, sf_dir):
+    """The physical claim behind a8: writing the same rows z-sorted
+    gives BOTH box columns compact per-row-group stats, so footer
+    min/max pruning eliminates most row groups for a 2-D box predicate
+    — while a pk-sorted layout leaves the second column's ranges full
+    and prunes (almost) nothing."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.operators.scans import zvalue
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pk8"),
+        (F.col("l_suppkey") % 256).alias("sk8"),
+        zvalue(F.col("l_partkey") % 256, F.col("l_suppkey") % 256).alias(
+            "zval"
+        ),
+    )
+
+    def overlapping_row_groups(path: str) -> tuple[int, int]:
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                pk = md.row_group(rg).column(names["pk8"]).statistics
+                sk = md.row_group(rg).column(names["sk8"]).statistics
+                if pk.min <= 20 and pk.max >= 10 and sk.min <= 40 and sk.max >= 30:
+                    hit += 1
+        return hit, total
+
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            li.repartitionByRange(8, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/bz")
+        )
+        (
+            li.repartitionByRange(8, "pk8")
+            .sortWithinPartitions("pk8")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/bp")
+        )
+        z_hit, z_total = overlapping_row_groups(f"{tmp}/bz")
+        p_hit, p_total = overlapping_row_groups(f"{tmp}/bp")
+    # sanity: both layouts carry the same data in >=8 row groups
+    assert z_total >= 8 and p_total >= 8
+    # single-key layout: pk prunes, but sk stats stay full-range — at
+    # most the pk-matching group(s) drop, the rest all overlap
+    # z-layout: the 11x11 box lives in a short z prefix -> few groups
+    assert z_hit * 2 <= p_hit, (z_hit, z_total, p_hit, p_total)
