@@ -846,3 +846,55 @@ def c23_temporal_join(spark, sf_dir) -> DataFrame:
             F.expr("from_tns DIV 1000000000").alias("valid_from_s"),
         )
     )
+
+
+@query(
+    "c24_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(custkey, cur, depth, path_bal) AS (
+        SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+        UNION ALL
+        SELECT w.custkey, w.cur // 2, w.depth + 1, w.path_bal + c.c_acctbal
+        FROM walk w JOIN customer c ON c.c_custkey = w.cur // 2
+        WHERE w.cur > 1
+    )
+    SELECT custkey AS c_custkey, depth AS depth_to_root,
+           FLOOR(path_bal * 100) / 100 AS path_bal
+    FROM walk WHERE cur <= 1
+    """,
+)
+def c24_recursive_hierarchy(spark, sf_dir) -> DataFrame:
+    """Hierarchy traversal via WITH RECURSIVE (Spark 4's recursive CTE
+    — the declarative sibling of j20's hand-rolled driver loop): every
+    customer walks its ancestor chain (parent = custkey DIV 2, a
+    deterministic binary forest over the fixture keys) accumulating
+    depth-to-root and the account-balance sum along the path.  The
+    float path sum is engine-exact because BOTH engines add the same
+    balances in the same leaf-to-root order — recursion fixes the
+    association that a parallel SUM would leave undefined.
+
+    100 TB shape: each recursion step is one equi-join of the frontier
+    against the (bucketed) edge table — rows in flight shrink as walks
+    terminate, and total work is O(edges × depth) like j20's rounds.
+    Recursive CTEs hand the loop to the engine (checkpointing,
+    re-planning per step) but the shuffle physics is identical to the
+    explicit iteration; prefer j20's pointer doubling when depth is
+    data-dependent and large, the CTE when depth is small and the
+    query must stay declarative (org charts, category trees, BOM
+    explosions)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("c24_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, cur, depth, path_bal) AS (
+            SELECT c_custkey, c_custkey, 0, c_acctbal FROM c24_customer
+            UNION ALL
+            SELECT w.custkey, w.cur DIV 2, w.depth + 1,
+                   w.path_bal + c.c_acctbal
+            FROM walk w JOIN c24_customer c ON c.c_custkey = w.cur DIV 2
+            WHERE w.cur > 1
+        )
+        SELECT custkey AS c_custkey, depth AS depth_to_root,
+               FLOOR(path_bal * 100) / 100 AS path_bal
+        FROM walk WHERE cur <= 1
+        """
+    )
