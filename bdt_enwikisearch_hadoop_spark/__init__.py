@@ -34,6 +34,7 @@ from .functions import (  # noqa: F401
     llm_scale,
     ann,
     dataset_ops,
+    link_graph,
     index_store,
     multimodal,
     udf_surface,

@@ -321,3 +321,185 @@ def j46_url_dedup(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j47 — hashed-feature linear quality classifier (fastText-style serving)
+# ---------------------------------------------------------------------------
+
+#: hashed feature space (buckets) for the linear scorer.
+_CLS_D = 64
+
+#: DuckDB hex-digit value: strpos is 1-based, so value = strpos - 1.
+_HX = "strpos('0123456789abcdef', substr(md5({s}), {i}, 1)) - 1"
+
+
+@query(
+    "j47_quality_classifier",
+    oracle=f"""
+    WITH tokq AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               (({_HX.format(s="term", i=1)}) * 16
+                + ({_HX.format(s="term", i=2)})) % {_CLS_D} AS bucket
+        FROM tokq
+    ),
+    wt AS (
+        SELECT b AS bucket,
+               ((({_HX.format(s="'w:' || CAST(b AS VARCHAR)", i=1)}) * 4096
+                 + ({_HX.format(s="'w:' || CAST(b AS VARCHAR)", i=2)}) * 256
+                 + ({_HX.format(s="'w:' || CAST(b AS VARCHAR)", i=3)}) * 16
+                 + ({_HX.format(s="'w:' || CAST(b AS VARCHAR)", i=4)}))
+                / 65535.0 - 0.5) * 2 AS w
+        FROM range({_CLS_D}) t(b)
+    ),
+    z AS (
+        SELECT doc_id, SUM(w) / COUNT(*) AS z
+        FROM feat JOIN wt USING (bucket)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           FLOOR(1.0 / (1.0 + EXP(-z)) * 10000) / 10000 AS score,
+           CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+    FROM z
+    """,
+)
+def j47_quality_classifier(spark, sf_dir) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fastText-style
+    scorer every production corpus filter runs (CCNet, RefinedWeb,
+    FineWeb-Edu all gate documents on a cheap linear model over hashed
+    bag-of-words features).  Feature id = md5(token) folded into
+    {_CLS_D} buckets; the "trained" weight vector is derived
+    deterministically from md5 so BOTH engines reproduce it exactly —
+    the plan is byte-identical to serving a real model, only the
+    weight values differ.  Score = sigmoid(mean token weight), keep =
+    score >= 0.5 (emitted as int; the threshold tests z >= 0, its
+    float-exact equivalent, so no engine can flip the flag on a
+    sigmoid ulp).
+
+    100 TB shape — THE model-serving join pattern: the weight table is
+    model-sized ({_CLS_D} rows here, ~10^6 real), broadcast once per
+    executor, hash-joined against the exploded token stream with zero
+    shuffle on the corpus side; the only exchange is the per-doc mean
+    (partial aggregates map-side).  Swapping in real learned weights =
+    replacing the seeded ``range`` frame with a parquet read of the
+    model — the plan does not change.  A 10^6-bucket model still
+    broadcasts (8 MB); beyond that, fold buckets or shuffle-join —
+    both documented, neither needed for any published corpus filter."""
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
+            % _CLS_D
+        ).alias("bucket"),
+    )
+    weights = spark.range(_CLS_D).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1, 4,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / 65535.0
+                - 0.5
+            )
+            * 2
+        ).alias("w"),
+    )
+    z = (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg((F.sum("w") / F.count(F.lit(1))).alias("z"))
+    )
+    return z.select(
+        "doc_id",
+        (F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) * 10000) / 10000)
+        .alias("score"),
+        F.when(F.col("z") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j48 — per-source token-budget selection (greedy prefix fill)
+# ---------------------------------------------------------------------------
+
+#: token budget per source for j48.
+_BUDGET_TOK = 4000
+
+
+@query(
+    "j48_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS cum
+        FROM t
+    )
+    SELECT source,
+           COUNT(*) AS docs_kept,
+           SUM(n_tok) AS tokens_kept
+    FROM c
+    WHERE cum - n_tok < {_BUDGET_TOK}
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def j48_token_budget_select(spark, sf_dir) -> DataFrame:
+    """Per-source token-budget selection: fill each source's quota of
+    {_BUDGET_TOK} training tokens by greedy prefix over a deterministic
+    hash order — the mixture-EXECUTION step downstream of j25's weight
+    calculation (j25 says "take 4000 tokens of src3"; this key picks
+    WHICH documents that is, reproducibly).  A document is kept iff it
+    STARTS before the budget is exhausted (cum - own < budget), so the
+    last document may overflow — the standard convention (the trainer
+    truncates), chosen because it keeps selection a pure prefix
+    predicate instead of a knapsack.
+
+    100 TB shape: j23's physics — one shuffle on the source key, one
+    in-partition running sum over the hash order, integer arithmetic
+    only.  The hash order is a pure function of doc_id (md5 rank, j15/
+    j24 discipline): re-runs, engine swaps and repartitions all pick
+    the identical document set.  Sources are independent; for a
+    source too large for one task's sort, pre-filter by j15's hash
+    prefix to a superset (budget/avg_tok × safety docs), then rank —
+    same answer, bounded state."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") - F.col("n_tok") < _BUDGET_TOK)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

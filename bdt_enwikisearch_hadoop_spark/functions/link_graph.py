@@ -1,0 +1,265 @@
+"""Wiki link-graph analysis (i27-i29): link extraction, anchor-text
+indexing and co-citation mining — the hyperlink side of the reference
+archetype (``sangecz/bdt-enwikisearch-hadoop`` is an enwiki search /
+batch-indexing workload; a Wikipedia indexer's second pipeline after
+text indexing is always the link graph: extract ``[[target|anchor]]``
+wikilinks from markup, aggregate in-degrees, index anchor text against
+the TARGET page, and mine link-structure similarity).
+
+The synthetic ``documents`` fixture carries no markup, so — exactly
+like a5's XML dump synthesis and m1-m4's multimodal plumbing — each key
+first derives a deterministic ``wikitext`` column (three ``[[doc_N]]``
+links appended per document, targets a pure function of ``doc_id``,
+anchors drawn from the document's own leading tokens; dangling targets
+are allowed and meaningful — red links are a real wiki phenomenon).
+The OPERATOR under test is everything after that: regex link
+extraction, target/anchor splitting, and the three aggregations.  The
+oracle rebuilds the identical strings, so extraction itself is
+cross-checked, not assumed.
+
+Scale notes (100 TB):
+
+* Link extraction is a shuffle-free map pass — ``regexp_extract_all``
+  + ``explode`` inside one WholeStageCodegen stage; output size is
+  (docs × out-degree), linear.
+* ``i27``/``i28`` are single hash-aggregates on the extracted edge
+  list (key = target page).  Skew lives exactly where real wikis have
+  it (a few hub pages own most in-links); AQE skew handling plus d11's
+  salted two-phase aggregate is the documented substitute when one
+  target exceeds a task's memory.
+* ``i29`` co-citation pairs expand each source page's out-link set to
+  C(k,2) pairs IN-ROW before any shuffle — out-degree k is bounded by
+  page length (3 in the fixture, ~10² real), so the pair stream is
+  k²/2-linear in pages, never corpus-quadratic; one aggregate on the
+  (smaller, larger) pair key finishes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..registry import query
+from ..sources import load
+
+#: modulus for synthetic link targets (prime, > any fixture doc count
+#: at sf<=0.1 is NOT required — dangling "red links" are fine).
+_MOD = 10007
+
+# ---------------------------------------------------------------------------
+# shared builders: synthetic wikitext -> extracted edge list
+# ---------------------------------------------------------------------------
+
+
+def _wikitext(docs: DataFrame) -> DataFrame:
+    """(src, wikitext): append three deterministic wikilinks per doc.
+
+    Link 1 carries a two-term anchor (doc's first two tokens), link 2 a
+    one-term anchor, link 3 is bare (``[[target]]`` — display text
+    defaults to the target, the MediaWiki rule)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    first = F.get(toks, 0)
+    second = F.coalesce(F.get(toks, 1), F.get(toks, 0))
+
+    def tgt(i: int):
+        return F.pmod(F.col("doc_id") * 31 + 97 * i, F.lit(_MOD)).cast("string")
+
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.concat(
+            F.col("text"),
+            F.lit(" [[doc_"), tgt(1), F.lit("|"), first, F.lit(" "), second,
+            F.lit("]] [[doc_"), tgt(2), F.lit("|"), second,
+            F.lit("]] [[doc_"), tgt(3), F.lit("]]"),
+        ).alias("wikitext"),
+    )
+
+
+def extract_links(docs: DataFrame) -> DataFrame:
+    """(src, target, anchor) — THE operator: pull every
+    ``[[target|anchor]]`` / ``[[target]]`` span out of the markup.
+
+    One codegen stage: regexp_extract_all captures the link interior,
+    explode streams it, a single split serves both fields (bare links
+    take the target as their display anchor).  ``F.get`` (0-based,
+    null-safe) keeps the lookup legal under ANSI mode when there is no
+    ``|``."""
+    wt = _wikitext(docs)
+    lk = wt.select(
+        "src",
+        F.explode(
+            F.regexp_extract_all("wikitext", F.lit(r"\[\[([^\]]+)\]\]"), 1)
+        ).alias("lk"),
+    )
+    parts = F.split(F.col("lk"), r"\|")
+    return lk.select(
+        "src",
+        F.get(parts, 0).alias("target"),
+        F.coalesce(F.get(parts, 1), F.get(parts, 0)).alias("anchor"),
+    )
+
+
+#: oracle CTEs rebuilding the identical wikitext + edge list in DuckDB
+#: (1-based list indexing there; string_split is literal, not regex).
+_LINKS_CTE = f"""
+    wk AS (
+        SELECT doc_id,
+               text
+               || ' [[doc_' || CAST((doc_id*31 + 97) % {_MOD} AS VARCHAR)
+               || '|' || f || ' ' || s
+               || ']] [[doc_' || CAST((doc_id*31 + 194) % {_MOD} AS VARCHAR)
+               || '|' || s
+               || ']] [[doc_' || CAST((doc_id*31 + 291) % {_MOD} AS VARCHAR)
+               || ']]' AS wikitext
+        FROM (SELECT doc_id, text,
+                     string_split(lower(text), ' ')[1] AS f,
+                     coalesce(string_split(lower(text), ' ')[2],
+                              string_split(lower(text), ' ')[1]) AS s
+              FROM documents)
+    ),
+    links AS (
+        SELECT src,
+               string_split(lk, '|')[1] AS target,
+               coalesce(string_split(lk, '|')[2],
+                        string_split(lk, '|')[1]) AS anchor
+        FROM (SELECT doc_id AS src,
+                     unnest(regexp_extract_all(wikitext,
+                            '\\[\\[([^\\]]+)\\]\\]', 1)) AS lk
+              FROM wk)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# i27 — in-link degree table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i27_wikilink_graph",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT target, COUNT(*) AS in_deg, COUNT(DISTINCT src) AS n_sources
+    FROM links
+    GROUP BY target
+    ORDER BY in_deg DESC, target
+    LIMIT 50
+    """,
+)
+def i27_wikilink_graph(spark, sf_dir) -> DataFrame:
+    """Link-graph degree table: extract wikilinks from markup, then the
+    top-50 most-linked pages with raw in-degree and distinct linking
+    sources — the first aggregate every wiki indexer computes (it seeds
+    PageRank — j40 — and the "what links here" feature).
+
+    Plan: map-only extraction (regex + explode, no shuffle) into ONE
+    hash aggregate keyed on target; count and distinct-count share the
+    exchange.  Top-50 is TakeOrderedAndProject, never a global sort.
+    Ties on in_deg break by target string — deterministic in both
+    engines (ASCII byte order)."""
+    return (
+        extract_links(load(spark, sf_dir, "documents"))
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            F.countDistinct("src").alias("n_sources"),
+        )
+        .orderBy(F.col("in_deg").desc(), "target")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# i28 — anchor-text index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i28_anchor_text_index",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT target, term, COUNT(*) AS cnt
+    FROM (SELECT target, unnest(string_split(anchor, ' ')) AS term
+          FROM links)
+    GROUP BY target, term
+    ORDER BY cnt DESC, target, term
+    LIMIT 30
+    """,
+)
+def i28_anchor_text_index(spark, sf_dir) -> DataFrame:
+    """Anchor-text index: tokenize every link's display text and count
+    (target, term) occurrences — indexing OTHER pages' words against
+    the page they point at.  This is the classic web/wiki ranking
+    signal (anchor text describes the target better than the target
+    describes itself) and is how a search engine returns pages for
+    queries whose terms the page itself never contains.
+
+    Plan: the same map-only extraction, a second in-row explode on the
+    anchor tokens, one hash aggregate on (target, term) — structurally
+    i2's term-frequency physics with the DOC axis swapped for the
+    LINK-TARGET axis, which is the whole point of the signal."""
+    lk = extract_links(load(spark, sf_dir, "documents"))
+    return (
+        lk.select("target", F.explode(F.split("anchor", " ")).alias("term"))
+        .groupBy("target", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "target", "term")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# i29 — co-citation similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i29_cocitation",
+    oracle=f"""
+    WITH {_LINKS_CTE}
+    SELECT a.target AS target_a, b.target AS target_b,
+           COUNT(*) AS common_sources
+    FROM links a JOIN links b
+      ON a.src = b.src AND a.target < b.target
+    GROUP BY a.target, b.target
+    HAVING COUNT(*) >= 2
+    ORDER BY common_sources DESC, target_a, target_b
+    LIMIT 30
+    """,
+)
+def i29_cocitation(spark, sf_dir) -> DataFrame:
+    """Co-citation similarity: two pages are related when the same
+    sources link to BOTH (Small 1973 — the link-structure "related
+    pages" signal, query-independent and text-free).  Top-30 pairs
+    co-cited by at least 2 common sources.
+
+    Plan: the pair stream is built IN-ROW — collect each source's
+    out-link set (out-degree k is page-length-bounded: 3 here, ~10²
+    real), expand its C(k,2) ordered pairs with a higher-order
+    ``filter×transform`` flatten, explode, then ONE hash aggregate on
+    the pair key.  No self-join: the oracle's a×b join states the
+    semantics, but executing it would shuffle the edge list twice and
+    re-group by src — the in-row expansion does the per-source
+    quadratic (k², bounded) where the data already sits, so total work
+    is linear in pages.  Skew: a hub TARGET pair cannot skew the
+    aggregate worse than its true pair count; a hub SOURCE (huge k) is
+    the real risk and is length-capped upstream in any real corpus."""
+    lk = extract_links(load(spark, sf_dir, "documents"))
+    sets = lk.groupBy("src").agg(F.collect_set("target").alias("ts"))
+    pairs = F.flatten(
+        F.transform(
+            "ts",
+            lambda a: F.filter(
+                F.transform("ts", lambda b: F.struct(a.alias("ta"), b.alias("tb"))),
+                lambda p: p["ta"] < p["tb"],
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.ta").alias("target_a"), F.col("p.tb").alias("target_b"))
+        .groupBy("target_a", "target_b")
+        .agg(F.count(F.lit(1)).alias("common_sources"))
+        .filter(F.col("common_sources") >= 2)
+        .orderBy(F.col("common_sources").desc(), "target_a", "target_b")
+        .limit(30)
+    )

@@ -764,3 +764,40 @@ def test_zorder_layout_prunes_row_groups(spark, sf_dir):
     # most the pk-matching group(s) drop, the rest all overlap
     # z-layout: the 11x11 box lives in a short z prefix -> few groups
     assert z_hit * 2 <= p_hit, (z_hit, z_total, p_hit, p_total)
+
+
+def test_i29_cocitation_has_no_self_join(spark, sf_dir):
+    """Co-citation pairs must expand IN-ROW from each source's
+    collected out-link set — the oracle's links-to-links self-join,
+    executed literally, would shuffle the edge list twice and is the
+    100 TB regression this plan exists to avoid."""
+    p = _plan(spark, sf_dir, "i29_cocitation")
+    assert "Join" not in p
+    assert "Generate explode" in p
+
+
+def test_i27_link_extraction_is_map_only_into_one_agg(spark, sf_dir):
+    """Wikilink extraction (regex + explode) must ride the scan with no
+    shuffle before the target-keyed aggregate, and the top-50 must be a
+    heap, never a global sort."""
+    p = _plan(spark, sf_dir, "i27_wikilink_graph")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_j47_weights_broadcast_onto_token_stream(spark, sf_dir):
+    """The model-serving join: weights are model-sized and must
+    broadcast; shuffling the exploded token stream on the bucket key
+    would move the whole corpus for a 64-row table."""
+    p = _plan(spark, sf_dir, "j47_quality_classifier")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_j48_budget_fill_is_one_shuffle(spark, sf_dir):
+    """Greedy prefix fill = one hash exchange on the source key feeding
+    the in-partition running sum; the final per-source aggregate must
+    reuse that partitioning, not add a second corpus shuffle."""
+    p = _plan(spark, sf_dir, "j48_token_budget_select")
+    assert p.count("Exchange hashpartitioning") == 1

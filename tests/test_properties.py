@@ -1552,3 +1552,122 @@ def test_weighted_sample_matches_python_reference(spark, sf_dir):
         r.doc_id for r in QUERIES["j44_weighted_sample"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_token_budget_matches_python_reference(spark, sf_dir):
+    """j48's windowed prefix fill must equal a sequential greedy loop
+    over the same md5 order — the selection is a pure function of
+    (doc_id, source, token count), never of partitioning."""
+    import hashlib
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.dataset_ops import _BUDGET_TOK
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    by_src = defaultdict(list)
+    for r in docs.collect():
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_src[r.source].append((h, r.doc_id, len(r.text.split(" "))))
+    want = {}
+    for src, rows in by_src.items():
+        used = kept = toks = 0
+        for _, _, n in sorted(rows):
+            if used < _BUDGET_TOK:
+                kept, toks = kept + 1, toks + n
+            used += n
+        want[src] = (kept, toks)
+    got = {
+        r.source: (r.docs_kept, r.tokens_kept)
+        for r in QUERIES["j48_token_budget_select"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_quality_classifier_matches_python_reference(spark, sf_dir):
+    """j47's broadcast-join scoring must equal a direct Python rebuild
+    of the hashed-feature model (same md5 buckets, same weights) —
+    proving the serving join computes the model, not an approximation."""
+    import hashlib
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.functions.dataset_ops import _CLS_D
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    w = [
+        (int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:4], 16) / 65535.0 - 0.5)
+        * 2
+        for b in range(_CLS_D)
+    ]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    want = {}
+    for r in docs.collect():
+        toks = r.text.lower().split(" ")
+        z = (
+            sum(
+                w[int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % _CLS_D]
+                for t in toks
+            )
+            / len(toks)
+        )
+        want[r.doc_id] = (
+            math.floor(1.0 / (1.0 + math.exp(-z)) * 10000) / 10000,
+            1 if z >= 0 else 0,
+        )
+    got = {
+        r.doc_id: (r.score, r.keep)
+        for r in QUERIES["j47_quality_classifier"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cocitation_matches_bruteforce_pairs(spark, sf_dir):
+    """i29's in-row pair expansion must equal brute-force enumeration
+    over the extracted edge list (the oracle's self-join semantics)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from bdt_enwikisearch_hadoop_spark.functions.link_graph import extract_links
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    edges = extract_links(load(spark, sf_dir, "documents")).collect()
+    by_src = {}
+    for r in edges:
+        by_src.setdefault(r.src, set()).add(r.target)
+    cnt = Counter()
+    for ts in by_src.values():
+        for a, b in combinations(sorted(ts), 2):
+            cnt[(a, b)] += 1
+    want = sorted(
+        ((n, a, b) for (a, b), n in cnt.items() if n >= 2),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:30]
+    got = [
+        (r.common_sources, r.target_a, r.target_b)
+        for r in QUERIES["i29_cocitation"](spark, sf_dir).collect()
+    ]
+    # both sides sorted by (count desc, pair asc); compare as sets at
+    # the limit boundary is unnecessary — the tiebreak is total
+    assert got == want
+
+
+def test_anchor_index_conserves_anchor_tokens(spark, sf_dir):
+    """i28 accounting: summing (target, term) counts over the FULL
+    (unlimited) index must equal the total anchor token stream — two
+    2-term + one 1-term... anchors vary, so derive the expected total
+    from the edge list itself."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.link_graph import extract_links
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    lk = extract_links(load(spark, sf_dir, "documents"))
+    n_tokens = lk.select(
+        F.explode(F.split("anchor", " ")).alias("t")
+    ).count()
+    full = (
+        lk.select("target", F.explode(F.split("anchor", " ")).alias("term"))
+        .groupBy("target", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert full.agg(F.sum("cnt")).collect()[0][0] == n_tokens > 0
