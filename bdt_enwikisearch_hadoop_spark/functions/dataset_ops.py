@@ -503,3 +503,77 @@ def j48_token_budget_select(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# j49 — leakage-safe train/val/test split (cluster-aware assignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j49_leakage_safe_split",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, md5(lower(trim(text))) AS ckey FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ckey,
+               CASE WHEN b < 8 THEN 'train'
+                    WHEN b = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, ckey,
+                   (({_HX.format(s="'split:' || ckey", i=1)}) * 4096
+                    + ({_HX.format(s="'split:' || ckey", i=2)}) * 256
+                    + ({_HX.format(s="'split:' || ckey", i=3)}) * 16
+                    + ({_HX.format(s="'split:' || ckey", i=4)})) % 10 AS b
+            FROM c
+        )
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT ckey) AS n_clusters
+    FROM s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def j49_leakage_safe_split(spark, sf_dir) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment is a hash of the
+    duplicate-CLUSTER key (j1's content hash), not of the document —
+    so exact duplicates can never straddle splits (the classic eval
+    contamination: test doc's twin sits in train, benchmark numbers
+    inflate).  80/10/10 by md5-derived bucket; reported per split as
+    doc and cluster counts.  The same construction extends to near-dup
+    clusters: substitute j20's component label (from j8's LSH pairs)
+    for the content hash and the plan is unchanged — hash a GROUP
+    representative, never the row.
+
+    100 TB shape: the cluster key and split bucket are per-row md5
+    arithmetic riding the scan (no join — the key IS derivable from
+    the row; with j20 labels it becomes one broadcast-or-bucketed
+    label join); the report is one tiny aggregate.  Determinism:
+    assignment is a pure function of content, stable across engines,
+    runs, partitionings and corpus growth (adding documents never
+    reassigns existing clusters — the property that makes hash splits
+    the production standard)."""
+    d = load(spark, sf_dir, "documents")
+    ckey = F.md5(F.lower(F.trim(F.col("text"))))
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), ckey)), 1, 4), 16, 10
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), ckey.alias("ckey"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ckey").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -263,3 +263,77 @@ def i29_cocitation(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("common_sources").desc(), "target_a", "target_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# i30 — bounded BFS from a seed page (min-depth reachability)
+# ---------------------------------------------------------------------------
+
+_BFS_SEED = "doc_1"
+_BFS_DEPTH = 3
+
+
+@query(
+    "i30_link_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_LINKS_CTE},
+    edges AS (
+        SELECT 'doc_' || CAST(src AS VARCHAR) AS s, target AS t FROM links
+    ),
+    bfs(node, depth) AS (
+        SELECT '{_BFS_SEED}' AS node, 0 AS depth
+        UNION ALL
+        SELECT e.t, b.depth + 1
+        FROM bfs b JOIN edges e ON e.s = b.node
+        WHERE b.depth < {_BFS_DEPTH}
+    )
+    SELECT node, MIN(depth) AS depth
+    FROM bfs
+    GROUP BY node
+    ORDER BY depth, node
+    """,
+)
+def i30_link_bfs(spark, sf_dir) -> DataFrame:
+    """Bounded BFS over the wikilink graph: every page reachable from
+    the seed within {_BFS_DEPTH} hops, at its MINIMUM depth — the
+    "degrees of separation" / neighborhood-expansion query (related-
+    article crawl frontiers, link-distance features).  The oracle is a
+    recursive CTE; the Spark side unrolls the FIXED hop bound into
+    {_BFS_DEPTH} frontier-join levels — the right call when depth is a
+    small constant (c24's WITH RECURSIVE and j20's pointer-doubling
+    driver loop cover the data-dependent-depth cases; this key is the
+    third regime).
+
+    Plan & scale: each level is ONE equi-join of the current frontier
+    against the edge list on the source key, followed by a DISTINCT
+    that collapses path multiplicity BEFORE the next join — without
+    it, paths multiply by out-degree per hop (the oracle's bounded
+    3-hop enumeration tolerates that; 100 TB would not).  Frontiers
+    re-join the same edge partitioning each level, and the final
+    min-depth aggregate is frontier-sized.  The seed filter prunes
+    level 1 to one source's edges."""
+    edges = extract_links(load(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("doc_"), F.col("src").cast("string")).alias("s"),
+        F.col("target").alias("t"),
+    )
+    levels = [
+        edges.sparkSession.createDataFrame(
+            [(_BFS_SEED, 0)], "node string, depth int"
+        )
+    ]
+    frontier = levels[0].select(F.col("node"))
+    for d in range(1, _BFS_DEPTH + 1):
+        frontier = (
+            edges.join(frontier, edges["s"] == frontier["node"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(d).alias("depth")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return (
+        out.groupBy("node")
+        .agg(F.min("depth").alias("depth"))
+        .orderBy("depth", "node")
+    )

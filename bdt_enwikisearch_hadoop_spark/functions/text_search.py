@@ -1261,3 +1261,126 @@ def i25_two_stage_rerank(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i31 — Rocchio pseudo-relevance feedback (query expansion + re-rank)
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_FB = 10   # feedback depth (top-k docs assumed relevant)
+_ROCCHIO_BETA = 0.5
+_ROCCHIO_EXP = 5   # expansion terms kept
+
+
+@query(
+    "i31_rocchio_feedback",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    norms AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm
+              FROM w GROUP BY doc_id),
+    hits AS (SELECT doc_id, SUM(wt) AS qdot
+             FROM w WHERE term IN ({_TERMS_SQL})
+             GROUP BY doc_id
+             HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}),
+    fb AS (SELECT h.doc_id
+           FROM hits h JOIN norms n USING (doc_id)
+           ORDER BY FLOOR(h.qdot / n.nrm * 10000) / 10000 DESC, h.doc_id
+           LIMIT {_ROCCHIO_FB}),
+    nf AS (SELECT COUNT(*) AS nf FROM fb),
+    cen AS (SELECT term, SUM(wt) / nf AS cw
+            FROM w JOIN fb USING (doc_id) CROSS JOIN nf
+            WHERE term NOT IN ({_TERMS_SQL})
+            GROUP BY term, nf),
+    expand AS (SELECT term,
+                      FLOOR({_ROCCHIO_BETA} * cw * 10000) / 10000 AS qw
+               FROM cen
+               ORDER BY FLOOR({_ROCCHIO_BETA} * cw * 10000) / 10000 DESC,
+                        term
+               LIMIT {_ROCCHIO_EXP}),
+    qvec AS (SELECT term, qw FROM expand
+             UNION ALL
+             SELECT unnest([{_TERMS_SQL}]) AS term, 1.0 AS qw),
+    dot AS (SELECT w.doc_id, SUM(q.qw * w.wt) AS qd
+            FROM w JOIN qvec q USING (term)
+            GROUP BY w.doc_id)
+    SELECT d.doc_id, FLOOR(d.qd / n.nrm * 10000) / 10000 AS score
+    FROM dot d JOIN norms n USING (doc_id)
+    ORDER BY score DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def i31_rocchio_feedback(spark, sf_dir) -> DataFrame:
+    """Rocchio pseudo-relevance feedback — the classic query-expansion
+    loop (Rocchio 1971, the standard PRF baseline): run the query
+    (i17's conjunctive VSM cosine), ASSUME the top-{_ROCCHIO_FB} are
+    relevant, move the query vector toward their tf-idf centroid
+    (q' = q + β·centroid, β={_ROCCHIO_BETA}), keep the {_ROCCHIO_EXP}
+    strongest new terms, and re-rank the corpus disjunctively under
+    the expanded weighted query.  Finds documents the original terms
+    alone would miss.  Every stage boundary ranks on 4dp-FLOORED
+    values with term/doc_id tiebreaks (i25's discipline), so feedback
+    set, expansion choice and final cut are all ulp-stable across
+    engines.
+
+    100 TB shape: the cascade inverts corpus-scale work into
+    query-scale work — the feedback set is {_ROCCHIO_FB} rows, the
+    centroid aggregates {_ROCCHIO_FB} documents' postings (broadcast
+    join of fb onto the weight table), and the expanded query is
+    ≤ {_ROCCHIO_EXP}+{len(QUERY_TERMS)} rows BROADCAST onto the
+    postings for the re-rank — so the second corpus pass touches only
+    the expanded terms' postings lists (index-served in production,
+    like i17/i25).  Norms are computed once and shared by both ranking
+    stages (persisted beside the index at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    hits = (
+        w.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("qdot"), F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(QUERY_TERMS))
+    )
+    fb = (
+        hits.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            (F.floor(F.col("qdot") / F.col("nrm") * 10000) / 10000).alias("s1"),
+        )
+        .orderBy(F.col("s1").desc(), "doc_id")
+        .limit(_ROCCHIO_FB)
+        .select("doc_id")
+    )
+    nf = fb.agg(F.count(F.lit(1)).alias("nf"))
+    cen = (
+        w.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*QUERY_TERMS))
+        .join(F.broadcast(nf))
+        .groupBy("term", "nf")
+        .agg((F.sum("wt") / F.first("nf")).alias("cw"))
+    )
+    qw_f = F.floor(F.lit(_ROCCHIO_BETA) * F.col("cw") * 10000) / 10000
+    expand = (
+        cen.select("term", qw_f.alias("qw"))
+        .orderBy(F.col("qw").desc(), "term")
+        .limit(_ROCCHIO_EXP)
+    )
+    orig = expand.sparkSession.createDataFrame(
+        [(t, 1.0) for t in QUERY_TERMS], "term string, qw double"
+    )
+    qvec = expand.unionAll(orig)
+    dot = (
+        w.join(F.broadcast(qvec), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qw") * F.col("wt")).alias("qd"))
+    )
+    return (
+        dot.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            (F.floor(F.col("qd") / F.col("nrm") * 10000) / 10000).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -18,7 +18,7 @@ both sides); small-magnitude float aggregates are ROUND(x, 4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
@@ -655,4 +655,50 @@ def d21_mode_deterministic(spark, sf_dir) -> DataFrame:
             F.col("l_linenumber").alias("modal_line"),
             F.col("cnt").alias("modal_count"),
         )
+    )
+
+
+@query(
+    "d22_equi_depth_histogram",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+    FROM (
+        SELECT l_extendedprice,
+               ntile(8) OVER (ORDER BY l_extendedprice,
+                              l_orderkey, l_linenumber) AS bucket
+        FROM lineitem
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def d22_equi_depth_histogram(spark, sf_dir) -> DataFrame:
+    """Equi-DEPTH histogram: 8 buckets with (near-)equal row counts and
+    the observed [lo, hi] price range of each — the optimizer/BI
+    histogram that adapts bucket width to data density where d14's
+    equi-width bucketing cannot (one dense region swallows a fixed
+    grid).  NTILE's remainder rule (first buckets get the extra row)
+    is identical in Spark and DuckDB, and the ORDER BY carries the
+    (orderkey, linenumber) pk so equal prices split deterministically.
+
+    100 TB shape: the honest caveat first — NTILE needs a TOTAL order,
+    so this exact form range-shuffles the measure column (the sort is
+    the product, same as f1; ~1 numeric column, not the wide row).  At
+    petabyte row counts swap in approx_percentile's 8-quantile sketch
+    (single-pass, mergeable, no global sort) and derive counts by one
+    bucketed aggregate against the broadcast boundaries — same output
+    contract, sketch-exactness tradeoff; shipped exact because the
+    boundary values themselves are what the oracle can verify."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
     )

@@ -898,3 +898,76 @@ def c24_recursive_hierarchy(spark, sf_dir) -> DataFrame:
         FROM walk WHERE cur <= 1
         """
     )
+
+
+@query(
+    "c25_fuzzy_join",
+    oracle="""
+    WITH probe AS (
+        SELECT p_partkey AS probe_key,
+               substr(p_name, 1, length(p_name) - 1) AS q
+        FROM part
+        WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    )
+    SELECT probe_key, p.p_partkey AS match_key,
+           levenshtein(q, p.p_name) AS dist
+    FROM probe JOIN part p ON levenshtein(q, p.p_name) <= 2
+    ORDER BY probe_key, match_key
+    """,
+)
+def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
+    """Fuzzy (similarity) join via q-GRAM PREFIX FILTERING: match
+    misspelled part names (a deterministic md5-chosen probe subset
+    with the last character dropped) back to the catalog at edit
+    distance <= 2.  The oracle states the naive semantics — probe ×
+    catalog with a levenshtein predicate; executing THAT is the
+    quadratic trap (and the first cut of this key, a 4-char-prefix
+    block, measurably LOST distance-2 matches on this corpus — e.g.
+    'cold bol' ~ 'old bolt').  The sound construction (Gravano et al.
+    q-gram joins + prefix filtering): k edits destroy at most q·k = 2k
+    bigram types, so two strings within distance k=2 share a bigram
+    among the first q·k+1 = 5 of EACH side's distinct bigrams under
+    any one fixed global gram order (md5 order here — deterministic
+    with no frequency pass).  Index those 5 grams per string, hash-join
+    on the gram, dedup candidate pairs, THEN evaluate levenshtein.
+    Parity with the unblocked oracle proves zero lost matches.
+
+    100 TB shape: candidates = sum over grams of |probe_g|×|catalog_g|
+    — linear while gram blocks are bounded; the probe side is
+    query-sized and BROADCAST so the catalog never shuffles for the
+    join (plan-guarded: BHJ, no nested-loop/cartesian).  The verify
+    step runs on candidates only.  Production drop-in improvements,
+    same plan: rank grams by GLOBAL FREQUENCY (rarest-first prefixes
+    shrink hot blocks), add a length-band conjunct, count-filter
+    before verifying."""
+    grams = (
+        "transform(slice(array_sort(transform("
+        "array_distinct(transform(sequence(1, length({s}) - 1),"
+        " i -> substring({s}, i, 2))),"
+        " g -> struct(md5(g) AS h, g AS g))), 1, 5), x -> x.g)"
+    )
+    part = load(spark, sf_dir, "part")
+    probe = part.filter(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 1).isin("0", "1")
+    ).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.expr("substr(p_name, 1, length(p_name) - 1)").alias("q"),
+    )
+    probe_g = probe.select(
+        "probe_key", "q", F.explode(F.expr(grams.format(s="q"))).alias("gram")
+    )
+    cat_g = part.select(
+        "p_partkey", "p_name",
+        F.explode(F.expr(grams.format(s="p_name"))).alias("gram"),
+    )
+    cand = (
+        cat_g.join(F.broadcast(probe_g), "gram")
+        .select("probe_key", "q", "p_partkey", "p_name")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("q"), F.col("p_name")))
+        .filter(F.col("dist") <= 2)
+        .select("probe_key", F.col("p_partkey").alias("match_key"), "dist")
+        .orderBy("probe_key", "match_key")
+    )

@@ -296,3 +296,70 @@ def e9_windowed_quantile(spark, sf_dir) -> DataFrame:
         med_t.alias("group_median"),
         (F.col("l_quantity") > med_t).alias("above_median"),
     )
+
+
+@query(
+    "e10_cumulative_distinct",
+    oracle="""
+    SELECT event_type, epoch(date_trunc('hour', ts)) AS hour_s,
+           COUNT(DISTINCT user_id)
+               OVER (PARTITION BY event_type
+                     ORDER BY date_trunc('hour', ts)) AS cum_users
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts), user_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type,
+                               date_trunc('hour', ts)
+                               ORDER BY user_id) = 1
+    """,
+)
+def e10_cumulative_distinct(spark, sf_dir) -> DataFrame:
+    """Cumulative DISTINCT count over an expanding window: per event
+    type, how many DISTINCT users have been seen up to (and including)
+    each hour — the audience-growth curve.  Spark has no
+    count-distinct window function (the state is a set, not a
+    mergeable scalar), and at scale you would not want one: the
+    correct distributed form is the FIRST-SEEN decomposition shipped
+    here — a user contributes to the cumulative count exactly at their
+    first hour, so cum_distinct(h) = running SUM of first-seen counts.
+
+    Plan: one aggregate keyed (type, user) computes each user's first
+    hour (map-side partial collapse eats the per-user event fan-in);
+    its bucket counts left-join the observed (type, hour) frame (an
+    hour with traffic but no NEW users still emits a row — flat curve
+    segment), and a running sum over that tiny bucket frame finishes
+    it.  Both aggregates and the join are bucket/user-bounded, never
+    event-bounded past the first collapse.  No set-valued window
+    state, no re-scan per hour.  The oracle is DuckDB's native
+    COUNT(DISTINCT) OVER — an independent formulation, so the
+    decomposition itself is what gets verified."""
+    e = load(spark, sf_dir, "events")
+    bucketed = e.select(
+        "event_type",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("hour_s"),
+    )
+    hours = bucketed.select("event_type", "hour_s").distinct()
+    per_hour = (
+        bucketed.groupBy("event_type", "user_id")
+        .agg(F.min("hour_s").alias("hour_s"))
+        .groupBy("event_type", "hour_s")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hours.join(per_hour, ["event_type", "hour_s"], "left")
+        .select(
+            "event_type",
+            "hour_s",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .select(
+            "event_type",
+            "hour_s",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+    )

@@ -801,3 +801,39 @@ def test_j48_budget_fill_is_one_shuffle(spark, sf_dir):
     reuse that partitioning, not add a second corpus shuffle."""
     p = _plan(spark, sf_dir, "j48_token_budget_select")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_d22_histogram_scans_three_columns(spark, sf_dir):
+    """The NTILE global sort is the declared cost; the scan must still
+    prune to the measure + pk tiebreak columns, nothing else."""
+    p = _plan(spark, sf_dir, "d22_equi_depth_histogram")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," in p
+    assert "l_extendedprice:double" in p
+
+
+def test_c25_fuzzy_join_is_blocked_hash_join(spark, sf_dir):
+    """The q-gram prefix filter must plan as a broadcast HASH join on
+    the gram key — a nested-loop/cartesian with a levenshtein predicate
+    is the quadratic trap the oracle states but must never execute."""
+    p = _plan(spark, sf_dir, "c25_fuzzy_join")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_i30_bfs_unrolls_three_keyed_joins(spark, sf_dir):
+    """Three hops = three frontier equi-joins against the edge list;
+    every join must be keyed (never cartesian), and each level's
+    DISTINCT must appear so path multiplicity collapses per hop."""
+    p = _plan(spark, sf_dir, "i30_link_bfs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Join") >= 3
+
+
+def test_j49_split_needs_no_join(spark, sf_dir):
+    """Cluster key and split bucket are per-row md5 arithmetic riding
+    the scan — any join here would mean the assignment stopped being a
+    pure row function."""
+    p = _plan(spark, sf_dir, "j49_leakage_safe_split")
+    assert "Join" not in p

@@ -1671,3 +1671,104 @@ def test_anchor_index_conserves_anchor_tokens(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     assert full.agg(F.sum("cnt")).collect()[0][0] == n_tokens > 0
+
+
+def test_cumulative_distinct_monotone_and_converges(spark, sf_dir):
+    """e10: per type, the audience curve never decreases and its last
+    point equals the type's total distinct-user count."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["e10_cumulative_distinct"](spark, sf_dir).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.hour_s)):
+        prev = by_type.get(r.event_type, 0)
+        assert r.cum_users >= prev, r
+        by_type[r.event_type] = r.cum_users
+    totals = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert by_type == totals
+
+
+def test_equi_depth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    """d22: bucket sizes differ by at most 1, ranges ascend without
+    interleaving, and the sizes sum to the table's row count."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = sorted(
+        QUERIES["d22_equi_depth_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == load(spark, sf_dir, "lineitem").count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def test_fuzzy_join_finds_every_probe_source(spark, sf_dir):
+    """c25: each probe is its own part name minus the final character
+    (distance 1), so the blocked join must at minimum resolve every
+    probe back to its source part."""
+    got = {
+        (r.probe_key, r.match_key)
+        for r in QUERIES["c25_fuzzy_join"](spark, sf_dir).collect()
+    }
+    probes = {pk for pk, _ in got}
+    assert probes, "probe set empty"
+    for pk in probes:
+        assert (pk, pk) in got
+
+
+def test_bfs_level_one_is_seed_out_links(spark, sf_dir):
+    """i30: the depth-1 set must equal the seed page's distinct link
+    targets from the extracted edge list."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.link_graph import (
+        _BFS_SEED,
+        extract_links,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    seed_id = int(_BFS_SEED.split("_")[1])
+    want = {
+        r.target
+        for r in extract_links(load(spark, sf_dir, "documents"))
+        .filter(F.col("src") == seed_id)
+        .collect()
+    } - {_BFS_SEED}
+    got = {
+        r.node
+        for r in QUERIES["i30_link_bfs"](spark, sf_dir).collect()
+        if r.depth == 1
+    }
+    assert got == want
+
+
+def test_split_clusters_never_straddle(spark, sf_dir):
+    """j49: summing per-split cluster counts must equal the corpus's
+    total distinct content-hash count — a per-DOC assignment would let
+    one cluster land in two splits and overcount."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["j49_leakage_safe_split"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_clusters = d.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("k")
+    ).distinct().count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_clusters for r in rows) == n_clusters
+    # sf0.01+ fixtures carry genuine duplicate texts (n_clusters <
+    # n_docs there, making the straddle check non-vacuous); sf0.001 is
+    # all-distinct, where the two count identities are still exact
+    assert n_clusters <= n_docs
