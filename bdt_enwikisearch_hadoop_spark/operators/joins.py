@@ -932,14 +932,23 @@ def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
     on the gram, dedup candidate pairs, THEN evaluate levenshtein.
     Parity with the unblocked oracle proves zero lost matches.
 
-    100 TB shape: candidates = sum over grams of |probe_g|×|catalog_g|
-    — linear while gram blocks are bounded; the probe side is
-    query-sized and BROADCAST so the catalog never shuffles for the
-    join (plan-guarded: BHJ, no nested-loop/cartesian).  The verify
-    step runs on candidates only.  Production drop-in improvements,
-    same plan: rank grams by GLOBAL FREQUENCY (rarest-first prefixes
-    shrink hot blocks), add a length-band conjunct, count-filter
-    before verifying."""
+    Resolution runs over DISTINCT STRINGS, not rows: names repeat
+    heavily (64 distinct among 20k parts at sf0.1), so the gram join
+    matches q-strings to name-strings first and the matched pairs —
+    a vocabulary²-bounded table at worst, ~2 matches per probe here —
+    broadcast back onto the keyed rows.  Measured 35.7 s → sub-second
+    at sf0.1: entity resolution without the dedup step re-verifies
+    every duplicate row pair (row²/vocab² times the needed work).
+
+    100 TB shape: candidates = sum over grams of
+    |probe_strings_g|×|catalog_strings_g| — string-vocabulary-bounded,
+    never row-bounded; the probe side is query-sized and BROADCAST so
+    neither the catalog strings nor the keyed back-joins shuffle
+    (plan-guarded: BHJ only, no nested-loop/cartesian).  levenshtein
+    runs once per candidate STRING pair.  Production drop-in
+    improvements, same plan: rank grams by GLOBAL FREQUENCY
+    (rarest-first prefixes shrink hot blocks), add a length-band
+    conjunct, count-filter before verifying."""
     grams = (
         "transform(slice(array_sort(transform("
         "array_distinct(transform(sequence(1, length({s}) - 1),"
@@ -953,21 +962,24 @@ def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
         F.col("p_partkey").alias("probe_key"),
         F.expr("substr(p_name, 1, length(p_name) - 1)").alias("q"),
     )
-    probe_g = probe.select(
-        "probe_key", "q", F.explode(F.expr(grams.format(s="q"))).alias("gram")
+    q_strings = probe.select("q").distinct()
+    name_strings = part.select("p_name").distinct()
+    probe_g = q_strings.select(
+        "q", F.explode(F.expr(grams.format(s="q"))).alias("gram")
     )
-    cat_g = part.select(
-        "p_partkey", "p_name",
-        F.explode(F.expr(grams.format(s="p_name"))).alias("gram"),
+    cat_g = name_strings.select(
+        "p_name", F.explode(F.expr(grams.format(s="p_name"))).alias("gram")
     )
-    cand = (
+    matched = (
         cat_g.join(F.broadcast(probe_g), "gram")
-        .select("probe_key", "q", "p_partkey", "p_name")
+        .select("q", "p_name")
         .distinct()
+        .withColumn("dist", F.levenshtein(F.col("q"), F.col("p_name")))
+        .filter(F.col("dist") <= 2)
     )
     return (
-        cand.withColumn("dist", F.levenshtein(F.col("q"), F.col("p_name")))
-        .filter(F.col("dist") <= 2)
+        part.join(F.broadcast(matched), "p_name")
+        .join(F.broadcast(probe), "q")
         .select("probe_key", F.col("p_partkey").alias("match_key"), "dist")
         .orderBy("probe_key", "match_key")
     )
