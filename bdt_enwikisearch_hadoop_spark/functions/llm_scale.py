@@ -2145,3 +2145,94 @@ def j42_dsir_select(spark, sf_dir) -> DataFrame:
         .filter(F.col("rnk") <= F.ceil(F.col("n_src") / 4.0).cast("long"))
         .select("source", "doc_id", "logw", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# j50 — MinHash Jaccard ESTIMATE vs exact (sketch-accuracy report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j50_minhash_jaccard_est",
+    oracle=f"WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},"
+    f"""
+    agree AS (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT a.doc_a, a.doc_b,
+           FLOOR(a.m / {_N_HASH}.0 * 10000) / 10000 AS est,
+           FLOOR(i * 1.0 / (sa.n + sb.n - i) * 10000) / 10000 AS jaccard,
+           FLOOR(ABS(a.m / {_N_HASH}.0
+                     - i * 1.0 / (sa.n + sb.n - i)) * 10000) / 10000 AS err
+    FROM agree a
+    JOIN inter USING (doc_a, doc_b)
+    JOIN sz sa ON sa.doc_id = a.doc_a
+    JOIN sz sb ON sb.doc_id = a.doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def j50_minhash_jaccard_est(spark, sf_dir) -> DataFrame:
+    """Sketch-accuracy report: for every LSH candidate pair with true
+    Jaccard >= 0.5, the MINHASH ESTIMATE (fraction of the {_N_HASH}
+    signature positions that agree — the Broder estimator, E[est] = J)
+    next to the exact shingle Jaccard and the absolute error.  This is
+    the measurement behind every "how many hashes do we need" decision:
+    at {_N_HASH} hashes the standard error is sqrt(J(1-J)/{_N_HASH})
+    (~0.10 at J=0.8), and because the signatures are md5-DERIVED the
+    estimate itself is deterministic — both engines reproduce the
+    identical sketch, so even the error column is oracle-checkable (no
+    rows-only demotion, unlike the d3/d13 native sketches whose
+    internals differ per engine).
+
+    Plan: j8's signature build (one groupBy, 16 map-side min
+    aggregates) emitted once as an in-row array; candidates and exact
+    intersections ride `_lsh_verified_pairs` unchanged; agreement is a
+    zip_with/aggregate over the two 16-slot arrays IN-ROW after two
+    doc-keyed joins of the (LSH-small) pair table against the
+    signature table.  Nothing here is corpus-quadratic; the signature
+    aggregate is recomputed beside _lsh_verified_pairs' internal one
+    at fixture scale (a production run persists signatures beside the
+    index — the j21 store pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = shingle_sets(rebalance(docs))
+    sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+            ).alias(f"mh{i}")
+            for i in range(_N_HASH)
+        ]
+    )
+    sigarr = sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(_N_HASH)]).alias("sig")
+    )
+    pairs = _lsh_verified_pairs(docs)
+    sa = sigarr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sigarr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    m = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    est = m / F.lit(float(_N_HASH))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(est * 10000) / 10000).alias("est"),
+            (F.floor(jac * 10000) / 10000).alias("jaccard"),
+            (F.floor(F.abs(est - jac) * 10000) / 10000).alias("err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1979,3 +1979,84 @@ def k20_gap_detect(spark, sf_dir) -> DataFrame:
         F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_s"),
     )
     return expected.join(obs, ["event_type", "hour_s"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# k21 — event-time disorder profile (watermark sizing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k21_watermark_lag",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_type,
+               MAX(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                       ORDER BY event_id)
+                   - epoch_ns(ts) AS late
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           FLOOR(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 10000.0
+                 / COUNT(*)) / 10000 AS frac_late,
+           FLOOR(quantile_cont(late, 0.5) / {_NS_PER_S} * 10000) / 10000
+               AS p50_late_s,
+           FLOOR(quantile_cont(late, 0.95) / {_NS_PER_S} * 10000) / 10000
+               AS p95_late_s,
+           FLOOR(MAX(late) * 10000.0 / {_NS_PER_S}) / 10000 AS max_late_s
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def k21_watermark_lag(spark, sf_dir) -> DataFrame:
+    """Event-time DISORDER profile: per event type, how late events
+    arrive relative to the stream's event-time high-water mark at
+    their ARRIVAL position (event_id = ingestion sequence) — lateness
+    = running max(event time) − own event time.  The p95/max lateness
+    IS the watermark decision: `withWatermark("ts2", X)` drops
+    exactly the events this profile counts beyond X, so you read the
+    allowed-lateness / completeness trade straight off these rows
+    (k1-k4's watermark smokes pick their delays from this shape).
+
+    Plan: one shuffle on event_type, one in-partition sort by arrival
+    serving the running max (pure streaming-state analog: one scalar
+    per key), then the per-type aggregate reuses the window's
+    partitioning — no second corpus exchange.  The mean is avoided
+    (d12 discipline): quantiles interpolate over ns-scale integers
+    well inside double's exact range, and frac_late is an integer
+    ratio, 4dp-floored."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (F.max("ts").over(w) - F.col("ts")).alias("late")
+    return (
+        e.select("event_type", late)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(
+                    F.sum((F.col("late") > 0).cast("long")) * 10000.0
+                    / F.count(F.lit(1))
+                )
+                / 10000
+            ).alias("frac_late"),
+            (
+                F.floor(F.expr("percentile(late, 0.5)") / _NS_PER_S * 10000)
+                / 10000
+            ).alias("p50_late_s"),
+            (
+                F.floor(F.expr("percentile(late, 0.95)") / _NS_PER_S * 10000)
+                / 10000
+            ).alias("p95_late_s"),
+            (F.floor(F.max("late") * 10000.0 / _NS_PER_S) / 10000).alias(
+                "max_late_s"
+            ),
+        )
+        .orderBy("event_type")
+    )

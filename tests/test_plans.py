@@ -837,3 +837,18 @@ def test_j49_split_needs_no_join(spark, sf_dir):
     pure row function."""
     p = _plan(spark, sf_dir, "j49_leakage_safe_split")
     assert "Join" not in p
+
+
+def test_k21_aggregate_reuses_window_partitioning(spark, sf_dir):
+    """The per-type aggregate must ride the running-max window's
+    event_type exchange — one corpus shuffle total."""
+    p = _plan(spark, sf_dir, "k21_watermark_lag")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_j50_is_never_all_pairs(spark, sf_dir):
+    """Sketch accuracy rides the banded candidates: no cartesian or
+    nested-loop pair enumeration anywhere in the plan."""
+    p = _plan(spark, sf_dir, "j50_minhash_jaccard_est")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1772,3 +1772,55 @@ def test_split_clusters_never_straddle(spark, sf_dir):
     # n_docs there, making the straddle check non-vacuous); sf0.001 is
     # all-distinct, where the two count identities are still exact
     assert n_clusters <= n_docs
+
+
+def test_minhash_estimate_covers_j8_and_exact_dups(spark, sf_dir):
+    """j50: every j8 pair (exact J >= 0.8) appears in the >= 0.5
+    report, and exact-duplicate pairs (J = 1.0) estimate at exactly
+    1.0 — identical shingle sets force identical md5 signatures."""
+    rows = QUERIES["j50_minhash_jaccard_est"](spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    j8 = QUERIES["j8_dedup_minhash_lsh"](spark, sf_dir).collect()
+    for r in j8:
+        assert (r.doc_a, r.doc_b) in got
+    for r in rows:
+        if r.jaccard == 1.0:
+            assert r.est == 1.0 and r.err == 0.0, r
+
+
+def test_watermark_lag_matches_python_reference(spark, sf_dir):
+    """k21's running-max lateness must equal a sequential walk of the
+    same arrival order."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts")
+        .collect()
+    )
+    by_type = {}
+    for r in sorted(ev, key=lambda r: (r.event_type, r.event_id)):
+        hi, lates = by_type.setdefault(r.event_type, [0, []])
+        hi = max(hi, r.ts)
+        by_type[r.event_type][0] = hi
+        lates.append(hi - r.ts)
+    def q(vals, p):
+        s = sorted(vals)
+        idx = (len(s) - 1) * p
+        lo, hi_i = math.floor(idx), math.ceil(idx)
+        return s[lo] + (s[hi_i] - s[lo]) * (idx - lo)
+    got = {
+        r.event_type: r
+        for r in QUERIES["k21_watermark_lag"](spark, sf_dir).collect()
+    }
+    NS = 1_000_000_000
+    for t, (_, lates) in by_type.items():
+        r = got[t]
+        assert r.n == len(lates)
+        assert r.frac_late == math.floor(
+            sum(1 for x in lates if x > 0) * 10000.0 / len(lates)
+        ) / 10000
+        assert r.p95_late_s == math.floor(q(lates, 0.95) / NS * 10000) / 10000
+        assert r.max_late_s == math.floor(max(lates) * 10000.0 / NS) / 10000
