@@ -521,3 +521,73 @@ def h14_bitwise(spark, sf_dir) -> DataFrame:
             "popcount_sum"
         ),
     )
+
+
+@query(
+    "h15_json_shred",
+    oracle="""
+    SELECT l_orderkey AS o_orderkey,
+           COUNT(*) AS n_items,
+           FLOOR(SUM(l_quantity) * 10000) / 10000 AS sum_qty,
+           FLOOR(MAX(l_extendedprice) * 10000) / 10000 AS max_price
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def h15_json_shred(spark, sf_dir) -> DataFrame:
+    """JSON denormalize→shred ROUNDTRIP: aggregate each order's line
+    items into ONE nested JSON document (struct + array-of-structs via
+    ``to_json``, the event/API document shape), then do what every ELT
+    pipeline does to such documents — parse with an explicit schema
+    (``from_json``; never schema inference on a 100 TB stream),
+    ``explode`` the nested array back to relational rows, aggregate.
+    The oracle computes the same aggregate DIRECTLY from lineitem, so
+    parity proves the build→parse→shred roundtrip is lossless —
+    including float survival through JSON text (Spark serializes
+    doubles shortest-roundtrip).
+
+    100 TB shape: the denormalize is one pk-keyed aggregate
+    (collect_list is safe here because group size is bounded by order
+    width, ≤7 — the per-key-bounded-array rule); parse + explode are
+    shuffle-free map stages pipelined into whatever follows.  In a
+    real ingest only the shred half exists and the document scan
+    prunes to the parsed fields (from_json pushes required-field
+    pruning into the parser via schema pruning)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    doc = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("k"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                    )
+                ).alias("items"),
+            )
+        ).alias("doc")
+    )
+    schema = (
+        "k BIGINT, items ARRAY<STRUCT<l_linenumber: INT, "
+        "l_quantity: DOUBLE, l_extendedprice: DOUBLE>>"
+    )
+    parsed = doc.select(F.from_json("doc", schema).alias("p"))
+    ex = parsed.select(
+        F.col("p.k").alias("o_orderkey"), F.explode("p.items").alias("it")
+    )
+    return (
+        ex.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.floor(F.sum("it.l_quantity") * 10000) / 10000).alias("sum_qty"),
+            (F.floor(F.max("it.l_extendedprice") * 10000) / 10000).alias(
+                "max_price"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

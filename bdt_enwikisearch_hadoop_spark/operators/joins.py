@@ -983,3 +983,127 @@ def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
         .select("probe_key", F.col("p_partkey").alias("match_key"), "dist")
         .orderBy("probe_key", "match_key")
     )
+
+
+@query(
+    "c26_cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    changelog AS (
+        SELECT 'U' AS op, 1 AS seq, o_orderkey AS k,
+               o_totalprice * 1.05 AS price
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'D', 2, o_orderkey, NULL
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT 'I', 3, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    compacted AS (
+        SELECT k, op, price
+        FROM changelog
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+    )
+    SELECT COALESCE(b.k, c.k) AS o_orderkey,
+           FLOOR(CASE WHEN c.op = 'U' AND b.k IS NOT NULL THEN c.price
+                      WHEN c.op = 'I' AND b.k IS NULL THEN c.price
+                      ELSE b.price END * 10000) / 10000 AS price,
+           CASE WHEN c.op IS NULL THEN 'base'
+                WHEN c.op = 'U' AND b.k IS NOT NULL THEN 'updated'
+                WHEN c.op = 'I' AND b.k IS NULL THEN 'inserted'
+                ELSE 'base' END AS src
+    FROM base b FULL OUTER JOIN compacted c ON b.k = c.k
+    -- COALESCE(...FALSE) everywhere op can be NULL (untouched base
+    -- rows): a bare op = 'D' is NULL there and three-valued WHERE
+    -- would silently drop the whole base (caught by the Python-merge
+    -- property test — parity alone missed it because both engines
+    -- dropped identically)
+    WHERE NOT (COALESCE(c.op = 'D', FALSE) AND b.k IS NOT NULL)
+      AND NOT (b.k IS NULL AND COALESCE(c.op IN ('U', 'D'), FALSE))
+    """,
+)
+def c26_cdc_apply(spark, sf_dir) -> DataFrame:
+    """CDC APPLY (the lakehouse MERGE): land a changelog of
+    insert/update/delete operations onto a keyed base snapshot —
+    c22 derives the change set, this key consumes one.  The changelog
+    is derived deterministically (updates on %7 keys at seq 1, deletes
+    on %11 at seq 2, inserts of the %97 keys the base excludes at
+    seq 3), which exercises the two behaviors that make MERGE more
+    than a join: COMPACTION — a key hit by several ops (e.g. %77:
+    update then delete) takes only its LAST op by sequence (k11's
+    last-state pattern) — and strictness — U on an absent key and D on
+    an absent key are no-ops, I lands only where the base has no row.
+
+    100 TB shape: compaction is one changelog-sized shuffle (changelogs
+    are deltas, orders of magnitude under the base), then ONE full-outer
+    pk join against the base — with the base bucketed by pk (the
+    versioned-table layout, c17) the base side never re-shuffles and
+    the apply is a per-bucket zip; Delta/Iceberg MERGE physics exactly.
+    Output is base-sized; every verdict is a map-side CASE after the
+    join."""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bprice")
+    )
+    changelog = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.lit("U").alias("op"),
+            F.lit(1).alias("seq"),
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 1.05).alias("price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                F.lit("D"), F.lit(2), F.col("o_orderkey"),
+                F.lit(None).cast("double"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                F.lit("I"), F.lit(3), F.col("o_orderkey"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    compacted = (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "price")
+    )
+    m = base.join(compacted, base.bk == compacted.k, "full_outer")
+    # null-safe verdicts: op is NULL on every untouched base row, and
+    # (NULL = 'D') AND ... under three-valued logic is NULL, which a
+    # filter drops — eqNullSafe/coalesce pin those rows to KEEP (the
+    # Python-merge property test caught this; oracle parity alone
+    # could not, both engines being identically wrong)
+    applied = m.filter(
+        ~(F.col("op").eqNullSafe("D") & F.col("bk").isNotNull())
+        & ~(
+            F.col("bk").isNull()
+            & F.coalesce(F.col("op").isin("U", "D"), F.lit(False))
+        )
+    )
+    price = (
+        F.when(
+            (F.col("op") == "U") & F.col("bk").isNotNull(), F.col("price")
+        )
+        .when((F.col("op") == "I") & F.col("bk").isNull(), F.col("price"))
+        .otherwise(F.col("bprice"))
+    )
+    src = (
+        F.when(F.col("op").isNull(), "base")
+        .when((F.col("op") == "U") & F.col("bk").isNotNull(), "updated")
+        .when((F.col("op") == "I") & F.col("bk").isNull(), "inserted")
+        .otherwise("base")
+    )
+    return applied.select(
+        F.coalesce("bk", "k").alias("o_orderkey"),
+        (F.floor(price * 10000) / 10000).alias("price"),
+        src.alias("src"),
+    )

@@ -852,3 +852,11 @@ def test_j50_is_never_all_pairs(spark, sf_dir):
     p = _plan(spark, sf_dir, "j50_minhash_jaccard_est")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_c26_apply_is_one_full_outer_join(spark, sf_dir):
+    """MERGE = compacted changelog full-outer the base ONCE; a
+    union-of-three-passes apply would scan the base per op type."""
+    p = _plan(spark, sf_dir, "c26_cdc_apply")
+    assert "FullOuter" in p
+    assert p.count("FullOuter") == 1

@@ -1824,3 +1824,89 @@ def test_watermark_lag_matches_python_reference(spark, sf_dir):
         ) / 10000
         assert r.p95_late_s == math.floor(q(lates, 0.95) / NS * 10000) / 10000
         assert r.max_late_s == math.floor(max(lates) * 10000.0 / NS) / 10000
+
+
+def test_cdc_apply_accounting(spark, sf_dir):
+    """c26: deletes hitting the base vanish, strict inserts land, a key
+    hit by update-then-delete (%77) ends deleted, and every surviving
+    base row keeps its price unless updated — checked against a direct
+    Python merge over the same derived changelog."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    orders = {
+        r.o_orderkey: r.o_totalprice
+        for r in load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    import math
+
+    want = {}
+    for k, p in orders.items():
+        in_base = k % 97 != 0
+        # last op by seq: I(3) > D(2) > U(1)
+        op = "I" if k % 97 == 0 else ("D" if k % 11 == 0 else ("U" if k % 7 == 0 else None))
+        if op is None and in_base:
+            want[k] = ("base", p)
+        elif op == "U":
+            want[k] = ("updated", p * 1.05) if in_base else None
+        elif op == "D":
+            if not in_base:
+                pass  # no-op delete
+            # delete hitting base: row vanishes
+        elif op == "I":
+            want[k] = ("inserted", p)  # %97 keys are never in base
+    want = {
+        k: (s, math.floor(p * 10000) / 10000)
+        for k, v in want.items()
+        if v is not None
+        for s, p in [v]
+    }
+    got = {
+        r.o_orderkey: (r.src, r.price)
+        for r in QUERIES["c26_cdc_apply"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_json_shred_roundtrip_is_identity(spark, sf_dir):
+    """h15's build→parse→explode chain must reproduce the original
+    line items exactly, row for row, floats included."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    doc = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("k"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+                    )
+                ).alias("items"),
+            )
+        ).alias("doc")
+    )
+    schema = (
+        "k BIGINT, items ARRAY<STRUCT<l_linenumber: INT, "
+        "l_quantity: DOUBLE, l_extendedprice: DOUBLE>>"
+    )
+    back = (
+        doc.select(F.from_json("doc", schema).alias("p"))
+        .select(F.col("p.k").alias("l_orderkey"), F.explode("p.items").alias("it"))
+        .select(
+            "l_orderkey",
+            F.col("it.l_linenumber").alias("l_linenumber"),
+            F.col("it.l_quantity").alias("l_quantity"),
+            F.col("it.l_extendedprice").alias("l_extendedprice"),
+        )
+    )
+    want = {tuple(r) for r in li.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want and len(got) == li.count()
