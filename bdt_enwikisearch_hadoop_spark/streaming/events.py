@@ -1985,16 +1985,57 @@ def k20_gap_detect(spark, sf_dir) -> DataFrame:
 # k21 — event-time disorder profile (watermark sizing)
 # ---------------------------------------------------------------------------
 
+#: md5-derived per-event ingestion delay: 0-4 h, a pure function of
+#: event_id — models batched/offline log shipping (mobile uploaders,
+#: hourly collectors).  The fixture's log is perfectly time-ordered,
+#: so arrival = event time would make every lateness 0 (verified
+#: degenerate), and per-type arrival gaps run tens of minutes to
+#: hours, so a seconds-scale jitter stays degenerate per type too —
+#: 4 h produces genuine disorder in every type at every fixture SF.
+_ARRIVAL_JITTER_S = 14400
+
+_ARR_NS_SQL = f"""epoch_ns(ts)
+               + ((strpos('0123456789abcdef',
+                          substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                    * 4096
+                  + (strpos('0123456789abcdef',
+                            substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1)
+                    * 256
+                  + (strpos('0123456789abcdef',
+                            substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1)
+                    * 16
+                  + (strpos('0123456789abcdef',
+                            substr(md5(CAST(event_id AS VARCHAR)), 4, 1)) - 1))
+                 % {_ARRIVAL_JITTER_S} * {_NS_PER_S}"""
+
+
+def _with_arrival(e):
+    """events + deterministic arrival time: arr = ts + md5-jittered
+    ingestion delay (0-{_ARRIVAL_JITTER_S} s).  Shared by k21 and the
+    watermark-coherence streaming smoke so the profile and the replay
+    agree on what "arrival order" means."""
+    delay = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % _ARRIVAL_JITTER_S
+    ) * _NS_PER_S
+    return e.withColumn("arr", F.col("ts") + delay)
+
 
 @query(
     "k21_watermark_lag",
     oracle=f"""
-    WITH lagged AS (
-        SELECT event_type,
-               MAX(epoch_ns(ts)) OVER (PARTITION BY event_type
-                                       ORDER BY event_id)
-                   - epoch_ns(ts) AS late
+    WITH arrv AS (
+        SELECT event_type, event_id, epoch_ns(ts) AS tns,
+               {_ARR_NS_SQL} AS arr
         FROM events
+    ),
+    lagged AS (
+        SELECT event_type,
+               MAX(tns) OVER (PARTITION BY event_type
+                              ORDER BY arr, event_id) - tns AS late
+        FROM arrv
     )
     SELECT event_type,
            COUNT(*) AS n,
@@ -2013,12 +2054,19 @@ def k20_gap_detect(spark, sf_dir) -> DataFrame:
 def k21_watermark_lag(spark, sf_dir) -> DataFrame:
     """Event-time DISORDER profile: per event type, how late events
     arrive relative to the stream's event-time high-water mark at
-    their ARRIVAL position (event_id = ingestion sequence) — lateness
-    = running max(event time) − own event time.  The p95/max lateness
-    IS the watermark decision: `withWatermark("ts2", X)` drops
-    exactly the events this profile counts beyond X, so you read the
-    allowed-lateness / completeness trade straight off these rows
-    (k1-k4's watermark smokes pick their delays from this shape).
+    their ARRIVAL position — lateness = running max(event time) − own
+    event time, in arrival order.  The p95/max lateness IS the
+    watermark decision: `withWatermark("ts2", X)` drops exactly the
+    events this profile counts beyond X, and the streaming smoke
+    (`run_watermark_profile_coherence_smoke`) replays the same arrival
+    order through a real checkpointed stream to prove the bound.
+
+    The fixture's log is PERFECTLY time-ordered (event_id order ≡ ts
+    order — measured: every lateness is 0), which no real ingest is;
+    arrival is therefore modeled as ts + an md5-derived 0-4 h
+    ingestion delay (a pure function of event_id — deterministic in
+    both engines, j15's rule-7 discipline), giving the profile real
+    disorder to measure.
 
     Plan: one shuffle on event_type, one in-partition sort by arrival
     serving the running max (pure streaming-state analog: one scalar
@@ -2027,10 +2075,10 @@ def k21_watermark_lag(spark, sf_dir) -> DataFrame:
     (d12 discipline): quantiles interpolate over ns-scale integers
     well inside double's exact range, and frac_late is an integer
     ratio, 4dp-floored."""
-    e = load(spark, sf_dir, "events")
+    e = _with_arrival(load(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("event_id")
+        .orderBy("arr", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     late = (F.max("ts").over(w) - F.col("ts")).alias("late")
@@ -2060,3 +2108,86 @@ def k21_watermark_lag(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def run_watermark_profile_coherence_smoke(
+    spark, sf_dir: str, n_chunks: int = 4
+) -> tuple[int, int, int, int]:
+    """k21's lateness profile, validated against REAL streaming drops.
+
+    The profile's promise: `withWatermark("ts2", X)` can only drop
+    events whose k21-lateness (running event-time max at arrival minus
+    own event time) exceeds X — the streaming watermark advances per
+    micro-batch, i.e. LAGS the per-row running max, so per-row lateness
+    is an upper bound on what any batch boundary can drop.  This smoke
+    replays the events fixture in k21's arrival order (``_with_arrival``:
+    ts + md5 ingestion jitter — the SAME order the profile measures) as
+    ``n_chunks`` checkpoint-resumed micro-batches through
+    ``dropDuplicatesWithinWatermark`` (unique keys, so emitted =
+    admitted) twice:
+
+    * delay = the profile's MAX lateness → nothing may be dropped;
+    * delay = the profile's p50 lateness → drops must be a SUBSET of
+      the rows the profile counts beyond p50.
+
+    Honesty note on the lower bound: at this fixture's arrival rate
+    (mean per-type gap of the same order as the ≤4 h disorder window) a p50 watermark
+    correctly drops ~nothing at micro-batch granularity — the per-row
+    profile is an upper bound that the lazier per-batch watermark
+    rarely reaches.  The profile's own non-degeneracy (frac_late > 0)
+    is asserted separately in the k21 property test; THIS smoke's
+    claim is the bound, both sides of it.
+
+    Returns (n_events, n_late_gt_p50, admitted_at_max, admitted_at_p50).
+    """
+    import tempfile
+
+    e = _with_arrival(
+        load(spark, sf_dir, "events").select("event_id", "ts", "ts2")
+    )
+    n = e.count()
+    w = Window.orderBy("arr", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lat = e.select((F.max("ts").over(w) - F.col("ts")).alias("late"))
+    mx, p50 = lat.agg(
+        F.max("late"), F.expr("percentile(late, 0.5)")
+    ).collect()[0]
+    n_gt_p50 = lat.filter(F.col("late") > p50).count()
+    max_s = int(mx // _NS_PER_S) + 1
+    p50_s = max(int(p50 // _NS_PER_S), 0) + 1
+
+    chunked = e.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("arr", "event_id"))
+    ).drop("arr")
+
+    def admitted(delay_s: int) -> int:
+        with tempfile.TemporaryDirectory() as workdir:
+            src, ckpt, out = (
+                f"{workdir}/src",
+                f"{workdir}/ckpt",
+                f"{workdir}/out",
+            )
+            for i in range(1, n_chunks + 1):
+                chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(
+                    1
+                ).write.parquet(f"{src}/b{i}")
+                stream = (
+                    spark.readStream.schema(chunked.drop("chunk").schema)
+                    .parquet(f"{src}/*")
+                    .withWatermark("ts2", f"{delay_s} seconds")
+                    .dropDuplicatesWithinWatermark(["event_id"])
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+                q.stop()
+            return spark.read.parquet(out).count()
+
+    return n, n_gt_p50, admitted(max_s), admitted(p50_s)

@@ -1790,18 +1790,31 @@ def test_minhash_estimate_covers_j8_and_exact_dups(spark, sf_dir):
 
 def test_watermark_lag_matches_python_reference(spark, sf_dir):
     """k21's running-max lateness must equal a sequential walk of the
-    same arrival order."""
+    same md5-jittered arrival order — and that order must produce real
+    disorder (the raw fixture is perfectly time-sorted, measured: all
+    lateness 0, which would make the profile vacuous)."""
+    import hashlib
     import math
 
     from bdt_enwikisearch_hadoop_spark.sources import load
 
+    NS = 1_000_000_000
     ev = (
         load(spark, sf_dir, "events")
         .select("event_type", "event_id", "ts")
         .collect()
     )
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        _ARRIVAL_JITTER_S,
+    )
+
+    def arr(r):
+        j = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:4], 16)
+        return r.ts + (j % _ARRIVAL_JITTER_S) * NS
+
     by_type = {}
-    for r in sorted(ev, key=lambda r: (r.event_type, r.event_id)):
+    for r in sorted(ev, key=lambda r: (r.event_type, arr(r), r.event_id)):
         hi, lates = by_type.setdefault(r.event_type, [0, []])
         hi = max(hi, r.ts)
         by_type[r.event_type][0] = hi
@@ -1815,7 +1828,6 @@ def test_watermark_lag_matches_python_reference(spark, sf_dir):
         r.event_type: r
         for r in QUERIES["k21_watermark_lag"](spark, sf_dir).collect()
     }
-    NS = 1_000_000_000
     for t, (_, lates) in by_type.items():
         r = got[t]
         assert r.n == len(lates)
@@ -1824,6 +1836,8 @@ def test_watermark_lag_matches_python_reference(spark, sf_dir):
         ) / 10000
         assert r.p95_late_s == math.floor(q(lates, 0.95) / NS * 10000) / 10000
         assert r.max_late_s == math.floor(max(lates) * 10000.0 / NS) / 10000
+        # non-vacuous: the jittered arrival genuinely disorders the log
+        assert r.frac_late > 0 and r.max_late_s > 0
 
 
 def test_cdc_apply_accounting(spark, sf_dir):

@@ -466,3 +466,19 @@ def test_streaming_incremental_merge_equals_batch(spark):
 
     merged, direct = run_incremental_merge_stream_smoke(spark, SF_DIR)
     assert merged == direct and len(merged) > 0
+
+
+def test_watermark_profile_bounds_streaming_drops(spark):
+    """The k21 disorder profile must be a faithful watermark-sizing
+    tool: max-lateness delay admits everything; a p50 delay can drop
+    only rows the profile itself counts beyond p50."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_watermark_profile_coherence_smoke,
+    )
+
+    n, n_gt_p50, at_max, at_p50 = run_watermark_profile_coherence_smoke(
+        spark, SF_DIR
+    )
+    assert at_max == n
+    assert n - at_p50 <= n_gt_p50
+    assert at_p50 <= n
