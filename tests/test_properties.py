@@ -1924,3 +1924,54 @@ def test_json_shred_roundtrip_is_identity(spark, sf_dir):
     want = {tuple(r) for r in li.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == want and len(got) == li.count()
+
+
+def test_regression_stats_satisfy_ols_identities(spark, sf_dir):
+    """d23: intercept = mean(y) - slope*mean(x) (the OLS normal
+    equation) and r2 in [0, 1] — recomputed from the raw table."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    li = load(spark, sf_dir, "lineitem")
+    means = {
+        r.l_returnflag: (r.my, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.avg("l_extendedprice").alias("my"),
+            F.avg("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    for r in QUERIES["d23_regression_stats"](spark, sf_dir).collect():
+        my, mx = means[r.l_returnflag]
+        # slope/intercept are 4dp-floored, so the identity holds to
+        # the rounding step times the mean magnitude
+        assert abs(r.intercept - (my - r.slope * mx)) < 0.01 * max(mx, 1)
+        assert 0.0 <= r.r2 <= 1.0
+
+
+def test_crossover_curves_are_monotone_and_conserve_total(spark, sf_dir):
+    """f28: both cumulative curves are non-decreasing and their final
+    points sum to total order revenue (decimal-exact upstream)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = sorted(
+        QUERIES["f28_cumulative_crossover"](spark, sf_dir).collect(),
+        key=lambda r: r.mon,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_a >= a.cum_a and b.cum_b >= a.cum_b
+        assert b.a_leads == (b.cum_a > b.cum_b)
+    total = (
+        load(spark, sf_dir, "orders")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    assert math.isclose(
+        rows[-1].cum_a + rows[-1].cum_b, float(total), rel_tol=1e-12
+    )
