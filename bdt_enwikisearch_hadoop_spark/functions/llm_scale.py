@@ -1943,47 +1943,21 @@ def _pr_oracle() -> str:
     return "".join(parts)
 
 
-@query("j40_pagerank", oracle=_pr_oracle())
-def j40_pagerank(spark, sf_dir) -> DataFrame:
-    """PageRank over the directed embedding kNN graph (each vector →
-    its 3 nearest cosine neighbors): 5 synchronous iterations of
-    r' = (1-d)/N + d·Σ_in r/3, d = 0.85 — the canonical iterative
-    graph algorithm, here used the way data pipelines actually use it:
-    centrality over a similarity graph picks REPRESENTATIVE documents
-    (high rank = prototypical, low rank = outlier) for curation and
-    curriculum ordering.  Out-degree is exactly k for every node, so
-    there is no dangling mass; the fixed iteration count makes the
-    oracle exactly expressible as 5 unrolled SQL CTEs.
-
-    Cross-engine BIT-EQUALITY, no rounding anywhere: the only
-    order-sensitive operation — the in-edge contribution sum — is a
-    SEQUENTIAL fold over the in-neighbor ranks sorted by source id
-    (Spark ``array_sort + F.aggregate`` ≡ DuckDB ``list(ORDER BY) +
-    list_reduce``; 0.0 + x == x makes the inits identical), the j29
-    trick applied to a fixed-point loop.  All scalar constants are
-    shared double literals — note _PR_BASE: Python's ``1 - 0.85``
-    differs from the double ``0.15`` by one ulp.  Edge selection ranks
-    on the 4dp-rounded cosine with nid tiebreak (j4's recipe) — at
-    4dp, numpy-matmul cosines agree with the oracle's fold (the same
-    contract j12's block grid has held since round 3).
-
-    Scale: the kNN build rides j12's distributed block-pair grid (one
-    numpy matmul per block pair, no corpus-sized collect/broadcast),
-    with MAP-SIDE partial top-k: each task emits only its own top-3
-    per query vector, so the global window ranks B·k candidate rows
-    per node instead of N — the global top-k is always a subset of the
-    per-task top-ks because the tasks partition the candidate set.
-    At 100 TB the grid is replaced by j13/j21-style IVF or j22 LSH
-    candidates (same swap as the dedup family; the PageRank loop only
-    ever touches the EDGE list).  Each iteration is one join + one
-    aggregate shuffled on vec_id — O(E) per round with k·N edges, and
-    ``localCheckpoint`` truncates lineage per round exactly like j20's
-    pointer doubling."""
+def knn_edges(spark, sf_dir: str, k: int):
+    """Directed k-NN edge list (qid, nid) over the embeddings table —
+    j40's graph build, shared with j51's triangle count.  Rides j12's
+    distributed block-pair grid (one numpy matmul per block pair, no
+    corpus-sized collect/broadcast) with MAP-SIDE partial top-k: each
+    task emits only its own top-k per query vector, so the global
+    window ranks B·k candidate rows per node instead of N (the global
+    top-k is always a subset of the per-task top-ks because the tasks
+    partition the candidate set).  Edge selection ranks on the
+    4dp-rounded cosine with nid tiebreak (j4's recipe) so the edge
+    SET is engine-identical."""
     import numpy as np
     import pandas as pd
 
     B = _J12_BLOCKS
-    k = _PR_K
 
     def block_topk(key, pdf):
         ga, gb = int(key[0]), int(key[1])
@@ -2033,12 +2007,52 @@ def j40_pagerank(spark, sf_dir) -> DataFrame:
         block_topk, schema="qid long, nid long, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
-    edges = (
+    return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "nid")
-        .localCheckpoint()  # edges feed every iteration: build once
     )
+
+
+@query("j40_pagerank", oracle=_pr_oracle())
+def j40_pagerank(spark, sf_dir) -> DataFrame:
+    """PageRank over the directed embedding kNN graph (each vector →
+    its 3 nearest cosine neighbors): 5 synchronous iterations of
+    r' = (1-d)/N + d·Σ_in r/3, d = 0.85 — the canonical iterative
+    graph algorithm, here used the way data pipelines actually use it:
+    centrality over a similarity graph picks REPRESENTATIVE documents
+    (high rank = prototypical, low rank = outlier) for curation and
+    curriculum ordering.  Out-degree is exactly k for every node, so
+    there is no dangling mass; the fixed iteration count makes the
+    oracle exactly expressible as 5 unrolled SQL CTEs.
+
+    Cross-engine BIT-EQUALITY, no rounding anywhere: the only
+    order-sensitive operation — the in-edge contribution sum — is a
+    SEQUENTIAL fold over the in-neighbor ranks sorted by source id
+    (Spark ``array_sort + F.aggregate`` ≡ DuckDB ``list(ORDER BY) +
+    list_reduce``; 0.0 + x == x makes the inits identical), the j29
+    trick applied to a fixed-point loop.  All scalar constants are
+    shared double literals — note _PR_BASE: Python's ``1 - 0.85``
+    differs from the double ``0.15`` by one ulp.  Edge selection ranks
+    on the 4dp-rounded cosine with nid tiebreak (j4's recipe) — at
+    4dp, numpy-matmul cosines agree with the oracle's fold (the same
+    contract j12's block grid has held since round 3).
+
+    Scale: the kNN build rides j12's distributed block-pair grid (one
+    numpy matmul per block pair, no corpus-sized collect/broadcast),
+    with MAP-SIDE partial top-k: each task emits only its own top-3
+    per query vector, so the global window ranks B·k candidate rows
+    per node instead of N — the global top-k is always a subset of the
+    per-task top-ks because the tasks partition the candidate set.
+    At 100 TB the grid is replaced by j13/j21-style IVF or j22 LSH
+    candidates (same swap as the dedup family; the PageRank loop only
+    ever touches the EDGE list).  Each iteration is one join + one
+    aggregate shuffled on vec_id — O(E) per round with k·N edges, and
+    ``localCheckpoint`` truncates lineage per round exactly like j20's
+    pointer doubling."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_edges(spark, sf_dir, _PR_K).localCheckpoint()
+    # edges feed every iteration: build once, truncate lineage
     n = emb.count()  # bounded scalar (metadata-sized), like j20's rounds
     nodes = emb.select("vec_id")
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
@@ -2235,4 +2249,144 @@ def j50_minhash_jaccard_est(spark, sf_dir) -> DataFrame:
             (F.floor(F.abs(est - jac) * 10000) / 10000).alias("err"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j51 — triangle count / clustering coefficient of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j51_knn_triangles",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    edges AS (
+        SELECT qid, nid FROM pairs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos DESC, nid) <= {_PR_K}
+    ),
+    und AS (SELECT DISTINCT LEAST(qid, nid) AS u, GREATEST(qid, nid) AS v
+            FROM edges),
+    deg AS (SELECT x, COUNT(*) AS d
+            FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+            GROUP BY x),
+    o AS (
+        SELECT CASE WHEN ku < kv THEN u ELSE v END AS s,
+               CASE WHEN ku < kv THEN v ELSE u END AS t,
+               CASE WHEN ku < kv THEN kv ELSE ku END AS kt
+        FROM (SELECT u, v,
+                     du.d * 1000000 + u AS ku,
+                     dv.d * 1000000 + v AS kv
+              FROM und
+              JOIN deg du ON du.x = u
+              JOIN deg dv ON dv.x = v)
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_tri
+        FROM o a
+        JOIN o b ON b.s = a.s AND b.kt > a.kt
+        JOIN o c ON c.s = a.t AND c.t = b.t
+    ),
+    wdg AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           n_tri,
+           FLOOR(3.0 * n_tri / n_wedges * 10000) / 10000
+               AS global_clustering
+    FROM tri CROSS JOIN wdg
+    """,
+)
+def j51_knn_triangles(spark, sf_dir) -> DataFrame:
+    """Triangle count + global clustering coefficient of the UNDIRECTED
+    embedding 3-NN graph — the third classic graph kernel beside j20's
+    components and j40's PageRank.  On a similarity graph, triangles
+    measure manifold clustering: a high coefficient says neighbors of
+    neighbors are themselves similar (dense semantic clusters → dedup
+    and diversity-sampling opportunities); a low one says the corpus
+    is spread thin.
+
+    The algorithm is the MapReduce-era standard (Cohen 2009 /
+    Schank-Wagner): orient every undirected edge from its LOWER
+    (degree, id) endpoint to the higher (one composite integer key, so
+    both engines compare identically), generate each tail's wedge
+    pairs with heads ordered by the same key, and close wedges against
+    the oriented edge list — each triangle is found exactly once, at
+    its lowest-degree vertex.
+
+    Why orientation matters at 100 TB: wedge count under degree
+    orientation is Σ C(out-deg, 2) with out-degrees bounded by graph
+    arboricity (O(sqrt(E)) worst case) — a hub of degree 10⁶
+    generates ZERO wedges at its tail (every hub edge points INTO it),
+    where the naive formulation would explode C(10⁶, 2) pairs.  Here
+    out-degree is additionally capped by k on top of arboricity.  The
+    graph build rides `knn_edges` (j12's block grid, map-side partial
+    top-k); the count itself is two self-joins of the oriented edge
+    list, both keyed, both AQE-skew-eligible."""
+    emb = load(spark, sf_dir, "embeddings")
+    und = (
+        knn_edges(spark, sf_dir, _PR_K)
+        .select(
+            F.least("qid", "nid").alias("u"), F.greatest("qid", "nid").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            (F.col("du") * 1000000 + F.col("u")).alias("ku"),
+            (F.col("dv") * 1000000 + F.col("v")).alias("kv"),
+        )
+    )
+    o = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.greatest("ku", "kv").alias("kt"),
+    ).localCheckpoint()  # reused three times: build once
+    a = o.alias("a")
+    b = o.alias("b")
+    c = o.select(F.col("s").alias("cs"), F.col("t").alias("ct"))
+    tri = (
+        a.join(
+            b,
+            (F.col("b.s") == F.col("a.s")) & (F.col("b.kt") > F.col("a.kt")),
+        )
+        .join(
+            c,
+            (F.col("cs") == F.col("a.t")) & (F.col("ct") == F.col("b.t")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges")
+    )
+    n_nodes = emb.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(wedges))
+        .join(F.broadcast(n_nodes))
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_tri",
+            (F.floor(3.0 * F.col("n_tri") / F.col("n_wedges") * 10000) / 10000)
+            .alias("global_clustering"),
+        )
     )

@@ -875,3 +875,10 @@ def test_f28_crossover_scans_orders_once(spark, sf_dir):
     would double the 100 TB cost."""
     p = _plan(spark, sf_dir, "f28_cumulative_crossover")
     assert p.count("orders.parquet") == 1
+
+
+def test_j51_triangle_joins_are_keyed(spark, sf_dir):
+    """Wedge generation and closure must both be keyed joins on the
+    oriented edge list — never a cartesian pair enumeration."""
+    p = _plan(spark, sf_dir, "j51_knn_triangles")
+    assert "CartesianProduct" not in p

@@ -1975,3 +1975,42 @@ def test_crossover_curves_are_monotone_and_conserve_total(spark, sf_dir):
     assert math.isclose(
         rows[-1].cum_a + rows[-1].cum_b, float(total), rel_tol=1e-12
     )
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """j51's degree-oriented wedge closure must equal brute-force
+    triangle enumeration over the same undirected edge set — proving
+    the orientation trick changes the plan, never the count."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _PR_K,
+        knn_edges,
+    )
+
+    und = {
+        (r.u, r.v)
+        for r in knn_edges(spark, sf_dir, _PR_K)
+        .select(
+            F.least("qid", "nid").alias("u"),
+            F.greatest("qid", "nid").alias("v"),
+        )
+        .distinct()
+        .collect()
+    }
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for u, nbrs in adj.items()
+        for a, b in combinations(sorted(nbrs), 2)
+        if u < a and (a, b) in und
+    )
+    row = QUERIES["j51_knn_triangles"](spark, sf_dir).collect()[0]
+    assert row.n_tri == brute
+    assert row.n_edges == len(und)
+    assert 0.0 <= row.global_clustering <= 1.0
