@@ -577,3 +577,70 @@ def j49_leakage_safe_split(spark, sf_dir) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# j52 — dataset fingerprint (order-insensitive content checksum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j52_dataset_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens,
+           bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                                   1, 15))::BIGINT) AS content_xor
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def j52_dataset_fingerprint(spark, sf_dir) -> DataFrame:
+    """Dataset fingerprint: per source, row count, token total, and an
+    ORDER-INSENSITIVE 60-bit content checksum (XOR of md5-derived row
+    hashes over id+text) — the cheap dataset-versioning primitive:
+    two pipeline runs, two engines, or two replicas produced the same
+    corpus iff their fingerprints match, regardless of row order or
+    partitioning.  This is how a 100 TB curation pipeline asserts
+    "stage N changed nothing it shouldn't have" without a sorted diff.
+
+    Why XOR: it is commutative, associative and self-inverse — the
+    aggregate partial-combines map-side in any order (SUM mod 2^64
+    would too, but overflows ANSI bigint arithmetic in Spark; XOR
+    never overflows), and single-row changes flip the checksum with
+    probability 1-2^-60.  The hash takes 15 hex chars (60 bits) so
+    both engines' BIGINT parse stays positive and exact.
+
+    100 TB shape: one map pass + one source-keyed aggregate of three
+    mergeable scalars; output is source-count-bounded.  Fingerprints
+    compose: XOR of per-partition fingerprints = the corpus
+    fingerprint, so incremental runs re-fingerprint only changed
+    partitions and fold (k19's merge algebra applied to checksums)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+            h.alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.bit_xor("h").alias("content_xor"),
+        )
+        .orderBy("source")
+    )

@@ -363,3 +363,70 @@ def e10_cumulative_distinct(spark, sf_dir) -> DataFrame:
             F.sum("new_users").over(w).alias("cum_users"),
         )
     )
+
+
+@query(
+    "e11_streaks",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id,
+               epoch(date_trunc('day', ts)) // 86400 AS d
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM daily
+    ),
+    streaks AS (
+        SELECT user_id, MIN(d) AS start_d, COUNT(*) AS len
+        FROM grouped
+        GROUP BY user_id, grp
+    )
+    SELECT user_id, start_d, len
+    FROM streaks
+    ORDER BY len DESC, user_id, start_d
+    LIMIT 20
+    """,
+)
+def e11_streaks(spark, sf_dir) -> DataFrame:
+    """Gaps-and-islands: each user's CONSECUTIVE-day activity streaks,
+    top-20 longest — the engagement/streak metric (and the canonical
+    islands construction: day_number − row_number is constant exactly
+    within a consecutive run, so one window + one aggregate find every
+    island with no self-join and no iteration).  Days are exact
+    integer epoch-day numbers in both engines (UTC truncation, the
+    k10 discipline), so group keys can never drift.
+
+    k6 measures day-over-day RETENTION (pairs of adjacent days), k20
+    finds the silent holes; this is the run-length view of the same
+    activity surface — all three derive from the one distinct
+    (user, day) projection, which at 100 TB is materialized once
+    (events collapse ~100:1 into it) and serves the whole battery.
+
+    Plan: a distinct shuffle on (user, day) — map-side partial first,
+    so the exchange carries the ~100:1-collapsed projection — then one
+    re-exchange to the user-only key for the window; the island
+    aggregate is a REFINEMENT of the window partitioning (no third
+    exchange, plan-guarded) and top-20 is a heap.  At scale the
+    distinct (user, day) table is the materialized artifact and the
+    first exchange disappears."""
+    e = load(spark, sf_dir, "events")
+    daily = e.select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("day", "ts2")) / 86400)
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = daily.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(F.min("d").alias("start_d"), F.count(F.lit(1)).alias("len"))
+        .select("user_id", "start_d", "len")
+        .orderBy(F.col("len").desc(), "user_id", "start_d")
+        .limit(20)
+    )

@@ -2191,3 +2191,113 @@ def run_watermark_profile_coherence_smoke(
             return spark.read.parquet(out).count()
 
     return n, n_gt_p50, admitted(max_s), admitted(p50_s)
+
+
+# ---------------------------------------------------------------------------
+# k22 — truncated exponential moving average over the hourly volume grid
+# ---------------------------------------------------------------------------
+
+_EMA_ALPHA = 0.25  # dyadic: 1/4 and 3/4 are exact doubles
+_EMA_WINDOW = 24   # truncation depth (hours)
+
+
+@query(
+    "k22_ema_smoothing",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch(date_trunc('hour', ts)) AS h,
+               COUNT(*) AS v
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    span AS (SELECT event_type,
+                    CAST(MIN(h) AS BIGINT) AS lo,
+                    CAST(MAX(h) AS BIGINT) AS hi
+             FROM b GROUP BY event_type),
+    grid AS (
+        SELECT event_type, lo + 3600 * i AS h
+        FROM span,
+             LATERAL (SELECT unnest(range(0, (hi - lo) // 3600 + 1)) AS i)
+    ),
+    dense AS (
+        SELECT g.event_type, g.h, COALESCE(b.v, 0) AS v
+        FROM grid g LEFT JOIN b USING (event_type, h)
+    ),
+    lists AS (
+        SELECT event_type, h, v,
+               list(v) OVER (PARTITION BY event_type ORDER BY h
+                             ROWS BETWEEN {_EMA_WINDOW - 1} PRECEDING
+                                      AND CURRENT ROW) AS l
+        FROM dense
+    )
+    SELECT event_type, h, v,
+           FLOOR(list_sum(list_transform(
+                     list_zip(l, range(len(l))),
+                     z -> z[1] * {_EMA_ALPHA}
+                          * pow({1 - _EMA_ALPHA},
+                                len(l) - 1 - CAST(z[2] AS INT))))
+                 * 10000) / 10000 AS ema
+    FROM lists
+    ORDER BY event_type, h
+    """,
+)
+def k22_ema_smoothing(spark, sf_dir) -> DataFrame:
+    """Truncated exponential moving average of hourly event volume per
+    type: ema_t = Σ_{{k=0..{_EMA_WINDOW - 1}}} α(1−α)^k · v_{{t−k}},
+    α = {_EMA_ALPHA} — the trend-smoothing signal behind k17's anomaly
+    z-scores and every ops dashboard.  The textbook EMA is an infinite
+    recursion (unwindowable in one SQL pass); the {_EMA_WINDOW}-term
+    truncation drops < 0.1% of the mass ((1−α)^{_EMA_WINDOW} ≈ 1e-3)
+    and turns it into a bounded ROWS frame — the standard production
+    compromise, and the k9 densify step first fills silent hours with
+    0 so the decay clock ticks in WALL hours, not observed rows.
+
+    Determinism: α is dyadic (1/4, 3/4 exact doubles), weights come
+    from pow on exact args (≤1 ulp apart across libms — orders below
+    the 4dp floor), and the ≤{_EMA_WINDOW}-term fold runs in frame
+    order in both engines (in-row list fold, j40's discipline).
+
+    Plan: one bucket aggregate (map-side partial), the dense grid is
+    bucket-count-bounded (k9's sequence-explode), and the windowed
+    list + in-row fold ride the type-keyed partitioning — no second
+    corpus exchange, state = {_EMA_WINDOW} doubles per row."""
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    dense = grid.join(b, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(_EMA_WINDOW - 1), Window.currentRow)
+    )
+    lists = dense.withColumn("l", F.collect_list("v").over(w))
+    ema = F.expr(
+        f"aggregate(zip_with(l, sequence(0, size(l) - 1),"
+        f" (v, i) -> v * {_EMA_ALPHA}"
+        f" * pow({1 - _EMA_ALPHA}, size(l) - 1 - i)),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        lists.select(
+            "event_type",
+            "h",
+            "v",
+            (F.floor(ema * 10000) / 10000).alias("ema"),
+        )
+        .orderBy("event_type", "h")
+    )

@@ -882,3 +882,20 @@ def test_j51_triangle_joins_are_keyed(spark, sf_dir):
     oriented edge list — never a cartesian pair enumeration."""
     p = _plan(spark, sf_dir, "j51_knn_triangles")
     assert "CartesianProduct" not in p
+
+
+def test_e11_island_aggregate_reuses_window_partitioning(spark, sf_dir):
+    """Two exchanges only: the (user, day) distinct and the user-keyed
+    window; the island aggregate must refine the window partitioning,
+    and the top-20 must be a heap."""
+    p = _plan(spark, sf_dir, "e11_streaks")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_j52_fingerprint_is_single_aggregate(spark, sf_dir):
+    """Fingerprinting is one map pass + one source-keyed aggregate —
+    no join, no second scan."""
+    p = _plan(spark, sf_dir, "j52_dataset_fingerprint")
+    assert "Join" not in p
+    assert p.count("documents.parquet") == 1

@@ -2014,3 +2014,100 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     assert row.n_tri == brute
     assert row.n_edges == len(und)
     assert 0.0 <= row.global_clustering <= 1.0
+
+
+def test_fingerprint_is_order_insensitive_and_sensitive_to_content(spark, sf_dir):
+    """j52: the checksum equals a Python XOR over rows in ANY order,
+    and flipping one document's text flips its source's checksum."""
+    import hashlib
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    want = {}
+    for r in sorted(docs, key=lambda r: -r.doc_id):  # deliberately reversed
+        h = int(
+            hashlib.md5(f"{r.doc_id}|{r.text}".encode()).hexdigest()[:15], 16
+        )
+        s = want.setdefault(r.source, [0, 0])
+        s[0] ^= h
+        s[1] += 1
+    got = {
+        r.source: (r.content_xor, r.n_docs)
+        for r in QUERIES["j52_dataset_fingerprint"](spark, sf_dir).collect()
+    }
+    assert got == {k: (v[0], v[1]) for k, v in want.items()}
+    # single-row sensitivity: XOR-ing out one doc's hash changes the sum
+    r0 = docs[0]
+    h0 = int(hashlib.md5(f"{r0.doc_id}|{r0.text}".encode()).hexdigest()[:15], 16)
+    assert got[r0.source][0] ^ h0 != got[r0.source][0]
+
+
+def test_streaks_match_python_run_length(spark, sf_dir):
+    """e11's islands construction must equal a sequential run-length
+    scan of each user's sorted day set."""
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_timestamp(F.date_trunc("day", "ts2")) / 86400)
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_user = {}
+    for r in daily:
+        by_user.setdefault(r.user_id, set()).add(r.d)
+    streaks = []
+    for u, days in by_user.items():
+        ds = sorted(days)
+        start, prev = ds[0], ds[0]
+        for d in ds[1:]:
+            if d != prev + 1:
+                streaks.append((prev - start + 1, u, start))
+                start = d
+            prev = d
+        streaks.append((prev - start + 1, u, start))
+    want = sorted(streaks, key=lambda x: (-x[0], x[1], x[2]))[:20]
+    got = [
+        (r.len, r.user_id, r.start_d)
+        for r in QUERIES["e11_streaks"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_ema_matches_python_reference(spark, sf_dir):
+    """k22's windowed-list fold must equal a direct Python truncated
+    EMA over the same dense grid."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions import dataset_ops  # noqa: F401
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        _EMA_ALPHA,
+        _EMA_WINDOW,
+    )
+
+    rows = QUERIES["k22_ema_smoothing"](spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.h)):
+        series[r.event_type].append(r)
+    for t, rs in series.items():
+        vs = [r.v for r in rs]
+        for i, r in enumerate(rs):
+            window = vs[max(0, i - _EMA_WINDOW + 1): i + 1]
+            ema = sum(
+                v * _EMA_ALPHA * (1 - _EMA_ALPHA) ** (len(window) - 1 - j)
+                for j, v in enumerate(window)
+            )
+            assert r.ema == math.floor(ema * 10000) / 10000, (t, r.h)
+        # the dense grid must be gap-free hourly
+        for a, b in zip(rs, rs[1:]):
+            assert b.h - a.h == 3600
