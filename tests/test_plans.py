@@ -899,3 +899,11 @@ def test_j52_fingerprint_is_single_aggregate(spark, sf_dir):
     p = _plan(spark, sf_dir, "j52_dataset_fingerprint")
     assert "Join" not in p
     assert p.count("documents.parquet") == 1
+
+
+def test_l10_normalization_is_shuffle_free_map(spark, sf_dir):
+    """NFC is a pure map stage: Arrow eval + projection, no hash
+    exchange anywhere (the output sort is the only exchange)."""
+    p = _plan(spark, sf_dir, "l10_unicode_normalize")
+    assert "Exchange hashpartitioning" not in p
+    assert "ArrowEvalPython" in p

@@ -2111,3 +2111,32 @@ def test_ema_matches_python_reference(spark, sf_dir):
         # the dense grid must be gap-free hourly
         for a, b in zip(rs, rs[1:]):
             assert b.h - a.h == 3600
+
+
+def test_nfc_length_delta_equals_combining_marks(spark, sf_dir):
+    """l10: NFC folds exactly one combining mark per injected 'e', so
+    len_decomposed − len_nfc must equal the doc's 'e' count, and the
+    normalized text must hash differently from the decomposed raw."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    e_counts = {
+        r.doc_id: r.ne
+        for r in load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", "e", ""))
+            ).alias("ne"),
+        )
+        .collect()
+    }
+    rows = QUERIES["l10_unicode_normalize"](spark, sf_dir).collect()
+    assert rows
+    saw_change = False
+    for r in rows:
+        assert r.len_decomposed - r.len_nfc == e_counts[r.doc_id]
+        saw_change = saw_change or e_counts[r.doc_id] > 0
+    assert saw_change  # at least one doc genuinely normalized
