@@ -2329,7 +2329,14 @@ def j51_knn_triangles(spark, sf_dir) -> DataFrame:
     out-degree is additionally capped by k on top of arboricity.  The
     graph build rides `knn_edges` (j12's block grid, map-side partial
     top-k); the count itself is two self-joins of the oriented edge
-    list, both keyed, both AQE-skew-eligible."""
+    list, both keyed, both AQE-skew-eligible.
+
+    Bound note: the composite key d·10⁶ + id assumes id < 10⁶ (fixture
+    max ~2·10⁴; DuckDB and Spark compute the identical integer).  At
+    id cardinalities beyond that, replace the scalar key with the
+    lexicographic tuple comparison ((d_a < d_b) OR (d_a = d_b AND
+    a < b)) in the orientation CASE and the wedge join — same
+    semantics, no overflow, slightly wider join condition."""
     emb = load(spark, sf_dir, "embeddings")
     und = (
         knn_edges(spark, sf_dir, _PR_K)
