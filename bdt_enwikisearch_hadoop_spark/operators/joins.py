@@ -1107,3 +1107,107 @@ def c26_cdc_apply(spark, sf_dir) -> DataFrame:
         (F.floor(price * 10000) / 10000).alias("price"),
         src.alias("src"),
     )
+
+
+@query(
+    "c27_interval_overlap",
+    oracle="""
+    WITH act AS (
+        SELECT user_id,
+               epoch(date_trunc('day', ts))::BIGINT // 86400 AS d,
+               CAST(MIN(epoch_ns(ts)) // 1000000000 AS BIGINT) AS a_s,
+               CAST(MAX(epoch_ns(ts)) // 1000000000 AS BIGINT) AS a_e
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    span AS (
+        SELECT CAST(MIN(epoch_ns(ts)) // 1000000000 // 3600 AS BIGINT) AS h0,
+               CAST(MAX(epoch_ns(ts)) // 1000000000 // 3600 AS BIGINT) AS h1
+        FROM events
+    ),
+    win AS (
+        SELECT (h0 + i) * 3600 AS w_s, (h0 + i) * 3600 + 7200 AS w_e
+        FROM span, LATERAL (SELECT unnest(range(0, h1 - h0 + 1)) AS i)
+        WHERE (h0 + i) % 37 = 0
+    )
+    SELECT w_s,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(LEAST(a_e, w_e) - GREATEST(a_s, w_s)) AS total_overlap_s
+    FROM act JOIN win ON a_s < w_e AND w_s < a_e
+    GROUP BY w_s
+    ORDER BY w_s
+    """,
+)
+def c27_interval_overlap(spark, sf_dir) -> DataFrame:
+    """Interval OVERLAP join — the third temporal-join sibling beside
+    c8's anchored range pairs and c23's point-in-time lookup: per-user
+    daily activity intervals [first event, last event] against
+    deterministic 2-hour maintenance windows (every 37th hour of the
+    span) — downtime attribution: which windows touched whom, for how
+    long.  The oracle states the theta form (a_s < w_e AND w_s < a_e);
+    executing THAT against a non-tiny build side is a nested-loop
+    product.  The shipped plan is the standard interval-bucketing
+    decomposition: explode each interval into the hour buckets it
+    covers (bounded: ≤24/day for activity, 2 for windows), EQUI-join
+    on the bucket, dedup the (interval, window) pairs a multi-bucket
+    overlap finds twice, and post-filter strict overlap > 0 (bucket
+    sharing admits boundary-touch pairs the strict predicate must
+    drop).  All arithmetic is exact integer seconds.
+
+    100 TB shape: the bucket join is a plain hash join — both sides
+    shuffle by bucket key (or the window side broadcasts when small,
+    as here); work = Σ per-bucket products, bounded by interval
+    length / bucket width, never |A|×|B|.  Bucket width tunes the
+    replication-vs-selectivity trade exactly like j8's bands.
+    Plan-guarded: no BroadcastNestedLoopJoin, no cartesian."""
+    e = load(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s"),
+            F.expr("ts DIV 1000000000").alias("s"),
+        )
+        .groupBy("user_id", "day_s")
+        .agg(F.min("s").alias("a_s"), F.max("s").alias("a_e"))
+    )
+    span = e.agg(
+        F.expr("MIN(ts) DIV 1000000000 DIV 3600").alias("h0"),
+        F.expr("MAX(ts) DIV 1000000000 DIV 3600").alias("h1"),
+    )
+    win = (
+        span.select(
+            F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+        .filter(F.col("h") % 37 == 0)
+        .select(
+            (F.col("h") * 3600).alias("w_s"),
+            (F.col("h") * 3600 + 7200).alias("w_e"),
+            F.col("h").alias("wh"),
+        )
+    )
+    # bucket expansion: activity intervals cover [a_s//3600 .. a_e//3600];
+    # windows cover exactly (wh, wh+1)
+    act_b = act.select(
+        "user_id", "day_s", "a_s", "a_e",
+        F.explode(
+            F.sequence(F.expr("a_s DIV 3600"), F.expr("a_e DIV 3600"))
+        ).alias("bh"),
+    )
+    win_b = win.select(
+        "w_s", "w_e", F.explode(F.array(F.col("wh"), F.col("wh") + 1)).alias("bh")
+    )
+    pairs = (
+        act_b.join(F.broadcast(win_b), "bh")
+        .select("user_id", "day_s", "a_s", "a_e", "w_s", "w_e")
+        .distinct()
+    )
+    overlap = F.least("a_e", "w_e") - F.greatest("a_s", "w_s")
+    return (
+        pairs.filter((F.col("a_s") < F.col("w_e")) & (F.col("w_s") < F.col("a_e")))
+        .groupBy("w_s")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(overlap).alias("total_overlap_s"),
+        )
+        .orderBy("w_s")
+    )

@@ -907,3 +907,12 @@ def test_l10_normalization_is_shuffle_free_map(spark, sf_dir):
     p = _plan(spark, sf_dir, "l10_unicode_normalize")
     assert "Exchange hashpartitioning" not in p
     assert "ArrowEvalPython" in p
+
+
+def test_c27_interval_join_is_bucketed_equi(spark, sf_dir):
+    """The overlap join must run as an equi hash join on the bucket
+    key — the oracle's theta form as a nested loop is the trap."""
+    p = _plan(spark, sf_dir, "c27_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

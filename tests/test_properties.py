@@ -2140,3 +2140,48 @@ def test_nfc_length_delta_equals_combining_marks(spark, sf_dir):
         assert r.len_decomposed - r.len_nfc == e_counts[r.doc_id]
         saw_change = saw_change or e_counts[r.doc_id] > 0
     assert saw_change  # at least one doc genuinely normalized
+
+
+def test_interval_overlap_matches_bruteforce(spark, sf_dir):
+    """c27's bucketed decomposition must equal brute-force interval
+    intersection over the same activity and window sets."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    e = load(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s"),
+            F.expr("ts DIV 1000000000").alias("s"),
+        )
+        .groupBy("user_id", "day_s")
+        .agg(F.min("s").alias("a_s"), F.max("s").alias("a_e"))
+        .collect()
+    )
+    h0, h1 = (
+        e.agg(
+            F.expr("MIN(ts) DIV 1000000000 DIV 3600"),
+            F.expr("MAX(ts) DIV 1000000000 DIV 3600"),
+        ).collect()[0]
+    )
+    wins = [
+        (h * 3600, h * 3600 + 7200)
+        for h in range(h0, h1 + 1)
+        if h % 37 == 0
+    ]
+    agg = defaultdict(lambda: [set(), 0])
+    for r in act:
+        for ws, we in wins:
+            if r.a_s < we and ws < r.a_e:
+                agg[ws][0].add(r.user_id)
+                agg[ws][1] += min(r.a_e, we) - max(r.a_s, ws)
+    want = {ws: (len(u), t) for ws, (u, t) in agg.items()}
+    got = {
+        r.w_s: (r.n_users, r.total_overlap_s)
+        for r in QUERIES["c27_interval_overlap"](spark, sf_dir).collect()
+    }
+    assert got == want and got
