@@ -758,3 +758,158 @@ def d23_regression_stats(spark, sf_dir) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "d24_benford_test",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                AS VARCHAR),
+                           1, 1) AS INT) AS d1
+        FROM lineitem
+        WHERE l_extendedprice >= 1
+    ),
+    obs AS (SELECT d1, COUNT(*) AS n FROM digits GROUP BY d1),
+    w AS (SELECT d1, n, SUM(n) OVER () AS nt FROM obs)
+    SELECT d1,
+           n,
+           FLOOR(n * 10000.0 / nt) / 10000 AS observed_p,
+           FLOOR(LN(1.0 + 1.0 / d1) / LN(10.0) * 10000) / 10000
+               AS benford_p,
+           FLOOR(POW(n * 1.0 / nt - LN(1.0 + 1.0 / d1) / LN(10.0), 2)
+                 / (LN(1.0 + 1.0 / d1) / LN(10.0)) * nt * 10000) / 10000
+               AS chi2_term
+    FROM w
+    ORDER BY d1
+    """,
+)
+def d24_benford_test(spark, sf_dir) -> DataFrame:
+    """Benford first-digit conformance test: the observed leading-digit
+    distribution of a monetary measure against Benford's law
+    (P(d) = log10(1 + 1/d)) with the per-digit χ² contribution — the
+    classic fraud / synthetic-data / unit-mixup detector (organically
+    grown magnitudes follow Benford; fabricated or truncated ones
+    don't), run entirely in-engine as one aggregate.  The fixture's
+    uniform-ish synthetic prices genuinely FAIL Benford — large χ²
+    terms are the correct answer here, and exactly what this check
+    exists to flag.
+
+    First digit via explicit FLOOR → bigint → string — exact and
+    identical in both engines (a bare double→BIGINT cast TRUNCATES in
+    Spark but ROUNDS in DuckDB — one row per ~10⁴ flips digit, caught
+    by the oracle; and never log10-of-value, whose 2.9999… artifacts
+    misbin powers of ten).  Expected probabilities and χ² terms are
+    deterministic scalar math on exact integer counts, 4dp-floored.
+
+    100 TB shape: a 9-row output from ONE map-side-collapsing
+    aggregate; the digit extraction rides the scan.  This plus j43
+    (constraints), j45 (winsorize) and d23 (drift fits) is the
+    data-quality battery a lakehouse runs on every load."""
+    li = load(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d1")
+    )
+    obs = digits.groupBy("d1").agg(F.count(F.lit(1)).alias("n"))
+    # total via a global window over the 9-row digit table — the fact
+    # is scanned ONCE (a separate agg-and-join branch rescans it)
+    w = obs.withColumn(
+        "nt", F.sum("n").over(Window.partitionBy(F.lit(1)))
+    )
+    benford = F.log(1.0 + 1.0 / F.col("d1")) / F.log(F.lit(10.0))
+    p_obs = F.col("n") / F.col("nt")
+    return (
+        w
+        .select(
+            "d1",
+            "n",
+            (F.floor(F.col("n") * 10000.0 / F.col("nt")) / 10000).alias(
+                "observed_p"
+            ),
+            (F.floor(benford * 10000) / 10000).alias("benford_p"),
+            (
+                F.floor(
+                    F.pow(p_obs - benford, 2) / benford * F.col("nt") * 10000
+                )
+                / 10000
+            ).alias("chi2_term"),
+        )
+        .orderBy("d1")
+    )
+
+
+@query(
+    "d25_entropy_gini",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id % 10 AS segment, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id % 10, event_type
+    ),
+    w AS (SELECT segment, n, SUM(n) OVER (PARTITION BY segment) AS nt
+          FROM seg)
+    SELECT segment,
+           CAST(nt AS BIGINT) AS n_events,
+           FLOOR(SUM(-(n * 1.0 / nt) * LN(n * 1.0 / nt)) * 10000) / 10000
+               AS entropy_nats,
+           FLOOR((1.0 - SUM(POW(n * 1.0 / nt, 2))) * 10000) / 10000
+               AS gini_impurity
+    FROM w
+    GROUP BY segment, nt
+    ORDER BY segment
+    """,
+)
+def d25_entropy_gini(spark, sf_dir) -> DataFrame:
+    """Information-theoretic segment profiling: Shannon entropy (nats)
+    and Gini impurity of each user segment's event-type mix — the
+    diversity/purity measures behind decision-tree splits, behavioral
+    segmentation and mixture monitoring (a segment whose entropy
+    collapses changed behavior; one near ln(5) is uniform across the
+    5 event types).
+
+    Both statistics are sums over the (segment × type) probability
+    table — NOT over raw events: the inner aggregate collapses
+    map-side to segment×type counts, the totals ride a segment-keyed
+    join of two tiny frames, and the outer aggregate is
+    segment-bounded.  p·ln(p) terms are identical IEEE doubles in both
+    engines (exact integer ratios through ln), 4dp-floored.
+
+    100 TB shape: one corpus aggregate + bucket-sized everything
+    after; the same two-level shape computes entropy over ANY
+    categorical column (vocabulary entropy for i12's pruning
+    decisions, label entropy for j5's centroids)."""
+    e = load(spark, sf_dir, "events")
+    seg = (
+        e.select(
+            (F.col("user_id") % 10).alias("segment"), "event_type"
+        )
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = seg.withColumn(
+        "nt", F.sum("n").over(Window.partitionBy("segment"))
+    )
+    p = F.col("n") / F.col("nt")
+    return (
+        w
+        .groupBy("segment", "nt")
+        .agg(
+            (F.floor(F.sum(-p * F.log(p)) * 10000) / 10000).alias(
+                "entropy_nats"
+            ),
+            (F.floor((1.0 - F.sum(F.pow(p, 2))) * 10000) / 10000).alias(
+                "gini_impurity"
+            ),
+        )
+        .select(
+            "segment",
+            F.col("nt").alias("n_events"),
+            "entropy_nats",
+            "gini_impurity",
+        )
+        .orderBy("segment")
+    )

@@ -916,3 +916,16 @@ def test_c27_interval_join_is_bucketed_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_d24_d25_scan_the_fact_once(spark, sf_dir):
+    """Both statistical checks collapse map-side to digit/segment
+    tables, with totals as windows OVER those tables — the
+    agg-and-join-back formulation rescans the fact (measured) and is
+    the regression this guard pins out."""
+    p = _plan(spark, sf_dir, "d24_benford_test")
+    assert p.count("lineitem.parquet") == 1
+    assert "Join" not in p
+    p = _plan(spark, sf_dir, "d25_entropy_gini")
+    assert p.count("events.parquet") == 1
+    assert "Join" not in p

@@ -2185,3 +2185,50 @@ def test_interval_overlap_matches_bruteforce(spark, sf_dir):
         for r in QUERIES["c27_interval_overlap"](spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_benford_terms_cover_all_digits_and_probs_sum(spark, sf_dir):
+    """d24: all nine digits appear, observed probabilities sum to ~1,
+    and the Benford column matches log10(1 + 1/d) exactly at 4dp."""
+    import math
+
+    rows = QUERIES["d24_benford_test"](spark, sf_dir).collect()
+    assert sorted(r.d1 for r in rows) == list(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.benford_p == math.floor(
+            math.log10(1 + 1 / r.d1) * 10000
+        ) / 10000
+
+
+def test_entropy_gini_bounds_and_python_reference(spark, sf_dir):
+    """d25: entropy in [0, ln(k)], gini in [0, 1-1/k], both matching a
+    direct Python recomputation from the segment×type counts."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    cnt = Counter()
+    for r in (
+        load(spark, sf_dir, "events")
+        .select((F.col("user_id") % 10).alias("s"), "event_type")
+        .collect()
+    ):
+        cnt[(r.s, r.event_type)] += 1
+    segs = {}
+    for (s, _), n in cnt.items():
+        segs.setdefault(s, []).append(n)
+    for r in QUERIES["d25_entropy_gini"](spark, sf_dir).collect():
+        ns = segs[r.segment]
+        nt = sum(ns)
+        ent = sum(-(n / nt) * math.log(n / nt) for n in ns)
+        gini = 1.0 - sum((n / nt) ** 2 for n in ns)
+        k = len(ns)
+        assert r.n_events == nt
+        assert r.entropy_nats == math.floor(ent * 10000) / 10000
+        assert r.gini_impurity == math.floor(gini * 10000) / 10000
+        assert 0.0 <= r.entropy_nats <= math.log(k) + 1e-9
+        assert 0.0 <= r.gini_impurity <= 1.0 - 1.0 / k + 1e-9
