@@ -1384,3 +1384,86 @@ def i31_rocchio_feedback(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i32 — MaxScore/upper-bound pruned disjunctive retrieval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i32_maxscore_prune",
+    oracle=f"WITH {_TFIDF_CTES} "
+    f"""
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM w WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i32_maxscore_prune(spark, sf_dir) -> DataFrame:
+    """Upper-bound pruned disjunctive retrieval (the MaxScore family —
+    Turtle & Flood 1995; the skipping discipline behind WAND): return
+    EXACTLY i7's top-10, but aggregate-score only documents that can
+    still make the cut.  Three steps, each provably safe:
+
+    1. per-term upper bounds ub_t = max posting weight (index
+       metadata in production — term-count-sized, broadcast);
+    2. a threshold θ = the floored 10th-best EXACT score among the
+       union of each term's top-10 postings (a ≤ |Q|·10-doc seed;
+       a SUBSET's 10th best never exceeds the global 10th best, and
+       flooring only lowers it, so θ ≤ true cutoff);
+    3. prune: a doc's score is bounded by Σ ub_t over its MATCHED
+       terms; bound < θ ⇒ score < true cutoff ⇒ provably outside
+       top-10 — drop it BEFORE the scoring aggregate.  Parity with
+       i7's unpruned oracle is the safety proof.
+
+    100 TB shape: this is why search engines answer disjunctive
+    queries without scoring every posting — the scoring aggregate
+    (the shuffle) runs on survivors only, while the bound needs just
+    the matched-term membership already in hand; ub and θ are
+    query-sized broadcasts.  The sequential-skipping WAND refinement
+    tightens θ as results accumulate — pointless inside one
+    declarative batch pass, noted for the serving path."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs).filter(F.col("term").isin(*QUERY_TERMS))
+    ub = w.groupBy("term").agg(F.max("wt").alias("ub"))
+    seed_w = Window.partitionBy("term").orderBy(
+        F.floor(F.col("wt") * 10000).desc(), "doc_id"
+    )
+    seed_docs = (
+        w.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id")
+        .distinct()
+    )
+    seed_scores = (
+        w.join(F.broadcast(seed_docs), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(10)
+    )
+    theta = seed_scores.agg(
+        F.when(F.count(F.lit(1)) < 10, F.lit(float("-inf")))
+        .otherwise(F.min("s"))
+        .alias("theta")
+    )
+    bounds = (
+        w.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("bound"))
+    )
+    survivors = (
+        bounds.join(F.broadcast(theta))
+        .filter(F.col("bound") >= F.col("theta"))
+        .select("doc_id")
+    )
+    return (
+        w.join(survivors, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

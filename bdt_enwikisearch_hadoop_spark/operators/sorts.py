@@ -1720,3 +1720,45 @@ def f28_cumulative_crossover(spark, sf_dir) -> DataFrame:
         )
         .orderBy("mon")
     )
+
+
+@query(
+    "f29_timeband_battery",
+    oracle="""
+    SELECT
+        COUNT(CASE WHEN h >= 0  AND h < 3  THEN 1 END) AS band_00_03,
+        COUNT(CASE WHEN h >= 3  AND h < 6  THEN 1 END) AS band_03_06,
+        COUNT(CASE WHEN h >= 6  AND h < 9  THEN 1 END) AS band_06_09,
+        COUNT(CASE WHEN h >= 9  AND h < 12 THEN 1 END) AS band_09_12,
+        COUNT(CASE WHEN h >= 12 AND h < 15 THEN 1 END) AS band_12_15,
+        COUNT(CASE WHEN h >= 15 AND h < 18 THEN 1 END) AS band_15_18,
+        COUNT(CASE WHEN h >= 18 AND h < 21 THEN 1 END) AS band_18_21,
+        COUNT(CASE WHEN h >= 21 AND h < 24 THEN 1 END) AS band_21_24
+    FROM (SELECT CAST(date_part('hour', ts) AS INT) AS h
+          FROM events WHERE value > 10)
+    """,
+)
+def f29_timeband_battery(spark, sf_dir) -> DataFrame:
+    """TPC-DS Q88's signature: EIGHT time-band counts from ONE scan —
+    the original spells it as 8 self-joined subqueries (one per
+    3-hour band), which executed literally is 8 fact scans; the
+    correct plan is 8 conditional aggregates sharing one pass (the
+    d15 FILTER pattern widened to a full band battery).  Output is a
+    single row: the day-shape profile of qualifying traffic.
+
+    100 TB shape: one scan with the residual predicate pushed down,
+    8 map-side-combining conditional counts in one aggregate node,
+    single-row output — the canonical many-questions-one-pass
+    rewrite.  Adding bands is free; the scan dominates at any width.
+    Plan-guarded to exactly one events scan (the literal Q88 shape's
+    8 scans being the regression)."""
+    e = load(spark, sf_dir, "events")
+    h = F.hour("ts2")
+    filtered = e.filter(F.col("value") > 10).select(h.alias("h"))
+    bands = [
+        F.count(F.when((F.col("h") >= lo) & (F.col("h") < lo + 3), 1)).alias(
+            f"band_{lo:02d}_{lo + 3:02d}"
+        )
+        for lo in range(0, 24, 3)
+    ]
+    return filtered.agg(*bands)

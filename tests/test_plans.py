@@ -929,3 +929,11 @@ def test_d24_d25_scan_the_fact_once(spark, sf_dir):
     p = _plan(spark, sf_dir, "d25_entropy_gini")
     assert p.count("events.parquet") == 1
     assert "Join" not in p
+
+
+def test_f29_bands_share_one_scan(spark, sf_dir):
+    """Q88's literal form is 8 self-joined scans; the battery must be
+    8 conditional aggregates over ONE events pass."""
+    p = _plan(spark, sf_dir, "f29_timeband_battery")
+    assert p.count("events.parquet") == 1
+    assert "Join" not in p

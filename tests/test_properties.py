@@ -2232,3 +2232,51 @@ def test_entropy_gini_bounds_and_python_reference(spark, sf_dir):
         assert r.gini_impurity == math.floor(gini * 10000) / 10000
         assert 0.0 <= r.entropy_nats <= math.log(k) + 1e-9
         assert 0.0 <= r.gini_impurity <= 1.0 - 1.0 / k + 1e-9
+
+
+def test_maxscore_equals_unpruned_and_actually_prunes(spark, sf_dir):
+    """i32 must return EXACTLY i7's ranking (pruning is an
+    optimization, never a semantics change), while the bound filter
+    genuinely removes candidates before the scoring aggregate."""
+    from pyspark.sql import functions as F, Window
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+        tfidf,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    a = [tuple(r) for r in QUERIES["i32_maxscore_prune"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["i7_search_or"](spark, sf_dir).collect()]
+    assert a == b
+    w = tfidf(load(spark, sf_dir, "documents")).filter(
+        F.col("term").isin(*QUERY_TERMS)
+    )
+    matched = w.select("doc_id").distinct().count()
+    ub = w.groupBy("term").agg(F.max("wt").alias("ub"))
+    sw = Window.partitionBy("term").orderBy(
+        F.floor(F.col("wt") * 10000).desc(), "doc_id"
+    )
+    seed = (
+        w.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id")
+        .distinct()
+    )
+    theta = (
+        w.join(seed, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(10)
+        .agg(F.min("s"))
+        .collect()[0][0]
+    )
+    survivors = (
+        w.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("b"))
+        .filter(F.col("b") >= theta)
+        .count()
+    )
+    assert survivors < matched  # the bound really cuts work
