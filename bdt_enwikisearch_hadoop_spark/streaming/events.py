@@ -2301,3 +2301,109 @@ def k22_ema_smoothing(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+def run_streaming_ema_smoke(
+    spark, sf_dir: str, n_chunks: int = 3
+) -> tuple[dict, dict]:
+    """k22's EMA as a STATEFUL STREAM: the finalized hourly volume
+    frame arrives in hour-ordered micro-batches (checkpoint-resumed
+    ``availableNow`` runs), and ``applyInPandasWithState`` keyed by
+    event type carries the last ≤{_EMA_WINDOW} bucket values as state —
+    the production shape, where the EMA operator sits DOWNSTREAM of a
+    sealed windowed aggregate and must survive batch and restart
+    boundaries without re-reading history.
+
+    Returns (emitted, batch_expected): every (type, hour) → ema emitted
+    across the runs vs k22's batch answer.  They must be EQUAL — the
+    streaming fold and the batch windowed-list fold compute the same
+    truncated recursion, so any divergence means state was lost,
+    duplicated, or mis-ordered across a boundary."""
+    import math
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    want = {
+        (r["event_type"], r["h"]): r["ema"]
+        for r in k22_ema_smoothing(spark, sf_dir).collect()
+    }
+
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    span = b.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    dense = (
+        span.select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+        )
+        .join(b, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("v", F.lit(0)).alias("v"))
+    )
+    chunked = dense.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("h", "event_type"))
+    )
+
+    def ema_fn(key, pdfs, state):
+        vals = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values("h")
+        hs, emas = [], []
+        for _, row in rows.iterrows():
+            vals.append(float(row["v"]))
+            if len(vals) > _EMA_WINDOW:
+                vals.pop(0)
+            ema = sum(
+                v * _EMA_ALPHA * (1 - _EMA_ALPHA) ** (len(vals) - 1 - i)
+                for i, v in enumerate(vals)
+            )
+            hs.append(int(row["h"]))
+            emas.append(math.floor(ema * 10000) / 10000)
+        state.update((vals,))
+        yield pd.DataFrame(
+            {"event_type": key[0], "h": hs, "ema": emas}
+        )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        src, ckpt, out = f"{workdir}/src", f"{workdir}/ckpt", f"{workdir}/out"
+        schema = chunked.drop("chunk").schema
+        for i in range(1, n_chunks + 1):
+            chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.parquet(f"{src}/b{i}")
+            stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+            folded = stream.groupBy("event_type").applyInPandasWithState(
+                ema_fn,
+                outputStructType="event_type string, h long, ema double",
+                stateStructType="vals array<double>",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            def land(bdf, _bid):
+                # parquet sinks reject update mode; foreachBatch lands
+                # each batch's emissions append-only (carry-smoke recipe)
+                bdf.write.mode("append").parquet(out)
+
+            q = (
+                folded.writeStream.foreachBatch(land)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        emitted = {
+            (r["event_type"], r["h"]): r["ema"]
+            for r in spark.read.parquet(out).collect()
+        }
+    return emitted, want

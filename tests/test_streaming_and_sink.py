@@ -482,3 +482,16 @@ def test_watermark_profile_bounds_streaming_drops(spark):
     assert at_max == n
     assert n - at_p50 <= n_gt_p50
     assert at_p50 <= n
+
+
+def test_streaming_ema_equals_batch(spark):
+    """k22's truncated EMA run as a stateful stream (hour-ordered
+    micro-batches, state = last 24 buckets per type, checkpoint-resumed
+    runs) must reproduce the batch answer exactly — state surviving
+    every batch and restart boundary."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_ema_smoke,
+    )
+
+    emitted, want = run_streaming_ema_smoke(spark, SF_DIR)
+    assert emitted == want and len(want) > 0
