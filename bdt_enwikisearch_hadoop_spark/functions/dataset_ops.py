@@ -644,3 +644,91 @@ def j52_dataset_fingerprint(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# j53 — Distinct-N diversity profile (generation/corpus diversity metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j53_distinct_ngram_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    u AS (
+        SELECT source, unnest(t) AS g FROM toks
+    ),
+    b AS (
+        SELECT source,
+               CAST(z[1] AS VARCHAR) || ' ' || CAST(z[2] AS VARCHAR) AS g
+        FROM (SELECT source,
+                     unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+              FROM toks WHERE len(t) >= 2)
+    )
+    SELECT u.source,
+           ut AS unigram_total,
+           FLOOR(ud * 10000.0 / ut) / 10000 AS distinct_1,
+           FLOOR(bd * 10000.0 / bt) / 10000 AS distinct_2
+    FROM (SELECT source, COUNT(*) AS ut, COUNT(DISTINCT g) AS ud
+          FROM u GROUP BY source) u
+    JOIN (SELECT source, COUNT(*) AS bt, COUNT(DISTINCT g) AS bd
+          FROM b GROUP BY source) b USING (source)
+    ORDER BY u.source
+    """,
+)
+def j53_distinct_ngram_diversity(spark, sf_dir) -> DataFrame:
+    """Distinct-N diversity profile (Li et al. 2016's Distinct-1/-2 —
+    the standard text-generation diversity metric, equally used on
+    corpora): per source, the ratio of DISTINCT unigrams and bigrams
+    to total — low ratios flag repetitive/templated/mode-collapsed
+    text (j18 catches repetition WITHIN a document; this catches it
+    ACROSS a source, which per-doc filters structurally cannot).
+
+    Plan: unigrams explode from the split; bigrams zip in-row from the
+    same token array (zip_with + slice — no positional self-join, the
+    j37/i21 shingle discipline); each n-gram level is one aggregate on
+    (source, gram) with the distinct-count collapsing map-side, and
+    the final join is source-count-bounded.  Exact integer ratios,
+    4dp-floored.
+
+    100 TB shape: gram streams are linear in corpus tokens; the
+    distinct-counts are the only heavy state, and each swaps to its
+    mergeable HLL sketch (d3/d16) at the scale where exactness stops
+    mattering — same output contract, documented trade."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    uni = toks.select("source", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    us = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ut"), F.countDistinct("g").alias("ud")
+    )
+    bs = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("bt"), F.countDistinct("g").alias("bd")
+    )
+    return (
+        us.join(bs, "source")
+        .select(
+            "source",
+            F.col("ut").alias("unigram_total"),
+            (F.floor(F.col("ud") * 10000.0 / F.col("ut")) / 10000).alias(
+                "distinct_1"
+            ),
+            (F.floor(F.col("bd") * 10000.0 / F.col("bt")) / 10000).alias(
+                "distinct_2"
+            ),
+        )
+        .orderBy("source")
+    )

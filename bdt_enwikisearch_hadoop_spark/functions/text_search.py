@@ -1467,3 +1467,113 @@ def i32_maxscore_prune(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i33 — field-boosted retrieval (the BM25F construction, VSM-weighted)
+# ---------------------------------------------------------------------------
+
+_TITLE_LEN = 3
+_TITLE_BOOST = 3
+
+
+@query(
+    "i33_field_boost",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    fielded AS (
+        SELECT doc_id, g AS term, {_TITLE_BOOST} AS wgt
+        FROM (SELECT doc_id, unnest(t[1:{_TITLE_LEN}]) AS g FROM toks)
+        UNION ALL
+        SELECT doc_id, g, 1
+        FROM (SELECT doc_id, unnest(t[{_TITLE_LEN + 1}:len(t)]) AS g
+              FROM toks WHERE len(t) > {_TITLE_LEN})
+    ),
+    wtf AS (
+        SELECT doc_id, term, SUM(wgt) AS wtf
+        FROM fielded
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS dfc
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT doc_id,
+           FLOOR(SUM(wtf * LN(nd * 1.0 / dfc)) * 10000) / 10000 AS score
+    FROM wtf JOIN dfreq USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i33_field_boost(spark, sf_dir) -> DataFrame:
+    """Field-boosted retrieval — the BM25F construction (Robertson &
+    Zaragoza: weight term frequencies PER FIELD, combine, THEN apply
+    one shared idf/saturation — never score fields separately and add,
+    which double-counts idf and breaks term saturation), here in
+    VSM-weighted form: title hits count {_TITLE_BOOST}×, body hits 1×,
+    one idf over whole-document presence.  The fixture has no field
+    structure, so the first {_TITLE_LEN} tokens are the title — the a5
+    synthesis discipline; with a real (title, body) schema only the
+    two slice expressions change.
+
+    Plan: both fields explode from ONE token array in one pass (a
+    per-field tf table + union would re-tokenize); the weighted tf is
+    a single (doc, term) aggregate with the query-term filter pushed
+    below it, df and N are broadcast scalars (i10's physics).  At
+    100 TB the fielded index is persisted once with per-field tf
+    columns and this query touches |Q| postings lists."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    title = toks.select(
+        "doc_id",
+        F.explode(F.slice("t", 1, _TITLE_LEN)).alias("term"),
+        F.lit(_TITLE_BOOST).alias("wgt"),
+    )
+    body = toks.filter(F.size("t") > _TITLE_LEN).select(
+        "doc_id",
+        F.explode(
+            F.slice("t", _TITLE_LEN + 1, F.size("t") - _TITLE_LEN)
+        ).alias("term"),
+        F.lit(1).alias("wgt"),
+    )
+    wtf = (
+        title.unionAll(body)
+        .filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.sum("wgt").alias("wtf"))
+    )
+    tok = toks.select("doc_id", F.explode("t").alias("term"))
+    dfreq = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfc"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        wtf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.col("wtf")
+                        * F.log(F.col("nd").cast("double") / F.col("dfc"))
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -2280,3 +2280,84 @@ def test_maxscore_equals_unpruned_and_actually_prunes(spark, sf_dir):
         .count()
     )
     assert survivors < matched  # the bound really cuts work
+
+
+def test_distinct_ngram_ratios_bounded_and_match_python(spark, sf_dir):
+    """j53: ratios in (0, 1], matching a direct Python recomputation
+    over per-source token streams."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    uni = defaultdict(lambda: [0, set()])
+    bi = defaultdict(lambda: [0, set()])
+    for r in load(spark, sf_dir, "documents").select("source", "text").collect():
+        t = r.text.lower().split(" ")
+        for g in t:
+            uni[r.source][0] += 1
+            uni[r.source][1].add(g)
+        for a, b in zip(t, t[1:]):
+            bi[r.source][0] += 1
+            bi[r.source][1].add(f"{a} {b}")
+    got = {
+        r.source: (r.unigram_total, r.distinct_1, r.distinct_2)
+        for r in QUERIES["j53_distinct_ngram_diversity"](spark, sf_dir).collect()
+    }
+    for s, (ut, ug) in uni.items():
+        bt, bg = bi[s]
+        assert got[s] == (
+            ut,
+            math.floor(len(ug) * 10000.0 / ut) / 10000,
+            math.floor(len(bg) * 10000.0 / bt) / 10000,
+        )
+        assert 0 < got[s][1] <= 1 and 0 < got[s][2] <= 1
+
+
+def test_field_boost_promotes_title_hits(spark, sf_dir):
+    """i33: a doc whose query-term hits sit in the title must outscore
+    an otherwise-identical body-only profile — checked by recomputing
+    both scores from the weighted-tf definition in Python."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+        _TITLE_BOOST,
+        _TITLE_LEN,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    nd = len(docs)
+    dfc = defaultdict(set)
+    wtf = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        t = r.text.lower().split(" ")
+        for term in set(t) & set(QUERY_TERMS):
+            dfc[term].add(r.doc_id)
+        for i, g in enumerate(t):
+            if g in QUERY_TERMS:
+                wtf[r.doc_id][g] += _TITLE_BOOST if i < _TITLE_LEN else 1
+    scored = sorted(
+        (
+            (
+                -math.floor(
+                    sum(
+                        w * math.log(nd / len(dfc[term]))
+                        for term, w in terms.items()
+                    )
+                    * 10000
+                )
+                / 10000,
+                d,
+            )
+            for d, terms in wtf.items()
+        ),
+    )[:10]
+    want = [(d, -s) for s, d in scored]
+    got = [
+        (r.doc_id, r.score)
+        for r in QUERIES["i33_field_boost"](spark, sf_dir).collect()
+    ]
+    assert got == want
