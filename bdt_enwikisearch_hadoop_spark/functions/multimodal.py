@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
@@ -251,4 +251,133 @@ def m4_image_resize(spark, sf_dir) -> DataFrame:
     )
     return binary.mapInPandas(
         _resize_plan, schema="doc_id long, out_w int, out_h int, out_bytes long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# m5 — modality manifest: the per-modality token-budget table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m5_modality_manifest",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE
+                   WHEN octet_length(encode(text)) % 97 < 40 THEN 'text'
+                   WHEN octet_length(encode(text)) % 97 < 70 THEN 'image'
+                   WHEN octet_length(encode(text)) % 97 < 90 THEN 'audio'
+                   ELSE 'video'
+               END AS modality
+        FROM documents
+    ),
+    toks AS (
+        SELECT modality, n_bytes,
+               CASE modality
+                   WHEN 'text'  THEN (n_bytes + 3) // 4
+                   WHEN 'image' THEN 256
+                   WHEN 'audio' THEN
+                       (((n_bytes * 50) % 48000 + 16000) - 400) // 160 + 1
+                   ELSE ((n_bytes % 30) // 5 + 1) * 256
+               END AS est_tokens
+        FROM tagged
+    ),
+    agg AS (
+        SELECT modality,
+               COUNT(*) AS n_items,
+               SUM(n_bytes) AS total_bytes,
+               SUM(est_tokens) AS total_tokens
+        FROM toks
+        GROUP BY modality
+    )
+    SELECT modality, n_items, total_bytes, total_tokens,
+           FLOOR(total_tokens * 10000.0 / SUM(total_tokens) OVER ())
+               / 10000 AS token_share
+    FROM agg
+    ORDER BY modality
+    """,
+)
+def m5_modality_manifest(spark, sf_dir) -> DataFrame:
+    """Modality manifest: the per-modality budget table a multimodal
+    training run plans from — item counts, byte totals, ESTIMATED
+    token totals under each modality's own tokenization economics
+    (text ≈ bytes/4 BPE; image = 256 patch tokens per item, the ViT
+    convention; audio = m3's 10 ms frame count; video = m2's sampled
+    frames × patch tokens), and each modality's share of the total
+    token budget — the number the j25-style mixture weights then act
+    on.  Modality assignment is a deterministic byte-length bucket
+    (the m-family synthesis discipline: the container has no media
+    decoders, so metadata carries the real plumbing).
+
+    All arithmetic is exact integers until the final 4dp-floored
+    share; the audio/video formulas are IDENTICAL to m3/m2's, so the
+    manifest provably prices the same chunks those operators emit.
+
+    100 TB shape: one map pass + a modality-keyed aggregate (4-row
+    output); the share is a window over the aggregate (d24's one-scan
+    discipline — no join-back).  In production the modality tag comes
+    from the container's content-type column; the plan is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    tagged = d.select("doc_id", n_bytes.alias("n_bytes")).select(
+        "doc_id",
+        "n_bytes",
+        F.when(F.col("n_bytes") % 97 < 40, "text")
+        .when(F.col("n_bytes") % 97 < 70, "image")
+        .when(F.col("n_bytes") % 97 < 90, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    # each formula floors exactly where the oracle's integer division
+    # sits — flooring the WHOLE video expression instead of the inner
+    # frame count read 614 where the oracle read 512 (caught by parity)
+    est_i = (
+        F.when(
+            F.col("modality") == "text",
+            F.floor((F.col("n_bytes") + 3) / 4),
+        )
+        .when(F.col("modality") == "image", F.lit(256))
+        .when(
+            F.col("modality") == "audio",
+            # m3's EXACT overlapping-window chunk count ((n-400)//160+1)
+            # — a plain n//160 frame count over-priced audio by ~0.7%
+            # against what m3 actually emits (caught by the property)
+            F.floor(
+                (((F.col("n_bytes") * 50) % 48000 + 16000) - 400) / 160
+            )
+            + 1,
+        )
+        .otherwise(
+            (F.floor((F.col("n_bytes") % 30) / 5) + 1) * 256
+        )
+        .cast("long")
+    )
+    agg = (
+        tagged.select("modality", "n_bytes", est_i.alias("est_tokens"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("est_tokens").alias("total_tokens"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        agg.select(
+            "modality",
+            "n_items",
+            "total_bytes",
+            "total_tokens",
+            (
+                F.floor(
+                    F.col("total_tokens")
+                    * 10000.0
+                    / F.sum("total_tokens").over(w)
+                )
+                / 10000
+            ).alias("token_share"),
+        )
+        .orderBy("modality")
     )

@@ -2361,3 +2361,40 @@ def test_field_boost_promotes_title_hits(spark, sf_dir):
         for r in QUERIES["i33_field_boost"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_modality_manifest_conserves_and_prices_m3(spark, sf_dir):
+    """m5: item counts and bytes sum to the corpus totals, shares sum
+    to ~1, and the audio token formula prices exactly the chunk count
+    m3 emits for the same documents."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["m5_modality_manifest"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    total_bytes = d.agg(
+        F.sum(F.octet_length(F.encode(F.col("text"), "utf-8")))
+    ).collect()[0][0]
+    assert sum(r.n_items for r in rows) == n
+    assert sum(r.total_bytes for r in rows) == total_bytes
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    # audio pricing == m3's emitted chunk count for audio-tagged docs
+    audio_ids = {
+        r.doc_id
+        for r in d.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "utf-8")).alias("nb"),
+        )
+        .filter((F.col("nb") % 97 >= 70) & (F.col("nb") % 97 < 90))
+        .collect()
+    }
+    m3_chunks = sum(
+        1
+        for r in QUERIES["m3_audio_chunks"](spark, sf_dir).collect()
+        if r.doc_id in audio_ids
+    )
+    audio_row = [r for r in rows if r.modality == "audio"]
+    if audio_row:
+        assert audio_row[0].total_tokens == m3_chunks
