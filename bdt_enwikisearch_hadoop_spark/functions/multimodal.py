@@ -381,3 +381,94 @@ def m5_modality_manifest(spark, sf_dir) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# m6 — stride-scheduled modality interleave (deterministic mixing order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m6_interleave_schedule",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE
+                   WHEN octet_length(encode(text)) % 97 < 40 THEN 'text'
+                   WHEN octet_length(encode(text)) % 97 < 70 THEN 'image'
+                   WHEN octet_length(encode(text)) % 97 < 90 THEN 'audio'
+                   ELSE 'video'
+               END AS modality
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, modality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY modality
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY modality) AS n_m
+        FROM tagged
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY r * 1.0 / n_m, modality, doc_id)
+               AS pos,
+           doc_id, modality
+    FROM ranked
+    ORDER BY pos
+    LIMIT 50
+    """,
+)
+def m6_interleave_schedule(spark, sf_dir) -> DataFrame:
+    """Stride-scheduled modality interleave: the deterministic GLOBAL
+    training order that keeps every modality flowing at its corpus
+    share — item k of modality m goes at virtual time k/n_m, and the
+    schedule is the ascending virtual-time order (stride scheduling /
+    weighted round-robin; the same construction behind fair queueing).
+    The stride guarantee (property-tested at every virtual-time
+    boundary of the full schedule): after all slots with vt <= V,
+    modality m has delivered floor(V·n_m) items within ±1 — so no
+    modality starves or floods any training window.  (Stated in
+    virtual time, not raw prefix index: a fast class can run ~1 item
+    per SLOW class ahead of the index-proportional count, which is
+    exactly the tie-granularity the vt form accounts for.)
+
+    Determinism: within-modality order is the md5 rank (j24's
+    discipline), virtual times are exact-integer ratios r/n_m whose
+    IEEE doubles are identical in both engines, and ties break on
+    (modality, doc_id).  Output = the first 50 schedule slots.
+
+    100 TB shape: one modality-keyed window pair (rank + count share
+    one partitioning), then a global ORDER BY LIMIT — a
+    TakeOrderedAndProject heap, never a full sort; the schedule
+    STREAMS (any shard can generate its own slice by filtering its
+    virtual-time range — no global coordination, which is the point
+    of deriving order from arithmetic instead of a shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    tagged = d.select(
+        "doc_id",
+        F.when(nb % 97 < 40, "text")
+        .when(nb % 97 < 70, "image")
+        .when(nb % 97 < 90, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    wr = Window.partitionBy("modality").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("modality")
+    ranked = tagged.select(
+        "doc_id",
+        "modality",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("n_m"),
+    )
+    ws = Window.orderBy(
+        (F.col("r") * 1.0 / F.col("n_m")), "modality", "doc_id"
+    )
+    return (
+        ranked.select(
+            F.row_number().over(ws).alias("pos"), "doc_id", "modality"
+        )
+        .orderBy("pos")
+        .limit(50)
+    )

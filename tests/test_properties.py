@@ -2398,3 +2398,57 @@ def test_modality_manifest_conserves_and_prices_m3(spark, sf_dir):
     audio_row = [r for r in rows if r.modality == "audio"]
     if audio_row:
         assert audio_row[0].total_tokens == m3_chunks
+
+
+def test_interleave_prefixes_stay_proportional(spark, sf_dir):
+    """m6's stride property: every prefix of the FULL schedule carries
+    each modality within ±1 of its proportional share — no modality
+    starves or floods any training window."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F, Window
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    tagged = d.select(
+        "doc_id",
+        F.when(nb % 97 < 40, "text")
+        .when(nb % 97 < 70, "image")
+        .when(nb % 97 < 90, "audio")
+        .otherwise("video")
+        .alias("modality"),
+    )
+    wr = Window.partitionBy("modality").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    full = (
+        tagged.select(
+            "modality",
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(Window.partitionBy("modality")).alias("n_m"),
+        )
+        .select("modality", (F.col("r") * 1.0 / F.col("n_m")).alias("vt"))
+        .orderBy("vt", "modality")
+        .collect()
+    )
+    shares = Counter(r.modality for r in full)
+    seen = Counter()
+    # the stride guarantee is stated in VIRTUAL TIME: after all items
+    # with vt <= V, each class has served count_m = floor(V*n_m) items
+    # (within 1) — check at every distinct-vt boundary, after ties
+    for idx, r in enumerate(full):
+        seen[r.modality] += 1
+        is_boundary = idx + 1 == len(full) or full[idx + 1].vt != r.vt
+        if not is_boundary:
+            continue
+        for m, n_m in shares.items():
+            assert abs(seen[m] - r.vt * n_m) <= 1 + 1e-9, (idx, m, r.vt)
+    # and the declared key is exactly the first 50 slots of this order
+    head = [
+        r.modality
+        for r in QUERIES["m6_interleave_schedule"](spark, sf_dir).collect()
+    ]
+    assert head == [r.modality for r in full[:50]]
