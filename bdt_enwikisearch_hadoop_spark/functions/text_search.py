@@ -1577,3 +1577,115 @@ def i33_field_boost(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i34 — retrieval evaluation metrics (the engine grading its own ranking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i34_search_eval",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    ranking AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(SUM(wt), 4) DESC, doc_id)
+                   AS pos
+        FROM w WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id
+        ORDER BY pos
+        LIMIT 10
+    ),
+    rel AS (
+        SELECT doc_id FROM w WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT term) = {len(QUERY_TERMS)}
+    ),
+    nrel AS (SELECT COUNT(*) AS n_rel FROM rel),
+    hits AS (
+        SELECT r.pos, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS h
+        FROM ranking r LEFT JOIN rel ON rel.doc_id = r.doc_id
+    )
+    SELECT
+        FLOOR(SUM(h) * 10000.0 / 10) / 10000 AS p_at_10,
+        FLOOR(SUM(h) * 10000.0 / n_rel) / 10000 AS recall_at_10,
+        FLOOR(10000.0 / MIN(CASE WHEN h = 1 THEN pos END)) / 10000 AS mrr,
+        FLOOR(SUM(h * 1.0 / (LN(pos + 1) / LN(2.0)))
+              / (SELECT SUM(1.0 / (LN(i + 1) / LN(2.0)))
+                 FROM (SELECT unnest(range(1, LEAST(10, n_rel) + 1)) AS i))
+              * 10000) / 10000 AS ndcg_at_10
+    FROM hits CROSS JOIN nrel
+    GROUP BY n_rel
+    """,
+)
+def i34_search_eval(spark, sf_dir) -> DataFrame:
+    """Retrieval evaluation IN-ENGINE: precision@10, recall@10, MRR
+    and binary nDCG@10 of the disjunctive ranking (i7), graded against
+    a deterministic relevance set — documents matching ALL query terms
+    (i6's conjunctive set): the evaluation loop every search stack
+    runs offline, expressed as one plan (rank → join judgments →
+    aggregate), so ranking changes get scored in the same engine that
+    serves them.  A conjunctive ground truth for a disjunctive ranker
+    is a real (if easy) grader: perfect P@10 means the top of the OR
+    ranking is dominated by AND matches.
+
+    DCG discounts are ln-ratio log2's — identical IEEE doubles in both
+    engines; the ideal DCG places the min(10, |R|) relevant docs first
+    (the binary-relevance closed form, computed over a generated
+    sequence, never hand-unrolled).  All four metrics 4dp-floored;
+    single-row output.
+
+    100 TB shape: judgment sets are query-sized (broadcast); the
+    ranking is i7's plan (top-k heap over the postings slice); the
+    metric aggregate touches 10 rows.  Scoring 10⁴ eval queries =
+    this plan keyed by query_id, one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs).filter(F.col("term").isin(*QUERY_TERMS))
+    ranking = (
+        w.groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("pos"),
+        )
+    )
+    rel = (
+        w.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(QUERY_TERMS))
+        .select("doc_id", F.lit(1).alias("is_rel"))
+    )
+    nrel = rel.agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranking.join(F.broadcast(rel), "doc_id", "left")
+        .select("pos", F.coalesce("is_rel", F.lit(0)).alias("h"))
+        .join(F.broadcast(nrel))
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    idcg = F.expr(
+        "aggregate(sequence(1, least(10, n_rel)), 0D,"
+        " (acc, i) -> acc + 1.0 / (ln(i + 1) / ln(2.0)))"
+    )
+    return hits.groupBy("n_rel").agg(
+        (F.floor(F.sum("h") * 10000.0 / 10) / 10000).alias("p_at_10"),
+        (F.floor(F.sum("h") * 10000.0 / F.first("n_rel")) / 10000).alias(
+            "recall_at_10"
+        ),
+        (
+            F.floor(10000.0 / F.min(F.when(F.col("h") == 1, F.col("pos"))))
+            / 10000
+        ).alias("mrr"),
+        (
+            F.floor(
+                F.sum(F.col("h") / log2(F.col("pos") + 1))
+                / F.first(idcg)
+                * 10000
+            )
+            / 10000
+        ).alias("ndcg_at_10"),
+    ).drop("n_rel")

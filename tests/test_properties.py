@@ -2452,3 +2452,38 @@ def test_interleave_prefixes_stay_proportional(spark, sf_dir):
         for r in QUERIES["m6_interleave_schedule"](spark, sf_dir).collect()
     ]
     assert head == [r.modality for r in full[:50]]
+
+
+def test_search_eval_matches_python_metrics(spark, sf_dir):
+    """i34's four metrics must equal a direct Python computation from
+    i7's ranking and i6-style conjunctive relevance."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+        tfidf,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    w = tfidf(load(spark, sf_dir, "documents")).filter(
+        F.col("term").isin(*QUERY_TERMS)
+    )
+    ranking = [r.doc_id for r in QUERIES["i7_search_or"](spark, sf_dir).collect()]
+    rel = {
+        r.doc_id
+        for r in w.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(QUERY_TERMS))
+        .collect()
+    }
+    hits = [1 if d in rel else 0 for d in ranking]
+    dcg = sum(h / math.log2(i + 2) for i, h in enumerate(hits))
+    idcg = sum(1 / math.log2(i + 2) for i in range(min(10, len(rel))))
+    first = next((i + 1 for i, h in enumerate(hits) if h), None)
+    row = QUERIES["i34_search_eval"](spark, sf_dir).collect()[0]
+    assert row.p_at_10 == math.floor(sum(hits) * 10000.0 / 10) / 10000
+    assert row.recall_at_10 == math.floor(sum(hits) * 10000.0 / len(rel)) / 10000
+    assert row.mrr == (math.floor(10000.0 / first) / 10000 if first else None)
+    assert row.ndcg_at_10 == math.floor(dcg / idcg * 10000) / 10000
+    assert 0 < row.ndcg_at_10 <= 1
