@@ -2487,3 +2487,52 @@ def test_search_eval_matches_python_metrics(spark, sf_dir):
     assert row.mrr == (math.floor(10000.0 / first) / 10000 if first else None)
     assert row.ndcg_at_10 == math.floor(dcg / idcg * 10000) / 10000
     assert 0 < row.ndcg_at_10 <= 1
+
+
+def test_qgram_prefix_filter_theorem_on_generated_edits():
+    """The soundness claim c25's plan rests on, checked off-fixture:
+    ANY two strings within edit distance k=2 (each with >= 2k+1 = 5
+    distinct bigrams) share a bigram among the first 5 of EACH side's
+    distinct bigrams under the fixed md5 order.  Hypothesis drives
+    random base strings through random <=2-edit mutations."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    def prefix5(s: str) -> set:
+        grams = sorted(
+            {s[i : i + 2] for i in range(len(s) - 1)},
+            key=lambda g: (hashlib.md5(g.encode()).hexdigest(), g),
+        )
+        return set(grams[:5])
+
+    alphabet = "abcdef "
+    base = st.text(alphabet=alphabet, min_size=8, max_size=20)
+    edit = st.tuples(
+        st.sampled_from(["del", "sub", "ins"]),
+        st.integers(min_value=0, max_value=30),
+        st.sampled_from(alphabet),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(base, st.lists(edit, min_size=0, max_size=2))
+    def check(s, edits):
+        t = s
+        for op, pos, ch in edits:
+            if not t:
+                break
+            p = pos % len(t)
+            if op == "del":
+                t = t[:p] + t[p + 1 :]
+            elif op == "sub":
+                t = t[:p] + ch + t[p + 1 :]
+            else:
+                t = t[:p] + ch + t[p:]
+        # the theorem's precondition: enough distinct bigrams per side
+        if len({s[i:i+2] for i in range(len(s)-1)}) < 5:
+            return
+        if len({t[i:i+2] for i in range(len(t)-1)}) < 5:
+            return
+        assert prefix5(s) & prefix5(t), (s, t)
+
+    check()
