@@ -1689,3 +1689,110 @@ def i34_search_eval(spark, sf_dir) -> DataFrame:
             / 10000
         ).alias("ndcg_at_10"),
     ).drop("n_rel")
+
+
+# ---------------------------------------------------------------------------
+# i35 — batched multi-query execution (N queries, ONE plan)
+# ---------------------------------------------------------------------------
+
+_BATCH_VOCAB = 10  # frequent terms feeding the query batch
+_BATCH_QUERIES = 20
+
+
+@query(
+    "i35_batch_queries",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    top_terms AS (
+        SELECT term FROM dfreq
+        ORDER BY dfc DESC, term LIMIT {_BATCH_VOCAB}
+    ),
+    qdef AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY a.term, b.term) AS query_id,
+               a.term AS term_a, b.term AS term_b
+        FROM top_terms a JOIN top_terms b ON a.term < b.term
+        ORDER BY query_id LIMIT {_BATCH_QUERIES}
+    ),
+    qt AS (
+        SELECT query_id, term_a AS term FROM qdef
+        UNION ALL SELECT query_id, term_b FROM qdef
+    ),
+    scored AS (
+        SELECT qt.query_id, w.doc_id,
+               ROUND(SUM(w.wt), 4) AS score
+        FROM w JOIN qt USING (term)
+        GROUP BY qt.query_id, w.doc_id
+        HAVING COUNT(DISTINCT w.term) = 2
+    )
+    SELECT query_id, doc_id, rnk, score
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    ORDER BY query_id, rnk
+    """,
+)
+def i35_batch_queries(spark, sf_dir) -> DataFrame:
+    """Batched multi-query execution: {_BATCH_QUERIES} conjunctive
+    two-term queries (pairs of the corpus's {_BATCH_VOCAB} most
+    frequent terms — derived in-engine, df-ranked with term
+    tiebreaks) scored against the corpus in ONE plan — the query
+    TABLE joins the postings, instead of one plan execution per query.
+    This is the serving insight that makes offline eval and batch
+    re-ranking tractable on Spark: i34 grades one query; this
+    executes a workload, and its cost is one postings pass plus a
+    per-query top-3 window, independent of how many queries ride
+    along (the per-query-loop alternative pays plan+scan overhead
+    {_BATCH_QUERIES}×).
+
+    Plan: the weight table is materialized ONCE (localCheckpoint —
+    it stands for the persisted i5/i21 index both consumers read in
+    production; without it, Catalyst re-derived the tokenize→tfidf
+    chain in every branch: 30 scan nodes in the physical plan,
+    measured) and serves both the query-definition branch and the
+    scoring join.  The query-term table is query-batch-sized and
+    BROADCAST onto it (no corpus shuffle for the join); the
+    (query, doc) aggregate and the per-query window share an
+    exchange; conjunctive semantics via the distinct-term count
+    exactly like i6.  At 10⁴ queries the qt table is still KBs — the
+    batch scales in queries for free until the (query, doc) candidate
+    aggregate, which grows with Σ per-query match counts, shuffles on
+    (query_id, doc_id) and AQE-splits if one query is hot."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs).localCheckpoint()  # the "persisted index" (see above)
+    dfreq = w.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    top_terms = (
+        dfreq.orderBy(F.col("dfc").desc(), "term")
+        .limit(_BATCH_VOCAB)
+        .select("term")
+    )
+    a = top_terms.select(F.col("term").alias("term_a"))
+    b = top_terms.select(F.col("term").alias("term_b"))
+    qdef = (
+        a.join(b, F.col("term_a") < F.col("term_b"))
+        .withColumn(
+            "query_id",
+            F.row_number().over(Window.orderBy("term_a", "term_b")),
+        )
+        .filter(F.col("query_id") <= _BATCH_QUERIES)
+    )
+    qt = qdef.select("query_id", F.col("term_a").alias("term")).unionAll(
+        qdef.select("query_id", F.col("term_b").alias("term"))
+    )
+    scored = (
+        w.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("wt"), 4).alias("score"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == 2)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "doc_id", "rnk", "score")
+        .orderBy("query_id", "rnk")
+    )

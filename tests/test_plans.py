@@ -937,3 +937,12 @@ def test_f29_bands_share_one_scan(spark, sf_dir):
     p = _plan(spark, sf_dir, "f29_timeband_battery")
     assert p.count("events.parquet") == 1
     assert "Join" not in p
+
+
+def test_i35_scoring_reads_materialized_index_once(spark, sf_dir):
+    """The batch-query plan must read the checkpointed weight table,
+    never re-derive tokenize→tfidf per branch (30 scan nodes before
+    the fix); the qt join must broadcast."""
+    p = _plan(spark, sf_dir, "i35_batch_queries")
+    assert "documents.parquet" not in p
+    assert "BroadcastHashJoin" in p

@@ -2536,3 +2536,41 @@ def test_qgram_prefix_filter_theorem_on_generated_edits():
         assert prefix5(s) & prefix5(t), (s, t)
 
     check()
+
+
+def test_batch_queries_equal_sequential_execution(spark, sf_dir):
+    """i35's batched scoring must equal running each query alone —
+    checked for every query in the batch via a Python re-scoring over
+    the collected weight table."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import tfidf
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    w = defaultdict(dict)
+    dfc = defaultdict(int)
+    for r in tfidf(load(spark, sf_dir, "documents")).collect():
+        w[r.term][r.doc_id] = r.wt
+        dfc[r.term] += 1
+    top = sorted(dfc, key=lambda t: (-dfc[t], t))[:10]
+    pairs = sorted(
+        (min(a, b), max(a, b))
+        for i, a in enumerate(top)
+        for b in top[i + 1 :]
+    )[:20]
+    want = []
+    for qid, (ta, tb) in enumerate(pairs, start=1):
+        scores = {
+            d: round(w[ta][d] + w[tb][d], 4)
+            for d in set(w[ta]) & set(w[tb])
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [
+            (qid, d, rk + 1, s) for rk, (d, s) in enumerate(ranked)
+        ]
+    got = [
+        (r.query_id, r.doc_id, r.rnk, r.score)
+        for r in QUERIES["i35_batch_queries"](spark, sf_dir).collect()
+    ]
+    assert got == want
