@@ -913,3 +913,77 @@ def d25_entropy_gini(spark, sf_dir) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "d26_weighted_percentile",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS cumw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cumw >= 0.5 * totw THEN l_extendedprice END)
+               AS w_median,
+           MIN(CASE WHEN cumw >= 0.9 * totw THEN l_extendedprice END)
+               AS w_p90
+    FROM ranked
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d26_weighted_percentile(spark, sf_dir) -> DataFrame:
+    """WEIGHTED percentiles: the price at which half (p50) and 90%
+    (p90) of the QUANTITY mass has been accumulated, per return flag —
+    "the median unit shipped cost X", which is a different (and for
+    volume questions, the right) statistic from d12's row-median ("the
+    median line item cost X") whenever weights vary.  The estimator is
+    the standard lower weighted percentile: the first value whose
+    cumulative weight reaches p·W, over the (value, pk) total order.
+
+    Cross-engine exactness: quantities and the running sums are exact
+    (integral doubles well inside 2^53; the window order is pk-total),
+    and the 0.5·W / 0.9·W thresholds are the same IEEE products —
+    the comparison is then exact, so the selected price needs no
+    rounding at all.
+
+    100 TB shape: one sort-shuffle per group (the same cost envelope
+    as d12's exact interpolated percentiles — both need the group
+    ordered); the per-group pick is a conditional MIN that collapses
+    map-side.  The mergeable-sketch substitute is a weighted t-digest;
+    below that scale, exact is strictly better and this is its
+    one-pass spelling."""
+    li = load(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wo).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("totw"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumw") >= 0.5 * F.col("totw"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("w_median"),
+            F.min(
+                F.when(
+                    F.col("cumw") >= 0.9 * F.col("totw"),
+                    F.col("l_extendedprice"),
+                )
+            ).alias("w_p90"),
+        )
+        .orderBy("l_returnflag")
+    )

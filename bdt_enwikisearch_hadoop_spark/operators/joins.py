@@ -1211,3 +1211,67 @@ def c27_interval_overlap(spark, sf_dir) -> DataFrame:
         )
         .orderBy("w_s")
     )
+
+
+@query(
+    "c29_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns
+          FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+        SELECT c.event_id, p.event_id AS p_id,
+               ABS(p.tns - c.tns) AS dist
+        FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT event_id,
+           FIRST(p_id ORDER BY dist, p_id) AS nearest_purchase,
+           MIN(dist) // 1000000000 AS dist_s
+    FROM pairs
+    GROUP BY event_id
+    """,
+)
+def c29_asof_nearest(spark, sf_dir) -> DataFrame:
+    """NEAREST as-of join — the third temporal-lookup direction after
+    c11 (backward) and c19 (forward): for each click, the purchase of
+    the same user closest in time in EITHER direction, with the
+    distance in whole seconds.  This is the attribution question when
+    causality is unknown ("which transaction belongs to this
+    session?") and the sensor-alignment primitive (match each reading
+    to the nearest calibration event).
+
+    Tie policy is explicit: equidistant purchases resolve to the
+    smaller event_id (the min-by composite), identically in both
+    engines — nearest-match joins without a declared tiebreak are a
+    classic cross-engine divergence.
+
+    Plan: c8/c11's physics — one equi shuffle on user_id, the
+    |clicks×purchases-per-user| pair stream collapsed by a per-click
+    min-by aggregate (map-side partials); never a time-range cross
+    product.  At scale, bound the pair fan-in with a time-band
+    conjunct (|Δt| < horizon — c27's bucket trick) and the exchange
+    carries only in-horizon pairs."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    dist = F.abs(F.col("p_ts") - F.col("c_ts"))
+    return (
+        c.join(p, c.user_id == p.p_user)
+        .select("event_id", "p_id", dist.alias("dist"))
+        .groupBy("event_id")
+        .agg(
+            F.min_by("p_id", F.struct("dist", "p_id")).alias(
+                "nearest_purchase"
+            ),
+            F.expr("MIN(dist) DIV 1000000000").alias("dist_s"),
+        )
+    )

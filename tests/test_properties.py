@@ -2574,3 +2574,65 @@ def test_batch_queries_equal_sequential_execution(spark, sf_dir):
         for r in QUERIES["i35_batch_queries"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_nearest_asof_is_componentwise_min_of_directions(spark, sf_dir):
+    """c29: the nearest distance per click equals min(backward gap,
+    forward gap) recomputed from c19-style directional scans in
+    Python, and the tie rule resolves to the smaller purchase id."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    purchases = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases[r.user_id].append((r.ts, r.event_id))
+    want = {}
+    for r in ev:
+        if r.event_type != "click" or r.user_id not in purchases:
+            continue
+        best = min(
+            (abs(t - r.ts), pid) for t, pid in purchases[r.user_id]
+        )
+        want[r.event_id] = (best[1], best[0] // 1_000_000_000)
+    got = {
+        r.event_id: (r.nearest_purchase, r.dist_s)
+        for r in QUERIES["c29_asof_nearest"](spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_weighted_percentile_mass_invariants(spark, sf_dir):
+    """d26: at least half / 90% of the quantity mass sits at or below
+    the reported prices, and strictly less does below the previous
+    distinct price — the defining property of the lower weighted
+    percentile."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append((r.l_extendedprice, r.l_quantity))
+    for r in QUERIES["d26_weighted_percentile"](spark, sf_dir).collect():
+        vals = groups[r.l_returnflag]
+        tot = sum(q for _, q in vals)
+        for p, cut in ((0.5, r.w_median), (0.9, r.w_p90)):
+            at_or_below = sum(q for v, q in vals if v <= cut)
+            below = sum(q for v, q in vals if v < cut)
+            assert at_or_below >= p * tot - 1e-6
+            assert below < p * tot + 1e-6
