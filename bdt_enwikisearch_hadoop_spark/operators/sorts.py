@@ -1762,3 +1762,86 @@ def f29_timeband_battery(spark, sf_dir) -> DataFrame:
         for lo in range(0, 24, 3)
     ]
     return filtered.agg(*bands)
+
+
+@query(
+    "f30_share_of_parent",
+    oracle="""
+    WITH lv AS (
+        SELECT r_name, n_name,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY ROLLUP (r_name, n_name)
+    )
+    SELECT r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           FLOOR(rev * 10000.0
+                 / CASE WHEN n_name IS NOT NULL
+                        THEN SUM(CASE WHEN n_name IS NULL THEN rev END)
+                             OVER (PARTITION BY r_name)
+                        ELSE SUM(CASE WHEN n_name IS NULL THEN rev END)
+                             OVER ()
+                   END) / 10000 AS share_of_parent
+    FROM lv
+    WHERE r_name IS NOT NULL
+    ORDER BY r_name, n_name
+    """,
+)
+def f30_share_of_parent(spark, sf_dir) -> DataFrame:
+    """Share-of-parent in a ROLLUP hierarchy — the BI drill-down
+    staple: each nation's revenue as a fraction of its REGION, and
+    each region's as a fraction of the GRAND TOTAL — every row divided
+    by its parent level (so nation shares sum to 1 within each region
+    and region shares sum to 1 overall, both property-tested).  The
+    trick is doing it WITHOUT a second scan or a self-join: one ROLLUP
+    produces both levels, and a window keyed by "my parent's group"
+    (region for nation rows, the NULL singleton — i.e. all regions —
+    for region rows) picks each row's parent total from the SAME
+    frame: the subtotal rows double as the denominator table.
+
+    100 TB shape: the ROLLUP is one fact pass with map-side partial
+    aggregation (k10's physics); the share window runs on the
+    (regions × nations + regions)-row aggregate.  Money math is
+    DECIMAL through the window; the one division floors at 4dp.
+    Plan-guarded: a single orders scan — the join-back-to-subtotals
+    formulation reads the fact twice."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    lv = (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .filter(F.col("r_name").isNotNull())
+    )
+    # two windows, one per parent level: the region SUBTOTAL row must
+    # sit INSIDE the nation rows' partition to serve as denominator —
+    # the first cut partitioned nation rows by a key the subtotal row
+    # didn't share, so every nation share was NULL in BOTH engines
+    # (parity passed; the level-conservation property test caught it)
+    subtotal = F.when(F.col("n_name").isNull(), F.col("rev"))
+    region_total = F.sum(subtotal).over(Window.partitionBy("r_name"))
+    grand_total = F.sum(subtotal).over(Window.partitionBy())
+    parent_rev = F.when(
+        F.col("n_name").isNotNull(), region_total
+    ).otherwise(grand_total)
+    return (
+        lv.select(
+            "r_name",
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.col("rev").cast("double").alias("revenue"),
+            (F.floor(F.col("rev") * 10000.0 / parent_rev) / 10000).alias(
+                "share_of_parent"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )

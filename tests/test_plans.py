@@ -946,3 +946,11 @@ def test_i35_scoring_reads_materialized_index_once(spark, sf_dir):
     p = _plan(spark, sf_dir, "i35_batch_queries")
     assert "documents.parquet" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_f30_rollup_share_is_single_fact_scan(spark, sf_dir):
+    """Both hierarchy levels and the parent denominators come from ONE
+    rollup over one fact pass — the join-back form reads orders twice."""
+    p = _plan(spark, sf_dir, "f30_share_of_parent")
+    assert p.count("orders.parquet") == 1
+    assert "Expand" in p  # the rollup grouping-set expansion

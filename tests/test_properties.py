@@ -2636,3 +2636,50 @@ def test_weighted_percentile_mass_invariants(spark, sf_dir):
             below = sum(q for v, q in vals if v < cut)
             assert at_or_below >= p * tot - 1e-6
             assert below < p * tot + 1e-6
+
+
+def test_share_of_parent_levels_conserve(spark, sf_dir):
+    """f30: nation shares sum to ~1 within each region; region shares
+    sum to ~1 overall (each row divided by its true parent level)."""
+    from collections import defaultdict
+
+    rows = QUERIES["f30_share_of_parent"](spark, sf_dir).collect()
+    by_region = defaultdict(float)
+    region_total = 0.0
+    for r in rows:
+        if r.n_name == "ALL":
+            region_total += r.share_of_parent
+        else:
+            by_region[r.r_name] += r.share_of_parent
+    assert abs(region_total - 1.0) < 1e-2
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-2, region
+
+
+def test_mad_outliers_match_python_reference(spark, sf_dir):
+    """d27: both floored medians and the 3-MAD outlier counts must
+    equal a direct Python computation."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    vals = defaultdict(list)
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals[r.event_type].append(r.value)
+
+    def q50(xs):
+        s = sorted(xs)
+        i = (len(s) - 1) * 0.5
+        lo, hi = math.floor(i), math.ceil(i)
+        return s[lo] + (s[hi] - s[lo]) * (i - lo)
+
+    for r in QUERIES["d27_mad_outliers"](spark, sf_dir).collect():
+        xs = vals[r.event_type]
+        med = math.floor(q50(xs) * 10000) / 10000
+        adev = [abs(x - med) for x in xs]
+        mad = math.floor(q50(adev) * 10000) / 10000
+        assert r.n == len(xs)
+        assert r.mad == mad
+        assert r.n_outliers == sum(1 for a in adev if a > 3 * mad)
+        assert r.n_outliers < r.n
