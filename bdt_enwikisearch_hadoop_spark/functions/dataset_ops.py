@@ -53,7 +53,7 @@ _SAMPLE_K = 20
                    AS orphans
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
-    SELECT chk AS check, violations,
+    SELECT chk AS check, CAST(violations AS BIGINT) AS violations,
            FLOOR((1 - violations * 1.0 / n_rows) * 10000) / 10000
                AS pass_ratio
     FROM (
@@ -456,7 +456,7 @@ _BUDGET_TOK = 4000
     )
     SELECT source,
            COUNT(*) AS docs_kept,
-           SUM(n_tok) AS tokens_kept
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
     FROM c
     WHERE cum - n_tok < {_BUDGET_TOK}
     GROUP BY source
@@ -589,7 +589,7 @@ def j49_leakage_safe_split(spark, sf_dir) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS n_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),
                                    1, 15))::BIGINT) AS content_xor
     FROM documents

@@ -690,8 +690,8 @@ _PACK_BUDGET = 2048  # tokens per training sequence
         FROM t
     )
     SELECT doc_id, lang, n_tok,
-           (cum - n_tok) // {_PACK_BUDGET} AS bin_id,
-           (cum - n_tok) % {_PACK_BUDGET} AS bin_offset
+           CAST((cum - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST((cum - n_tok) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
     FROM c
     """,
 )
@@ -782,7 +782,7 @@ def j24_stratified_sample(spark, sf_dir) -> DataFrame:
     WITH per_src AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS toks
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
         FROM documents GROUP BY source
     ),
     tot AS (

@@ -287,8 +287,8 @@ def m4_image_resize(spark, sf_dir) -> DataFrame:
     agg AS (
         SELECT modality,
                COUNT(*) AS n_items,
-               SUM(n_bytes) AS total_bytes,
-               SUM(est_tokens) AS total_tokens
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(est_tokens) AS BIGINT) AS total_tokens
         FROM toks
         GROUP BY modality
     )

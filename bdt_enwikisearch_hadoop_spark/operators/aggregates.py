@@ -575,7 +575,7 @@ def d19_multi_distinct(spark, sf_dir) -> DataFrame:
     "d20_conditional_aggs",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_quantity >= 25) AS n_bulk,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk,
            bool_and(l_extendedprice > 0) AS all_positive,
            bool_or(l_discount > 0.08) AS any_deep_discount,
            CAST(MAX(CASE WHEN l_tax = 0 THEN l_orderkey END) AS BIGINT)
@@ -1010,8 +1010,8 @@ def d26_weighted_percentile(spark, sf_dir) -> DataFrame:
     SELECT d.event_type,
            COUNT(*) AS n,
            ANY_VALUE(m2.mad) AS mad,
-           SUM(CASE WHEN d.adev > 3 * m2.mad THEN 1 ELSE 0 END)
-               AS n_outliers
+           CAST(SUM(CASE WHEN d.adev > 3 * m2.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m2 USING (event_type)
     GROUP BY d.event_type
     ORDER BY d.event_type

@@ -1132,7 +1132,8 @@ def c26_cdc_apply(spark, sf_dir) -> DataFrame:
     )
     SELECT w_s,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(LEAST(a_e, w_e) - GREATEST(a_s, w_s)) AS total_overlap_s
+           CAST(SUM(LEAST(a_e, w_e) - GREATEST(a_s, w_s)) AS BIGINT)
+               AS total_overlap_s
     FROM act JOIN win ON a_s < w_e AND w_s < a_e
     GROUP BY w_s
     ORDER BY w_s

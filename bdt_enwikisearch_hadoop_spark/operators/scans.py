@@ -319,7 +319,7 @@ def _jsonl_dir(spark, sf_dir) -> str:
            COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,

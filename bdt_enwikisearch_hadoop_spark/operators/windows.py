@@ -301,7 +301,8 @@ def e9_windowed_quantile(spark, sf_dir) -> DataFrame:
 @query(
     "e10_cumulative_distinct",
     oracle="""
-    SELECT event_type, epoch(date_trunc('hour', ts)) AS hour_s,
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
            COUNT(DISTINCT user_id)
                OVER (PARTITION BY event_type
                      ORDER BY date_trunc('hour', ts)) AS cum_users
@@ -370,7 +371,7 @@ def e10_cumulative_distinct(spark, sf_dir) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT DISTINCT user_id,
-               epoch(date_trunc('day', ts)) // 86400 AS d
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
         FROM events
     ),
     grouped AS (
@@ -413,11 +414,12 @@ def e11_streaks(spark, sf_dir) -> DataFrame:
     distinct (user, day) table is the materialized artifact and the
     first exchange disappears."""
     e = load(spark, sf_dir, "events")
+    # integer floor division (DIV), not double-divide-then-cast: the
+    # cast truncates toward zero, which diverges from the oracle's
+    # floor semantics for pre-1970 timestamps (ADVICE r6)
     daily = e.select(
         "user_id",
-        (F.unix_timestamp(F.date_trunc("day", "ts2")) / 86400)
-        .cast("long")
-        .alias("d"),
+        F.expr("unix_timestamp(date_trunc('day', ts2)) DIV 86400").alias("d"),
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("d")
     grouped = daily.withColumn(

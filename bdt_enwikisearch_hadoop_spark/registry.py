@@ -30,10 +30,27 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
-        QUERIES[name] = fn
+
+        def prepared(spark, sf_dir):
+            # the driver calls queries() callables on ITS OWN session,
+            # which entry() may or may not have prepared first — any
+            # tz-/conf-dependent expression (date_trunc, unix_timestamp,
+            # JSON timestamp formats) silently drifts from the UTC-naive
+            # DuckDB oracle on a non-UTC session.  prepare() is
+            # idempotent and cheap, so apply it at every call site.
+            from .session import prepare
+
+            prepare(spark)
+            return fn(spark, sf_dir)
+
+        prepared.__name__ = fn.__name__
+        prepared.__doc__ = fn.__doc__
+        prepared.__wrapped__ = fn
+        QUERIES[name] = prepared
         if oracle is not None:
             ORACLES[name] = oracle.strip()
         fn.query_name = name
+        prepared.query_name = name
         return fn
 
     return deco

@@ -1796,7 +1796,8 @@ def k18_session_conversion(spark, sf_dir) -> DataFrame:
     SELECT event_type,
            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
     FROM events
     GROUP BY event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT)
     """,

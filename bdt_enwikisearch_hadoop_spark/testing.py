@@ -84,6 +84,32 @@ def _canon_frame(pdf) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _kind_mismatches(spdf, opdf) -> list[str]:
+    """Per-column numeric-KIND check, stricter than value equality.
+
+    The driver's value hash is representation-sensitive: an int64
+    Spark column against a float64 oracle column hash-mismatches even
+    when every value compares equal (``3500000 == 3500000.0``) —
+    observed live in round 6 on a7/c27, whose oracles left ``SUM`` of
+    BIGINT uncast (DuckDB → HUGEINT → pandas float64) while the Spark
+    side stayed long.  Two float columns (e.g. both sides nullable-int
+    → float64, the c2 shape) are fine; INT-vs-FLOAT is not."""
+    out = []
+    for c in spdf.columns:
+        if c not in opdf.columns:
+            continue
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        ints, flts = {"i", "u"}, {"f"}
+        if (sk in ints and ok in flts) or (sk in flts and ok in ints):
+            out.append(
+                f"column {c!r} numeric kind differs: spark dtype="
+                f"{spdf[c].dtype} oracle dtype={opdf[c].dtype} — the "
+                "driver hash is representation-sensitive; CAST the "
+                "oracle (or the Spark side) so kinds agree"
+            )
+    return out
+
+
 def compare(spark_df, oracle_pdf) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     spdf = spark_df.toPandas()
@@ -93,6 +119,7 @@ def compare(spark_df, oracle_pdf) -> list[str]:
     if s_cols != o_cols:
         problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
         return problems
+    problems.extend(_kind_mismatches(spdf, oracle_pdf))
     if len(s_rows) != len(o_rows):
         problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
