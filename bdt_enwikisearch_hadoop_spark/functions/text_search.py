@@ -1445,9 +1445,16 @@ def i32_maxscore_prune(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("s").desc(), "doc_id")
         .limit(10)
     )
+    # θ is derived from ROUND(SUM(wt), 4) seed scores, and rounding can
+    # go UP by as much as 5e-5 past the unrounded score — so subtract a
+    # 1e-4 guard band to make the bound direction airtight: a pruned doc
+    # has rounded score ≤ exact + 5e-5 ≤ bound + 5e-5 < θ − 5e-5, i.e.
+    # strictly below the 10th-best rounded seed score, hence provably
+    # outside the top-10 under the oracle's rounded ordering (ADVICE r6:
+    # the earlier "flooring only lowers" argument had this hole).
     theta = seed_scores.agg(
         F.when(F.count(F.lit(1)) < 10, F.lit(float("-inf")))
-        .otherwise(F.min("s"))
+        .otherwise(F.min("s") - F.lit(1e-4))
         .alias("theta")
     )
     bounds = (

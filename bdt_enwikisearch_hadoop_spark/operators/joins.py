@@ -932,6 +932,16 @@ def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
     on the gram, dedup candidate pairs, THEN evaluate levenshtein.
     Parity with the unblocked oracle proves zero lost matches.
 
+    PRECONDITION (ADVICE r6): the prefix theorem requires >= 5 distinct
+    bigrams on EACH side; below that a distance-<=2 pair can share no
+    indexed gram at all (a length-<=2 string has <=1 bigram).  Strings
+    under the threshold — on either side — therefore bypass the gram
+    index and verify exhaustively against the other side's distinct
+    strings under a |length diff| <= 2 band (sound: 2 edits change
+    length by <= 2), expressed as a length-bucket equi-join so the
+    plan stays all-hash-join.  Both short sets are vocabulary-bounded
+    and empty on TPC-H p_name lengths.
+
     Resolution runs over DISTINCT STRINGS, not rows: names repeat
     heavily (64 distinct among 20k parts at sf0.1), so the gram join
     matches q-strings to name-strings first and the matched pairs —
@@ -964,16 +974,61 @@ def c25_fuzzy_join(spark, sf_dir) -> DataFrame:
     )
     q_strings = probe.select("q").distinct()
     name_strings = part.select("p_name").distinct()
-    probe_g = q_strings.select(
+    # The 5-gram prefix theorem needs ≥ 2k+1 = 5 DISTINCT bigrams on
+    # each side (ADVICE r6: below that, a distance-≤2 pair can share
+    # none of the indexed grams — e.g. a length-≤2 probe has ≤1 bigram).
+    # Short strings therefore take an explicit exhaustive path: verify
+    # them against the WHOLE other side's distinct strings under a
+    # |length|≤2 band.  Both short sets are vocabulary-bounded (and
+    # empty on TPC-H p_name lengths), the probe side is query-sized,
+    # so the exhaustive block stays broadcast-sized at any corpus size.
+    n_bigrams = (
+        "size(array_distinct(transform(sequence(1, greatest(length({s}) - 1, 1)),"
+        " i -> substring({s}, i, 2))))"
+    )
+    q_long = q_strings.filter(F.expr(n_bigrams.format(s="q")) >= 5)
+    q_short = q_strings.filter(F.expr(n_bigrams.format(s="q")) < 5)
+    name_long = name_strings.filter(F.expr(n_bigrams.format(s="p_name")) >= 5)
+    name_short = name_strings.filter(F.expr(n_bigrams.format(s="p_name")) < 5)
+    probe_g = q_long.select(
         "q", F.explode(F.expr(grams.format(s="q"))).alias("gram")
     )
-    cat_g = name_strings.select(
+    cat_g = name_long.select(
         "p_name", F.explode(F.expr(grams.format(s="p_name"))).alias("gram")
     )
-    matched = (
+    # the length band is expressed as an EQUI-join on an exploded
+    # length-bucket key (len±2), not a theta predicate — keeps every
+    # join in the plan a hash join (the c25 plan guard forbids
+    # BroadcastNestedLoopJoin even on empty branches)
+    q_short_exp = q_short.select(
+        "q",
+        F.explode(
+            F.sequence(F.length("q") - 2, F.length("q") + 2)
+        ).alias("ln"),
+    )
+    name_short_exp = name_short.select(
+        "p_name",
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("ln"),
+    )
+    candidates = (
         cat_g.join(F.broadcast(probe_g), "gram")
         .select("q", "p_name")
+        .unionByName(
+            name_strings.withColumn("ln", F.length("p_name"))
+            .join(F.broadcast(q_short_exp), "ln")
+            .select("q", "p_name")
+        )
+        .unionByName(
+            q_strings.withColumn("ln", F.length("q"))
+            .join(F.broadcast(name_short_exp), "ln")
+            .select("q", "p_name")
+        )
         .distinct()
+    )
+    matched = (
+        candidates
         .withColumn("dist", F.levenshtein(F.col("q"), F.col("p_name")))
         .filter(F.col("dist") <= 2)
     )
