@@ -334,10 +334,49 @@ _CLS_D = 64
 _HX = "strpos('0123456789abcdef', substr(md5({s}), {i}, 1)) - 1"
 
 
-@query(
-    "j47_quality_classifier",
-    oracle=f"""
-    WITH tokq AS (
+def _cls_z(spark, docs):
+    """(doc_id, z): mean hashed-feature weight per document — the
+    linear-scorer core shared by j47 (score + keep flag) and j55
+    (AUC evaluation).  See j47's docstring for the serving-join
+    scale analysis."""
+    feat = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
+            % _CLS_D
+        ).alias("bucket"),
+    )
+    weights = spark.range(_CLS_D).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1, 4,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / 65535.0
+                - 0.5
+            )
+            * 2
+        ).alias("w"),
+    )
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg((F.sum("w") / F.count(F.lit(1))).alias("z"))
+    )
+
+
+#: the hashed-feature z-score CTE chain, shared by j47's and j55's
+#: oracles (identical md5-derived features and weights in both engines).
+_CLS_Z_CTE = f"""
+    tokq AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         FROM documents
     ),
@@ -361,6 +400,13 @@ _HX = "strpos('0123456789abcdef', substr(md5({s}), {i}, 1)) - 1"
         FROM feat JOIN wt USING (bucket)
         GROUP BY doc_id
     )
+"""
+
+
+@query(
+    "j47_quality_classifier",
+    oracle=f"""
+    WITH {_CLS_Z_CTE}
     SELECT doc_id,
            FLOOR(1.0 / (1.0 + EXP(-z)) * 10000) / 10000 AS score,
            CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
@@ -389,39 +435,7 @@ def j47_quality_classifier(spark, sf_dir) -> DataFrame:
     model — the plan does not change.  A 10^6-bucket model still
     broadcasts (8 MB); beyond that, fold buckets or shuffle-join —
     both documented, neither needed for any published corpus filter."""
-    docs = load(spark, sf_dir, "documents")
-    feat = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-    ).select(
-        "doc_id",
-        (
-            F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int")
-            % _CLS_D
-        ).alias("bucket"),
-    )
-    weights = spark.range(_CLS_D).select(
-        F.col("id").cast("int").alias("bucket"),
-        (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
-                        1, 4,
-                    ),
-                    16, 10,
-                ).cast("double")
-                / 65535.0
-                - 0.5
-            )
-            * 2
-        ).alias("w"),
-    )
-    z = (
-        feat.join(F.broadcast(weights), "bucket")
-        .groupBy("doc_id")
-        .agg((F.sum("w") / F.count(F.lit(1))).alias("z"))
-    )
+    z = _cls_z(spark, load(spark, sf_dir, "documents"))
     return z.select(
         "doc_id",
         (F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) * 10000) / 10000)
@@ -731,4 +745,105 @@ def j53_distinct_ngram_diversity(spark, sf_dir) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j55 — classifier evaluation: exact ROC-AUC via the rank-sum identity
+# ---------------------------------------------------------------------------
+
+@query(
+    "j55_classifier_auc",
+    oracle=f"""
+    WITH {_CLS_Z_CTE},
+    scored AS (
+        SELECT z.doc_id,
+               FLOOR(1.0 / (1.0 + EXP(-z)) * 10000) / 10000 AS score,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM z JOIN documents d USING (doc_id)
+    ),
+    g AS (
+        SELECT score, COUNT(*) AS c, CAST(SUM(pos) AS BIGINT) AS cp
+        FROM scored GROUP BY score
+    ),
+    rk AS (
+        SELECT score, c, cp,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cprev
+        FROM g
+    ),
+    m AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS npos,
+               CAST(SUM(c - cp) AS BIGINT) AS nneg,
+               CAST(SUM(cp * (2 * cprev + c + 1)) AS BIGINT) AS s2
+        FROM rk
+    )
+    SELECT npos, nneg,
+           ((s2 - npos * (npos + 1)) * 1000000
+            // (2 * npos * nneg)) / 1000000.0 AS auc
+    FROM m
+    """,
+)
+def j55_classifier_auc(spark, sf_dir) -> DataFrame:
+    """Exact ROC-AUC of the j47 hashed-feature quality scorer against
+    an in-corpus label (lang = 'en') — the evaluation half of the
+    corpus-filter loop: production pipelines certify a filter's AUC on
+    a labeled slice before letting it gate 100 TB (i34 does this for
+    retrieval, j54 for dedup; this completes the battery for the
+    classifier).
+
+    AUC = P(score_pos > score_neg) + ½P(tie) computed by the
+    Mann-Whitney rank-sum identity — NO curve sweep, no trapezoids:
+    AUC = (Σ ranks_pos − n⁺(n⁺+1)/2) / (n⁺n⁻), with average ranks for
+    ties.  Grouping by DISTINCT score first makes it scale-correct and
+    exact: ties collapse into (score, count, pos_count) rows, the
+    doubled average-rank sum 2·Σranks = Σ cp·(2·c_prev + c + 1) stays
+    in BIGINT, and the single division happens once at the end under
+    integer floor (1e-6) — engine-identical by construction.  Scores
+    are j47's 4dp-floored sigmoids, already parity-proven.
+
+    Plan: the j47 serving join (broadcast weights, one per-doc
+    aggregate), one hash aggregate on score (distinct scores ≈
+    thousands, NOT corpus-sized), a one-partition window over that
+    tiny table, and a scalar combine.  The corpus is touched exactly
+    once; everything past the per-doc aggregate is model-evaluation
+    metadata."""
+    docs = load(spark, sf_dir, "documents")
+    z = _cls_z(spark, docs)
+    scored = z.join(docs.select("doc_id", "lang"), "doc_id").select(
+        (
+            F.floor(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) * 10000
+            )
+            / 10000
+        ).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "pos"
+        ),
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("cp")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = g.withColumn("cprev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    m = rk.agg(
+        F.sum("cp").alias("npos"),
+        F.sum(F.col("c") - F.col("cp")).alias("nneg"),
+        F.sum(
+            F.col("cp") * (2 * F.col("cprev") + F.col("c") + 1)
+        ).alias("s2"),
+    )
+    return m.select(
+        "npos",
+        "nneg",
+        (
+            F.expr(
+                "(s2 - npos * (npos + 1)) * 1000000"
+                " DIV (2 * npos * nneg)"
+            )
+            / 1000000.0
+        ).alias("auc"),
     )

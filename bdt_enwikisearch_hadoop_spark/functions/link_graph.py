@@ -337,3 +337,68 @@ def i30_link_bfs(spark, sf_dir) -> DataFrame:
         .agg(F.min("depth").alias("depth"))
         .orderBy("depth", "node")
     )
+
+
+# ---------------------------------------------------------------------------
+# i36 — HITS hubs & authorities (integer-exact, fixed iterations)
+# ---------------------------------------------------------------------------
+
+@query(
+    "i36_hits",
+    oracle=f"""
+    WITH {_LINKS_CTE},
+    e AS (SELECT DISTINCT src, target FROM links),
+    a1 AS (SELECT target, COUNT(*) AS a FROM e GROUP BY target),
+    h1 AS (SELECT src, CAST(SUM(a) AS BIGINT) AS h
+           FROM e JOIN a1 USING (target) GROUP BY src),
+    a2 AS (SELECT target, CAST(SUM(h) AS BIGINT) AS authority
+           FROM e JOIN h1 USING (src) GROUP BY target)
+    SELECT a2.target, a1.a AS in_deg, a2.authority
+    FROM a2 JOIN a1 USING (target)
+    ORDER BY authority DESC, target
+    LIMIT 20
+    """,
+)
+def i36_hits(spark, sf_dir) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the wikilink
+    edge list: authority(v) = Σ hub(u) over in-links, hub(u) =
+    Σ authority(v) over out-links, iterated from hub=1 — the second
+    classic link-centrality beside j40's PageRank, and the one built
+    for SEARCH: authorities are the pages the link structure endorses
+    as answers, hubs the directory pages that point at them.
+
+    INTEGER-EXACT cross-engine trick: per-iteration L1 normalization
+    divides every score by the same positive global scalar, so it
+    changes no ORDERING — dropping it leaves all arithmetic in exact
+    BIGINT sums (order-free, unlike float folds) and the top-20 by
+    unnormalized authority is identical to the normalized ranking.
+    Fixed 1.5 rounds (a¹ → h¹ → a²), matching the unrolled oracle
+    CTEs; scores grow ~(mean-degree)² per round, so BIGINT holds for
+    any realistic iteration count.
+
+    Plan: one distinct on the extracted edge list, then each half-step
+    is a hash join of the edge list against the score table + one
+    aggregate — both shuffles keyed on the join key (target, then src),
+    exactly PageRank's per-round shape (j40) minus the dangling-mass
+    scalar.  At 100 TB: edges partition by key once and every round
+    reuses that partitioning; skewed hub pages ride AQE skew splits
+    (the i27 in-degree skew note applies verbatim)."""
+    docs = load(spark, sf_dir, "documents")
+    e = extract_links(docs).select("src", "target").distinct()
+    a1 = e.groupBy("target").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "target")
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "src")
+        .groupBy("target")
+        .agg(F.sum("h").alias("authority"))
+    )
+    return (
+        a2.join(a1, "target")
+        .select("target", F.col("a").alias("in_deg"), "authority")
+        .orderBy(F.col("authority").desc(), "target")
+        .limit(20)
+    )

@@ -2397,3 +2397,99 @@ def j51_knn_triangles(spark, sf_dir) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j54 — in-engine LSH dedup evaluation (recall / candidate precision)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j54_lsh_eval",
+    oracle=f"WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},"
+    """
+    verified AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
+    ),
+    xinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT x.doc_a, x.doc_b
+        FROM xinter x
+        JOIN sz sa ON sa.doc_id = x.doc_a
+        JOIN sz sb ON sb.doc_id = x.doc_b
+        WHERE x.i * 1.0 / (sa.n + sb.n - x.i) >= 0.8
+    ),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+               (SELECT COUNT(*) FROM cand) AS n_candidates,
+               (SELECT COUNT(*) FROM verified) AS n_dup_found
+    )
+    SELECT n_exact, n_candidates, n_dup_found,
+           FLOOR(n_dup_found * 1.0
+                 / GREATEST(n_exact, 1) * 10000) / 10000 AS recall,
+           FLOOR(n_dup_found * 1.0
+                 / GREATEST(n_candidates, 1) * 10000) / 10000
+               AS cand_precision
+    FROM m
+    """,
+)
+def j54_lsh_eval(spark, sf_dir) -> DataFrame:
+    """In-engine evaluation of the banded MinHash-LSH dedup (j8)
+    against the exact shared-shingle ground truth (j2) — the i34
+    pattern applied to dedup: before trusting a sampling/sketching
+    substitute at 100 TB you MEASURE it at oracle-checkable scale, in
+    the same engine, as a first-class query.  Reports ground-truth
+    pair count, LSH candidate count, verified-duplicate count, recall
+    (found / true; the property-tested ≥0.9 bound of
+    tests/test_properties.py made bench-visible), and candidate
+    precision (how much of the candidate budget was real — the knob
+    band geometry trades against recall).
+
+    Verified pairs are exactly j8's output, so found ⊆ true holds by
+    construction (candidates are EXACTLY verified before counting) and
+    precision/recall need no pair-level join here — only three counts.
+    Plan: the j8 banding pipeline and the j2 shared-shingle join run
+    once each, reduce to three scalars, and cross-join — every
+    corpus-sized structure aggregates away before the final 1-row
+    combine.  At 100 TB the exact side is the one that must go; the
+    scale recipe is to run THIS query on a hash-sampled stratum
+    (j15's sampler) and extrapolate the recall bound, which is how
+    production dedup pipelines actually certify their LSH settings."""
+    docs = load(spark, sf_dir, "documents")
+    lsh = _lsh_verified_pairs(docs)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    n_cand = lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = lsh.filter(jac >= 0.8).agg(
+        F.count(F.lit(1)).alias("n_dup_found")
+    )
+    n_exact = _near_dup_pairs(docs).agg(F.count(F.lit(1)).alias("n_exact"))
+    m = n_exact.crossJoin(n_cand).crossJoin(n_found)
+    return m.select(
+        "n_exact",
+        "n_candidates",
+        "n_dup_found",
+        (
+            F.floor(
+                F.col("n_dup_found")
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("recall"),
+        (
+            F.floor(
+                F.col("n_dup_found")
+                / F.greatest(F.col("n_candidates"), F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("cand_precision"),
+    )

@@ -417,3 +417,116 @@ def a8_zorder_scan(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("pk8").between(10, 20) & F.col("sk8").between(30, 40))
     )
+
+
+# ---------------------------------------------------------------------------
+# a9 — snapshot time travel: versioned copy-on-write table, as-of read
+# ---------------------------------------------------------------------------
+
+def _snapshot_dir(spark, sf_dir) -> str:
+    """Build-once-per-(session, sf) versioned orders table: two full
+    copy-on-write snapshots partitioned by ``snap`` — snap=0 is the
+    base orders state, snap=1 applies a deterministic change set
+    (5% price bump on o_orderkey % 7 = 0, delete of % 11 = 0).  The
+    layout IS the time-travel mechanism: each snapshot is a partition
+    directory, so an as-of read prunes to one snapshot's files at
+    plan time (lakehouse table formats do exactly this with manifest
+    files instead of directory names)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_snap_{spark.sparkContext.applicationId}_{tag}",
+    )
+    if not os.path.isdir(base):
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        v0 = o.withColumn("snap", F.lit(0))
+        v1 = (
+            o.filter(F.col("o_orderkey") % 11 != 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.when(
+                    F.col("o_orderkey") % 7 == 0,
+                    F.col("o_totalprice") * 1.05,
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            )
+            .withColumn("snap", F.lit(1))
+        )
+        (
+            v0.unionByName(v1)
+            .write.mode("overwrite")
+            .partitionBy("snap")
+            .parquet(base)
+        )
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@query(
+    "a9_time_travel",
+    oracle="""
+    SELECT 0 AS snap, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 1, o_orderstatus, COUNT(*),
+           CAST(SUM(CAST(ROUND(
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                    ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    GROUP BY o_orderstatus
+    ORDER BY snap, o_orderstatus
+    """,
+)
+def a9_time_travel(spark, sf_dir) -> DataFrame:
+    """Time-travel reads over a VERSIONED table: orders is staged once
+    as two full copy-on-write snapshots partitioned by ``snap``
+    (snap=1 = deterministic update+delete change set), then each
+    snapshot is read AS OF its version and summarized — the
+    lakehouse-format reproducibility contract (train a model against
+    snapshot N while writers land N+1) expressed with the layout
+    machinery Spark already has.  The oracle recomputes both states
+    from the raw orders table, proving the staged snapshots are
+    byte-faithful, and the parity of BOTH rows proves old versions
+    stay intact after new ones land.
+
+    Plan / 100 TB shape: ``snap`` is a PARTITION column, so an as-of
+    read is file-level pruning at plan time — `PartitionFilters:
+    [isnotnull(snap), (snap = 0)]`, zero data files of other
+    snapshots touched (plan-guarded in tests/test_plans.py).  Real
+    table formats replace directory-per-version with manifest lists
+    (so unchanged files are SHARED between snapshots instead of
+    copied); the read path — prune to one snapshot's file set, scan
+    only that — is identical.  Sums are exact cents (BIGINT)."""
+    snap = spark.read.parquet(_snapshot_dir(spark, sf_dir))
+    per_version = []
+    for v in (0, 1):
+        per_version.append(
+            snap.filter(F.col("snap") == v)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.lit(v).alias("snap"), "o_orderstatus", "n", "total_cents"
+            )
+        )
+    return per_version[0].unionByName(per_version[1]).orderBy(
+        "snap", "o_orderstatus"
+    )

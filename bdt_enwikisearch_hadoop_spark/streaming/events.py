@@ -2408,3 +2408,171 @@ def run_streaming_ema_smoke(
             for r in spark.read.parquet(out).collect()
         }
     return emitted, want
+
+
+# ---------------------------------------------------------------------------
+# k23 — time-decayed trending score (integer-exact decay weights)
+# ---------------------------------------------------------------------------
+
+#: decay weight scale: w = _DECAY_SCALE // (1 + age_hours).
+_DECAY_SCALE = 1_000_000
+
+
+@query(
+    "k23_decayed_trending",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               epoch_ns(ts) // {_NS_PER_S} AS s
+        FROM events
+    ),
+    horizon AS (SELECT MAX(s) AS t_now FROM ev)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_DECAY_SCALE} // (1 + (t_now - s) // 3600)) AS BIGINT)
+               AS trend_score
+    FROM ev CROSS JOIN horizon
+    GROUP BY event_type
+    ORDER BY trend_score DESC, event_type
+    """,
+)
+def k23_decayed_trending(spark, sf_dir) -> DataFrame:
+    """Time-decayed trending score per event type — the "what's hot
+    NOW" ranking every activity feed runs: recent events count (almost)
+    fully, old ones fade, so a type with a fresh burst outranks one
+    with a larger but stale total (n_events is emitted alongside to
+    show exactly when the two orderings disagree).
+
+    INTEGER-EXACT decay: the weight is hyperbolic —
+    w = {_DECAY_SCALE} // (1 + age_hours), pure BIGINT floor division —
+    rather than exp(-age/τ).  Exponential decay would put libm's exp()
+    in the hash path, where a one-ulp difference between the JVM and
+    the oracle engine flips a FLOOR; the hyperbolic kernel has the
+    same qualitative shape (monotone fade, heavy recency bias) with
+    arithmetic both engines compute bit-identically, and the summed
+    weights stay order-free BIGINTs.  Production swap-in of exp is one
+    expression change; the plan is identical.
+
+    Plan: one scan → map-side weight arithmetic → single hash
+    aggregate on event_type; the stream horizon MAX(s) is a scalar
+    broadcast (metadata-sized, the j40/c27 pattern).  Streaming form:
+    the same aggregate maintained incrementally, with the horizon =
+    processing-time now — weights then need periodic re-decay, the
+    classic trade documented on k22's EMA."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(f"ts DIV {_NS_PER_S}").alias("s")
+    )
+    horizon = F.broadcast(e.agg(F.max("s").alias("t_now")))
+    return (
+        e.crossJoin(horizon)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr(f"{_DECAY_SCALE} DIV (1 + (t_now - s) DIV 3600)")
+            ).alias("trend_score"),
+        )
+        .orderBy(F.col("trend_score").desc(), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k24 — CUSUM change-point detection (integer-exact via prefix-sum identity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k24_cusum_changepoint",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, event_id,
+               epoch_ns(ts) // {_NS_PER_S} AS s,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot
+        FROM ev GROUP BY event_type
+    ),
+    pre AS (
+        SELECT e.event_type, e.event_id, e.s, st.n,
+               CAST(SUM(e.cents * st.n - st.tot) OVER w AS BIGINT) AS cum
+        FROM ev e JOIN stats st USING (event_type)
+        WINDOW w AS (PARTITION BY e.event_type ORDER BY e.s, e.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dev AS (
+        SELECT event_type, event_id, s, n,
+               cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cusum
+        FROM pre
+    )
+    SELECT event_type, n,
+           CAST(cusum AS BIGINT) AS max_cusum_scaled,
+           s AS cp_s, event_id AS cp_event
+    FROM dev
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY cusum DESC, s, event_id) = 1
+    ORDER BY event_type
+    """,
+)
+def k24_cusum_changepoint(spark, sf_dir) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type: find the
+    moment the value stream's level shifted up hardest — the classic
+    SPC/monitoring primitive (Page 1954) for "when did this metric
+    start running hot".
+
+    The textbook recurrence S_i = max(0, S_{{i-1}} + (x_i − μ)) is
+    sequential — useless as stated in a set-based engine.  The shipped
+    form uses the exact identity S_i = C_i − min_{{j≤i}} C_j where C is
+    the prefix sum of deviations: two stacked window functions (running
+    sum, then running min of it), no recursion, no UDF.  All arithmetic
+    is integer-exact: values quantize to cents (k19's contract), and
+    deviations are scaled by the group count — cents·n − tot — instead
+    of subtracting the fractional mean, so every intermediate is a
+    BIGINT and the argmax (ties → earliest (s, event_id)) is
+    engine-identical.  max_cusum_scaled is therefore n·100× the
+    natural-units CUSUM peak.
+
+    Plan: one shuffle keyed on event_type serves the stats aggregate
+    AND both window passes (the window partitioning reuses the
+    aggregate's exchange); the final per-group argmax is a rank-1
+    filter on the same partitioning.  At 100 TB the per-key state is
+    the window sort — linear per group, the e4/k9 running-window
+    shape; the streaming form maintains (running sum, running min)
+    as two scalars of keyed state."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr(f"ts DIV {_NS_PER_S}").alias("s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("tot")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = e.join(stats, "event_type").withColumn(
+        "cum", F.sum(F.col("cents") * F.col("n") - F.col("tot")).over(w)
+    )
+    dev = pre.withColumn("cusum", F.col("cum") - F.min("cum").over(w))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("cusum").desc(), "s", "event_id"
+    )
+    return (
+        dev.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("cusum").alias("max_cusum_scaled"),
+            F.col("s").alias("cp_s"),
+            F.col("event_id").alias("cp_event"),
+        )
+        .orderBy("event_type")
+    )

@@ -954,3 +954,58 @@ def test_f30_rollup_share_is_single_fact_scan(spark, sf_dir):
     p = _plan(spark, sf_dir, "f30_share_of_parent")
     assert p.count("orders.parquet") == 1
     assert "Expand" in p  # the rollup grouping-set expansion
+
+
+def test_a9_time_travel_prunes_to_one_snapshot(spark, sf_dir):
+    """An as-of read of a versioned table must prune at the partition
+    level: only snap=0's files in one scan, snap=1's in the other —
+    never a full-table scan post-filtered."""
+    import re
+
+    p = _plan(spark, sf_dir, "a9_time_travel")
+    assert "PartitionFilters" in p
+    assert re.search(r"\(snap#\d+ = 0\)", p), p[:3000]
+    assert re.search(r"\(snap#\d+ = 1\)", p), p[:3000]
+
+
+def test_i36_hits_rounds_are_keyed_joins(spark, sf_dir):
+    """Each HITS half-step is a hash join + hash aggregate on the edge
+    key — an unkeyed (nested-loop) round would be quadratic per
+    iteration at scale."""
+    p = _plan(spark, sf_dir, "i36_hits")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # 2 per agg (partial+final), 2 rounds
+
+
+def test_k24_cusum_windows_share_one_exchange(spark, sf_dir):
+    """Both stacked window passes (running sum, then running min) and
+    the final argmax rank use the same (event_type) partitioning —
+    exactly ONE hash exchange on event_type should feed them; stats
+    ride their own aggregate exchange."""
+    p = _plan(spark, sf_dir, "k24_cusum_changepoint")
+    # the window chain must not re-exchange between the two passes:
+    # running-sum window, running-min window and the rank window are
+    # adjacent Window/Sort nodes with no Exchange in between
+    import re
+
+    win_block = p[p.find("Window") :]
+    first_exchange_after = win_block.find("Exchange")
+    # at least the second and third Window nodes appear before any
+    # further exchange below the first Window in the plan tree
+    assert win_block[:first_exchange_after].count("Window") >= 2, p[:3000]
+
+
+def test_j54_lsh_eval_never_joins_all_pairs(spark, sf_dir):
+    """The evaluation must ride j8's banded candidates and j2's
+    shared-shingle join — no cartesian pair enumeration anywhere."""
+    p = _plan(spark, sf_dir, "j54_lsh_eval")
+    assert "CartesianProduct" not in p
+
+
+def test_j55_auc_weights_broadcast(spark, sf_dir):
+    """The model join must broadcast the weight table (model-sized)
+    onto the token stream — shuffling the corpus by bucket would be
+    the 100 TB anti-plan."""
+    p = _plan(spark, sf_dir, "j55_classifier_auc")
+    assert "BroadcastHashJoin" in p
