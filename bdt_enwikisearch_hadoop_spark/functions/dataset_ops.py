@@ -847,3 +847,246 @@ def j55_classifier_auc(spark, sf_dir) -> DataFrame:
             / 1000000.0
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j56 — weight-of-evidence / information value feature scoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "j56_woe_iv",
+    oracle="""
+    WITH lab AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT source,
+               COUNT(*) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos
+        FROM lab GROUP BY source
+    ),
+    t AS (
+        SELECT source, n, n_pos,
+               CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+               CAST(SUM(n - n_pos) OVER () AS BIGINT) AS tot_neg
+        FROM g
+    ),
+    w AS (
+        SELECT source, n, n_pos,
+               LN(((n_pos + 0.5) / tot_pos)
+                  / ((n - n_pos + 0.5) / tot_neg)) AS woe_raw,
+               ((n_pos + 0.5) / tot_pos - (n - n_pos + 0.5) / tot_neg)
+                   AS dp
+        FROM t
+    )
+    SELECT source, n, n_pos,
+           FLOOR(woe_raw * 10000) / 10000 AS woe,
+           FLOOR(SUM(dp * woe_raw) OVER () * 10000) / 10000 AS iv
+    FROM w
+    ORDER BY source
+    """,
+)
+def j56_woe_iv(spark, sf_dir) -> DataFrame:
+    """Weight-of-evidence encoding + information value for a
+    categorical feature (source) against the corpus label (lang='en')
+    — the classic credit-scoring/feature-selection pair, used in data
+    pipelines to rank which metadata columns actually predict a
+    quality label before training on them (j55 scores a model; this
+    scores a FEATURE).  WOE_i = ln((pos_i/POS)/(neg_i/NEG)) with
+    +0.5 Laplace smoothing (zero-cell safe); IV = Σ (pos_i/POS −
+    neg_i/NEG)·WOE_i, the standard <0.02 useless / >0.3 strong gauge.
+
+    Determinism: counts are exact BIGINTs; the single ln() per
+    CATEGORY (not per row) follows j42/j47's accepted libm discipline
+    with 4dp floors.  IV is a window total over the category-sized
+    aggregate — d24/d25's one-scan discipline, no join-back rescan.
+
+    Plan / 100 TB shape: one corpus scan → one hash aggregate keyed on
+    the feature (map-side partials), then all ratio/ln/IV arithmetic
+    runs on the CATEGORY-sized table (5 rows here, ~10³ real) inside
+    a single window pass.  Scoring many features = one such aggregate
+    each over the same scan (d19's multi-distinct shape), or one
+    unpivoted (feature, value) aggregate."""
+    lab = load(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "pos"
+        ),
+    )
+    g = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    wall = Window.partitionBy()
+    t = g.select(
+        "source",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).over(wall).alias("tot_neg"),
+    )
+    woe_raw = F.log(
+        ((F.col("n_pos") + 0.5) / F.col("tot_pos"))
+        / ((F.col("n") - F.col("n_pos") + 0.5) / F.col("tot_neg"))
+    )
+    dp = (F.col("n_pos") + 0.5) / F.col("tot_pos") - (
+        F.col("n") - F.col("n_pos") + 0.5
+    ) / F.col("tot_neg")
+    w = t.select(
+        "source", "n", "n_pos", woe_raw.alias("woe_raw"), dp.alias("dp")
+    )
+    return (
+        w.select(
+            "source",
+            "n",
+            "n_pos",
+            (F.floor(F.col("woe_raw") * 10000) / 10000).alias("woe"),
+            (
+                F.floor(
+                    F.sum(F.col("dp") * F.col("woe_raw")).over(wall) * 10000
+                )
+                / 10000
+            ).alias("iv"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j57 — BPE tokenizer training: first-iteration merge-pair counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "j57_bpe_merge_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(t, i, 2) AS pair
+        FROM tok, LATERAL (SELECT unnest(range(1, length(t))) AS i)
+        WHERE length(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+)
+def j57_bpe_merge_pairs(spark, sf_dir) -> DataFrame:
+    """BPE tokenizer training, first iteration: count every ADJACENT
+    character pair inside every word occurrence and rank the top-20 —
+    the argmax of this table IS the first BPE merge (Sennrich et al.
+    2016), and production tokenizer training is exactly this aggregate
+    iterated (count pairs → merge the winner → recount) over the
+    training corpus.  The first iteration is the expensive one (all
+    later rounds touch only words containing the merged symbol), so
+    its shape is the one that must scale.
+
+    Plan / 100 TB shape: a double explode (token, then in-word
+    character offset) that stays inside ONE WholeStageCodegen stage —
+    no shuffle until the single (pair)-keyed hash aggregate, whose key
+    space is alphabet² (bounded, tiny), so map-side partials collapse
+    the corpus-sized pair stream to ~10³ rows per task before the
+    exchange; top-20 is a TakeOrderedAndProject heap.  The iterated
+    production form keeps the word-frequency table (word, count)
+    instead of raw text — one groupBy up front shrinks every later
+    round by the corpus/vocabulary ratio; noted, not needed for one
+    round."""
+    pairs = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"))
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j58 — per-user contribution capping (DP-prep / abuse-bounded aggregates)
+# ---------------------------------------------------------------------------
+
+#: max events any one user may contribute per day to the aggregate.
+_CONTRIB_CAP = 5
+
+
+@query(
+    "j58_contribution_cap",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+               epoch_ns(ts) AS tns,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    capped AS (
+        SELECT day_s, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day_s
+                                  ORDER BY tns, event_id) AS rn
+        FROM ev
+    )
+    SELECT day_s,
+           COUNT(*) AS n_raw,
+           CAST(COUNT(*) FILTER (rn <= {_CONTRIB_CAP}) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(cents) FILTER (rn <= {_CONTRIB_CAP}) AS BIGINT)
+               AS sum_cents_capped
+    FROM capped
+    GROUP BY day_s
+    ORDER BY day_s
+    """,
+)
+def j58_contribution_cap(spark, sf_dir) -> DataFrame:
+    """Per-user contribution capping: each user contributes at most
+    {_CONTRIB_CAP} events per day (earliest first, deterministic
+    (ts, event_id) order) to the daily aggregate — the sensitivity-
+    bounding step every differential-privacy release and every
+    abuse-resistant metric pipeline runs BEFORE aggregating, so one
+    hyperactive user (or bot) cannot move the statistic by more than
+    a bounded amount.  Emitted per day: raw event count, kept count,
+    and the capped cents sum (the quantity noise would be added to in
+    a real DP release — the noise draw is the only non-deterministic
+    step and is exactly what the oracle contract excludes).
+
+    Plan / 100 TB shape: one shuffle on (user_id, day) for the
+    row-number window — the cap is per-key state of size 1 (a
+    counter), the k4 dedup shape — then a day-keyed hash aggregate
+    with map-side partials.  The window partitioning REFINES the
+    aggregate key (user ⊃ day), so AQE coalesces rather than
+    re-exchanges; conditional aggregates avoid a second pass for the
+    raw-vs-kept comparison (d15/d20 discipline)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("day", "ts2")).alias("day_s"),
+        F.col("ts").alias("tns"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "day_s").orderBy("tns", "event_id")
+    capped = e.withColumn("rn", F.row_number().over(w))
+    keep = F.col("rn") <= _CONTRIB_CAP
+    return (
+        capped.groupBy("day_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(F.when(keep, F.col("cents"))).alias("sum_cents_capped"),
+        )
+        .orderBy("day_s")
+    )

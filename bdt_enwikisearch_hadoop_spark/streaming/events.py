@@ -2576,3 +2576,77 @@ def k24_cusum_changepoint(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# k25 — sliding-window rate quota (trailing-24h per-user event budget)
+# ---------------------------------------------------------------------------
+
+#: events allowed per user in any trailing 24-hour window.
+_QUOTA = 8
+
+
+@query(
+    "k25_sliding_quota",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_ns(ts) // {_NS_PER_S} AS s
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, s,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+                              RANGE BETWEEN 86399 PRECEDING
+                              AND CURRENT ROW) AS cnt
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (cnt > {_QUOTA}) AS BIGINT) AS n_breaches,
+           CAST(MAX(cnt) AS BIGINT) AS max_window_count,
+           MIN(CASE WHEN cnt > {_QUOTA} THEN s END) AS first_breach_s
+    FROM w
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (cnt > {_QUOTA}) > 0
+    ORDER BY user_id
+    """,
+)
+def k25_sliding_quota(spark, sf_dir) -> DataFrame:
+    """Sliding-window rate quota: for every event, the count of that
+    user's events in the trailing 24 h (event-time RANGE frame, so the
+    window follows the data, not wall-clock buckets — a user firing
+    {_QUOTA}+1 events straddling a midnight boundary IS a breach that
+    k10-style tumbling day buckets would miss); report users who ever
+    exceed {_QUOTA}, with breach count, worst window and first breach
+    time — the API-rate-limit / abuse-detection primitive, and the
+    exact event-time semantics of k2's sliding windows applied to
+    per-entity quotas.
+
+    Plan / 100 TB shape: ONE shuffle keyed on user_id serves the RANGE
+    window (running count over an in-partition sort — e5's frame
+    machinery, per-key state = the 24 h deque) AND the per-user
+    aggregate that follows (same partitioning, AQE-coalesced, no
+    second exchange).  Streaming form: per-key timestamp-list state
+    with watermark eviction — ``transformWithState``'s canonical
+    example; the batch form here is its replay-verifiable equivalent.
+    All arithmetic is integer seconds."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr(f"ts DIV {_NS_PER_S}").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    cnt = e.withColumn("cnt", F.count(F.lit(1)).over(w))
+    breach = F.col("cnt") > _QUOTA
+    return (
+        cnt.groupBy("user_id")
+        .agg(
+            F.sum(breach.cast("long")).alias("n_breaches"),
+            F.max("cnt").alias("max_window_count"),
+            F.min(F.when(breach, F.col("s"))).alias("first_breach_s"),
+        )
+        .filter(F.col("n_breaches") > 0)
+        .orderBy("user_id")
+    )

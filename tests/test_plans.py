@@ -1009,3 +1009,28 @@ def test_j55_auc_weights_broadcast(spark, sf_dir):
     the 100 TB anti-plan."""
     p = _plan(spark, sf_dir, "j55_classifier_auc")
     assert "BroadcastHashJoin" in p
+
+
+def test_j57_bpe_pairs_single_aggregate_with_heap(spark, sf_dir):
+    """The double explode must stay map-side: exactly one aggregate
+    pair (partial+final) on the pair key, top-20 as a heap, no sort of
+    the corpus-sized pair stream."""
+    p = _plan(spark, sf_dir, "j57_bpe_merge_pairs")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_j58_cap_window_feeds_aggregate_without_reexchange(spark, sf_dir):
+    """The (user, day) window partitioning refines the day aggregate
+    key: exactly one hash exchange before the day-keyed aggregate's
+    own exchange — never a third."""
+    p = _plan(spark, sf_dir, "j58_contribution_cap")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_k25_quota_window_and_aggregate_share_user_exchange(spark, sf_dir):
+    """RANGE window and per-user aggregate both key on user_id — one
+    hash exchange total."""
+    p = _plan(spark, sf_dir, "k25_sliding_quota")
+    assert p.count("Exchange hashpartitioning") == 1
