@@ -1902,9 +1902,11 @@ _PR_ITERS = 5  # fixed iteration count => SQL-unrollable oracle
 _PR_K = 3  # out-degree of the kNN graph
 
 
-def _pr_oracle() -> str:
-    parts = [
-        f"""WITH pairs AS (
+#: the full-corpus kNN edge list as DuckDB CTEs (4dp-rounded cosine,
+#: nid tiebreak, out-degree _PR_K) — shared by the PageRank oracle and
+#: j59's negative-sampling oracle; must stay the exact mirror of
+#: ``knn_edges``.
+_KNN_EDGES_CTE = f"""pairs AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
                ROUND({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
         FROM embeddings a
@@ -1916,7 +1918,12 @@ def _pr_oracle() -> str:
         SELECT qid, nid FROM pairs
         QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY cos DESC, nid) <= {_PR_K}
-    ),
+    )"""
+
+
+def _pr_oracle() -> str:
+    parts = [
+        f"""WITH {_KNN_EDGES_CTE},
     n AS (SELECT COUNT(*) AS n FROM embeddings),
     r0 AS (SELECT vec_id, 1.0 / n AS r FROM embeddings CROSS JOIN n)"""
     ]
@@ -2492,4 +2499,126 @@ def j54_lsh_eval(spark, sf_dir) -> DataFrame:
             )
             / 10000
         ).alias("cand_precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j59 — deterministic negative sampling for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+#: hash trials drawn per query and negatives kept.
+_NEG_TRIALS = 10
+_NEG_K = 5
+
+
+@query(
+    "j59_negative_sampling",
+    oracle=f"""
+    WITH {_KNN_EDGES_CTE},
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    trials AS (
+        SELECT e.vec_id AS qid, t.tr,
+               ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':'
+                                   || CAST(t.tr AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n AS cand
+        FROM embeddings e CROSS JOIN n
+        CROSS JOIN range(0, {_NEG_TRIALS}) t(tr)
+    ),
+    valid AS (
+        SELECT qid, cand, MIN(tr) AS tr
+        FROM trials tl
+        WHERE cand <> qid
+          AND NOT EXISTS (SELECT 1 FROM edges e2
+                          WHERE e2.qid = tl.qid AND e2.nid = tl.cand)
+        GROUP BY qid, cand
+    )
+    SELECT qid, cand AS neg_id, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT qid, cand,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY tr, cand)
+                     AS rk
+          FROM valid)
+    WHERE rk <= {_NEG_K}
+    """,
+)
+def j59_negative_sampling(spark, sf_dir) -> DataFrame:
+    """Deterministic negative sampling for contrastive / metric
+    learning: for every vector (anchor), draw {_NEG_K} corpus
+    negatives that are NOT among its {_PR_K} nearest neighbors — the
+    (anchor, positive, negative) triple factory every embedding-model
+    training run needs, with the standard correctness trap handled
+    explicitly: a uniform "random" negative that happens to be a true
+    neighbor is a FALSE negative that poisons the loss, so candidates
+    are anti-joined against the kNN edge list before selection.
+
+    Determinism (§2.0 rule 7): candidates come from md5(qid:trial)
+    folded modulo N over dense vec_ids — reproducible on any engine,
+    any partitioning, any run, unlike rand()-seeded samplers whose
+    draw order is partitioning-dependent.  Collisions dedup to the
+    earliest trial; a query keeps fewer than {_NEG_K} negatives only
+    if {_NEG_TRIALS} trials couldn't clear the exclusion set (never on
+    this corpus; monitored by the count invariant in the property
+    test).
+
+    Plan / 100 TB shape: trials are a map-side explode ({_NEG_TRIALS}
+    rows per anchor, no shuffle); the exclusion is one LEFT ANTI hash
+    join against the edge list keyed on (qid, cand) — edge lists are
+    k·N, so both sides shuffle linearly; selection is a per-anchor
+    row_number on the same key.  The expensive input — the kNN edge
+    list itself — is j40's build, shared infrastructure at scale
+    (build once, feed PageRank, triangles, AND the training-pair
+    factory).  Real pipelines swap the exact kNN for j13/j22 ANN
+    candidates; the sampling plan is unchanged."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    n = F.broadcast(emb.agg(F.count(F.lit(1)).alias("n")))
+    edges = knn_edges(spark, sf_dir, _PR_K)
+    trials = (
+        emb.crossJoin(n)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_TRIALS - 1))
+            ).alias("tr"),
+            "n",
+        )
+        .select(
+            "qid",
+            "tr",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("qid").cast("string"),
+                                F.col("tr").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("cand"),
+        )
+        .filter(F.col("cand") != F.col("qid"))
+    )
+    pos = edges.select(
+        F.col("qid").alias("pqid"), F.col("nid").alias("pnid")
+    )
+    valid = (
+        trials.join(
+            pos,
+            (trials.qid == pos.pqid) & (trials.cand == pos.pnid),
+            "left_anti",
+        )
+        .groupBy("qid", "cand")
+        .agg(F.min("tr").alias("tr"))
+    )
+    w = Window.partitionBy("qid").orderBy("tr", "cand")
+    return (
+        valid.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NEG_K)
+        .select("qid", F.col("cand").alias("neg_id"), F.col("rk").cast("long").alias("rk"))
     )

@@ -1803,3 +1803,122 @@ def i35_batch_queries(spark, sf_dir) -> DataFrame:
         .select("query_id", "doc_id", "rnk", "score")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# i37 — learning-to-rank feature extraction (text × link-graph join)
+# ---------------------------------------------------------------------------
+
+def _ltr_oracle() -> str:
+    from .link_graph import _LINKS_CTE
+
+    return f"""
+    WITH {_TOK_CTE}, {_LINKS_CTE},
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS nd, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY term),
+    deg AS (SELECT target, COUNT(*) AS in_deg FROM links GROUP BY target)
+    SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+           CAST(COALESCE(deg.in_deg, 0) AS BIGINT) AS in_deg,
+           FLOOR(tf * LN(nd * 1.0 / dfc) * 10000) / 10000 AS wt_tfidf,
+           FLOOR(LN(1 + (nd - dfc + 0.5) / (dfc + 0.5))
+                 * tf * ({_BM25_K1} + 1)
+                 / (tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+                 * 10000) / 10000 AS bm25_term
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    LEFT JOIN deg ON deg.target = 'doc_' || CAST(tf.doc_id AS VARCHAR)
+    ORDER BY tf.doc_id, tf.term
+    """
+
+
+@query("i37_ltr_features", oracle=_ltr_oracle())
+def i37_ltr_features(spark, sf_dir) -> DataFrame:
+    """Learning-to-rank FEATURE EXTRACTION: for every (query term,
+    matching doc) pair, the per-term feature vector an LTR trainer
+    (LambdaMART et al.) consumes — raw tf, document length, TF-IDF
+    weight, the BM25 per-term score, and the doc's wikilink in-degree
+    (the query-independent authority signal).  This is the stage
+    between a search engine's index and its ranker: production systems
+    materialize exactly this table from the same index scans that
+    serve retrieval, then train offline.  It composes three existing
+    pipelines — tokenization/TF (i2), BM25 statistics (i10), link
+    extraction (i27) — in ONE plan, which is the point: feature
+    extraction re-uses the index passes, it does not re-scan the
+    corpus per feature.
+
+    Plan / 100 TB shape: the corpus is tokenized once (tok feeds both
+    dl and tf — ReusedExchange); the query-term filter shrinks tf
+    BEFORE any join (i6's discipline) so every join downstream is
+    query-result-sized except the link aggregate, which is
+    edge-list-sized and keyed on the same doc identity (broadcast here,
+    bucketed at scale).  nd/avgdl is one broadcast scalar row.  Output
+    is (matched docs × query terms) — the training-candidate set, not
+    the corpus."""
+    from .link_graph import extract_links
+
+    docs = load(spark, sf_dir, "documents")
+    tok = tokenize(docs)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("nd"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    deg = (
+        extract_links(docs)
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    )
+    idf_bm = F.log(
+        1
+        + (F.col("nd") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    bm25_term = (
+        idf_bm
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .join(
+            F.broadcast(deg),
+            F.col("target")
+            == F.concat(F.lit("doc_"), F.col("doc_id").cast("string")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            F.coalesce(F.col("in_deg"), F.lit(0).cast("long")).alias(
+                "in_deg"
+            ),
+            (
+                F.floor(
+                    F.col("tf")
+                    * F.log(F.col("nd").cast("double") / F.col("dfc"))
+                    * 10000
+                )
+                / 10000
+            ).alias("wt_tfidf"),
+            (F.floor(bm25_term * 10000) / 10000).alias("bm25_term"),
+        )
+        .orderBy("doc_id", "term")
+    )

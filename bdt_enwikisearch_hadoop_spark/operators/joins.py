@@ -1331,3 +1331,88 @@ def c29_asof_nearest(spark, sf_dir) -> DataFrame:
             F.expr("MIN(dist) DIV 1000000000").alias("dist_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c30 — as-of join with a staleness tolerance (feature-store PIT join)
+# ---------------------------------------------------------------------------
+
+#: max feature age accepted by the point-in-time join (days).
+_PIT_TOLERANCE_DAYS = 30
+
+
+@query(
+    "c30_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id,
+           CAST(CAST(MAX(o.o_orderdate) AS DATE) AS VARCHAR)
+               AS feature_date,
+           CASE WHEN MAX(o.o_orderdate) IS NOT NULL
+                THEN datediff('day', CAST(MAX(o.o_orderdate) AS DATE),
+                              CAST(e.ts AS DATE))
+           END AS staleness_days,
+           COUNT(o.o_orderkey) AS n_in_window
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL {_PIT_TOLERANCE_DAYS} DAY
+    GROUP BY e.event_id, CAST(e.ts AS DATE)
+    """,
+)
+def c30_asof_tolerance(spark, sf_dir) -> DataFrame:
+    """Point-in-time feature join WITH a staleness bound — the
+    feature-store contract for training-data assembly: each event
+    (training example) gets the latest order-derived feature of its
+    user as of the event time, but ONLY if that feature is at most
+    {_PIT_TOLERANCE_DAYS} days old; an older value comes back NULL
+    rather than silently stale.  This is c11's as-of join plus the
+    freshness clause every production feature platform adds (serving a
+    90-day-old "latest activity" feature into a model is a data bug
+    the plain as-of join cannot express).  staleness_days is emitted
+    so the feature's age distribution is auditable in the same pass.
+
+    Plan / 100 TB shape: identical join skeleton to c11 — one shuffle
+    on the user key, per-event MAX — but the tolerance predicate makes
+    the join BOUNDED: each event matches at most a {_PIT_TOLERANCE_DAYS}-day
+    slice of its user's history instead of the entire past, so the
+    join's output (and the aggregate's input) stops growing with
+    history depth.  That bound is precisely what makes PIT joins
+    feasible over years of history: partition the feature table by
+    date and the tolerance prunes old partitions at plan time.  NULL
+    semantics ride the left join (b3 discipline); date arithmetic is
+    exact integer days."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    ev = e.select(
+        "event_id",
+        "user_id",
+        F.col("ts2").cast("timestamp_ntz").alias("ets"),
+        F.col("ts2").cast("date").alias("edate"),
+    )
+    joined = ev.join(
+        o,
+        (o.o_custkey == ev.user_id)
+        & (o.o_orderdate <= ev.ets)
+        & (
+            o.o_orderdate
+            >= ev.ets - F.expr(f"INTERVAL {_PIT_TOLERANCE_DAYS} DAY")
+        ),
+        "left",
+    )
+    agg = joined.groupBy("event_id", "edate").agg(
+        F.max("o_orderdate").cast("date").alias("fdate"),
+        F.count("o_orderkey").alias("n_in_window"),
+    )
+    # the date ships as an ISO string: a nullable datetime64 column
+    # arrives from the oracle as pandas NaT while Spark hands back
+    # None — strings keep the null representation identical
+    return agg.select(
+        "event_id",
+        F.date_format("fdate", "yyyy-MM-dd").alias("feature_date"),
+        F.when(
+            F.col("fdate").isNotNull(),
+            F.datediff(F.col("edate"), F.col("fdate")),
+        ).alias("staleness_days"),
+        "n_in_window",
+    )

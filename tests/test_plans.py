@@ -1034,3 +1034,30 @@ def test_k25_quota_window_and_aggregate_share_user_exchange(spark, sf_dir):
     hash exchange total."""
     p = _plan(spark, sf_dir, "k25_sliding_quota")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_c30_pit_join_is_keyed_with_bounded_residual(spark, sf_dir):
+    """The tolerance-bounded as-of join must keep its user-key equi
+    component (hash/sort-merge), with the date window as a residual —
+    never a nested loop over history."""
+    p = _plan(spark, sf_dir, "c30_asof_tolerance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_i37_ltr_tokenizes_once_and_broadcasts_stats(spark, sf_dir):
+    """Feature extraction must reuse the tokenization (dl and tf share
+    the tok scan via exchange reuse) and broadcast the scalar stats +
+    degree table; the corpus is never re-shuffled per feature."""
+    p = _plan(spark, sf_dir, "i37_ltr_features")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_j59_exclusion_is_anti_hash_join(spark, sf_dir):
+    """The false-negative exclusion must plan as a LEFT ANTI hash join
+    on (qid, cand) — per-candidate subquery re-execution or a cartesian
+    would be the scale killer."""
+    p = _plan(spark, sf_dir, "j59_negative_sampling")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

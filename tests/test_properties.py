@@ -2683,3 +2683,33 @@ def test_mad_outliers_match_python_reference(spark, sf_dir):
         assert r.mad == mad
         assert r.n_outliers == sum(1 for a in adev if a > 3 * mad)
         assert r.n_outliers < r.n
+
+
+def test_j59_negatives_complete_and_disjoint_from_positives(spark, sf_dir):
+    """Every anchor gets exactly _NEG_K negatives; no negative is the
+    anchor itself or one of its kNN positives (the false-negative
+    poisoning the operator exists to prevent)."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _NEG_K,
+        _PR_K,
+        knn_edges,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    negs = QUERIES["j59_negative_sampling"](spark, sf_dir).collect()
+    pos = defaultdict(set)
+    for r in knn_edges(spark, sf_dir, _PR_K).collect():
+        pos[r.qid].add(r.nid)
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    per_q = defaultdict(list)
+    for r in negs:
+        assert r.neg_id != r.qid
+        assert r.neg_id not in pos[r.qid], (r.qid, r.neg_id)
+        assert 0 <= r.neg_id < n_vec
+        per_q[r.qid].append(r.rk)
+    assert len(per_q) == n_vec
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, _NEG_K + 1)), (q, rks)
