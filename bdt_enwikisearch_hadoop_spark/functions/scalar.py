@@ -591,3 +591,52 @@ def h15_json_shred(spark, sf_dir) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# h16 — binary codec battery (base64 / hex round trips)
+# ---------------------------------------------------------------------------
+
+@query(
+    "h16_codec",
+    oracle="""
+    SELECT doc_id,
+           length(base64(encode(text))) AS b64_len,
+           md5(decode(from_base64(base64(encode(text))))) AS md5_rt,
+           hex(encode(substr(text, 1, 8))) AS hex_prefix,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def h16_codec(spark, sf_dir) -> DataFrame:
+    """Binary codec battery: base64 encode → decode round trip proven
+    by md5 equality, hex of a UTF-8 byte prefix, and exact byte
+    length — the interchange plumbing every ingestion layer leans on
+    (webhook payloads, protobuf blobs, m1-m4's opaque media columns
+    all arrive base64- or hex-wrapped).  Two independent codec
+    implementations (Spark's vs the oracle engine's) agreeing on every
+    document — including multi-byte UTF-8 — is the point of the
+    parity check; the b64 length also pins the padding convention
+    (both emit '=' padding).
+
+    Plan: pure per-row projection, shuffle-free map pass inside one
+    codegen stage (j18's shape); the only exchange is the output sort,
+    which real pipelines drop.  Codec cost is linear in bytes and
+    column-pruned: only text is read."""
+    d = load(spark, sf_dir, "documents")
+    b = F.col("text").cast("binary")
+    # Spark's base64 emits RFC-2045 MIME chunking (CRLF every 76
+    # chars) while DuckDB emits the unchunked RFC-4648 form — the
+    # decoded bytes agree (decoders skip whitespace) but raw lengths
+    # don't, so the length is measured on the whitespace-stripped form
+    b64 = F.regexp_replace(F.base64(b), "[\r\n]", "")
+    return d.select(
+        "doc_id",
+        F.length(b64).cast("long").alias("b64_len"),
+        F.md5(F.unbase64(b64)).alias("md5_rt"),
+        F.hex(F.substring(F.col("text"), 1, 8).cast("binary")).alias(
+            "hex_prefix"
+        ),
+        F.length(b).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")

@@ -1922,3 +1922,66 @@ def i37_ltr_features(spark, sf_dir) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# i38 — champion lists (impact-ordered posting truncation)
+# ---------------------------------------------------------------------------
+
+#: postings kept per term in the champion list.
+_CHAMP_M = 50
+
+
+@query(
+    "i38_champion_lists",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    ch AS (
+        SELECT term, doc_id, wt
+        FROM w WHERE term IN ({_TERMS_SQL})
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY term
+                                   ORDER BY ROUND(wt, 4) DESC, doc_id)
+                <= {_CHAMP_M}
+    )
+    SELECT doc_id, ROUND(SUM(wt), 4) AS score
+    FROM ch
+    GROUP BY doc_id
+    ORDER BY ROUND(SUM(wt), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def i38_champion_lists(spark, sf_dir) -> DataFrame:
+    """Champion-list (impact-ordered, truncated) retrieval: keep only
+    each term's top-{_CHAMP_M} postings by weight at INDEX time, and
+    answer the disjunctive query from those lists alone — the classic
+    inexact top-k optimization (Manning/IIR ch.7) that bounds
+    per-query work by |Q|·m regardless of how common the terms are.
+    Where i32's MaxScore prunes at QUERY time with a proof of
+    exactness, champion lists trade a bounded, index-time-chosen
+    approximation for a hard latency ceiling; both ship in real
+    engines, usually stacked.  (With m={_CHAMP_M} ≥ the top-10's true
+    posting depth on this corpus, the result equals i7 — the oracle
+    states champion semantics, so parity holds regardless.)
+
+    Plan / 100 TB shape: the champion rank is one window per term
+    partition over the (already query-filtered) weight slice — at
+    index-build time this runs over the FULL vocabulary once and
+    persists m rows/term (index_store's bucketed layout, ~m/avg_df of
+    full posting bytes); the query path is then |Q| list fetches + a
+    doc-keyed aggregate + a top-k heap, never touching full postings.
+    Scoring, ordering and ties follow i7's exact 4dp discipline."""
+    docs = load(spark, sf_dir, "documents")
+    w = tfidf(docs).filter(F.col("term").isin(*QUERY_TERMS))
+    champ_w = Window.partitionBy("term").orderBy(
+        F.round(F.col("wt"), 4).desc(), "doc_id"
+    )
+    champions = (
+        w.withColumn("rn", F.row_number().over(champ_w))
+        .filter(F.col("rn") <= _CHAMP_M)
+    )
+    return (
+        champions.groupBy("doc_id")
+        .agg(F.round(F.sum("wt"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

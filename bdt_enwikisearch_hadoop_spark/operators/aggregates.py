@@ -1063,3 +1063,98 @@ def d27_mad_outliers(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# d28 — revenue concentration: top-decile customer share per nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "d28_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents DESC, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM spend
+    )
+    SELECT c_nationkey,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(SUM(cents) AS BIGINT) AS tot_cents,
+           CAST(SUM(CASE WHEN rn <= CAST(CEIL(n_cust * 0.1) AS BIGINT)
+                         THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+           (SUM(CASE WHEN rn <= CAST(CEIL(n_cust * 0.1) AS BIGINT)
+                     THEN cents ELSE 0 END) * 10000 // SUM(cents))
+               / 10000.0 AS top_decile_share
+    FROM ranked
+    GROUP BY c_nationkey, n_cust
+    ORDER BY c_nationkey
+    """,
+)
+def d28_concentration(spark, sf_dir) -> DataFrame:
+    """Revenue concentration per nation: the share of total customer
+    spend held by the TOP DECILE of customers — the Pareto/whale
+    metric (d25's entropy/Gini sibling, but rank-based: "do 10% of
+    customers carry 60% of revenue?").  Decile membership is exact
+    integer rank ≤ ceil(n/10) with (spend, custkey) ties, sums are
+    exact cents, and the share is integer floor division at 4dp — no
+    float percentile machinery anywhere (contrast d12's interpolated
+    percentiles, which this deliberately avoids for the cross-engine
+    hash).
+
+    Plan / 100 TB shape: one (nation, customer)-keyed aggregate
+    collapses orders ~10:1, then the rank and count windows share ONE
+    nation-keyed exchange (a refinement of the first — AQE coalesces),
+    and the final aggregate rides the same partitioning.  Per-nation
+    state is the sort, linear in customers; nation count bounds the
+    output.  The same shape serves any "top-p% share" audit (token
+    share of top domains, dup-cluster mass, j48's budget telemetry)."""
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cents").desc(), "c_custkey"
+    )
+    wn = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_cust"),
+    )
+    top = F.col("rn") <= F.ceil(F.col("n_cust") * 0.1).cast("long")
+    return (
+        ranked.groupBy("c_nationkey", "n_cust")
+        .agg(
+            F.sum("cents").alias("tot_cents"),
+            F.sum(F.when(top, F.col("cents")).otherwise(F.lit(0))).alias(
+                "top_cents"
+            ),
+        )
+        .select(
+            "c_nationkey",
+            "n_cust",
+            "tot_cents",
+            "top_cents",
+            (
+                F.expr("top_cents * 10000 DIV tot_cents") / 10000.0
+            ).alias("top_decile_share"),
+        )
+        .orderBy("c_nationkey")
+    )

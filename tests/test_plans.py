@@ -1061,3 +1061,23 @@ def test_j59_exclusion_is_anti_hash_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "j59_negative_sampling")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_i38_champions_end_in_topk_heap(spark, sf_dir):
+    p = _plan(spark, sf_dir, "i38_champion_lists")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_d28_rank_and_count_windows_share_partitioning(spark, sf_dir):
+    """Both windows and the final aggregate key on c_nationkey — the
+    spend aggregate's exchange plus at most one nation re-key; never a
+    third hash exchange."""
+    p = _plan(spark, sf_dir, "d28_concentration")
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_h16_codec_is_map_pass(spark, sf_dir):
+    """Codecs are per-row projections: no hash exchange anywhere (the
+    output sort is presentation, range-partitioned)."""
+    p = _plan(spark, sf_dir, "h16_codec")
+    assert "Exchange hashpartitioning" not in p
