@@ -2622,3 +2622,78 @@ def j59_negative_sampling(spark, sf_dir) -> DataFrame:
         .filter(F.col("rk") <= _NEG_K)
         .select("qid", F.col("cand").alias("neg_id"), F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# j60 — dedup run report (cluster-size histogram + corpus savings)
+# ---------------------------------------------------------------------------
+
+def _j60_oracle() -> str:
+    from ..registry import ORACLES
+
+    return f"""
+    WITH keepers AS ({ORACLES["j32_dedup_pipeline_scale"]}),
+    g AS (
+        SELECT n_members,
+               COUNT(*) AS n_clusters,
+               CAST(n_members * COUNT(*) AS BIGINT) AS docs_covered,
+               CAST((n_members - 1) * COUNT(*) AS BIGINT) AS docs_removed
+        FROM keepers
+        GROUP BY n_members
+    )
+    SELECT n_members, n_clusters, docs_covered, docs_removed,
+           (SUM(docs_removed) OVER () * 10000
+            // SUM(docs_covered) OVER ()) / 10000.0 AS dedup_ratio
+    FROM g
+    ORDER BY n_members
+    """
+
+
+@query("j60_dedup_report", oracle=_j60_oracle())
+def j60_dedup_report(spark, sf_dir) -> DataFrame:
+    """Dedup run REPORT: the artifact a data team reads after the j32
+    scale-path dedup pipeline runs — cluster-size histogram (how many
+    singletons, pairs, bigger families), documents covered/removed per
+    size, and the overall dedup ratio — all derived from the keeper
+    table in one tiny aggregate, no re-run of the pipeline.
+
+    All quantities are exact integers off j32's (component, n_members)
+    output; the overall ratio is integer floor division at 4dp
+    replicated on every row (m5's window-total discipline — the
+    report is cluster-size-bounded, so the window is over a handful
+    of rows).
+
+    Plan / 100 TB shape: everything downstream of j32's keeper table
+    is histogram-sized; the report adds one hash aggregate on
+    n_members and a one-partition window over ≤ max-cluster-size rows.
+    Production attaches this to the dedup job the way j36 attaches
+    Observation metrics — same pass, free telemetry."""
+    keepers = j32_dedup_pipeline_scale(spark, sf_dir)
+    g = keepers.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    wall = Window.partitionBy()
+    return (
+        g.select(
+            "n_members",
+            "n_clusters",
+            (F.col("n_members") * F.col("n_clusters")).alias("docs_covered"),
+            ((F.col("n_members") - 1) * F.col("n_clusters")).alias(
+                "docs_removed"
+            ),
+        )
+        .select(
+            "n_members",
+            "n_clusters",
+            "docs_covered",
+            "docs_removed",
+            (
+                F.expr(
+                    "sum(docs_removed) over () * 10000"
+                    " DIV sum(docs_covered) over ()"
+                )
+                / 10000.0
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("n_members")
+    )

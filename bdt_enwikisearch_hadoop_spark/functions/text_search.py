@@ -1985,3 +1985,95 @@ def i38_champion_lists(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i39 — postings compression estimate (delta gaps + variable-byte)
+# ---------------------------------------------------------------------------
+
+_VBYTE_SQL = (
+    "CASE WHEN {g} < 128 THEN 1 WHEN {g} < 16384 THEN 2"
+    " WHEN {g} < 2097152 THEN 3 WHEN {g} < 268435456 THEN 4"
+    " ELSE 5 END"
+)
+
+
+@query(
+    "i39_postings_compression",
+    oracle=f"WITH {_TOK_CTE},"
+    f"""
+    post AS (SELECT DISTINCT term, doc_id FROM tok),
+    gaps AS (
+        SELECT term,
+               COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY term
+                                                   ORDER BY doc_id),
+                        doc_id + 1) AS g
+        FROM post
+    ),
+    sz AS (
+        SELECT term,
+               COUNT(*) AS df,
+               CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+               CAST(SUM({_VBYTE_SQL.format(g='g')}) AS BIGINT)
+                   AS vbyte_bytes
+        FROM gaps GROUP BY term
+    )
+    SELECT term, df, raw_bytes, vbyte_bytes,
+           (raw_bytes * 10000 // vbyte_bytes) / 10000.0
+               AS compression_ratio
+    FROM sz
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+)
+def i39_postings_compression(spark, sf_dir) -> DataFrame:
+    """Inverted-index compression accounting: per-term posting lists
+    delta-encoded (doc-id gaps) and priced under variable-byte coding
+    — the storage arithmetic behind every real index format (gap +
+    vbyte/PForDelta is why a positional index fits in a fraction of
+    raw id width; Manning/IIR ch.5).  The estimate is EXACT integer
+    math both engines reproduce bit-for-bit: gap = id − lag(id) (first
+    gap id+1, keeping it ≥ 1), vbyte bytes = the 7-bit-group count by
+    range CASE, raw = 8 bytes/posting; ratio is floor division at 4dp.
+    This closes the survey's "index compression" gap with a checkable
+    artifact: the top-100-df rows are exactly the lists whose
+    compression decides index size.
+
+    Plan / 100 TB shape: one distinct on (term, doc_id) — the i5
+    index-build shuffle — then the lag window and the size aggregate
+    RIDE that same term partitioning (no second exchange,
+    plan-guarded); top-100 is a heap.  At build time this aggregate is
+    computed alongside the index write as free telemetry (j36's
+    observe discipline); the decision it feeds — which lists to cache
+    raw vs compressed — is index-format engineering, and the numbers
+    here are the ones that drive it."""
+    docs = load(spark, sf_dir, "documents")
+    post = tokenize(docs).select("term", "doc_id").distinct()
+    wlag = Window.partitionBy("term").orderBy("doc_id")
+    gaps = post.select(
+        "term",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wlag),
+            F.col("doc_id") + 1,
+        ).alias("g"),
+    )
+    sz = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        (F.count(F.lit(1)) * 8).alias("raw_bytes"),
+        F.sum(F.expr(_VBYTE_SQL.format(g="g"))).cast("long").alias(
+            "vbyte_bytes"
+        ),
+    )
+    return (
+        sz.select(
+            "term",
+            "df",
+            "raw_bytes",
+            "vbyte_bytes",
+            (
+                F.expr("raw_bytes * 10000 DIV vbyte_bytes") / 10000.0
+            ).alias("compression_ratio"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )

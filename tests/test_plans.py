@@ -1081,3 +1081,12 @@ def test_h16_codec_is_map_pass(spark, sf_dir):
     output sort is presentation, range-partitioned)."""
     p = _plan(spark, sf_dir, "h16_codec")
     assert "Exchange hashpartitioning" not in p
+
+
+def test_i39_gaps_and_sizes_share_term_partitioning(spark, sf_dir):
+    """The lag window and the size aggregate both key on term: the
+    distinct's exchange feeds both — no extra hash exchange beyond the
+    distinct's own two-phase pair."""
+    p = _plan(spark, sf_dir, "i39_postings_compression")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") <= 2
