@@ -2504,9 +2504,10 @@ def k23_decayed_trending(spark, sf_dir) -> DataFrame:
     ),
     dev AS (
         SELECT event_type, event_id, s, n,
-               cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY s, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cusum
+               cum - LEAST(MIN(cum) OVER (PARTITION BY event_type
+                                          ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 0) AS cusum
         FROM pre
     )
     SELECT event_type, n,
@@ -2526,8 +2527,9 @@ def k24_cusum_changepoint(spark, sf_dir) -> DataFrame:
 
     The textbook recurrence S_i = max(0, S_{{i-1}} + (x_i − μ)) is
     sequential — useless as stated in a set-based engine.  The shipped
-    form uses the exact identity S_i = C_i − min_{{j≤i}} C_j where C is
-    the prefix sum of deviations: two stacked window functions (running
+    form uses the exact identity S_i = C_i − min(0, min_{{j≤i}} C_j)
+    (the empty prefix's C_0 = 0 must participate — the recurrence
+    resets AT zero) where C is the prefix sum of deviations: two stacked window functions (running
     sum, then running min of it), no recursion, no UDF.  All arithmetic
     is integer-exact: values quantize to cents (k19's contract), and
     deviations are scaled by the group count — cents·n − tot — instead
@@ -2560,7 +2562,14 @@ def k24_cusum_changepoint(spark, sf_dir) -> DataFrame:
     pre = e.join(stats, "event_type").withColumn(
         "cum", F.sum(F.col("cents") * F.col("n") - F.col("tot")).over(w)
     )
-    dev = pre.withColumn("cusum", F.col("cum") - F.min("cum").over(w))
+    # the running min must include the EMPTY prefix (C_0 = 0): the
+    # recurrence resets at zero, so S_i = C_i - min(0, min_{j<=i} C_j);
+    # without the 0 an all-positive prefix understates the peak (caught
+    # by the sequential-recurrence property test, not by oracle parity
+    # -- both engines shared the identical omission)
+    dev = pre.withColumn(
+        "cusum", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0))
+    )
     pick = Window.partitionBy("event_type").orderBy(
         F.col("cusum").desc(), "s", "event_id"
     )

@@ -2713,3 +2713,116 @@ def test_j59_negatives_complete_and_disjoint_from_positives(spark, sf_dir):
     assert len(per_q) == n_vec
     for q, rks in per_q.items():
         assert sorted(rks) == list(range(1, _NEG_K + 1)), (q, rks)
+
+
+def test_k24_cusum_identity_matches_sequential_recurrence(spark, sf_dir):
+    """The shipped prefix-sum identity must equal the textbook
+    sequential recurrence S_i = max(0, S_{i-1} + dev_i) computed in
+    plain Python over the same cents-quantized, count-scaled
+    deviations — including the argmax and its earliest-tie rule."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("ts DIV 1000000000").alias("s"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in e:
+        groups[r.event_type].append((r.s, r.event_id, r.cents))
+    expected = {}
+    for et, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        tot = sum(c for _, _, c in rows)
+        s_run, best, best_key = 0, -1, None
+        for ts, eid, c in rows:
+            s_run = max(0, s_run + (c * n - tot))
+            if s_run > best:
+                best, best_key = s_run, (ts, eid)
+        expected[et] = (n, best, best_key[0], best_key[1])
+    got = {
+        r.event_type: (r.n, r.max_cusum_scaled, r.cp_s, r.cp_event)
+        for r in QUERIES["k24_cusum_changepoint"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_i36_unnormalized_hits_ranks_like_normalized_hits(spark, sf_dir):
+    """The integer-exact trick's claim: dropping per-round L1
+    normalization changes no ordering.  Recompute HITS in Python WITH
+    normalization each half-step and check the authority ranking
+    (score desc, target asc) matches i36's top-20 exactly."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.link_graph import (
+        extract_links,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    edges = {
+        (r.src, r.target)
+        for r in extract_links(load(spark, sf_dir, "documents"))
+        .select("src", "target")
+        .distinct()
+        .collect()
+    }
+    hubs = {s for s, _ in edges}
+    h = {u: 1.0 for u in hubs}
+    a = defaultdict(float)
+    for u, v in edges:  # a1
+        a[v] += h[u]
+    z = sum(a.values())
+    a = {v: x / z for v, x in a.items()}  # L1 normalize
+    h = defaultdict(float)
+    for u, v in edges:  # h1
+        h[u] += a[v]
+    z = sum(h.values())
+    h = {u: x / z for u, x in h.items()}
+    a2 = defaultdict(float)
+    for u, v in edges:  # a2
+        a2[v] += h[u]
+    ranked = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [r.target for r in QUERIES["i36_hits"](spark, sf_dir).collect()]
+    assert got == [t for t, _ in ranked]
+
+
+def test_k23_decay_weight_is_monotone_and_bounded(spark, sf_dir):
+    """Trending scores: each type's score is positive, at most
+    n_events * SCALE (weight <= SCALE), and equals the Python fold of
+    the same integer kernel."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from bdt_enwikisearch_hadoop_spark.streaming.events import _DECAY_SCALE
+    from pyspark.sql import functions as F
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts DIV 1000000000").alias("s"))
+        .collect()
+    )
+    t_now = max(r.s for r in rows)
+    exp = defaultdict(lambda: [0, 0])
+    for r in rows:
+        exp[r.event_type][0] += 1
+        exp[r.event_type][1] += _DECAY_SCALE // (1 + (t_now - r.s) // 3600)
+    got = QUERIES["k23_decayed_trending"](spark, sf_dir).collect()
+    for r in got:
+        n, score = exp[r.event_type]
+        assert r.n_events == n and r.trend_score == score
+        assert 0 < r.trend_score <= n * _DECAY_SCALE
+    assert [r.trend_score for r in got] == sorted(
+        (r.trend_score for r in got), reverse=True
+    )
