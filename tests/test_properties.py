@@ -2826,3 +2826,56 @@ def test_k23_decay_weight_is_monotone_and_bounded(spark, sf_dir):
     assert [r.trend_score for r in got] == sorted(
         (r.trend_score for r in got), reverse=True
     )
+
+
+def test_i39_vbyte_sizes_match_python_varint(spark, sf_dir):
+    """The range-CASE byte count must equal a real varint encoder's
+    output length for every term's gap stream."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import tokenize
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    def varint_len(g: int) -> int:
+        n = 1
+        while g >= 128:
+            g >>= 7
+            n += 1
+        return n
+
+    post = defaultdict(list)
+    for r in (
+        tokenize(load(spark, sf_dir, "documents"))
+        .select("term", "doc_id")
+        .distinct()
+        .collect()
+    ):
+        post[r.term].append(r.doc_id)
+    expected = {}
+    for term, ids in post.items():
+        ids.sort()
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        expected[term] = (len(ids), sum(varint_len(g) for g in gaps))
+    for r in QUERIES["i39_postings_compression"](spark, sf_dir).collect():
+        df, vb = expected[r.term]
+        assert (r.df, r.vbyte_bytes) == (df, vb), r.term
+        assert r.raw_bytes == 8 * df
+
+
+def test_j54_eval_counts_are_consistent(spark, sf_dir):
+    """found <= true (verified candidates are a subset of the exact
+    pairs by construction), recall matches the counts, and the
+    recall >= 0.9 bound the j8 property test guarantees holds in the
+    report too."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    r = QUERIES["j54_lsh_eval"](spark, sf_dir).collect()[0]
+    assert r.n_dup_found <= r.n_exact
+    assert r.n_dup_found <= r.n_candidates
+    assert r.recall == math.floor(
+        r.n_dup_found / max(r.n_exact, 1) * 10000
+    ) / 10000
+    assert r.recall >= 0.9
