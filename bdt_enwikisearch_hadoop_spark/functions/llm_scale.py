@@ -2697,3 +2697,95 @@ def j60_dedup_report(spark, sf_dir) -> DataFrame:
         )
         .orderBy("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# j61 — embedding pooling: token vectors → document vector (integer-exact)
+# ---------------------------------------------------------------------------
+
+#: pooled embedding dimensionality.
+_POOL_D = 8
+
+
+@query(
+    "j61_embedding_pool",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    comp AS (
+        SELECT doc_id, t.j,
+               ('0x' || substr(md5('e' || CAST(t.j AS VARCHAR) || ':'
+                                   || term), 1, 4))::BIGINT AS v
+        FROM tok CROSS JOIN range(0, {_POOL_D}) t(j)
+    )
+    SELECT doc_id, j,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS pooled
+    FROM comp
+    GROUP BY doc_id, j
+    ORDER BY doc_id, j
+    """,
+)
+def j61_embedding_pool(spark, sf_dir) -> DataFrame:
+    """Embedding POOLING: collapse per-token vectors into one document
+    vector by mean pooling — the standard sentence/document embedding
+    construction (average of token embeddings is the baseline every
+    retrieval paper reports), and the pipeline stage between a token
+    embedding table and j3/j12/j34's document-level vector ops.  Token
+    vectors here are deterministic md5-derived {_POOL_D}-dim integers
+    standing in for a real embedding table (the m1-m4 stubbing
+    discipline: the POOLING plumbing is real and exercised, the
+    lookup source is swappable); the mean is integer floor division,
+    so every component is engine-exact BIGINT — no float accumulation
+    order anywhere.
+
+    Plan / 100 TB shape: explode tokens, derive all {_POOL_D}
+    components map-side, ONE hash aggregate keyed (doc, j) with
+    map-side partials — the exchange carries {_POOL_D} partial sums
+    per document, not the token stream.  With a real embedding table
+    the derivation becomes j47's broadcast model join (weight table →
+    broadcast hash join, zero corpus shuffle); the aggregate is
+    unchanged.  Long-row output (doc, j, pooled) keeps the result
+    scalar-typed for the driver hash; production would pivot to an
+    array column in the same pass."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+    )
+    comp = tok.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_POOL_D)])
+        ).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("e"),
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("term"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    return (
+        comp.groupBy("doc_id", "j")
+        .agg(F.expr("sum(v) DIV count(1)").alias("pooled"))
+        .orderBy("doc_id", "j")
+    )

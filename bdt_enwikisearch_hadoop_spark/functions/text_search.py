@@ -2077,3 +2077,127 @@ def i39_postings_compression(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# i40 — PMI-based query expansion (global co-occurrence thesaurus)
+# ---------------------------------------------------------------------------
+
+#: expansion terms per query term / their score weight.
+_EXP_K = 2
+_EXP_BOOST = 0.5
+
+
+@query(
+    "i40_pmi_expansion",
+    oracle=f"WITH {_TFIDF_CTES},"
+    f"""
+    dt AS (SELECT DISTINCT doc_id, term FROM tok),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS nd2 FROM dt),
+    tdf AS (SELECT term, COUNT(*) AS df2 FROM dt GROUP BY term),
+    co AS (
+        SELECT a.term AS q, b.term AS e, COUNT(*) AS codf
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND b.term <> a.term
+        WHERE a.term IN ({_TERMS_SQL}) AND b.term NOT IN ({_TERMS_SQL})
+        GROUP BY a.term, b.term
+    ),
+    expd AS (
+        SELECT q, e FROM (
+            SELECT q, e,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q
+                       ORDER BY FLOOR(LN(codf * 1.0 * nd2
+                                         / (fa.df2 * fb.df2)) * 10000)
+                                DESC, e) AS rn
+            FROM co
+            JOIN tdf fa ON fa.term = q
+            JOIN tdf fb ON fb.term = e
+            CROSS JOIN ndocs
+            WHERE codf >= 5
+        ) WHERE rn <= {_EXP_K}
+    ),
+    qset AS (
+        SELECT term, 1.0 AS boost
+        FROM (SELECT unnest([{_TERMS_SQL}]) AS term)
+        UNION ALL
+        SELECT DISTINCT e AS term, {_EXP_BOOST} AS boost FROM expd
+    )
+    SELECT w.doc_id, ROUND(SUM(w.wt * qs.boost), 4) AS score
+    FROM w JOIN qset qs USING (term)
+    GROUP BY w.doc_id
+    ORDER BY ROUND(SUM(w.wt * qs.boost), 4) DESC, w.doc_id
+    LIMIT 10
+    """,
+)
+def i40_pmi_expansion(spark, sf_dir) -> DataFrame:
+    """Query expansion from a GLOBAL co-occurrence thesaurus: each
+    query term recruits its top-{_EXP_K} PMI neighbors (i23's
+    association statistic, floored at 4dp for a stable rank, codf ≥ 5
+    support), the expanded term set scores documents with the
+    originals at weight 1.0 and expansions at {_EXP_BOOST} — the
+    corpus-derived synonym expansion every search engine layers over
+    exact matching, and the third expansion style in the battery:
+    i15 fixes typos (edit distance), i31 learns from the top-ranked
+    RESULT set (local feedback), i40 mines the whole corpus once,
+    query-independent, so the thesaurus is a BUILD artifact.
+
+    Plan / 100 TB shape: the expensive object is the co-occurrence
+    table — built here filtered to the query's rows (a.term IN Q
+    before the self-join, so the join is query-posting-sized, not
+    vocabulary²); as a build artifact it is i23's full pass, computed
+    once and served like the inverted index.  The expansion set is
+    query-sized, so scoring is i7's plan with a broadcast boost
+    table.  Ties and rounding follow i7's exact 4dp discipline."""
+    docs = load(spark, sf_dir, "documents")
+    dt = tokenize(docs).select("doc_id", "term").distinct()
+    ndocs = F.broadcast(dt.agg(F.countDistinct("doc_id").alias("nd2")))
+    tdf = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df2"))
+    a = dt.filter(F.col("term").isin(*QUERY_TERMS)).select(
+        F.col("doc_id"), F.col("term").alias("q")
+    )
+    b = dt.filter(~F.col("term").isin(*QUERY_TERMS)).select(
+        F.col("doc_id"), F.col("term").alias("e")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .groupBy("q", "e")
+        .agg(F.count(F.lit(1)).alias("codf"))
+        .filter(F.col("codf") >= 5)
+    )
+    fa = tdf.select(F.col("term").alias("q"), F.col("df2").alias("dfa"))
+    fb = tdf.select(F.col("term").alias("e"), F.col("df2").alias("dfb"))
+    pmi_rank = F.floor(
+        F.log(
+            F.col("codf")
+            * F.col("nd2").cast("double")
+            / (F.col("dfa") * F.col("dfb"))
+        )
+        * 10000
+    )
+    wexp = Window.partitionBy("q").orderBy(pmi_rank.desc(), "e")
+    expd = (
+        co.join(fa, "q")
+        .join(fb, "e")
+        .join(ndocs)
+        .withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= _EXP_K)
+        .select("q", "e")
+    )
+    qset = (
+        docs.sparkSession.createDataFrame(
+            [(t, 1.0) for t in QUERY_TERMS], "term string, boost double"
+        )
+        .unionByName(
+            expd.select("e").distinct().select(
+                F.col("e").alias("term"), F.lit(_EXP_BOOST).alias("boost")
+            )
+        )
+    )
+    w = tfidf(docs)
+    return (
+        w.join(F.broadcast(qset), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("wt") * F.col("boost")), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -530,3 +530,117 @@ def a9_time_travel(spark, sf_dir) -> DataFrame:
     return per_version[0].unionByName(per_version[1]).orderBy(
         "snap", "o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# a10 — malformed-record ingestion accounting (PERMISSIVE + corrupt column)
+# ---------------------------------------------------------------------------
+
+def _corrupt_csv_dir(spark, sf_dir) -> str:
+    """Build-once-per-(session, sf) CSV staging of documents with
+    DELIBERATE deterministic corruption: every doc_id % 29 == 0 row is
+    replaced by a comma-free garbage line (whole-row parse failure),
+    every remaining doc_id % 13 == 0 row gets a non-numeric n_chars
+    field (single-column type failure, rest of the row salvageable).
+    Text fields carry standard CSV quoting (embedded quotes doubled)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"bdt_badcsv_{spark.sparkContext.applicationId}_{tag}",
+    )
+    if not os.path.isdir(base):
+        d = load(spark, sf_dir, "documents")
+        quoted = F.concat(
+            F.lit('"'),
+            F.regexp_replace(F.col("text"), '"', '""'),
+            F.lit('"'),
+        )
+        good = F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            quoted,
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+        bad_field = F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            quoted,
+            F.col("lang"),
+            F.col("source"),
+            F.concat(F.lit("X"), F.col("doc_id").cast("string")),
+        )
+        garbage = F.concat(
+            F.lit("RAW#"), F.col("doc_id").cast("string"), F.lit("#unparseable")
+        )
+        line = (
+            F.when(F.col("doc_id") % 29 == 0, garbage)
+            .when(F.col("doc_id") % 13 == 0, bad_field)
+            .otherwise(good)
+        )
+        d.select(line.alias("value")).write.mode("overwrite").text(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+@query(
+    "a10_corrupt_records",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (doc_id % 29 <> 0 AND doc_id % 13 <> 0)
+                AS BIGINT) AS n_clean,
+           CAST(COUNT(*) FILTER (doc_id % 29 <> 0 AND doc_id % 13 = 0)
+                AS BIGINT) AS n_partial,
+           CAST(COUNT(*) FILTER (doc_id % 29 = 0) AS BIGINT) AS n_garbage,
+           CAST(SUM(n_chars) FILTER (doc_id % 29 <> 0 AND doc_id % 13 <> 0)
+                AS BIGINT) AS sum_chars_clean
+    FROM documents
+    """,
+)
+def a10_corrupt_records(spark, sf_dir) -> DataFrame:
+    """Malformed-record ingestion accounting: read a CSV feed with
+    KNOWN deterministic corruption under PERMISSIVE mode with a
+    ``_corrupt_record`` column, and report the triage every ingestion
+    job owes its operators — clean rows, partially-salvaged rows (one
+    bad field, the rest recovered), whole-row garbage, and the clean
+    byte total.  The oracle recomputes the same counts from the
+    corruption RULES over the pristine table, so parity proves Spark's
+    parser classified every injected failure exactly as designed:
+    type-failed fields null out just that column (row kept, raw line
+    preserved in the corrupt column), comma-free garbage nulls the
+    whole row.  This is the operator the survey's ingestion archetype
+    needs before any a6-style landing write: bad rows must be COUNTED
+    and QUARANTINED (the corrupt column is the quarantine payload),
+    never silently dropped.
+
+    Plan / 100 TB shape: one pass, no shuffle before the single global
+    aggregate (conditional aggregates, d15 discipline); the corrupt
+    column costs nothing on clean rows (NULL) and the raw line on bad
+    ones.  FAILFAST is the landing-write alternative when any
+    corruption must abort; DROPMALFORMED is the documented
+    anti-pattern (silent row loss — exactly what this report makes
+    visible)."""
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_corrupt_csv_dir(spark, sf_dir))
+    )
+    clean = F.col("_corrupt_record").isNull()
+    partial = F.col("_corrupt_record").isNotNull() & F.col("doc_id").isNotNull()
+    garbage = F.col("_corrupt_record").isNotNull() & F.col("doc_id").isNull()
+    return raw.agg(
+        F.sum(clean.cast("long")).alias("n_clean"),
+        F.sum(partial.cast("long")).alias("n_partial"),
+        F.sum(garbage.cast("long")).alias("n_garbage"),
+        F.sum(F.when(clean, F.col("n_chars"))).alias("sum_chars_clean"),
+    )

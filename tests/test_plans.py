@@ -1090,3 +1090,26 @@ def test_i39_gaps_and_sizes_share_term_partitioning(spark, sf_dir):
     p = _plan(spark, sf_dir, "i39_postings_compression")
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_a10_triage_is_single_pass(spark, sf_dir):
+    """The corrupt-record triage is conditional aggregates over one
+    scan — no shuffle before the single global aggregate."""
+    p = _plan(spark, sf_dir, "a10_corrupt_records")
+    assert p.count("Exchange") <= 1  # the final single-partition gather
+    assert p.count("HashAggregate") == 2
+
+
+def test_j61_pool_aggregate_carries_partials(spark, sf_dir):
+    """Mean pooling must partial-aggregate map-side: the exchange
+    carries per-(doc, j) sums, never the exploded token stream."""
+    p = _plan(spark, sf_dir, "j61_embedding_pool")
+    assert p.count("HashAggregate") == 2
+
+
+def test_i40_expansion_scores_with_broadcast_boost_table(spark, sf_dir):
+    """The expanded-term scoring join must broadcast the query-sized
+    boost table onto the weight stream."""
+    p = _plan(spark, sf_dir, "i40_pmi_expansion")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
