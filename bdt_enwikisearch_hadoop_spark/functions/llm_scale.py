@@ -1555,26 +1555,38 @@ def semdedup_pairs(emb: DataFrame, k_seeds: int, tau: float) -> DataFrame:
             F.sqrt(dot(F.col("ve"), F.col("ve"))).alias("nrm"),
         )
     )
-    a = assign.alias("a")
-    b = assign.alias("b")
-    cos4 = F.round(
-        dot(F.col("a.ve"), F.col("b.ve"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        4,
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # within-cell pairs: ONE numpy matmul per cell via applyInPandas
+    # (j12's block-grid contract: numpy cosines rounded at 4dp equal
+    # the oracle's SQL fold — held since round 3).  The former
+    # formulation — a self-join with a per-pair 64-element aggregate
+    # fold — was the bench's slowest key (3.5 s at sf0.1); the matmul
+    # form does the same cell-quadratic work vectorized.
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["ve"]]
+        )[order]
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= tau
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), int(key[0]), dtype=np.int64),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": sims[ia[keep], ib[keep]],
+            }
         )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos4.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= tau)
+
+    return assign.groupBy("cluster").applyInPandas(
+        cell_pairs,
+        schema="cluster long, vec_a long, vec_b long, cos_sim double",
     )
 
 

@@ -1113,3 +1113,12 @@ def test_i40_expansion_scores_with_broadcast_boost_table(spark, sf_dir):
     p = _plan(spark, sf_dir, "i40_pmi_expansion")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_j34_cell_pairs_are_cogrouped_numpy_not_self_join(spark, sf_dir):
+    """The within-cell pair stage must be ONE FlatMapGroupsInPandas on
+    the cluster key (vectorized matmul per cell), not a self-join with
+    per-pair array folds — and never an all-pairs cartesian."""
+    p = _plan(spark, sf_dir, "j34_semdedup")
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
