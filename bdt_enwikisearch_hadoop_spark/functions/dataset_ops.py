@@ -1090,3 +1090,121 @@ def j58_contribution_cap(spark, sf_dir) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# j62 — filter agreement: classifier vs heuristic (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j62_filter_agreement",
+    oracle=f"""
+    WITH {_CLS_Z_CTE},
+    heur AS (
+        SELECT doc_id,
+               CASE WHEN len(list_distinct(string_split(lower(text), ' ')))
+                         * 2 >= len(string_split(lower(text), ' '))
+                     AND len(string_split(lower(text), ' ')) >= 30
+                    THEN 1 ELSE 0 END AS keep_h
+        FROM documents
+    ),
+    flags AS (
+        SELECT h.keep_h,
+               CASE WHEN z.z >= 0 THEN 1 ELSE 0 END AS keep_c
+        FROM heur h JOIN z ON z.doc_id = h.doc_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) FILTER (keep_c = 1 AND keep_h = 1) AS BIGINT)
+                   AS n_both,
+               CAST(COUNT(*) FILTER (keep_c = 1 AND keep_h = 0) AS BIGINT)
+                   AS n_cls_only,
+               CAST(COUNT(*) FILTER (keep_c = 0 AND keep_h = 1) AS BIGINT)
+                   AS n_heur_only,
+               CAST(COUNT(*) FILTER (keep_c = 0 AND keep_h = 0) AS BIGINT)
+                   AS n_neither,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM flags
+    )
+    SELECT n_both, n_cls_only, n_heur_only, n_neither,
+           FLOOR((n_both + n_neither) * 1.0 / n * 10000) / 10000 AS po,
+           FLOOR((((n_both + n_cls_only) * 1.0 / n)
+                  * ((n_both + n_heur_only) * 1.0 / n)
+                  + ((n_heur_only + n_neither) * 1.0 / n)
+                  * ((n_cls_only + n_neither) * 1.0 / n)) * 10000) / 10000
+               AS pe,
+           FLOOR(((n_both + n_neither) * 1.0 / n
+                  - (((n_both + n_cls_only) * 1.0 / n)
+                     * ((n_both + n_heur_only) * 1.0 / n)
+                     + ((n_heur_only + n_neither) * 1.0 / n)
+                     * ((n_cls_only + n_neither) * 1.0 / n)))
+                 / (1 - (((n_both + n_cls_only) * 1.0 / n)
+                         * ((n_both + n_heur_only) * 1.0 / n)
+                         + ((n_heur_only + n_neither) * 1.0 / n)
+                         * ((n_cls_only + n_neither) * 1.0 / n)))
+                 * 10000) / 10000 AS kappa
+    FROM m
+    """,
+)
+def j62_filter_agreement(spark, sf_dir) -> DataFrame:
+    """Corpus-filter AGREEMENT audit: the confusion matrix between two
+    independent keep/drop decisions — j47's learned hashed-feature
+    classifier and a j7-style rule heuristic (distinct-token ratio ≥
+    0.5 ∧ length ≥ 30 tokens, both as INTEGER comparisons so no float
+    threshold exists) — plus observed agreement p_o, chance agreement
+    p_e, and Cohen's κ.  This is the governance question every
+    filter swap raises ("does the new model agree with the rules we
+    trust, and where not?"), answered in-engine: the off-diagonal
+    counts are exactly the documents to spot-check (j55 scores the
+    classifier against a label; this scores it against the INCUMBENT).
+
+    Determinism: the four cells are exact BIGINTs from one pass;
+    p_o/p_e/κ are integer-ratio doubles floored at 4dp (identical
+    IEEE division in both engines — j25's discipline).
+
+    Plan / 100 TB shape: the heuristic is a shuffle-free map pass over
+    the same scan that feeds the classifier's token explode; the only
+    corpus exchanges are j47's per-doc aggregate and the doc-keyed
+    join of the two flags; everything after is a single 4-cell
+    aggregate.  Auditing k filters pairwise = k(k−1)/2 four-cell
+    aggregates over the SAME flag table — flags computed once."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    heur = docs.select(
+        "doc_id",
+        (
+            (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))
+            & (F.size(toks) >= 30)
+        )
+        .cast("int")
+        .alias("keep_h"),
+    )
+    z = _cls_z(spark, docs)
+    flags = heur.join(z, "doc_id").select(
+        "keep_h",
+        F.when(F.col("z") >= 0, F.lit(1)).otherwise(F.lit(0)).alias(
+            "keep_c"
+        ),
+    )
+    m = flags.agg(
+        F.sum(((F.col("keep_c") == 1) & (F.col("keep_h") == 1)).cast("long")).alias("n_both"),
+        F.sum(((F.col("keep_c") == 1) & (F.col("keep_h") == 0)).cast("long")).alias("n_cls_only"),
+        F.sum(((F.col("keep_c") == 0) & (F.col("keep_h") == 1)).cast("long")).alias("n_heur_only"),
+        F.sum(((F.col("keep_c") == 0) & (F.col("keep_h") == 0)).cast("long")).alias("n_neither"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    po = (F.col("n_both") + F.col("n_neither")) / F.col("n")
+    pe = (
+        ((F.col("n_both") + F.col("n_cls_only")) / F.col("n"))
+        * ((F.col("n_both") + F.col("n_heur_only")) / F.col("n"))
+        + ((F.col("n_heur_only") + F.col("n_neither")) / F.col("n"))
+        * ((F.col("n_cls_only") + F.col("n_neither")) / F.col("n"))
+    )
+    return m.select(
+        "n_both",
+        "n_cls_only",
+        "n_heur_only",
+        "n_neither",
+        (F.floor(po * 10000) / 10000).alias("po"),
+        (F.floor(pe * 10000) / 10000).alias("pe"),
+        (F.floor((po - pe) / (1 - pe) * 10000) / 10000).alias("kappa"),
+    )

@@ -1158,3 +1158,75 @@ def d28_concentration(spark, sf_dir) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# d29 — chi-square independence test (lang × source contingency)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d29_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents
+        GROUP BY lang, source
+    ),
+    margins AS (
+        SELECT lang, source, o,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS row_n,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS col_n,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT lang, source, o,
+           FLOOR(row_n * 1.0 * col_n / n * 10000) / 10000 AS expected,
+           FLOOR(POW(o - row_n * 1.0 * col_n / n, 2)
+                 / (row_n * 1.0 * col_n / n) * 10000) / 10000 AS chi2_term
+    FROM margins
+    ORDER BY lang, source
+    """,
+)
+def d29_chi_square(spark, sf_dir) -> DataFrame:
+    """Chi-square test of independence for the lang × source
+    contingency table: observed counts, expected counts under
+    independence (row·col/N), and each cell's χ² term — the
+    categorical-association test a data-quality suite runs to catch
+    e.g. one crawl source silently skewing toward one language
+    (d24's Benford sibling for two-way tables; summing chi2_term and
+    comparing to the χ² quantile at (R−1)(C−1) df is the verdict
+    step, left to the reader of the table as d24 does).
+
+    Determinism: observed counts and both margins are exact BIGINTs
+    (margins as windows over the CELL table — one scan, d25's
+    discipline); expected values are integer-ratio doubles floored at
+    4dp.
+
+    Plan / 100 TB shape: one hash aggregate on (lang, source) —
+    cell-count-bounded output — then three window totals over that
+    tiny table; the corpus is touched exactly once.  The same shape
+    serves any two-way association audit (source × dup-flag,
+    lang × quality-keep)."""
+    cells = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("n")
+    return m.select(
+        "lang",
+        "source",
+        "o",
+        (F.floor(e * 10000) / 10000).alias("expected"),
+        (F.floor(F.pow(F.col("o") - e, 2) / e * 10000) / 10000).alias(
+            "chi2_term"
+        ),
+    ).orderBy("lang", "source")

@@ -2879,3 +2879,61 @@ def test_j54_eval_counts_are_consistent(spark, sf_dir):
         r.n_dup_found / max(r.n_exact, 1) * 10000
     ) / 10000
     assert r.recall >= 0.9
+
+
+def test_d29_chi_square_margins_conserve(spark, sf_dir):
+    """Expected counts must sum to N (row/col margin conservation) and
+    each chi2 term must equal the Python computation from the observed
+    table."""
+    import math
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["d29_chi_square"](spark, sf_dir).collect()
+    row_n = defaultdict(int)
+    col_n = defaultdict(int)
+    n = 0
+    for r in rows:
+        row_n[r.lang] += r.o
+        col_n[r.source] += r.o
+        n += r.o
+    for r in rows:
+        e = row_n[r.lang] * col_n[r.source] / n
+        assert r.expected == math.floor(e * 10000) / 10000
+        assert r.chi2_term == math.floor((r.o - e) ** 2 / e * 10000) / 10000
+    # conservation including the ZERO cells (absent from the result:
+    # no observed row -> no output row, but their expected mass is
+    # row_n*col_n/n too): present + missing expecteds must sum to N
+    present = {(r.lang, r.source) for r in rows}
+    full = sum(
+        row_n[la] * col_n[so] / n for la in row_n for so in col_n
+    )
+    assert abs(full - n) < 1e-6
+    missing = sum(
+        row_n[la] * col_n[so] / n
+        for la in row_n
+        for so in col_n
+        if (la, so) not in present
+    )
+    assert abs(sum(r.expected for r in rows) + missing - n) < len(rows) * 1e-4 + 1e-9
+
+
+def test_j62_kappa_matches_sklearn_free_formula(spark, sf_dir):
+    """The four cells must sum to the corpus size and kappa must equal
+    the independent Python computation from the cells."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    r = QUERIES["j62_filter_agreement"](spark, sf_dir).collect()[0]
+    n_docs = load(spark, sf_dir, "documents").count()
+    n = r.n_both + r.n_cls_only + r.n_heur_only + r.n_neither
+    assert n == n_docs
+    po = (r.n_both + r.n_neither) / n
+    pe = ((r.n_both + r.n_cls_only) / n) * ((r.n_both + r.n_heur_only) / n) + (
+        (r.n_heur_only + r.n_neither) / n
+    ) * ((r.n_cls_only + r.n_neither) / n)
+    assert r.po == math.floor(po * 10000) / 10000
+    assert r.kappa == math.floor((po - pe) / (1 - pe) * 10000) / 10000
