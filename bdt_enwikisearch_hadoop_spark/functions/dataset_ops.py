@@ -1208,3 +1208,69 @@ def j62_filter_agreement(spark, sf_dir) -> DataFrame:
         (F.floor(pe * 10000) / 10000).alias("pe"),
         (F.floor((po - pe) / (1 - pe) * 10000) / 10000).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j63 — dataset card: the one-pass corpus summary row
+# ---------------------------------------------------------------------------
+
+@query(
+    "j63_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(lower(text), ' ')) AS n_tok,
+               md5(lower(trim(text))) AS h
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_tokens_floor
+    FROM t
+    """,
+)
+def j63_dataset_card(spark, sf_dir) -> DataFrame:
+    """The DATASET CARD summary row: corpus size, language/source
+    cardinalities, token and byte totals, exact-duplicate count, and
+    token-length extremes — the header block of every published
+    dataset card (The Pile, C4, FineWeb all lead with exactly these
+    numbers), computed in ONE pass so the card a release ships is the
+    card the data actually has.  Exact-dup count rides the same scan
+    as the totals via a distinct-count over the content hash (j1's
+    md5 contract); the mean is floor division, keeping every column a
+    BIGINT.
+
+    Plan / 100 TB shape: one scan, one global aggregate — the three
+    distinct-counts each expand map-side but share the scan; at scale
+    swap them for d3-style HLL sketches (the card tolerates ±2% on
+    cardinalities, never on totals) and the pass is pure map-combine.
+    Per-language/per-source card SECTIONS are the same aggregate keyed
+    by the dimension (a6/a7's shape); j60's dedup histogram and j36's
+    quality metrics complete the card's later sections — all riding
+    passes the pipeline already pays for."""
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias(
+            "n_tok"
+        ),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        F.min("n_tok").alias("min_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+        F.expr("sum(n_tok) DIV count(1)").alias("mean_tokens_floor"),
+    )

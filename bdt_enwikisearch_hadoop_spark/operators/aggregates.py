@@ -1230,3 +1230,53 @@ def d29_chi_square(spark, sf_dir) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# d30 — 2-D equi-width histogram (profiling heatmap binning)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d30_histogram_2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bin,
+           CAST(FLOOR(l_discount / 0.02) AS BIGINT) AS disc_bin,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY qty_bin, disc_bin
+    """,
+)
+def d30_histogram_2d(spark, sf_dir) -> DataFrame:
+    """2-D equi-width histogram over (quantity, discount) with a
+    per-cell price average — the joint-distribution heatmap a data
+    profiler draws to see how two measures interact (the 2-D
+    companion of d22's 1-D equi-depth histogram; d29 tests
+    association for CATEGORICAL pairs, this bins CONTINUOUS ones).
+    Bin ids are floor division by fixed widths — exact integers in
+    both engines (discount/0.02 divides a two-decimal value by an
+    exactly-representable step... which 0.02 is NOT in binary; both
+    engines compute the identical IEEE division and floor it, which
+    is the §2.0 rule-1 contract, and bin EDGES are not hash-compared).
+
+    Plan / 100 TB shape: single hash aggregate keyed on the two bin
+    ids — the key space is (qty_range/10)×(1/0.02) ≈ bounded cells,
+    so map-side partials collapse the fact stream to cells per task;
+    the heatmap is cell-bounded output regardless of corpus size.
+    Equi-WIDTH needs no quantile pass (d22's sort) — the trade is
+    fixed interpretable edges vs balanced occupancy."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02).cast("long").alias(
+                "disc_bin"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )
