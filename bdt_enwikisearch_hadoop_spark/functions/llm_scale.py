@@ -2801,3 +2801,206 @@ def j61_embedding_pool(spark, sf_dir) -> DataFrame:
         .agg(F.expr("sum(v) DIV count(1)").alias("pooled"))
         .orderBy("doc_id", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# j64 — label-propagation communities over the kNN graph (fixed rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"""WITH {_KNN_EDGES_CTE},
+    und AS (
+        SELECT qid AS a, nid AS b FROM edges
+        UNION SELECT nid, qid FROM edges
+    ),
+    l0 AS (SELECT vec_id, vec_id AS lab FROM embeddings)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+    l{r} AS (
+        SELECT n.vec_id, COALESCE(w.lab, n.vec_id) AS lab
+        FROM embeddings n
+        LEFT JOIN (
+            SELECT a, lab
+            FROM (
+                SELECT u.a, p.lab, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY u.a
+                                          ORDER BY COUNT(*) DESC, p.lab)
+                           AS rn
+                FROM und u JOIN l{r - 1} p ON p.vec_id = u.b
+                GROUP BY u.a, p.lab
+            ) WHERE rn = 1
+        ) w ON w.a = n.vec_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT lab AS community, COUNT(*) AS n_members,
+           CAST(MIN(vec_id) AS BIGINT) AS rep
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT 30"""
+    )
+    return "".join(parts)
+
+
+@query("j64_lpa_communities", oracle=_lpa_oracle())
+def j64_lpa_communities(spark, sf_dir) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the undirected kNN similarity graph: every node starts as its
+    own label, then {_LPA_ROUNDS} SYNCHRONOUS rounds of "adopt the
+    most frequent neighbor label" (ties → smallest label, the
+    determinism rule that makes synchronous LPA engine-exact) — the
+    cheap community structure pass data pipelines run to find topical
+    clusters bigger than near-dup families: j20's components connect
+    only provable duplicates, PageRank ranks nodes, LPA GROUPS them.
+    Top-30 communities with sizes and min-id representative.
+
+    All arithmetic is integer (labels are vec_ids, votes are counts);
+    the fixed round count makes the oracle {_LPA_ROUNDS} unrolled CTE
+    blocks, and synchronous update (all nodes read round r−1) is what
+    a set-based engine natively expresses — asynchronous LPA's
+    update-order dependence is exactly what it avoids.
+
+    Plan / 100 TB shape: per round, one hash join (edge ⋈ labels, keyed
+    on the neighbor) + one two-level aggregate (vote count, then
+    argmax by rank — both shuffled on the node key, AQE-coalesced);
+    identical per-round shape to j40 minus the scalar. The edge list
+    builds once (knn_edges, shared with j40/j51/j59) and
+    localCheckpoint truncates lineage per round like j20."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    e = knn_edges(spark, sf_dir, _PR_K).localCheckpoint()
+    und = (
+        e.select(F.col("qid").alias("a"), F.col("nid").alias("b"))
+        .unionByName(e.select(F.col("nid").alias("a"), F.col("qid").alias("b")))
+        .distinct()
+    )
+    labels = emb.select("vec_id", F.col("vec_id").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.select(F.col("vec_id").alias("b"), "lab"), "b"
+            )
+            .groupBy("a", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.col("c").desc(), "lab")
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("vec_id"), F.col("lab").alias("wlab"))
+        )
+        labels = (
+            emb.join(winner, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("wlab", "vec_id").alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("rep"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j65 — systematic (low-variance) weighted resampling WITH replacement
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_K = 100
+
+
+@query(
+    "j65_systematic_resample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS wt FROM documents),
+    f AS (
+        SELECT doc_id, w,
+               CAST((2 * {_RESAMPLE_K} * cum - wt
+                     + 2 * wt * {_RESAMPLE_K}) // (2 * wt)
+                    - {_RESAMPLE_K} AS BIGINT) AS fc,
+               CAST((2 * {_RESAMPLE_K} * (cum - w) - wt
+                     + 2 * wt * {_RESAMPLE_K}) // (2 * wt)
+                    - {_RESAMPLE_K} AS BIGINT) AS fp
+        FROM t CROSS JOIN tot
+    )
+    SELECT doc_id, w, fc - fp AS n_copies
+    FROM f
+    WHERE fc - fp >= 1
+    ORDER BY doc_id
+    """,
+)
+def j65_systematic_resample(spark, sf_dir) -> DataFrame:
+    """Systematic (low-variance) weighted resampling WITH replacement:
+    place {_RESAMPLE_K} evenly spaced probes u_k = (k+½)·W/K over the
+    cumulative weight axis and give each document one copy per probe
+    landing in its weight interval — the particle-filter resampler,
+    and the data-mixing primitive for "draw K examples proportional to
+    weight, deterministically, with multiplicity" (j44's A-ES is the
+    WITHOUT-replacement sibling; j42/j25 choose sets, this assigns
+    exact COPY COUNTS, which is what an epoch sampler consumes).
+
+    Exact by construction: copy count n_i = f(cum_i) − f(cum_{{i-1}})
+    with f(c) = ⌊(2cK − W)/(2W)⌋ — pure BIGINT arithmetic (an
+    additive 2WK offset keeps the dividend non-negative so truncating
+    and flooring division agree in both engines); Σ n_i = K is an
+    algebraic telescope, property-tested.  No randomness: the probe
+    phase ½ is fixed, so the sample is reproducible anywhere — swap
+    the phase for a broadcast seed scalar to get the randomized
+    variant with the identical plan.
+
+    Plan / 100 TB shape: one global running sum over doc_id order —
+    declared here as a single window (the e10 shape); at corpus scale
+    the standard two-pass distributed prefix sum replaces it
+    (per-partition subtotals, broadcast scan of the partition offsets,
+    then a map pass) with no change to the arithmetic — then one map
+    pass computes both f() values per row.  Output is the ≤K selected
+    docs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    cum_w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = d.withColumn("cum", F.sum("w").over(cum_w))
+    tot = F.broadcast(d.agg(F.sum("w").alias("wt")))
+    k = _RESAMPLE_K
+    f = t.crossJoin(tot).select(
+        "doc_id",
+        "w",
+        (
+            F.expr(
+                f"(2 * {k} * cum - wt + 2 * wt * {k}) DIV (2 * wt) - {k}"
+            )
+        ).alias("fc"),
+        (
+            F.expr(
+                f"(2 * {k} * (cum - w) - wt + 2 * wt * {k})"
+                f" DIV (2 * wt) - {k}"
+            )
+        ).alias("fp"),
+    )
+    return (
+        f.select("doc_id", "w", (F.col("fc") - F.col("fp")).alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .orderBy("doc_id")
+    )

@@ -2937,3 +2937,74 @@ def test_j62_kappa_matches_sklearn_free_formula(spark, sf_dir):
     ) * ((r.n_cls_only + r.n_neither) / n)
     assert r.po == math.floor(po * 10000) / 10000
     assert r.kappa == math.floor((po - pe) / (1 - pe) * 10000) / 10000
+
+
+def test_j65_copy_counts_telescope_to_k(spark, sf_dir):
+    """Systematic resampling conservation: copy counts sum to exactly
+    K, every count is >= 1 on selected rows, and each doc's count is
+    within 1 of its exact proportional share K*w/W (the low-variance
+    guarantee)."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _RESAMPLE_K,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["j65_systematic_resample"](spark, sf_dir).collect()
+    assert sum(r.n_copies for r in rows) == _RESAMPLE_K
+    wt = (
+        load(spark, sf_dir, "documents")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.n_copies >= 1
+        share = _RESAMPLE_K * r.w / wt
+        assert share - 1 <= r.n_copies <= share + 1, (r.doc_id, r.n_copies, share)
+
+
+def test_j64_lpa_round_matches_python_reference(spark, sf_dir):
+    """One synchronous LPA round computed in Python (most frequent
+    neighbor label, ties -> smallest) over the same undirected kNN
+    graph must reproduce the engine's community histogram after the
+    declared number of rounds."""
+    from collections import Counter, defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _LPA_ROUNDS,
+        _PR_K,
+        knn_edges,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    e = knn_edges(spark, sf_dir, _PR_K).collect()
+    und = defaultdict(set)
+    nodes = {
+        r.vec_id
+        for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()
+    }
+    for r in e:
+        und[r.qid].add(r.nid)
+        und[r.nid].add(r.qid)
+    lab = {v: v for v in nodes}
+    for _ in range(_LPA_ROUNDS):
+        new = {}
+        for v in nodes:
+            if not und[v]:
+                new[v] = v
+                continue
+            votes = Counter(lab[u] for u in und[v])
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    hist = Counter(lab.values())
+    expected = sorted(
+        ((c, l) for l, c in hist.items()), key=lambda t: (-t[0], t[1])
+    )[:30]
+    got = [
+        (r.n_members, r.community)
+        for r in QUERIES["j64_lpa_communities"](spark, sf_dir).collect()
+    ]
+    assert got == expected
