@@ -2659,3 +2659,126 @@ def k25_sliding_quota(spark, sf_dir) -> DataFrame:
         .filter(F.col("n_breaches") > 0)
         .orderBy("user_id")
     )
+
+
+def run_sliding_quota_stream_smoke(spark, sf_dir: str) -> tuple[dict, dict]:
+    """k25's trailing-24 h quota as a LIVE stateful stream: per-user
+    timestamp-buffer state via applyInPandasWithState, run as two
+    checkpoint-resumed availableNow executions split mid-stream — a
+    trailing window that SPANS the restart boundary must still count
+    first-half events, which is exactly what the carried buffer
+    proves.  Eviction keeps t in [s−86399, s]; same-second events are
+    RANGE-frame peers (each gets the full peer count), matching the
+    batch window's semantics.
+
+    Returns (emitted_final, expected): per-user (n_breaches,
+    max_window_count, first_breach_s) from the stream's final
+    emissions vs the declared batch k25 for every breaching user."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cutoff = 1_705_363_200_000_000_000  # 2024-01-16 00:00 UTC in ns
+    batch = load(spark, sf_dir, "events").drop("ts2")
+
+    def quota(key, pdfs, state):
+        if state.exists:
+            buf, nb, mx, fb = state.get
+            buf = list(buf)
+        else:
+            buf, nb, mx, fb = [], 0, 0, None
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.assign(s=rows["ts"] // 1_000_000_000).sort_values(
+                ["s", "event_id"]
+            )
+            for s, grp in rows.groupby("s", sort=True):
+                s = int(s)
+                buf = [t for t in buf if t > s - 86400]
+                buf.extend([s] * len(grp))
+                c = len(buf)  # peer count: every same-second event sees all peers
+                mx = max(mx, c)
+                if c > _QUOTA:
+                    nb += len(grp)
+                    if fb is None:
+                        fb = s
+        state.update((buf, nb, mx, fb))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_breaches": [nb],
+                "max_window_count": [mx],
+                "first_breach_s": [fb],
+            }
+        )
+
+    with tempfile.TemporaryDirectory() as workdir:
+        src, ckpt, out = f"{workdir}/src", f"{workdir}/ckpt", f"{workdir}/out"
+        batch.filter(F.col("ts") < cutoff).write.parquet(f"{src}/b1")
+
+        def run_once():
+            stream = spark.readStream.schema(batch.schema).parquet(f"{src}/*")
+            q = (
+                stream.groupBy("user_id")
+                .applyInPandasWithState(
+                    quota,
+                    outputStructType=(
+                        "user_id long, n_breaches long, "
+                        "max_window_count long, first_breach_s long"
+                    ),
+                    stateStructType=(
+                        "buf array<long>, nb long, mx long, fb long"
+                    ),
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.foreachBatch(
+                    lambda bdf, bid: bdf.withColumn(
+                        "batch_id", F.lit(bid)
+                    ).write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+
+        run_once()
+        batch.filter(F.col("ts") >= cutoff).write.parquet(f"{src}/b2")
+        run_once()
+        final = (
+            spark.read.parquet(out)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("batch_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        emitted = {
+            r["user_id"]: (
+                r["n_breaches"],
+                r["max_window_count"],
+                r["first_breach_s"],
+            )
+            for r in final.collect()
+            if r["n_breaches"] > 0
+        }
+
+    from ..registry import QUERIES
+
+    expected = {
+        r["user_id"]: (
+            r["n_breaches"],
+            r["max_window_count"],
+            r["first_breach_s"],
+        )
+        for r in QUERIES["k25_sliding_quota"](spark, sf_dir).collect()
+    }
+    return emitted, expected

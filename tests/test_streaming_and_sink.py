@@ -495,3 +495,15 @@ def test_streaming_ema_equals_batch(spark):
 
     emitted, want = run_streaming_ema_smoke(spark, SF_DIR)
     assert emitted == want and len(want) > 0
+
+
+def test_sliding_quota_stream_equals_batch(spark, sf_dir):
+    """k25's quota computed as a checkpoint-resumed stateful stream
+    (trailing buffer spanning the restart boundary) must equal the
+    declared batch operator for every breaching user."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_sliding_quota_stream_smoke,
+    )
+
+    emitted, expected = run_sliding_quota_stream_smoke(spark, sf_dir)
+    assert emitted == expected and expected
