@@ -1274,3 +1274,85 @@ def j63_dataset_card(spark, sf_dir) -> DataFrame:
         F.max("n_tok").alias("max_tokens"),
         F.expr("sum(n_tok) DIV count(1)").alias("mean_tokens_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j66 — tokenizer coverage: out-of-vocabulary rate per source
+# ---------------------------------------------------------------------------
+
+#: vocabulary size for the OOV audit.
+_OOV_VOCAB = 1000
+
+
+@query(
+    "j66_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+            FROM tok GROUP BY term
+        ) WHERE rn <= {_OOV_VOCAB}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+           (COUNT(*) FILTER (v.term IS NULL) * 1000000 // COUNT(*))
+               / 1000000.0 AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.term = t.term
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def j66_oov_rate(spark, sf_dir) -> DataFrame:
+    """Tokenizer COVERAGE audit: the out-of-vocabulary token rate per
+    source against a top-{_OOV_VOCAB} frequency vocabulary — the
+    metric that decides whether a tokenizer (or its vocab budget) fits
+    a corpus before training commits to it (high OOV on one source =
+    that source fragments into bytes/unk and trains badly; j57 builds
+    merge candidates, THIS measures what a finished vocab covers).
+    Token-level counting (total and OOV tokens summed as BIGINTs, one
+    floor division per source at 1e-6) rather than averaging per-doc
+    ratios — no float accumulation anywhere.
+
+    Plan / 100 TB shape: the vocab is a top-K over the term aggregate
+    (heap, vocabulary-sized) and then BROADCASTS into a left join
+    against the token stream — membership is the j19/j47 broadcast
+    shape, the corpus never shuffles; the per-source rollup is one
+    keyed aggregate with map-side partials.  A real subword tokenizer
+    swaps the vocab derivation for its merges table; the audit plan is
+    unchanged."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+    wv = Window.orderBy(F.col("c").desc(), "term")
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _OOV_VOCAB)
+        .select("term", F.lit(1).alias("in_v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_v").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.expr("n_oov * 1000000 DIV n_tokens") / 1000000.0).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -640,3 +640,95 @@ def h16_codec(spark, sf_dir) -> DataFrame:
         ),
         F.length(b).cast("long").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# h17 — business-day arithmetic (closed-form weekday counting)
+# ---------------------------------------------------------------------------
+
+#: h(x) = weekdays among epoch-day-offsets 0..x, closed form; the +3
+#: aligns day 0 (1970-01-01, a Thursday) onto the week grid.
+_BD_H = "(5 * (({x} + 1) {div} 7) + LEAST(({x} + 1) % 7, 5))"
+
+
+def _bd_sql(day_expr: str, div: str) -> str:
+    """f(d) = weekdays in (epoch, d] for an epoch-day integer expr."""
+    return f"({_BD_H.format(x=f'({day_expr} + 3)', div=div)} - 3)"
+
+
+@query(
+    "h17_business_days",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS od,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(MIN(l.l_shipdate) AS DATE)) AS sd
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MIN({_bd_sql('sd', '//')} - {_bd_sql('od', '//')})
+                AS BIGINT) AS min_bd,
+           CAST(MAX({_bd_sql('sd', '//')} - {_bd_sql('od', '//')})
+                AS BIGINT) AS max_bd,
+           CAST(SUM({_bd_sql('sd', '//')} - {_bd_sql('od', '//')})
+                // COUNT(*) AS BIGINT) AS mean_bd_floor
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def h17_business_days(spark, sf_dir) -> DataFrame:
+    """Business-day arithmetic: fulfillment latency from order date to
+    first shipment counted in WEEKDAYS, summarized per order priority
+    — the SLA metric every operations report wants, and the date-math
+    case naive `datediff/7*5` approximations get wrong at week
+    boundaries.  Exact closed form: f(d) = weekdays in (epoch, d]
+    via h(x) = 5·⌊(x+1)/7⌋ + min((x+1) mod 7, 5) with a +3 shift
+    aligning 1970-01-01 (a Thursday) onto the week grid; the span is
+    f(ship) − f(order) — pure integer DIV/mod, engine-identical, no
+    calendar table needed (holidays, when required, are a broadcast
+    calendar anti-join — the plan gains one join, the formula stays).
+
+    Plan / 100 TB shape: one orderkey join + per-order MIN (both
+    shuffled on the key AQE-coalesced — at scale the orders side
+    pre-aggregates lineitem map-side), then the weekday arithmetic is
+    a shuffle-free projection into a priority-keyed 5-row aggregate.
+    The mean is floor division — every output column BIGINT."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("od"),
+            F.datediff(
+                F.col("ship").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("sd"),
+        )
+    )
+    bd = F.expr(
+        f"{_bd_sql('sd', 'DIV')} - {_bd_sql('od', 'DIV')}"
+    )
+    return (
+        per_order.withColumn("bd", bd)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("bd").cast("long").alias("min_bd"),
+            F.max("bd").cast("long").alias("max_bd"),
+            F.expr("sum(bd) DIV count(1)").alias("mean_bd_floor"),
+        )
+        .orderBy("o_orderpriority")
+    )

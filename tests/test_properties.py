@@ -3008,3 +3008,29 @@ def test_j64_lpa_round_matches_python_reference(spark, sf_dir):
         for r in QUERIES["j64_lpa_communities"](spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_h17_weekday_formula_matches_python_calendar(spark, sf_dir):
+    """The closed-form weekday count must equal Python's calendar walk
+    for a dense sweep of date pairs around week and year boundaries."""
+    import datetime
+
+    def f(d: datetime.date) -> int:
+        n = (d - datetime.date(1970, 1, 1)).days
+        x = n + 3
+        return 5 * ((x + 1) // 7) + min((x + 1) % 7, 5) - 3
+
+    def walk(d1: datetime.date, d2: datetime.date) -> int:
+        c, d = 0, d1
+        while d < d2:
+            d += datetime.timedelta(days=1)
+            if d.isoweekday() <= 5:
+                c += 1
+        return c
+
+    base = datetime.date(1995, 12, 25)
+    for i in range(0, 30):
+        for span in (0, 1, 2, 6, 7, 8, 13, 30):
+            d1 = base + datetime.timedelta(days=i)
+            d2 = d1 + datetime.timedelta(days=span)
+            assert f(d2) - f(d1) == walk(d1, d2), (d1, d2)
