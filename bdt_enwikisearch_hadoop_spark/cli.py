@@ -7,6 +7,8 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli search-index /tmp/idx spark join
     python -m bdt_enwikisearch_hadoop_spark.cli search-vsm /tmp/idx spark join
     python -m bdt_enwikisearch_hadoop_spark.cli bench-key i6_search_and
+    python -m bdt_enwikisearch_hadoop_spark.cli card
+    python -m bdt_enwikisearch_hadoop_spark.cli dedup-report
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
@@ -85,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("bench-key", help="run one registered query and print timing")
     r.add_argument("key")
 
+    sub.add_parser("card", help="print the one-row dataset card (j63)")
+    sub.add_parser(
+        "dedup-report",
+        help="run the scale-path dedup pipeline and print its report (j60)",
+    )
+
     args = ap.parse_args(argv)
     spark = _spark(f"cli-{args.cmd}")
 
@@ -140,6 +148,26 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['score']}")
+        return 0
+
+    if args.cmd == "card":
+        from .registry import QUERIES
+
+        row = QUERIES["j63_dataset_card"](spark, args.sf_dir).collect()[0]
+        for name in row.__fields__:
+            print(f"{name}\t{row[name]}")
+        return 0
+
+    if args.cmd == "dedup-report":
+        from .registry import QUERIES
+
+        rows = QUERIES["j60_dedup_report"](spark, args.sf_dir).collect()
+        print("n_members\tn_clusters\tdocs_covered\tdocs_removed\tdedup_ratio")
+        for r in rows:
+            print(
+                f"{r['n_members']}\t{r['n_clusters']}\t{r['docs_covered']}"
+                f"\t{r['docs_removed']}\t{r['dedup_ratio']}"
+            )
         return 0
 
     if args.cmd == "bench-key":

@@ -201,3 +201,65 @@ def g9_except_all(spark, sf_dir) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     b = li.filter(F.col("l_quantity") >= 25).select("l_suppkey")
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# g10 — schema-evolution union (missing columns null-filled by NAME)
+# ---------------------------------------------------------------------------
+
+@query(
+    "g10_union_evolve",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+               CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    v2 AS (
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(COUNT(source) AS BIGINT) AS with_source,
+           CAST(COUNT(*) - COUNT(source) AS BIGINT) AS legacy_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_known
+    FROM u
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def g10_union_evolve(spark, sf_dir) -> DataFrame:
+    """Schema-EVOLUTION union: a legacy extract (v1: no source/n_chars
+    columns — the schema before a migration) unioned with the current
+    extract (v2: full schema) via ``unionByName(allowMissingColumns=
+    True)`` — position-based UNION would misalign or reject, BY-NAME
+    union with null back-fill is how multi-vintage datasets actually
+    concatenate (a4 reads mixed schemas from ONE parquet source via
+    mergeSchema; g10 is the same contract across two FRAMES).  The
+    aggregate makes the null-fill auditable: legacy_rows counts
+    exactly the v1 side, chars_known sums only where the column
+    exists.
+
+    Plan / 100 TB shape: union is a zero-cost plan node (no shuffle —
+    both children feed the same downstream aggregate, partial
+    map-side); the null back-fill is a literal projection on the
+    legacy child.  At scale this is the multi-vintage ingest pattern:
+    N children, one aggregate, no schema rewrite of old data."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("source").alias("with_source"),
+            (F.count(F.lit(1)) - F.count("source")).alias("legacy_rows"),
+            F.sum("n_chars").alias("chars_known"),
+        )
+        .orderBy("lang")
+    )

@@ -3034,3 +3034,28 @@ def test_h17_weekday_formula_matches_python_calendar(spark, sf_dir):
             d1 = base + datetime.timedelta(days=i)
             d2 = d1 + datetime.timedelta(days=span)
             assert f(d2) - f(d1) == walk(d1, d2), (d1, d2)
+
+
+def test_cli_card_and_dedup_report_match_declared_keys(spark, sf_dir, capsys):
+    """The CLI `card` and `dedup-report` commands must print exactly
+    the j63 / j60 query results."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rc = cli.main(["--sf-dir", sf_dir, "card"])
+    out = capsys.readouterr().out.strip().splitlines()
+    card = QUERIES["j63_dataset_card"](spark, sf_dir).collect()[0]
+    assert rc == 0
+    got = dict(ln.split("\t") for ln in out)
+    for name in card.__fields__:
+        assert got[name] == str(card[name])
+
+    rc = cli.main(["--sf-dir", sf_dir, "dedup-report"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and out[0].startswith("n_members")
+    expect = [
+        f"{r['n_members']}\t{r['n_clusters']}\t{r['docs_covered']}"
+        f"\t{r['docs_removed']}\t{r['dedup_ratio']}"
+        for r in QUERIES["j60_dedup_report"](spark, sf_dir).collect()
+    ]
+    assert out[1:] == expect
