@@ -3004,3 +3004,98 @@ def j65_systematic_resample(spark, sf_dir) -> DataFrame:
         .filter(F.col("n_copies") >= 1)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# j67 — curation pipeline funnel: per-stage survivor accounting
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LANGS = ("en", "de", "fr")
+
+
+def _j67_oracle() -> str:
+    from ..registry import ORACLES
+    from .dataset_ops import _CLS_Z_CTE
+
+    langs = ", ".join(f"'{x}'" for x in _FUNNEL_LANGS)
+    return f"""
+    WITH {_CLS_Z_CTE},
+    keepers AS (
+        SELECT keeper_doc_id FROM ({ORACLES["j32_dedup_pipeline_scale"]})
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM ({ORACLES["j19_decontaminate"]})
+    ),
+    s1 AS (SELECT doc_id FROM documents WHERE lang IN ({langs})),
+    s2 AS (SELECT s1.doc_id FROM s1 JOIN z ON z.doc_id = s1.doc_id
+           WHERE z.z >= 0),
+    s3 AS (SELECT s2.doc_id FROM s2
+           JOIN keepers k ON k.keeper_doc_id = s2.doc_id),
+    s4 AS (SELECT s3.doc_id FROM s3
+           WHERE s3.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT * FROM (
+        SELECT 0 AS stage_id, 'ingest' AS stage,
+               (SELECT COUNT(*) FROM documents) AS rows_kept
+        UNION ALL SELECT 1, 'lang_filter', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT 2, 'quality_keep', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'dedup_keeper', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT 4, 'decontaminated', (SELECT COUNT(*) FROM s4)
+    )
+    ORDER BY stage_id
+    """
+
+
+@query("j67_curation_funnel", oracle=_j67_oracle())
+def j67_curation_funnel(spark, sf_dir) -> DataFrame:
+    """The curation-pipeline FUNNEL: survivors after each stage of the
+    full training-data chain — ingest → language filter → learned
+    quality gate (j47, z ≥ 0) → near-dup keeper (j32's scale-path
+    pipeline) → eval-set decontamination (j19) — as one declared,
+    oracle-checked result.  This is the accounting table every corpus
+    release publishes ("we started with X, language filtering kept Y,
+    dedup kept Z…") and the operational dashboard that catches a
+    mis-tuned stage the day it deploys (a filter suddenly dropping 90%
+    shows up HERE first).  j16 composes a pipeline and j36 attaches
+    metrics to one pass; j67 accounts for every stage boundary, with
+    each stage's predicate exactly the one its standalone key proved
+    against the oracle — the composition can't drift from the parts.
+
+    Plan / 100 TB shape: stage predicates compose as semi-/anti-joins
+    on doc_id — the quality gate is j47's broadcast-weights aggregate,
+    the keeper set is j32's LSH pipeline (dup-graph-sized, broadcast
+    back), decontamination is j19's broadcast eval-shingle probe; the
+    five counts are metadata-sized scalars unioned at the end.
+    Production runs the stages ONCE materializing each boundary; this
+    declared form recomputes them in one plan for the oracle, same
+    shapes, no extra scan classes."""
+    from .dataset_ops import _cls_z
+    from .llm_pipeline import j19_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = docs.filter(F.col("lang").isin(*_FUNNEL_LANGS)).select("doc_id")
+    z = _cls_z(spark, docs)
+    s2 = s1.join(z.filter(F.col("z") >= 0).select("doc_id"), "doc_id")
+    keepers = j32_dedup_pipeline_scale(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    s3 = s2.join(keepers, "doc_id", "left_semi")
+    contaminated = (
+        j19_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    )
+    s4 = s3.join(contaminated, "doc_id", "left_anti")
+    stages = [
+        (0, "ingest", docs.select("doc_id")),
+        (1, "lang_filter", s1),
+        (2, "quality_keep", s2),
+        (3, "dedup_keeper", s3),
+        (4, "decontaminated", s4),
+    ]
+    out = None
+    for sid, name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("rows_kept")).select(
+            F.lit(sid).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "rows_kept",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_id")

@@ -3059,3 +3059,43 @@ def test_cli_card_and_dedup_report_match_declared_keys(spark, sf_dir, capsys):
         for r in QUERIES["j60_dedup_report"](spark, sf_dir).collect()
     ]
     assert out[1:] == expect
+
+
+def test_j67_funnel_is_monotone_and_consistent_with_parts(spark, sf_dir):
+    """Funnel survivors must be monotonically non-increasing and each
+    boundary must equal the count derivable from the standalone
+    stage operators."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _FUNNEL_LANGS,
+        j32_dedup_pipeline_scale,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["j67_curation_funnel"](spark, sf_dir).collect()
+    counts = [r.rows_kept for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    docs = load(spark, sf_dir, "documents")
+    assert counts[0] == docs.count()
+    assert counts[1] == docs.filter(
+        F.col("lang").isin(*_FUNNEL_LANGS)
+    ).count()
+    keep = {
+        r.doc_id
+        for r in QUERIES["j47_quality_classifier"](spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .collect()
+    }
+    lang_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("lang").isin(*_FUNNEL_LANGS))
+        .select("doc_id")
+        .collect()
+    }
+    assert counts[2] == len(lang_ids & keep)
+    keepers = {
+        r.keeper_doc_id
+        for r in j32_dedup_pipeline_scale(spark, sf_dir).collect()
+    }
+    assert counts[3] == len(lang_ids & keep & keepers)
