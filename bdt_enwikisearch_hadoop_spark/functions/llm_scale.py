@@ -3099,3 +3099,132 @@ def j67_curation_funnel(spark, sf_dir) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("stage_id")
+
+
+# ---------------------------------------------------------------------------
+# j68 — dedup threshold curve: recall/precision across Jaccard cutoffs
+# ---------------------------------------------------------------------------
+
+_CURVE_THRESHOLDS = (5, 6, 7, 8, 9)  # tenths: 0.5 .. 0.9
+
+
+@query(
+    "j68_dedup_threshold_curve",
+    oracle=f"WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},"
+    f"""
+    lshj AS (
+        SELECT i.doc_a, i.doc_b,
+               i.i * 1.0 / (sa.n + sb.n - i.i) AS jac
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+    ),
+    xinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exactj AS (
+        SELECT x.doc_a, x.doc_b,
+               x.i * 1.0 / (sa.n + sb.n - x.i) AS jac
+        FROM xinter x
+        JOIN sz sa ON sa.doc_id = x.doc_a
+        JOIN sz sb ON sb.doc_id = x.doc_b
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _CURVE_THRESHOLDS)}])
+               AS t10)
+    SELECT t10,
+           CAST((SELECT COUNT(*) FROM exactj
+                 WHERE jac >= t10 / 10.0) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM lshj
+                 WHERE jac >= t10 / 10.0) AS BIGINT) AS n_found,
+           ((SELECT COUNT(*) FROM lshj WHERE jac >= t10 / 10.0) * 10000
+            // GREATEST((SELECT COUNT(*) FROM exactj
+                         WHERE jac >= t10 / 10.0), 1)) / 10000.0
+               AS recall
+    FROM th
+    ORDER BY t10
+    """,
+)
+def j68_dedup_threshold_curve(spark, sf_dir) -> DataFrame:
+    """The dedup THRESHOLD CURVE: true pair count, LSH-found pair
+    count, and recall at every candidate Jaccard cutoff 0.5…0.9 — the
+    tuning artifact behind the one-number report of j54 (which fixes
+    τ = 0.8): band geometry is chosen by LOOKING AT THIS CURVE, since
+    banded-LSH recall collapses below the band's S-curve knee
+    (P(candidate) = 1−(1−J⁴)⁴ falls off fast under J≈0.6) and the
+    curve shows exactly where the configured bands stop being safe.
+    Both pair sets are computed ONCE with their exact Jaccards and
+    swept over broadcast thresholds — never one pipeline run per τ.
+
+    Determinism: counts are BIGINTs; thresholds are exact tenths;
+    recall is integer floor division at 4dp.  found ⊆ true per
+    threshold holds by construction (LSH pairs verify exactly before
+    counting), so the curve is a recall curve with precision 1 at
+    every point — candidate precision (pre-verify) is j54's column.
+
+    Plan / 100 TB shape: one j8 banding pass + one exact
+    shared-shingle pass (the oracle-scale ground truth — at 100 TB
+    this runs on a j15-sampled stratum exactly as j54 documents), then
+    each side collapses to |thresholds| scalar counts via a
+    conditional aggregate over the broadcast threshold list — the
+    sweep costs one aggregate, not |τ| pipeline runs."""
+    docs = load(spark, sf_dir, "documents")
+    lsh = _lsh_verified_pairs(docs).select(
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac")
+    )
+    sh = shingles(rebalance(docs))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    xinter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        xinter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "jac"
+            )
+        )
+    )
+    th = F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
+
+    def counts(frame, name):
+        e = frame.select(F.explode(th).alias("t10"), "jac")
+        return e.filter(F.col("jac") >= F.col("t10") / 10.0).groupBy(
+            "t10"
+        ).agg(F.count(F.lit(1)).alias(name))
+
+    base = docs.sparkSession.createDataFrame(
+        [(t,) for t in _CURVE_THRESHOLDS], "t10 int"
+    )
+    out = (
+        base.join(counts(exact, "n_true"), "t10", "left")
+        .join(counts(lsh, "n_found"), "t10", "left")
+        .select(
+            "t10",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        )
+    )
+    return out.select(
+        "t10",
+        "n_true",
+        "n_found",
+        (
+            F.expr("n_found * 10000 DIV greatest(n_true, 1)") / 10000.0
+        ).alias("recall"),
+    ).orderBy("t10")

@@ -3099,3 +3099,20 @@ def test_j67_funnel_is_monotone_and_consistent_with_parts(spark, sf_dir):
         for r in j32_dedup_pipeline_scale(spark, sf_dir).collect()
     }
     assert counts[3] == len(lang_ids & keep & keepers)
+
+
+def test_j68_curve_is_monotone_and_consistent_with_j54(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, found <= true
+    everywhere, and the 0.8 point must equal j54's report."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["j68_dedup_threshold_curve"](spark, sf_dir).collect()
+    assert [r.t10 for r in rows] == [5, 6, 7, 8, 9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_true >= b.n_true and a.n_found >= b.n_found
+    for r in rows:
+        assert r.n_found <= r.n_true
+    j54 = QUERIES["j54_lsh_eval"](spark, sf_dir).collect()[0]
+    p8 = next(r for r in rows if r.t10 == 8)
+    assert (p8.n_true, p8.n_found) == (j54.n_exact, j54.n_dup_found)
+    assert p8.recall == j54.recall
