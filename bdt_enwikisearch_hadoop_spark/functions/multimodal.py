@@ -472,3 +472,109 @@ def m6_interleave_schedule(spark, sf_dir) -> DataFrame:
         .orderBy("pos")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# m7 — modality-aware payload dedup (hash binary content, keep-first)
+# ---------------------------------------------------------------------------
+
+def _payload_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary payload → (doc_id, md5, n_bytes) —
+    metadata extracted ONCE so the payload bytes never enter a
+    shuffle (module-docstring rule 1)."""
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "h": [hashlib.md5(b).hexdigest() for b in pdf["content"]],
+                "n_bytes": [len(b) for b in pdf["content"]],
+            }
+        )
+
+
+@query(
+    "m7_modal_dedup",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               md5(text) AS h,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE
+                   WHEN octet_length(encode(text)) % 97 < 40 THEN 'text'
+                   WHEN octet_length(encode(text)) % 97 < 70 THEN 'image'
+                   WHEN octet_length(encode(text)) % 97 < 90 THEN 'audio'
+                   ELSE 'video'
+               END AS modality
+        FROM documents
+    ),
+    fam AS (
+        SELECT modality, h,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keeper,
+               CAST(MIN(n_bytes) AS BIGINT) AS n_bytes
+        FROM tagged
+        GROUP BY modality, h
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT) AS n_items,
+           CAST(SUM((n_copies - 1) * n_bytes) AS BIGINT)
+               AS bytes_reclaimed
+    FROM fam
+    GROUP BY modality
+    ORDER BY modality
+    """,
+)
+def m7_modal_dedup(spark, sf_dir) -> DataFrame:
+    """Payload dedup for OPAQUE media columns: hash every binary blob
+    (Arrow-batched mapInPandas — the payload is hashed where it lives
+    and only the 32-byte digest travels), group per modality, and
+    report unique-vs-total items and the bytes a content-addressed
+    store would reclaim — j1's exact dedup lifted to the multimodal
+    lane, where it matters MOST (media blobs dominate corpus bytes,
+    and crawl pipelines re-fetch identical images constantly; CDN
+    dedup ratios of 2-5× are normal).  Modality tags follow m5's
+    byte-length rule; the keeper is min doc_id (§2.0 rule 4).
+
+    Plan / 100 TB shape: the ONLY operation touching payload bytes is
+    the in-task hash (mapInPandas, no shuffle — module rule 1); the
+    dedup aggregate shuffles 32-byte digests, and the per-modality
+    report is modality-bounded.  The oracle hashes the text directly
+    (DuckDB md5 of the UTF-8 string == md5 of the payload bytes the
+    Spark side builds from the same string), so the cross-engine
+    check covers the hash arithmetic end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    binary = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    hashed = binary.mapInPandas(
+        _payload_hash, schema="doc_id long, h string, n_bytes long"
+    )
+    modality = (
+        F.when(F.col("n_bytes") % 97 < 40, "text")
+        .when(F.col("n_bytes") % 97 < 70, "image")
+        .when(F.col("n_bytes") % 97 < 90, "audio")
+        .otherwise("video")
+    )
+    fam = (
+        hashed.select("doc_id", "h", "n_bytes", modality.alias("modality"))
+        .groupBy("modality", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.min("n_bytes").alias("nb"),
+        )
+    )
+    return (
+        fam.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("n_copies").alias("n_items"),
+            F.sum((F.col("n_copies") - 1) * F.col("nb")).alias(
+                "bytes_reclaimed"
+            ),
+        )
+        .orderBy("modality")
+    )

@@ -1280,3 +1280,68 @@ def d30_histogram_2d(spark, sf_dir) -> DataFrame:
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# d31 — UNPIVOT (melt): wide measures to long form, then re-aggregate
+# ---------------------------------------------------------------------------
+
+@query(
+    "d31_unpivot",
+    oracle="""
+    WITH long_form AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           ROUND(SUM(val), 2) AS total,
+           ROUND(AVG(val), 4) AS mean
+    FROM long_form
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def d31_unpivot(spark, sf_dir) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of d9's pivot: three wide measure
+    columns rotated into (measure, value) long form with Spark's
+    native ``unpivot``, then one aggregate over the long table — the
+    reshaping every metrics store and every "one chart per measure"
+    dashboard feed needs, and the long form is what makes a SINGLE
+    aggregate serve N measures (the wide alternative is N aggregate
+    expressions per statistic — d19's shape — which stops scaling in
+    code, not in compute, past a handful).
+
+    Plan / 100 TB shape: unpivot is Spark's Expand node — each input
+    row fans out to one row per measure BEFORE the shuffle, so the
+    exchange carries (groups × measures) partial aggregates, not the
+    3× row stream (map-side partials absorb the fan-out exactly as
+    d4's grouping-sets Expand does).  The oracle states the portable
+    UNION ALL form; Expand is the engine's fused version of it."""
+    li = load(spark, sf_dir, "lineitem")
+    long_form = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.expr(
+            "CASE measure WHEN 'l_quantity' THEN 'quantity'"
+            " WHEN 'l_extendedprice' THEN 'extendedprice'"
+            " ELSE 'discount' END"
+        ),
+    )
+    return (
+        long_form.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 2).alias("total"),
+            F.round(F.avg("val"), 4).alias("mean"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

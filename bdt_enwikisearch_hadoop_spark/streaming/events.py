@@ -2782,3 +2782,157 @@ def run_sliding_quota_stream_smoke(spark, sf_dir: str) -> tuple[dict, dict]:
         for r in QUERIES["k25_sliding_quota"](spark, sf_dir).collect()
     }
     return emitted, expected
+
+
+# ---------------------------------------------------------------------------
+# e13 (events) — linear-interpolation imputation on the hourly grid
+# ---------------------------------------------------------------------------
+
+@query(
+    "k26_resample_interpolate",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                                  date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    lastobs AS (
+        SELECT event_type, bucket,
+               CAST(epoch(bucket) AS BIGINT) AS obs_s, cents
+        FROM obs WHERE rn = 1
+    ),
+    span AS (
+        SELECT event_type, date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    ),
+    ctx AS (
+        SELECT g.event_type,
+               CAST(epoch(g.bucket) AS BIGINT) AS h_s,
+               l.cents AS here,
+               last_value(l.cents IGNORE NULLS) OVER wp AS pc,
+               last_value(l.obs_s IGNORE NULLS) OVER wp AS ps,
+               first_value(l.cents IGNORE NULLS) OVER wn AS nc,
+               first_value(l.obs_s IGNORE NULLS) OVER wn AS ns
+        FROM grid g LEFT JOIN lastobs l USING (event_type, bucket)
+        WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY g.event_type ORDER BY g.bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h_s,
+           CAST(CASE
+               WHEN here IS NOT NULL THEN here
+               WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+                   (pc * (ns - h_s) + nc * (h_s - ps)) // (ns - ps)
+               WHEN pc IS NOT NULL THEN pc
+               ELSE nc
+           END AS BIGINT) AS cents_interp
+    FROM ctx
+    """,
+)
+def k26_resample_interpolate(spark, sf_dir) -> DataFrame:
+    """Hourly resampling with LINEAR interpolation — the imputation
+    sibling of k9's forward fill: grid points between two observations
+    take the time-weighted average of their neighbors instead of
+    repeating the stale left value (ffill is right for state-like
+    series, interpolation for continuous measures; both ship because
+    choosing wrong is a modeling bug).  All arithmetic is exact:
+    observations quantize to cents (k19's contract), times are integer
+    epoch seconds, and the interpolated value is the integer floor of
+    (pc·(ns−h) + nc·(h−ps)) / (ns−ps), spelled as an explicit
+    pmod-floored division so a negative measure can never expose the
+    truncate-vs-floor split between the engines' integer division.
+    Edges extrapolate flat (first/last known value).
+
+    Plan / 100 TB shape: one bucket-collapse aggregate, then BOTH
+    directional context windows (previous and next observation value
+    AND time, carried by last/first IGNORE NULLS) plus the grid join
+    ride a single event_type partitioning; the grid is span-bounded,
+    never event-bounded.  The streaming form is k9's state story plus
+    a one-bucket emission delay (the next observation must arrive
+    before a gap can interpolate — inherently one-step-lookahead)."""
+    e = load(spark, sf_dir, "events")
+    obs_w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    lastobs = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts2").alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(obs_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            F.unix_timestamp("bucket").alias("obs_s"),
+            "cents",
+        )
+    )
+    span = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts2")).alias("lo"),
+        F.date_trunc("hour", F.max("ts2")).alias("hi"),
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = (
+        grid.join(lastobs, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("h_s"),
+            F.col("cents").alias("here"),
+            F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+            F.last("obs_s", ignorenulls=True).over(wp).alias("ps"),
+            F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+            F.first("obs_s", ignorenulls=True).over(wn).alias("ns"),
+        )
+    )
+    interp = (
+        F.when(F.col("here").isNotNull(), F.col("here"))
+        .when(
+            F.col("pc").isNotNull() & F.col("nc").isNotNull(),
+            # explicit FLOOR division via pmod: Spark's DIV truncates
+            # toward zero, DuckDB's // floors — they agree only for
+            # non-negative dividends, and a negative measure would make
+            # the weighted dividend negative.  Subtracting the (always
+            # non-negative) pmod makes the numerator exactly divisible,
+            # so DIV is exact division and floor semantics hold for any
+            # sign of cents.
+            F.expr(
+                "(pc * (ns - h_s) + nc * (h_s - ps)"
+                " - pmod(pc * (ns - h_s) + nc * (h_s - ps), ns - ps))"
+                " DIV (ns - ps)"
+            ),
+        )
+        .when(F.col("pc").isNotNull(), F.col("pc"))
+        .otherwise(F.col("nc"))
+    )
+    return ctx.select(
+        "event_type", "h_s", interp.cast("long").alias("cents_interp")
+    )

@@ -3116,3 +3116,72 @@ def test_j68_curve_is_monotone_and_consistent_with_j54(spark, sf_dir):
     p8 = next(r for r in rows if r.t10 == 8)
     assert (p8.n_true, p8.n_found) == (j54.n_exact, j54.n_dup_found)
     assert p8.recall == j54.recall
+
+
+def test_k26_interpolation_matches_python_and_floors_negatives(spark, sf_dir):
+    """Interpolated grid values must equal a sequential Python replay
+    (per event_type), and the floor-division spelling must agree with
+    Python's // even for NEGATIVE dividends (synthetic check — the
+    fixture's values are non-negative today, the operator must not
+    depend on that)."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts2")).alias("hs"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "ts",
+            "event_id",
+        )
+        .collect()
+    )
+    best = {}
+    for r in e:  # last observation per (type, hour): max (ts, event_id)
+        k = (r.event_type, r.hs)
+        if k not in best or (r.ts, r.event_id) > best[k][0]:
+            best[k] = ((r.ts, r.event_id), r.cents)
+    obs = defaultdict(dict)
+    for (et, hs), (_, cents) in best.items():
+        obs[et][hs] = cents
+    expected = {}
+    for et, m in obs.items():
+        hours = sorted(m)
+        lo, hi = hours[0], hours[-1]
+        h = lo
+        while h <= hi:
+            if h in m:
+                expected[(et, h)] = m[h]
+            else:
+                prev = max(x for x in hours if x < h)
+                nxt = min(x for x in hours if x > h)
+                pc, nc = m[prev], m[nxt]
+                expected[(et, h)] = (
+                    pc * (nxt - h) + nc * (h - prev)
+                ) // (nxt - prev)
+            h += 3600
+    got = {
+        (r.event_type, r.h_s): r.cents_interp
+        for r in QUERIES["k26_resample_interpolate"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # negative-dividend floor semantics, directly on the expression
+    rows = [(-250, 100, 0, 3600, 1200), (-7, -3, 0, 10, 4)]
+    df = spark.createDataFrame(
+        rows, "pc long, nc long, ps long, ns long, h_s long"
+    )
+    out = df.select(
+        F.expr(
+            "(pc * (ns - h_s) + nc * (h_s - ps)"
+            " - pmod(pc * (ns - h_s) + nc * (h_s - ps), ns - ps))"
+            " DIV (ns - ps)"
+        ).alias("v")
+    ).collect()
+    for (pc, nc, ps, ns, h), r in zip(rows, out):
+        assert r.v == (pc * (ns - h) + nc * (h - ps)) // (ns - ps)
