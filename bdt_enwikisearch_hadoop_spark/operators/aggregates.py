@@ -1345,3 +1345,101 @@ def d31_unpivot(spark, sf_dir) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# d32 — two-proportion z-test (A/B experiment readout)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d32_ab_test",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               user_id % 2 AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase' AND value >= 300
+                             THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+               CAST(SUM(converted) FILTER (arm = 0) AS BIGINT) AS c_a,
+               CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+               CAST(SUM(converted) FILTER (arm = 1) AS BIGINT) AS c_b
+        FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           FLOOR(c_a * 1.0 / n_a * 10000) / 10000 AS p_a,
+           FLOOR(c_b * 1.0 / n_b * 10000) / 10000 AS p_b,
+           CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               FLOOR((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                     / SQRT(((c_a + c_b) * 1.0 / (n_a + n_b))
+                            * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) * 10000) / 10000
+           END AS z_score
+    FROM arms
+    """,
+)
+def d32_ab_test(spark, sf_dir) -> DataFrame:
+    """Two-proportion z-test — the A/B experiment readout: users split
+    into deterministic arms (user_id parity standing in for the
+    experiment assignment hash), per-user conversion = any BIG
+    purchase (value ≥ 300 — rare enough that neither arm saturates),
+    and the pooled-proportion z statistic for the difference —
+    the number an experimentation platform turns into ship/no-ship
+    (|z| > 1.96 ≈ p < .05 two-sided; the d29 chi-square on the 2×2
+    table is this statistic squared).  Per-USER conversion first
+    (MAX per user), never per-event — event-level counting inflates n
+    with within-user correlation, the classic A/B false-positive bug.
+
+    Determinism: the four cells are exact BIGINTs; p̂ and z are
+    integer-ratio doubles with one SQRT, floored at 4dp (libm-sqrt is
+    correctly rounded on both engines — the j44/d8 precedent).
+
+    Plan / 100 TB shape: one (user)-keyed aggregate collapses events
+    ~100:1, then a single 4-cell conditional aggregate — the entire
+    readout is two map-side-partial shuffles and a scalar row.  Many
+    simultaneous experiments = the same pass with arm-assignment
+    columns unpivoted (d31) to (experiment, arm) keys."""
+    e = load(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 300),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "converted"
+    )
+    arms = assign.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).cast("long").alias("c_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).cast("long").alias("c_b"),
+    )
+    pa = F.col("c_a") / F.col("n_a")
+    pb = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    # degenerate pools (0% or 100% conversion overall) have no defined
+    # z — emit NULL instead of a divide-by-zero (the sf0.001 smoke
+    # fixture genuinely has zero big-purchase conversions)
+    z = F.when(
+        (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+        (pa - pb)
+        / F.sqrt(
+            pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+        ),
+    )
+    return arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.floor(pa * 10000) / 10000).alias("p_a"),
+        (F.floor(pb * 10000) / 10000).alias("p_b"),
+        (F.floor(z * 10000) / 10000).alias("z_score"),
+    )
