@@ -2201,3 +2201,62 @@ def i40_pmi_expansion(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# i42 — term burstiness (collection frequency vs document frequency)
+# ---------------------------------------------------------------------------
+
+@query(
+    "i42_burstiness",
+    oracle=f"WITH {_TOK_CTE},"
+    """
+    stats AS (
+        SELECT term,
+               COUNT(*) AS cf,
+               COUNT(DISTINCT doc_id) AS dfc
+        FROM tok
+        GROUP BY term
+    )
+    SELECT term, cf, dfc,
+           (cf * 10000 // dfc) / 10000.0 AS burstiness
+    FROM stats
+    WHERE dfc >= 10
+    ORDER BY (cf * 10000 // dfc) DESC, term
+    LIMIT 30
+    """,
+)
+def i42_burstiness(spark, sf_dir) -> DataFrame:
+    """Term BURSTINESS — collection frequency over document frequency
+    (Church & Gale: content words repeat within the documents that
+    mention them, function words spread thin) — the statistic behind
+    DFR ranking models and the practical knob for stopword/keyword
+    triage beyond raw df (i12 prunes by df; a term with df high AND
+    cf/df ≈ 1 is a true function word, one with cf/df ≫ 1 is topical
+    even when common).  Top-30 bursty terms with df ≥ 10 support.
+
+    Determinism: cf and df are exact BIGINTs off one aggregate; the
+    ratio is integer floor division at 4dp and doubles as the sort
+    key, so the ranking can never split from the displayed value.
+
+    Plan / 100 TB shape: one term-keyed hash aggregate computes both
+    counts (the distinct-count expands map-side but shares the single
+    exchange — d19's multi-distinct shape); top-30 is a heap.  This
+    is index-build telemetry: i5/i9 already pay the same aggregate,
+    so production emits burstiness as a free extra column."""
+    tok = tokenize(load(spark, sf_dir, "documents"))
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("dfc"),
+    )
+    return (
+        stats.filter(F.col("dfc") >= 10)
+        .select(
+            "term",
+            "cf",
+            "dfc",
+            (F.expr("cf * 10000 DIV dfc") / 10000.0).alias("burstiness"),
+        )
+        .orderBy(F.expr("cf * 10000 DIV dfc").desc(), "term")
+        .limit(30)
+    )

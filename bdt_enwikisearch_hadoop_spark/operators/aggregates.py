@@ -1443,3 +1443,78 @@ def d32_ab_test(spark, sf_dir) -> DataFrame:
         (F.floor(pb * 10000) / 10000).alias("p_b"),
         (F.floor(z * 10000) / 10000).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d33 — day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+@query(
+    "d33_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+               ISODOW(MIN(ts)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    by_dow AS (
+        SELECT event_type, dow,
+               CAST(SUM(n) AS BIGINT) AS ev,
+               CAST(COUNT(*) AS BIGINT) AS days
+        FROM daily
+        GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, ev, days,
+           FLOOR((ev * 1.0 / days)
+                 / (SUM(ev) OVER (PARTITION BY event_type) * 1.0
+                    / SUM(days) OVER (PARTITION BY event_type))
+                 * 10000) / 10000 AS seasonal_index
+    FROM by_dow
+    ORDER BY event_type, dow
+    """,
+)
+def d33_dow_seasonality(spark, sf_dir) -> DataFrame:
+    """Day-of-week SEASONALITY INDEX: each weekday's mean daily event
+    count relative to the type's overall daily mean (index 1.0 = flat,
+    >1 = that weekday runs hot) — the first decomposition every
+    forecasting/capacity model applies, and the denominator k17's
+    anomaly z-scores should be normalized BY before flagging (a
+    Saturday dip isn't an anomaly if Saturdays always dip).  ISO
+    weekday numbering on both engines (h2's convention).
+
+    Determinism: per-day counts, per-dow event and day totals are all
+    exact BIGINTs; the index is a ratio of two integer-ratio doubles,
+    floored at 4dp — identical IEEE operation order spelled the same
+    way in both engines.
+
+    Plan / 100 TB shape: events collapse ~10³:1 into (type, day)
+    partials map-side, re-aggregate to (type, dow) — 7 rows per type —
+    and the type totals are windows over that tiny table (d25's
+    one-scan discipline, no join-back).  The same ladder yields
+    hour-of-day or month-of-year indices by swapping the bucket."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts2").alias("day")
+    ).agg(
+        (F.weekday(F.min("ts2")) + 1).alias("dow"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    by_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("ev"), F.count(F.lit(1)).alias("days")
+    )
+    wt = Window.partitionBy("event_type")
+    idx = F.floor(
+        (F.col("ev") / F.col("days"))
+        / (F.sum("ev").over(wt) / F.sum("days").over(wt))
+        * 10000
+    ) / 10000
+    return by_dow.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "ev",
+        "days",
+        idx.alias("seasonal_index"),
+    ).orderBy("event_type", "dow")

@@ -432,3 +432,105 @@ def e11_streaks(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("len").desc(), "user_id", "start_d")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# e14 — rolling regression slope (windowed trend over the hourly series)
+# ---------------------------------------------------------------------------
+
+@query(
+    "e14_rolling_slope",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    win AS (
+        SELECT event_type, h, cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(h) OVER w AS BIGINT) AS sx,
+               CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+               CAST(SUM(h * cents) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(h * h) OVER w AS BIGINT) AS sxx
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h, cents,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN
+               FLOOR((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx) * 10000) / 10000
+           END AS slope_cents_per_h
+    FROM win
+    ORDER BY event_type, h
+    """,
+)
+def e14_rolling_slope(spark, sf_dir) -> DataFrame:
+    """Rolling least-squares TREND: per event type, the regression
+    slope of hourly revenue-cents over the trailing 24 observed hours
+    — the windowed version of d23's whole-series regression, and the
+    trend detector monitoring dashboards draw ("is this metric
+    accelerating?"; k17 flags level anomalies, k24 finds the single
+    hardest level SHIFT, e14 tracks the local derivative).
+
+    Exact by decomposition: slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) where
+    x is the integer hour number and y integer cents — all five
+    window sums are BIGINTs over the SAME frame, so the only float is
+    the final division, floored at 4dp with identical IEEE semantics.
+    Degenerate frames (n<2) emit NULL rather than a zero-division.
+
+    Plan / 100 TB shape: one hour-collapse aggregate (events →
+    per-hour rows, ~10³:1), then ALL five rolling sums share one
+    window frame over one event_type exchange — Spark evaluates them
+    in a single WindowExec pass; the frame is ROWS-bounded so state
+    is O(24) per key.  The streaming form maintains the five sums
+    incrementally (add newest, subtract oldest) — the classic
+    O(1)-per-event sliding regression."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts2").alias("bucket")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(bucket) DIV 3600").alias("h"),
+            "cents",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    win = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("h").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("h") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("h") * F.col("h")).over(w).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / denom
+            * 10000
+        )
+        / 10000,
+    )
+    return win.select(
+        "event_type", "h", "cents", slope.alias("slope_cents_per_h")
+    ).orderBy("event_type", "h")
