@@ -1518,3 +1518,83 @@ def d33_dow_seasonality(spark, sf_dir) -> DataFrame:
         "days",
         idx.alias("seasonal_index"),
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# d34 — trimmed mean (drop the tail deciles, average the middle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d34_trimmed_mean",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (rn > n // 10 AND rn <= n - n // 10)
+                AS BIGINT) AS n_kept,
+           (SUM(q100) FILTER (rn > n // 10 AND rn <= n - n // 10) * 100
+            // COUNT(*) FILTER (rn > n // 10 AND rn <= n - n // 10))
+               / 10000.0 AS trimmed_mean
+    FROM q
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def d34_trimmed_mean(spark, sf_dir) -> DataFrame:
+    """10% TRIMMED MEAN per group: rank the measure, drop the bottom
+    and top deciles, average the middle 80% — the robust location
+    estimate between the mean (outlier-hostage) and the median
+    (throws away 50% of the data); d27 flags outliers by MAD, j45
+    clips them, d34 reports a statistic that never saw them.
+
+    Exact arithmetic end-to-end: the measure quantizes to q100
+    BIGINTs, trim boundaries are integer rank comparisons against
+    n // 10 (deterministic (value, orderkey, linenumber) tie order),
+    and the mean is one integer floor division scaled to 4dp — no
+    float accumulation, no interpolation.
+
+    Plan / 100 TB shape: one shuffle on the group key serves the rank
+    window, the count window AND the final conditional aggregate
+    (same partitioning throughout — the d28 pattern); per-group state
+    is the window sort.  At extreme group sizes the exact rank trim
+    swaps for approx_percentile bounds (d13) with the same aggregate
+    downstream."""
+    li = load(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    keep = (F.col("rn") > F.expr("n DIV 10")) & (
+        F.col("rn") <= F.col("n") - F.expr("n DIV 10")
+    )
+    return (
+        q.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            (
+                F.expr(
+                    "sum(CASE WHEN rn > n DIV 10 AND rn <= n - n DIV 10"
+                    " THEN q100 END) * 100"
+                    " DIV sum(CASE WHEN rn > n DIV 10"
+                    " AND rn <= n - n DIV 10 THEN 1 END)"
+                )
+                / 10000.0
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

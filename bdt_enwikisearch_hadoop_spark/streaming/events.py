@@ -2936,3 +2936,77 @@ def k26_resample_interpolate(spark, sf_dir) -> DataFrame:
     return ctx.select(
         "event_type", "h_s", interp.cast("long").alias("cents_interp")
     )
+
+
+# ---------------------------------------------------------------------------
+# k27 — local-peak detection on the hourly series
+# ---------------------------------------------------------------------------
+
+@query(
+    "k27_peak_detection",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h_s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    ctx AS (
+        SELECT event_type, h_s, n,
+               LAG(n) OVER w AS prev_n,
+               LEAD(n) OVER w AS next_n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h_s)
+    )
+    SELECT event_type, h_s, n
+    FROM ctx
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n >= next_n
+    ORDER BY n DESC, event_type, h_s
+    LIMIT 20
+    """,
+)
+def k27_peak_detection(spark, sf_dir) -> DataFrame:
+    """Local-PEAK detection on the hourly event-count series: an
+    interior hour whose count strictly exceeds its predecessor and is
+    at least its successor (the strict/non-strict asymmetry resolves
+    plateaus deterministically: a flat top's FIRST hour is the peak) —
+    top-20 peaks.  k17 flags statistically extreme levels, k24 the
+    single hardest sustained shift; k27 finds every local burst crest,
+    which is what alert routing and capacity post-mortems actually
+    page on.  Only interior points qualify — series edges are not
+    peaks by definition.
+
+    All comparisons are exact BIGINT counts on the collapsed hourly
+    series; top-20 ties break on (type, hour).
+
+    Plan / 100 TB shape: events collapse ~10³:1 into hourly partials
+    map-side; lag and lead share ONE window spec over one event_type
+    exchange; the result is a TakeOrderedAndProject heap.  The
+    streaming form needs one-hour emission lag (a peak is confirmable
+    only when its successor closes) — the k26 lookahead note applies
+    verbatim."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts2").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    ctx = hourly.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("h_s"),
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        ctx.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") >= F.col("next_n"))
+        )
+        .select("event_type", "h_s", "n")
+        .orderBy(F.col("n").desc(), "event_type", "h_s")
+        .limit(20)
+    )

@@ -1122,3 +1122,40 @@ def test_j34_cell_pairs_are_cogrouped_numpy_not_self_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "j34_semdedup")
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
+
+
+def test_d34_trim_windows_and_aggregate_share_group_exchange(spark, sf_dir):
+    """Rank window, count window and the conditional aggregate all key
+    on l_returnflag — one hash exchange total."""
+    p = _plan(spark, sf_dir, "d34_trimmed_mean")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_k27_lag_lead_share_one_window_pass(spark, sf_dir):
+    """lag and lead must evaluate in a single WindowExec over one
+    event_type exchange, ending in a top-k heap."""
+    p = _plan(spark, sf_dir, "k27_peak_detection")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Window") == 1
+
+
+def test_e14_five_sums_one_window_pass(spark, sf_dir):
+    """All five rolling regression sums share one frame — exactly one
+    WindowExec node."""
+    p = _plan(spark, sf_dir, "e14_rolling_slope")
+    assert p.count("Window") == 1
+
+
+def test_j66_vocab_broadcasts_into_membership_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "j66_oov_rate")
+    assert "BroadcastHashJoin" in p
+
+
+def test_m7_payload_hash_is_map_side_before_any_exchange(spark, sf_dir):
+    """The payload hash must run in mapInPandas before the dedup
+    aggregate's exchange — blob bytes never shuffle."""
+    p = _plan(spark, sf_dir, "m7_modal_dedup")
+    assert "MapInPandas" in p
+    pos_map = p.find("MapInPandas")
+    # the exchange below (later in tree printout = earlier in dataflow)
+    assert "Exchange hashpartitioning" in p[:pos_map]

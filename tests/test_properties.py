@@ -3185,3 +3185,71 @@ def test_k26_interpolation_matches_python_and_floors_negatives(spark, sf_dir):
     ).collect()
     for (pc, nc, ps, ns, h), r in zip(rows, out):
         assert r.v == (pc * (ns - h) + nc * (h - ps)) // (ns - ps)
+
+
+def test_d34_trimmed_mean_matches_python(spark, sf_dir):
+    """The rank-trimmed mean must equal a Python sort-and-slice over
+    the same quantized values and tie order."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.l_returnflag].append(
+            (r.l_quantity, r.l_orderkey, r.l_linenumber)
+        )
+    expected = {}
+    for flag, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        cut = n // 10
+        kept = vals[cut : n - cut]
+        s = sum(round(v[0] * 100) for v in kept)
+        expected[flag] = (n, len(kept), (s * 100 // len(kept)) / 10000.0)
+    got = {
+        r.l_returnflag: (r.n, r.n_kept, r.trimmed_mean)
+        for r in QUERIES["d34_trimmed_mean"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_k27_peaks_are_true_local_maxima(spark, sf_dir):
+    """Every reported peak must be an interior local maximum of the
+    independently computed hourly series (strict left, non-strict
+    right), and no higher unreported interior peak may exist outside
+    the top-20 cut."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    hourly = defaultdict(dict)
+    for r in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.unix_timestamp("b").alias("h"), "n")
+        .collect()
+    ):
+        hourly[r.event_type][r.h] = r.n
+    all_peaks = []
+    for et, m in hourly.items():
+        hs = sorted(m)
+        for i in range(1, len(hs) - 1):
+            if m[hs[i]] > m[hs[i - 1]] and m[hs[i]] >= m[hs[i + 1]]:
+                all_peaks.append((-m[hs[i]], et, hs[i]))
+    all_peaks.sort()
+    expected = [(et, h, -negn) for negn, et, h in all_peaks[:20]]
+    got = [
+        (r.event_type, r.h_s, r.n)
+        for r in QUERIES["k27_peak_detection"](spark, sf_dir).collect()
+    ]
+    assert got == expected
