@@ -3228,3 +3228,161 @@ def j68_dedup_threshold_curve(spark, sf_dir) -> DataFrame:
             F.expr("n_found * 10000 DIV greatest(n_true, 1)") / 10000.0
         ).alias("recall"),
     ).orderBy("t10")
+
+
+# ---------------------------------------------------------------------------
+# j69 — span-corruption mask planning (T5/UL2 denoising objective)
+# ---------------------------------------------------------------------------
+
+#: one in _SPAN_RATE token positions seeds a corruption span.
+_SPAN_RATE = 13
+#: span length = 1 + (hash % _SPAN_LEN_MOD)  →  1..3 tokens.
+_SPAN_LEN_MOD = 3
+
+
+@query(
+    "j69_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(z[2] AS BIGINT) AS pos,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, text,
+                     unnest(list_zip(string_split(lower(text), ' '),
+                                     range(len(string_split(lower(text),
+                                                            ' '))))) AS z
+              FROM documents)
+    ),
+    starts AS (
+        SELECT doc_id, pos, n_tok,
+               1 + ('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)
+                                    || ':' || CAST(pos AS VARCHAR)), 1, 8))
+                   ::BIGINT % {_SPAN_LEN_MOD} AS span_len
+        FROM tok
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+              % {_SPAN_RATE} = 0
+    ),
+    masked AS (
+        SELECT DISTINCT doc_id, n_tok, pos + t.i AS mpos
+        FROM starts, LATERAL (SELECT unnest(range(0, span_len)) AS i) t
+        WHERE pos + t.i < n_tok
+    ),
+    isl AS (
+        SELECT doc_id, n_tok, mpos,
+               CASE WHEN lag(mpos) OVER (PARTITION BY doc_id
+                                         ORDER BY mpos) = mpos - 1
+                    THEN 0 ELSE 1 END AS is_start
+        FROM masked
+    )
+    SELECT doc_id,
+           MAX(n_tok) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_masked,
+           CAST(SUM(is_start) AS BIGINT) AS n_spans,
+           (COUNT(*) * 10000 // MAX(n_tok)) / 10000.0 AS mask_ratio
+    FROM isl
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def j69_span_corruption(spark, sf_dir) -> DataFrame:
+    """Span-corruption MASK PLANNING (the T5/UL2 denoising objective):
+    deterministic hash-seeded span starts (one in {_SPAN_RATE}
+    positions), spans of 1..{_SPAN_LEN_MOD} tokens, overlapping and
+    adjacent spans MERGED (the real objective replaces each merged
+    span with ONE sentinel, so the span count after merging — not the
+    seed count — is what sizes the target sequence).  Emitted per doc:
+    token count, masked-token count, merged-span count, mask ratio —
+    the plan a data loader turns into sentinel-delimited input/target
+    pairs.  §2.0 rule-7 hashing makes the mask reproducible across
+    engines, runs, and partitionings — a rand()-seeded mask would make
+    every epoch's objective unreproducible.
+
+    The merge is the e11 gaps-and-islands move on masked positions
+    (lag = pos−1 ⇔ same island), so n_spans needs no second pass over
+    spans — one window over the masked-position stream.
+
+    Plan / 100 TB shape: tokenize → map-side hash filter (seeds are
+    ~1/{_SPAN_RATE} of positions) → bounded explode (≤{_SPAN_LEN_MOD}
+    rows per seed) → distinct + island window + aggregate, all keyed
+    on doc_id — ONE corpus-sized exchange carries the masked-position
+    stream (~10% of tokens); everything after is doc-keyed.  The data
+    loader consumes this table joined back to tokens by (doc, pos)
+    range — the j39 chunk-join shape."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    tok = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.posexplode("toks").alias("pos", "t"),
+    ).select("doc_id", "n_tok", F.col("pos").cast("long").alias("pos"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit("s"),
+                    F.col("doc_id").cast("string"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = tok.filter(h % _SPAN_RATE == 0).select(
+        "doc_id",
+        "n_tok",
+        "pos",
+        (1 + h2 % _SPAN_LEN_MOD).alias("span_len"),
+    )
+    masked = (
+        starts.select(
+            "doc_id",
+            "n_tok",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.col("span_len") - 1
+                )
+            ).alias("mpos"),
+        )
+        .filter(F.col("mpos") < F.col("n_tok"))
+        .distinct()
+    )
+    wl = Window.partitionBy("doc_id").orderBy("mpos")
+    isl = masked.withColumn(
+        "is_start",
+        F.when(
+            F.lag("mpos").over(wl) == F.col("mpos") - 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        isl.groupBy("doc_id")
+        .agg(
+            F.max("n_tok").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_masked"),
+            F.sum("is_start").alias("n_spans"),
+            (
+                F.expr("count(1) * 10000 DIV max(n_tok)") / 10000.0
+            ).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3253,3 +3253,39 @@ def test_k27_peaks_are_true_local_maxima(spark, sf_dir):
         for r in QUERIES["k27_peak_detection"](spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_j69_mask_plan_matches_python_replay(spark, sf_dir):
+    """The span plan must equal a sequential Python replay of the same
+    hash rules: seeds, span extension, overlap merge, and counts."""
+    import hashlib
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _SPAN_LEN_MOD,
+        _SPAN_RATE,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expected = {}
+    for r in docs:
+        n = len(r.text.lower().split(" "))
+        masked = set()
+        for pos in range(n):
+            if h32(f"{r.doc_id}:{pos}") % _SPAN_RATE == 0:
+                ln = 1 + h32(f"s:{r.doc_id}:{pos}") % _SPAN_LEN_MOD
+                for m in range(pos, min(pos + ln, n)):
+                    masked.add(m)
+        if not masked:
+            continue
+        spans = sum(1 for m in masked if m - 1 not in masked)
+        expected[r.doc_id] = (n, len(masked), spans)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_masked, r.n_spans)
+        for r in QUERIES["j69_span_corruption"](spark, sf_dir).collect()
+    }
+    assert got == expected
