@@ -3289,3 +3289,246 @@ def test_j69_mask_plan_matches_python_replay(spark, sf_dir):
         for r in QUERIES["j69_span_corruption"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_d30_bins_partition_the_fact_table(spark, sf_dir):
+    """2-D histogram cells must partition lineitem: counts sum to the
+    row count and every cell's bin ids match the floor formula."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["d30_histogram_2d"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    import math
+
+    sample = li.select("l_quantity", "l_discount").limit(500).collect()
+    cells = {(r.qty_bin, r.disc_bin) for r in rows}
+    for s in sample:
+        assert (
+            math.floor(s.l_quantity / 10),
+            math.floor(s.l_discount / 0.02),
+        ) in cells
+
+
+def test_d31_long_totals_equal_wide_aggregates(spark, sf_dir):
+    """Each unpivoted measure's (n, total) must equal the direct wide
+    aggregate over the same column."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.l_returnflag, r.measure): (r.n, r.total)
+        for r in QUERIES["d31_unpivot"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    for meas, col in (
+        ("quantity", "l_quantity"),
+        ("extendedprice", "l_extendedprice"),
+        ("discount", "l_discount"),
+    ):
+        wide = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum(col), 2).alias("t")
+        ).collect()
+        for w in wide:
+            assert got[(w.l_returnflag, meas)] == (w.n, w.t)
+
+
+def test_d32_cells_and_z_match_python(spark, sf_dir):
+    """A/B cells must cover every user once; z must equal the Python
+    pooled-proportion formula."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    r = QUERIES["d32_ab_test"](spark, sf_dir).collect()[0]
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    if 0 < r.c_a + r.c_b < r.n_a + r.n_b:
+        pa, pb = r.c_a / r.n_a, r.c_b / r.n_b
+        pool = (r.c_a + r.c_b) / (r.n_a + r.n_b)
+        z = (pa - pb) / math.sqrt(
+            pool * (1 - pool) * (1 / r.n_a + 1 / r.n_b)
+        )
+        assert r.z_score == math.floor(z * 10000) / 10000
+
+
+def test_d33_seasonality_conserves_events(spark, sf_dir):
+    """Per-type dow events must sum to the type's event count, days to
+    its distinct active days, and the day-weighted index mean is 1 up
+    to per-cell flooring."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["d33_dow_seasonality"](spark, sf_dir).collect()
+    ev = defaultdict(int)
+    days = defaultdict(int)
+    for r in rows:
+        ev[r.event_type] += r.ev
+        days[r.event_type] += r.days
+    e = load(spark, sf_dir, "events")
+    for t, n in (
+        (r.event_type, r.n)
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        assert ev[t] == n
+    for r in (
+        e.groupBy("event_type")
+        .agg(F.countDistinct(F.date_trunc("day", "ts2")).alias("d"))
+        .collect()
+    ):
+        assert days[r.event_type] == r.d
+    for t in ev:
+        w = sum(r.seasonal_index * r.days for r in rows if r.event_type == t)
+        assert abs(w / days[t] - 1) < 7 * 1e-4 + 1e-9
+
+
+def test_g10_union_evolve_accounts_for_both_vintages(spark, sf_dir):
+    """Totals must cover every document; legacy rows are exactly the
+    even doc_ids per lang; chars_known sums only the odd side."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r.lang: (r.n, r.with_source, r.legacy_rows, r.chars_known)
+        for r in QUERIES["g10_union_evolve"](spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    ref = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("legacy"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 1, F.col("n_chars"))
+        ).alias("chars"),
+    ).collect()
+    for r in ref:
+        assert got[r.lang] == (r.n, r.n - r.legacy, r.legacy, r.chars)
+
+
+def test_i42_burstiness_formula_and_bounds(spark, sf_dir):
+    """cf >= df always; the floored ratio must match Python; ranking is
+    by the displayed value."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["i42_burstiness"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.cf >= r.dfc >= 10
+        assert r.burstiness == (r.cf * 10000 // r.dfc) / 10000.0
+    vals = [r.burstiness for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_i43_zipf_fit_matches_python_regression(spark, sf_dir):
+    """The exponent and R2 must equal a Python replay of the same
+    quantized log-log regression over the same top-200 ranking."""
+    import math
+    from collections import Counter
+
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        _ZIPF_TOP,
+        tokenize,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    cf = Counter()
+    for r in tokenize(load(spark, sf_dir, "documents")).select("term").collect():
+        cf[r.term] += 1
+    ranked = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+    pts = [
+        (
+            math.floor(math.log(i + 1) * 1e6),
+            math.floor(math.log(c) * 1e6),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r = QUERIES["i43_zipf_fit"](spark, sf_dir).collect()[0]
+    assert r.n == n
+    assert r.zipf_exponent == math.floor(-num / denx * 10000) / 10000
+    assert r.r2 == math.floor(
+        (float(num) * float(num)) / (float(denx) * float(deny)) * 10000
+    ) / 10000
+    assert 0 < r.r2 <= 1
+
+
+def test_j56_woe_iv_matches_python(spark, sf_dir):
+    """WOE per category and the shared IV must equal the Python
+    formula over the same counts."""
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["j56_woe_iv"](spark, sf_dir).collect()
+    tot_pos = sum(r.n_pos for r in rows)
+    tot_neg = sum(r.n - r.n_pos for r in rows)
+    iv = 0.0
+    for r in rows:
+        woe = math.log(
+            ((r.n_pos + 0.5) / tot_pos)
+            / ((r.n - r.n_pos + 0.5) / tot_neg)
+        )
+        assert r.woe == math.floor(woe * 10000) / 10000
+        iv += (
+            (r.n_pos + 0.5) / tot_pos - (r.n - r.n_pos + 0.5) / tot_neg
+        ) * woe
+    for r in rows:
+        assert r.iv == math.floor(iv * 10000) / 10000
+
+
+def test_j60_report_conserves_corpus_and_matches_j32(spark, sf_dir):
+    """Histogram mass must cover the whole corpus and agree with a
+    direct aggregation of j32's keeper table."""
+    from collections import Counter
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        j32_dedup_pipeline_scale,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = QUERIES["j60_dedup_report"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.docs_covered for r in rows) == n_docs
+    hist = Counter(
+        r.n_members for r in j32_dedup_pipeline_scale(spark, sf_dir).collect()
+    )
+    for r in rows:
+        assert hist[r.n_members] == r.n_clusters
+        assert r.docs_removed == (r.n_members - 1) * r.n_clusters
+
+
+def test_j63_card_equals_direct_aggregates(spark, sf_dir):
+    """Every card column must match an independent direct computation
+    over the documents table."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    card = QUERIES["j63_dataset_card"](spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents").collect()
+    toks = [len(r.text.lower().split(" ")) for r in docs]
+    import hashlib
+
+    hashes = {hashlib.md5(r.text.strip().lower().encode()).hexdigest() for r in docs}
+    assert card.n_docs == len(docs)
+    assert card.n_langs == len({r.lang for r in docs})
+    assert card.n_sources == len({r.source for r in docs})
+    assert card.total_tokens == sum(toks)
+    assert card.total_chars == sum(r.n_chars for r in docs)
+    assert card.n_exact_dups == len(docs) - len(hashes)
+    assert card.min_tokens == min(toks) and card.max_tokens == max(toks)
+    assert card.mean_tokens_floor == sum(toks) // len(toks)
