@@ -3386,3 +3386,77 @@ def j69_span_corruption(spark, sf_dir) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# j70 — packing efficiency report (per-shard waste accounting for j23)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j70_packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens,
+           CAST((total_tokens + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+                AS BIGINT) AS n_bins,
+           CAST((total_tokens + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+                * {_PACK_BUDGET} - total_tokens AS BIGINT) AS wasted_tokens,
+           (total_tokens * 10000
+            // ((total_tokens + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}
+                * {_PACK_BUDGET})) / 10000.0 AS fill_ratio
+    FROM t
+    ORDER BY lang
+    """,
+)
+def j70_packing_efficiency(spark, sf_dir) -> DataFrame:
+    """Packing-efficiency report for j23's contiguous sequence
+    packing: per language shard, the bin count, wasted (pad) tokens
+    and fill ratio.  Under contiguous prefix-fill with boundary
+    straddling, waste exists ONLY in each shard's final bin — so the
+    report quantifies the real scale trade of sharded packing: more
+    shards = more parallelism = more tails (waste ≈ shards·budget/2
+    in expectation), which is why production picks hash(doc)%k with k
+    sized to the cluster, not to the corpus.  The fill ratio here is
+    what a training-throughput dashboard calls padding efficiency;
+    j23 assigns the bins, j70 prices them (the j60/j36 telemetry
+    discipline: the report rides the aggregate the pipeline already
+    pays for).
+
+    All arithmetic is integer: bin count is ceiling division spelled
+    as (t + B − 1) // B, waste is its complement, and the fill ratio
+    is one floor division at 4dp.
+
+    Plan / 100 TB shape: one shard-keyed aggregate with map-side
+    partials — the whole report is shard-count-bounded and derivable
+    WITHOUT materializing j23's per-doc assignment (the closed form
+    above), which is exactly why it belongs on the dashboard: it
+    costs one aggregate even when the packing itself hasn't run."""
+    t = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "total_tokens"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    b = _PACK_BUDGET
+    n_bins = F.expr(f"(total_tokens + {b} - 1) DIV {b}")
+    return t.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        n_bins.alias("n_bins"),
+        (n_bins * b - F.col("total_tokens")).alias("wasted_tokens"),
+        (
+            F.expr(
+                f"total_tokens * 10000"
+                f" DIV ((total_tokens + {b} - 1) DIV {b} * {b})"
+            )
+            / 10000.0
+        ).alias("fill_ratio"),
+    ).orderBy("lang")

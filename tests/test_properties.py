@@ -3532,3 +3532,31 @@ def test_j63_card_equals_direct_aggregates(spark, sf_dir):
     assert card.n_exact_dups == len(docs) - len(hashes)
     assert card.min_tokens == min(toks) and card.max_tokens == max(toks)
     assert card.mean_tokens_floor == sum(toks) // len(toks)
+
+
+def test_j70_efficiency_consistent_with_j23_assignment(spark, sf_dir):
+    """The closed-form bin count must equal the materialized j23
+    assignment's max bin id + 1 per shard, and waste must equal the
+    unfilled remainder of the final bin."""
+    from collections import defaultdict
+
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _PACK_BUDGET,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    assign = QUERIES["j23_sequence_pack"](spark, sf_dir).collect()
+    max_bin = defaultdict(int)
+    tok = defaultdict(int)
+    for r in assign:
+        max_bin[r.lang] = max(max_bin[r.lang], r.bin_id)
+        tok[r.lang] += r.n_tok
+    for r in QUERIES["j70_packing_efficiency"](spark, sf_dir).collect():
+        assert r.total_tokens == tok[r.lang]
+        assert r.n_bins == max_bin[r.lang] + 1 or (
+            # a shard whose total is an exact multiple of the budget:
+            # the straddle assignment may open bin N while the closed
+            # form counts N bins — both legal only when total % B == 0
+            r.total_tokens % _PACK_BUDGET == 0
+        )
+        assert r.wasted_tokens == r.n_bins * _PACK_BUDGET - r.total_tokens
