@@ -3460,3 +3460,69 @@ def j70_packing_efficiency(spark, sf_dir) -> DataFrame:
             / 10000.0
         ).alias("fill_ratio"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# j71 — deterministic epoch shuffle (resumable data-loader order)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_EPOCHS = 2
+
+
+@query(
+    "j71_epoch_shuffle",
+    oracle=f"""
+    WITH perms AS (
+        SELECT doc_id, e.ep,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.ep
+                   ORDER BY md5(CAST(e.ep AS VARCHAR) || ':'
+                                || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS pos
+        FROM documents
+        CROSS JOIN range(0, {_SHUFFLE_EPOCHS}) e(ep)
+    )
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN ep = 0 THEN pos END) AS BIGINT) AS pos_e0,
+           CAST(MAX(CASE WHEN ep = 1 THEN pos END) AS BIGINT) AS pos_e1
+    FROM perms
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def j71_epoch_shuffle(spark, sf_dir) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: every document's training position
+    in each epoch, as rank over md5(epoch:doc_id) — the data-loader
+    ordering contract that makes multi-epoch training REPRODUCIBLE
+    and RESUMABLE: position is a pure function of (epoch, doc), so a
+    run restarted mid-epoch recomputes exactly where it was (a
+    rand()-seeded shuffle cannot — its order depends on partitioning
+    and visit order), and any shard can generate ITS slice of the
+    order independently by filtering its position range (m6's
+    no-global-coordination property, applied to shuffling).  Distinct
+    epochs get independent permutations from the epoch salt; the
+    doc_id tiebreak covers the astronomically-unlikely hash tie.
+
+    Plan / 100 TB shape: the rank-over-hash is a sort, and THE honest
+    cost accounting is: one global sort per epoch — exactly what a
+    real loader pays once per epoch to write its index file, amortized
+    over the whole epoch's reads.  At 100 TB the sort is range-
+    partitioned (Spark's exchange does this); production often skips
+    the materialized rank entirely and just ORDERS BY the hash on
+    read, which is this same plan minus the window.  Emitted wide
+    (one column per epoch) to keep the driver-hash schema scalar."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for ep in range(_SHUFFLE_EPOCHS):
+        w = Window.orderBy(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(ep)), F.col("doc_id").cast("string")
+                )
+            ),
+            "doc_id",
+        )
+        col = (F.row_number().over(w) - 1).cast("long").alias(f"pos_e{ep}")
+        ranked = docs.select("doc_id", col)
+        out = ranked if out is None else out.join(ranked, "doc_id")
+    return out.orderBy("doc_id")

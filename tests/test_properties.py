@@ -3560,3 +3560,25 @@ def test_j70_efficiency_consistent_with_j23_assignment(spark, sf_dir):
             r.total_tokens % _PACK_BUDGET == 0
         )
         assert r.wasted_tokens == r.n_bins * _PACK_BUDGET - r.total_tokens
+
+
+def test_j71_each_epoch_is_an_independent_permutation(spark, sf_dir):
+    """Both epoch orders must be exact permutations of 0..n-1, differ
+    from each other, and match the Python hash-rank replay."""
+    import hashlib
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = QUERIES["j71_epoch_shuffle"](spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("pos_e0", "pos_e1"):
+        assert sorted(r[col] for r in rows) == list(range(n))
+    assert any(r.pos_e0 != r.pos_e1 for r in rows)
+    for ep, col in ((0, "pos_e0"), (1, "pos_e1")):
+        order = sorted(
+            (hashlib.md5(f"{ep}:{r.doc_id}".encode()).hexdigest(), r.doc_id)
+            for r in rows
+        )
+        expect = {doc: i for i, (_, doc) in enumerate(order)}
+        for r in rows:
+            assert r[col] == expect[r.doc_id]
