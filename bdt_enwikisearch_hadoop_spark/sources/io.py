@@ -106,6 +106,53 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events")
 
 
+#: build-once / serve-many MATERIALIZED intermediates, keyed like
+#: _PLAN_CACHE by (applicationId, sf_dir, tag).  Holds eagerly
+#: localCheckpoint-ed DataFrames — the local stand-in for the persisted
+#: table boundary a production pipeline writes between stages.
+_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+
+#: wall-clock seconds spent BUILDING each materialized intermediate,
+#: keyed by (sf_dir, tag).  bench.py bills these into its headline
+#: total: min-of-N per-key timing would otherwise discard the one-time
+#: build cost entirely (run 1 builds, run 2 serves, min keeps run 2) —
+#: per-key numbers stay steady-state (what a pipeline reading persisted
+#: tables pays) while the total still owns the build.
+MATERIALIZE_SECONDS: dict[tuple[str, str], float] = {}
+
+
+def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
+    """Serve a shared heavy intermediate (LSH pair table, dedup keeper
+    set, classifier z-scores, kNN edge list …) built ONCE per
+    (session, scale-factor) and truncated to a materialized RDD via
+    eager ``localCheckpoint``.
+
+    This is the i35 discipline promoted to a first-class boundary: at
+    100 TB a curation pipeline runs its dedup/scoring stages once and
+    every downstream report READS THE PERSISTED TABLE — it never
+    re-executes the producing pipeline per report.  Locally the
+    checkpoint plays the persisted table's role, so composed keys
+    (j54/j60/j67/j68 over the j8/j32 pair and keeper tables) cost
+    report-sized work instead of one full pipeline re-run each.
+
+    Keyed by ``applicationId`` for the same reason as ``_PLAN_CACHE``:
+    a new session can never inherit a checkpoint pinned to a stopped
+    session's executors.  ``build`` must be a zero-arg callable
+    returning the DataFrame to materialize."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    got = _MATERIALIZED.get(key)
+    if got is None:
+        import time
+
+        t0 = time.perf_counter()
+        got = build().localCheckpoint(eager=True)
+        MATERIALIZE_SECONDS[(sf_dir, tag)] = round(
+            time.perf_counter() - t0, 3
+        )
+        _MATERIALIZED[key] = got
+    return got
+
+
 def rebalance(df: DataFrame) -> DataFrame:
     """Round-robin the rows across the cluster before a CPU-heavy
     narrow stage (per-row hashing, Arrow-batch matmul).  A compacted
