@@ -3305,6 +3305,205 @@ def j68_dedup_threshold_curve(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# j72/j73 — SAMPLED-STRATUM LSH certification (the 100 TB form of j54/j68)
+# ---------------------------------------------------------------------------
+
+#: deterministic ~25% document stratum by doc_id content hash (j15's
+#: sampler applied to the dedup-certification problem): a PAIR survives
+#: iff BOTH endpoints land in the stratum, so the stratum pair count is
+#: an unbiased 1/16 estimator of the full-corpus pair count.
+_STRATUM_PRED_SQL = (
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+)
+_STRATUM_INV_PAIR = 16  # 1 / (0.25 * 0.25)
+
+#: _SHINGLE_CTE with the document scan restricted to the stratum —
+#: sh/sz then feed _LSH_CAND_CTE unchanged, so the ENTIRE certification
+#: (banding, verification, exact ground truth) is stratum-sized.
+_STRATUM_SHINGLE_CTE = _SHINGLE_CTE.replace(
+    "FROM documents)", f"FROM documents WHERE {_STRATUM_PRED_SQL})"
+)
+
+_STRATUM_PAIR_CTES = """
+    lshj AS (
+        SELECT i.doc_a, i.doc_b,
+               i.i * 1.0 / (sa.n + sb.n - i.i) AS jac
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+    ),
+    xinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exactj AS (
+        SELECT x.doc_a, x.doc_b,
+               x.i * 1.0 / (sa.n + sb.n - x.i) AS jac
+        FROM xinter x
+        JOIN sz sa ON sa.doc_id = x.doc_a
+        JOIN sz sb ON sb.doc_id = x.doc_b
+    )
+"""
+
+
+def _stratum_docs(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+
+
+@query(
+    "j72_lsh_eval_sampled",
+    oracle=f"WITH {_STRATUM_SHINGLE_CTE}, {_LSH_CAND_CTE}, {_STRATUM_PAIR_CTES}"
+    f"""
+    SELECT
+      CAST((SELECT COUNT(*) FROM exactj WHERE jac >= 0.8) AS BIGINT)
+          AS n_exact_stratum,
+      CAST((SELECT COUNT(*) FROM inter) AS BIGINT)
+          AS n_candidates_stratum,
+      CAST((SELECT COUNT(*) FROM lshj WHERE jac >= 0.8) AS BIGINT)
+          AS n_dup_found_stratum,
+      ((SELECT COUNT(*) FROM lshj WHERE jac >= 0.8) * 10000
+       // GREATEST((SELECT COUNT(*) FROM exactj WHERE jac >= 0.8), 1))
+          / 10000.0 AS recall,
+      CAST((SELECT COUNT(*) FROM exactj WHERE jac >= 0.8)
+           * {_STRATUM_INV_PAIR} AS BIGINT) AS est_full_pairs
+    """,
+)
+def j72_lsh_eval_sampled(spark, sf_dir) -> DataFrame:
+    """j54's LSH-recall certification run THE WAY A 100 TB PIPELINE
+    actually runs it: on a deterministic hash-sampled document stratum
+    (j15's md5-prefix sampler, ~25% of docs), where the exact
+    shared-shingle ground truth is affordable because the quadratic
+    self-join touches only stratum documents (~1/16 of the full pair
+    work).  Reports the stratum's exact pair count, LSH candidate and
+    verified-duplicate counts, stratum recall, and the inverse-
+    probability extrapolation of the full-corpus pair count (a pair
+    enters the stratum iff BOTH endpoints do, P = 1/16, so
+    ``est_full_pairs = n_exact_stratum × 16`` is the unbiased
+    Horvitz-Thompson estimate).
+
+    This is the key that discharges the 'weak at 100×' caveat on
+    j2/j17/j27/j54/j68's exact sides (VERDICT r7): the full-corpus
+    exact form is the oracle-scale ground truth; THIS is the
+    production-scale certification, and the plan guard proves every
+    corpus scan in it carries the stratum predicate below the
+    self-join.  Determinism: the stratum is content-hashed (identical
+    membership on any engine/partitioning); counts are BIGINT; recall
+    is integer floor division at 4dp."""
+    sd = _stratum_docs(load(spark, sf_dir, "documents"))
+    per_doc = shingle_sets(rebalance(sd))
+    lsh = _lsh_pairs_from(per_doc)
+    exact = _exact_stats_from(per_doc)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    n_exact = exact.filter(jac >= 0.8).agg(
+        F.count(F.lit(1)).alias("n_exact_stratum")
+    )
+    n_cand = lsh.agg(F.count(F.lit(1)).alias("n_candidates_stratum"))
+    n_found = lsh.filter(jac >= 0.8).agg(
+        F.count(F.lit(1)).alias("n_dup_found_stratum")
+    )
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_exact_stratum",
+            "n_candidates_stratum",
+            "n_dup_found_stratum",
+            (
+                F.expr(
+                    "n_dup_found_stratum * 10000"
+                    " DIV greatest(n_exact_stratum, 1)"
+                )
+                / 10000.0
+            ).alias("recall"),
+            (F.col("n_exact_stratum") * _STRATUM_INV_PAIR)
+            .cast("long")
+            .alias("est_full_pairs"),
+        )
+    )
+
+
+@query(
+    "j73_dedup_curve_sampled",
+    oracle=f"WITH {_STRATUM_SHINGLE_CTE}, {_LSH_CAND_CTE}, {_STRATUM_PAIR_CTES},"
+    f"""
+    th AS (SELECT unnest([{", ".join(str(t) for t in _CURVE_THRESHOLDS)}])
+               AS t10)
+    SELECT t10,
+           CAST((SELECT COUNT(*) FROM exactj
+                 WHERE jac >= t10 / 10.0) AS BIGINT) AS n_true_stratum,
+           CAST((SELECT COUNT(*) FROM lshj
+                 WHERE jac >= t10 / 10.0) AS BIGINT) AS n_found_stratum,
+           ((SELECT COUNT(*) FROM lshj WHERE jac >= t10 / 10.0) * 10000
+            // GREATEST((SELECT COUNT(*) FROM exactj
+                         WHERE jac >= t10 / 10.0), 1)) / 10000.0
+               AS recall,
+           CAST((SELECT COUNT(*) FROM exactj WHERE jac >= t10 / 10.0)
+                * {_STRATUM_INV_PAIR} AS BIGINT) AS est_full_pairs
+    FROM th
+    ORDER BY t10
+    """,
+)
+def j73_dedup_curve_sampled(spark, sf_dir) -> DataFrame:
+    """j68's threshold curve on the j72 stratum — the band-geometry
+    tuning artifact at the cost a 100 TB pipeline can afford: every
+    pair set (exact ground truth included) is stratum-sized, and each
+    threshold row carries the inverse-probability extrapolation of the
+    full-corpus true-pair count.  Same one-pass sweep as j68: both
+    stratum pair sets are computed once with their exact Jaccards and
+    collapse to |thresholds| scalar counts via a conditional aggregate
+    — never one pipeline run per τ."""
+    sd = _stratum_docs(load(spark, sf_dir, "documents"))
+    per_doc = shingle_sets(rebalance(sd))
+    lsh = _lsh_pairs_from(per_doc).select(
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac")
+    )
+    exact = _exact_stats_from(per_doc).select(
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac")
+    )
+    th = F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
+
+    def counts(frame, name):
+        e = frame.select(F.explode(th).alias("t10"), "jac")
+        return e.filter(F.col("jac") >= F.col("t10") / 10.0).groupBy(
+            "t10"
+        ).agg(F.count(F.lit(1)).alias(name))
+
+    base = sd.sparkSession.createDataFrame(
+        [(t,) for t in _CURVE_THRESHOLDS], "t10 int"
+    )
+    return (
+        base.join(counts(exact, "n_true_stratum"), "t10", "left")
+        .join(counts(lsh, "n_found_stratum"), "t10", "left")
+        .select(
+            "t10",
+            F.coalesce("n_true_stratum", F.lit(0)).alias("n_true_stratum"),
+            F.coalesce("n_found_stratum", F.lit(0)).alias("n_found_stratum"),
+        )
+        .select(
+            "t10",
+            "n_true_stratum",
+            "n_found_stratum",
+            (
+                F.expr(
+                    "n_found_stratum * 10000 DIV greatest(n_true_stratum, 1)"
+                )
+                / 10000.0
+            ).alias("recall"),
+            (F.col("n_true_stratum") * _STRATUM_INV_PAIR)
+            .cast("long")
+            .alias("est_full_pairs"),
+        )
+        .orderBy("t10")
+    )
+
+
+# ---------------------------------------------------------------------------
 # j69 — span-corruption mask planning (T5/UL2 denoising objective)
 # ---------------------------------------------------------------------------
 

@@ -789,8 +789,19 @@ def test_i27_link_extraction_is_map_only_into_one_agg(spark, sf_dir):
 def test_j47_weights_broadcast_onto_token_stream(spark, sf_dir):
     """The model-serving join: weights are model-sized and must
     broadcast; shuffling the exploded token stream on the bucket key
-    would move the whole corpus for a 64-row table."""
-    p = _plan(spark, sf_dir, "j47_quality_classifier")
+    would move the whole corpus for a 64-row table.  Guarded on the
+    z-score BUILDER (the registered key serves the materialized score
+    table, whose plan is a checkpoint scan — same pattern as the j32
+    band-join guard on _lsh_verified_pairs)."""
+    from bdt_enwikisearch_hadoop_spark.functions.dataset_ops import _cls_z
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    p = (
+        _cls_z(spark, load(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
 
@@ -1159,3 +1170,21 @@ def test_m7_payload_hash_is_map_side_before_any_exchange(spark, sf_dir):
     pos_map = p.find("MapInPandas")
     # the exchange below (later in tree printout = earlier in dataflow)
     assert "Exchange hashpartitioning" in p[:pos_map]
+
+
+def test_j72_every_corpus_scan_is_stratum_filtered(spark, sf_dir):
+    """The sampled certification must never touch the full corpus:
+    every documents.parquet scan in the plan carries the md5-prefix
+    stratum predicate as a data filter (so the exact shared-shingle
+    self-join is stratum-sized — the whole point of j72), and there is
+    no cartesian pair enumeration."""
+    for key in ("j72_lsh_eval_sampled", "j73_dedup_curve_sampled"):
+        p = _plan(spark, sf_dir, key)
+        assert "CartesianProduct" not in p
+        # every FileScan over the documents table must be stratum-filtered
+        doc_scans = [
+            ln for ln in p.splitlines() if "FileScan parquet [doc_id" in ln
+        ]
+        assert doc_scans, key
+        for ln in doc_scans:
+            assert "substring(md5(" in ln, (key, ln)

@@ -3582,3 +3582,111 @@ def test_j71_each_epoch_is_an_independent_permutation(spark, sf_dir):
         expect = {doc: i for i, (_, doc) in enumerate(order)}
         for r in rows:
             assert r[col] == expect[r.doc_id]
+
+
+def test_j72_stratum_certification_consistent_with_full(spark, sf_dir):
+    """The sampled certification must be internally consistent (found
+    is a subset of true, recall in [0,1], the extrapolation is exactly
+    16x the stratum count) and bounded by the full-corpus j54 report
+    (a stratum can never contain more exact pairs than the corpus)."""
+    r = QUERIES["j72_lsh_eval_sampled"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_dup_found_stratum"] <= r["n_exact_stratum"]
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["est_full_pairs"] == r["n_exact_stratum"] * 16
+    full = QUERIES["j54_lsh_eval"](spark, sf_dir).collect()[0]
+    assert r["n_exact_stratum"] <= full["n_exact"]
+    assert r["n_candidates_stratum"] <= full["n_candidates"]
+
+
+def test_j73_sampled_curve_monotone_and_matches_j72_at_08(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, found <= true
+    per row, and the 0.8 row must equal j72's scalar report (same
+    stratum, same pair sets)."""
+    rows = QUERIES["j73_dedup_curve_sampled"](spark, sf_dir).collect()
+    assert [r["t10"] for r in rows] == [5, 6, 7, 8, 9]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_true_stratum"] <= prev["n_true_stratum"]
+        assert cur["n_found_stratum"] <= prev["n_found_stratum"]
+    for r in rows:
+        assert r["n_found_stratum"] <= r["n_true_stratum"]
+        assert r["est_full_pairs"] == r["n_true_stratum"] * 16
+    j72 = QUERIES["j72_lsh_eval_sampled"](spark, sf_dir).collect()[0]
+    at8 = next(r for r in rows if r["t10"] == 8)
+    assert at8["n_true_stratum"] == j72["n_exact_stratum"]
+    assert at8["n_found_stratum"] == j72["n_dup_found_stratum"]
+
+
+def test_ppm_codec_round_trip_and_conservation():
+    """decode(encode(w, h, seed)) must return the exact dimensions and
+    pixel bytes (the conservation guarantee extended to PIXEL counts,
+    VERDICT r7 item 6), parse spec-valid header variations (comments,
+    extra whitespace), and reject malformed payloads."""
+    import numpy as np
+
+    from bdt_enwikisearch_hadoop_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for w, h, seed in [(1, 1, 0), (16, 12, 7), (5, 9, 123456789)]:
+        data = encode_ppm(w, h, seed)
+        dw, dh, img = decode_ppm(data)
+        assert (dw, dh) == (w, h)
+        assert img.shape == (h, w, 3)
+        assert img.size == w * h * 3  # pixel-count conservation
+        expect = np.fromfunction(
+            lambda y, x, c: (x + y + c + seed) % 256, (h, w, 3)
+        ).astype(np.uint8)
+        assert (img == expect).all()
+    # header with a comment line is spec-valid and must parse
+    w2, h2, img2 = decode_ppm(b"P6\n# a comment\n2 2\n255\n" + bytes(12))
+    assert (w2, h2) == (2, 2) and img2.sum() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))  # wrong magic
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(11))  # truncated raster
+
+
+def test_wav_codec_round_trip_and_conservation():
+    """decode(encode(n, seed)) must return the exact sample count and
+    int16 values (sample-count conservation), honor RIFF word
+    alignment when an unknown odd-length chunk precedes data, and
+    reject malformed containers."""
+    import struct
+
+    import numpy as np
+
+    from bdt_enwikisearch_hadoop_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    for n, seed in [(1, 0), (100, 7), (399, 424242)]:
+        rate, samples = decode_wav(encode_wav(n, seed))
+        assert rate == 16000
+        assert samples.size == n  # sample-count conservation
+        i = np.arange(n, dtype=np.int64)
+        expect = ((i * 31 + seed) % 65536) - 32768
+        assert (samples.astype(np.int64) == expect).all()
+    # an unknown odd-sized chunk before data: walker must skip it with
+    # the spec's pad byte and still find the samples
+    base = encode_wav(3, 5)
+    fmt_and_data = base[12:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(odd) + len(fmt_and_data))
+        + b"WAVE"
+        + odd
+        + fmt_and_data
+    )
+    rate, samples = decode_wav(patched)
+    assert samples.size == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + bytes(40))
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks

@@ -507,3 +507,21 @@ def test_sliding_quota_stream_equals_batch(spark, sf_dir):
 
     emitted, expected = run_sliding_quota_stream_smoke(spark, sf_dir)
     assert emitted == expected and expected
+
+
+def test_transform_with_state_gate_reflects_reality():
+    """The protobuf gate itself must be truthful (VERDICT r7 item 8):
+    if this test runs in an environment WITH protobuf, the smoke above
+    must NOT have been skipped, and vice versa — so a silently broken
+    probe can never hide an API regression behind a skip."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        transform_with_state_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    assert transform_with_state_available() == have_protobuf
