@@ -1283,12 +1283,18 @@ def j31_dup_spans(spark, sf_dir) -> DataFrame:
     the span inventory).
 
     100 TB shape: spans explode as a pipelined flatMap riding the scan
-    (DISTINCT per doc first, in-partition); the shared-span filter is
-    one groupBy on the span HASH (shuffle the 16-byte digest, never
-    the span text) whose survivors are corpus-rare; the count-back
-    join is span-keyed.  Downstream, docs with n_dup_spans/n_spans
-    above a threshold get their duplicated ranges cut, not the whole
-    doc dropped."""
+    with IN-ROW per-doc dedup (``array_distinct`` before the explode —
+    no distinct exchange), are digested to an 8-byte ``xxhash64``
+    map-side, and the digest table is checkpointed once (it feeds both
+    the shared-span aggregate and the count-back join — i35's
+    measured discipline): every exchange carries (doc_id, 8-byte
+    digest), never span text.  The digest is engine-internal only —
+    outputs are per-doc counts, so oracle parity is hash-free; a
+    64-bit collision (~10⁻¹² at corpus scale here) is the standard
+    accepted risk of every hash-based exact-dedup stage (j1's
+    discipline).  Downstream, docs with n_dup_spans/n_spans above a
+    threshold get their duplicated ranges cut, not the whole doc
+    dropped."""
     docs = load(spark, sf_dir, "documents")
     # filter BEFORE the explode select (like shingles()): a <K-token doc
     # must never reach sequence(1, size-K+1), whose descending range
@@ -1302,26 +1308,29 @@ def j31_dup_spans(spark, sf_dir) -> DataFrame:
         toks.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("t") - F.lit(_SPAN_K - 1)
-                    ),
-                    lambda i: F.array_join(
-                        F.slice("t", i, _SPAN_K), " "
-                    ),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("t") - F.lit(_SPAN_K - 1)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("t", i, _SPAN_K), " "
+                        ),
+                    )
                 )
             ).alias("span"),
         )
-        .distinct()
+        .select("doc_id", F.xxhash64("span").alias("h"))
+        .localCheckpoint()
     )
     shared = (
-        spans.groupBy("span")
+        spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("span")
+        .select("h")
     )
     return (
-        spans.join(shared, "span")
+        spans.join(shared, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -3356,6 +3365,49 @@ def _stratum_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _stratum_shingle_build(spark, sf_dir: str) -> DataFrame:
+    """Unmemoized stratum shingle-set builder — the plan-guard entry
+    point (tests assert every corpus scan below the certification's
+    joins carries the stratum predicate; the registered queries serve
+    the same frames from :func:`materialized`, whose checkpoint scan
+    would hide the filter from the guard)."""
+    return shingle_sets(
+        rebalance(_stratum_docs(load(spark, sf_dir, "documents")))
+    )
+
+
+def _stratum_lsh_pairs(spark, sf_dir: str) -> DataFrame:
+    return materialized(
+        spark,
+        sf_dir,
+        "stratum_lsh_pairs",
+        lambda: _lsh_pairs_from(
+            materialized(
+                spark,
+                sf_dir,
+                "stratum_shingle_sets",
+                lambda: _stratum_shingle_build(spark, sf_dir),
+            )
+        ),
+    )
+
+
+def _stratum_exact_stats(spark, sf_dir: str) -> DataFrame:
+    return materialized(
+        spark,
+        sf_dir,
+        "stratum_exact_stats",
+        lambda: _exact_stats_from(
+            materialized(
+                spark,
+                sf_dir,
+                "stratum_shingle_sets",
+                lambda: _stratum_shingle_build(spark, sf_dir),
+            )
+        ),
+    )
+
+
 @query(
     "j72_lsh_eval_sampled",
     oracle=f"WITH {_STRATUM_SHINGLE_CTE}, {_LSH_CAND_CTE}, {_STRATUM_PAIR_CTES}"
@@ -3392,13 +3444,13 @@ def j72_lsh_eval_sampled(spark, sf_dir) -> DataFrame:
     exact form is the oracle-scale ground truth; THIS is the
     production-scale certification, and the plan guard proves every
     corpus scan in it carries the stratum predicate below the
-    self-join.  Determinism: the stratum is content-hashed (identical
+    self-join (guarded on :func:`_stratum_shingle_build` — the
+    registered query serves the materialized stratum tables shared
+    with j73).  Determinism: the stratum is content-hashed (identical
     membership on any engine/partitioning); counts are BIGINT; recall
     is integer floor division at 4dp."""
-    sd = _stratum_docs(load(spark, sf_dir, "documents"))
-    per_doc = shingle_sets(rebalance(sd))
-    lsh = _lsh_pairs_from(per_doc)
-    exact = _exact_stats_from(per_doc)
+    lsh = _stratum_lsh_pairs(spark, sf_dir)
+    exact = _stratum_exact_stats(spark, sf_dir)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     n_exact = exact.filter(jac >= 0.8).agg(
         F.count(F.lit(1)).alias("n_exact_stratum")
@@ -3458,12 +3510,10 @@ def j73_dedup_curve_sampled(spark, sf_dir) -> DataFrame:
     stratum pair sets are computed once with their exact Jaccards and
     collapse to |thresholds| scalar counts via a conditional aggregate
     — never one pipeline run per τ."""
-    sd = _stratum_docs(load(spark, sf_dir, "documents"))
-    per_doc = shingle_sets(rebalance(sd))
-    lsh = _lsh_pairs_from(per_doc).select(
+    lsh = _stratum_lsh_pairs(spark, sf_dir).select(
         (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac")
     )
-    exact = _exact_stats_from(per_doc).select(
+    exact = _stratum_exact_stats(spark, sf_dir).select(
         (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jac")
     )
     th = F.array(*[F.lit(t) for t in _CURVE_THRESHOLDS])
@@ -3474,7 +3524,7 @@ def j73_dedup_curve_sampled(spark, sf_dir) -> DataFrame:
             "t10"
         ).agg(F.count(F.lit(1)).alias(name))
 
-    base = sd.sparkSession.createDataFrame(
+    base = spark.createDataFrame(
         [(t,) for t in _CURVE_THRESHOLDS], "t10 int"
     )
     return (
@@ -3799,3 +3849,232 @@ def j71_epoch_shuffle(spark, sf_dir) -> DataFrame:
         ranked = docs.select("doc_id", col)
         out = ranked if out is None else out.join(ranked, "doc_id")
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# j74 — tokenizer fertility by language (the multilingual tokenizer audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j74_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(CEIL(n_chars / 4.0) AS BIGINT) AS n_bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+           (SUM(n_bpe) * 10000 // SUM(n_words)) / 10000.0 AS fertility,
+           (SUM(n_chars) * 10000 // SUM(n_words)) / 10000.0
+               AS chars_per_word
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def j74_tokenizer_fertility(spark, sf_dir) -> DataFrame:
+    """Tokenizer FERTILITY by language: subword tokens emitted per
+    whitespace word — the standard multilingual tokenizer-equity audit
+    (XLM-R/BLOOM-style reports): a language with fertility 2× English
+    pays twice the sequence length for the same content, which skews
+    both the effective mixture (j25/j76 act on token counts) and
+    per-language training cost.  Uses j11's conventions (whitespace
+    words; chars/4 BPE budget as the subword estimator — swap in j57's
+    learned merges or a real tokenizer's counts without changing the
+    aggregate), plus chars-per-word as the script-density covariate
+    that explains fertility differences.
+
+    Exactness: per-language sums are BIGINTs; ratios are integer floor
+    division at 4dp.  Plan / 100 TB shape: one narrow map pass (counts
+    ride the scan) into one language-keyed hash aggregate with
+    map-side partials — language cardinality is tiny, so the exchange
+    carries |langs| rows per task."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe"),
+        "n_chars",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe"),
+            F.sum("n_chars").alias("nc"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe",
+            (F.expr("n_bpe * 10000 DIV n_words") / 10000.0).alias(
+                "fertility"
+            ),
+            (F.expr("nc * 10000 DIV n_words") / 10000.0).alias(
+                "chars_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j76 — temperature-scaled multilingual sampling mix (integer-exact α=0.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j76_temperature_mix",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, toks,
+               CAST(FLOOR(SQRT(toks * 100000000)) AS BIGINT) AS wt
+        FROM per_lang
+    )
+    SELECT lang, toks,
+           (toks * 1000000 // SUM(toks) OVER ()) / 1000000.0 AS prop_share,
+           (wt * 1000000 // SUM(wt) OVER ()) / 1000000.0 AS temp_share,
+           ((wt * SUM(toks) OVER ()) * 10000
+            // (SUM(wt) OVER () * toks)) / 10000.0 AS upsample
+    FROM w
+    ORDER BY lang
+    """,
+)
+def j76_temperature_mix(spark, sf_dir) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights — the
+    mBERT/XLM-R exponent recipe p_l ∝ n_l^α that lifts low-resource
+    languages above their proportional share.  α = 0.5 exactly, so the
+    weight is an INTEGER square root: wt = ⌊√(toks · 10⁸)⌋ is exact in
+    every IEEE engine (the argument stays below 2^53 and sqrt is
+    correctly rounded, so the floor can't straddle an ulp — the same
+    determinism rule that bans pow(x, 0.7) here).  Emits each
+    language's proportional token share, its temperature share, and
+    the implied upsample factor (temperature ÷ proportional, the
+    number of extra epochs a low-resource language effectively gets).
+
+    Plan / 100 TB shape: one map pass + one language-keyed aggregate
+    (|langs| rows), then window totals over that tiny table — the
+    corpus is touched once; the mixture table broadcasts back into
+    j44/j65-style samplers."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.select(
+        "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("t")
+    ).groupBy("lang").agg(F.sum("t").alias("toks"))
+    w = per_lang.select(
+        "lang",
+        "toks",
+        F.floor(F.sqrt(F.col("toks") * F.lit(100000000))).cast("long").alias(
+            "wt"
+        ),
+    )
+    return w.select(
+        "lang",
+        "toks",
+        (
+            F.expr("toks * 1000000 DIV sum(toks) over ()") / 1000000.0
+        ).alias("prop_share"),
+        (
+            F.expr("wt * 1000000 DIV sum(wt) over ()") / 1000000.0
+        ).alias("temp_share"),
+        (
+            F.expr(
+                "(wt * sum(toks) over ()) * 10000"
+                " DIV (sum(wt) over () * toks)"
+            )
+            / 10000.0
+        ).alias("upsample"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# j77 — sequence-length histogram (the pack-length tuning artifact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j77_length_histogram",
+    oracle="""
+    WITH per_doc AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(length(bin(n_toks)) - 1 AS INT) AS bucket,
+               n_toks
+        FROM per_doc
+    ),
+    g AS (
+        SELECT bucket,
+               CAST(POW(2, bucket) AS BIGINT) AS bucket_lo,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, bucket_lo, n_docs, total_tokens,
+           (SUM(total_tokens) OVER (ORDER BY bucket) * 10000
+            // SUM(total_tokens) OVER ()) / 10000.0 AS cum_token_share
+    FROM g
+    ORDER BY bucket
+    """,
+)
+def j77_length_histogram(spark, sf_dir) -> DataFrame:
+    """Power-of-two sequence-length histogram with cumulative token
+    mass — the artifact that picks a packing length (j23/j70): the
+    smallest bucket whose cumulative share clears the budget is the
+    pack length that wastes the least padding, and the tail above it
+    is the truncation loss.  Buckets are EXACT integer log2
+    (bit-length − 1, never float log2 whose boundary values straddle
+    an ulp at exact powers of two); token sums are BIGINTs; the
+    cumulative share is integer floor division at 4dp.
+
+    Plan / 100 TB shape: map-pass bucket id, one tiny hash aggregate
+    (≤ ~20 buckets), windows over the aggregate only."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks")
+    )
+    g = (
+        per_doc.select(
+            (F.length(F.bin(F.col("n_toks"))) - 1).cast("int").alias(
+                "bucket"
+            ),
+            "n_toks",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2), F.col("bucket")).cast("long").alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+    return g.select(
+        "bucket",
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        (
+            F.expr(
+                "sum(total_tokens) over (order by bucket) * 10000"
+                " DIV sum(total_tokens) over ()"
+            )
+            / 10000.0
+        ).alias("cum_token_share"),
+    ).orderBy("bucket")

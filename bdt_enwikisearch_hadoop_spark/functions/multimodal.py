@@ -861,3 +861,75 @@ def m9_wav_decode_stats(spark, sf_dir) -> DataFrame:
         schema="doc_id long, rate int, n_samples long, "
         "sample_sum long, peak long",
     )
+
+
+def _channel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: decode the P6 payload with the real parser and
+    emit one row per (doc, channel) with sum/min/max computed from the
+    DECODED raster — 1→3 fan-out of typed stats, no pixel bytes leave
+    the task."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "channel": [], "channel_sum": [],
+            "channel_min": [], "channel_max": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w = doc_id % 16 + 1
+            h = (doc_id * 7) % 12 + 1
+            _, _, img = decode_ppm(encode_ppm(w, h, doc_id))
+            for c in range(3):
+                ch = img[:, :, c].astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["channel"].append(c)
+                rows["channel_sum"].append(int(ch.sum()))
+                rows["channel_min"].append(int(ch.min()))
+                rows["channel_max"].append(int(ch.max()))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "m10_channel_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 1 AS INT) AS w,
+               CAST((doc_id * 7) % 12 + 1 AS INT) AS h
+        FROM documents
+    )
+    SELECT d.doc_id, CAST(c.v AS INT) AS channel,
+           CAST(SUM((x.i + y.i + c.v + d.doc_id) % 256) AS BIGINT)
+               AS channel_sum,
+           CAST(MIN((x.i + y.i + c.v + d.doc_id) % 256) AS BIGINT)
+               AS channel_min,
+           CAST(MAX((x.i + y.i + c.v + d.doc_id) % 256) AS BIGINT)
+               AS channel_max
+    FROM dims d
+    CROSS JOIN range(0, 3) c(v)
+    CROSS JOIN range(0, 16) x(i)
+    CROSS JOIN range(0, 12) y(i)
+    WHERE x.i < d.w AND y.i < d.h
+    GROUP BY d.doc_id, c.v
+    """,
+)
+def m10_channel_stats(spark, sf_dir) -> DataFrame:
+    """Per-channel image statistics FROM DECODED PIXELS: sum, min and
+    max of each RGB plane of the real P6 raster m8 decodes — the
+    normalization-statistics pass every vision pipeline runs before
+    training (channel means/stds feed the input transform), here in
+    its exact-integer form so a decoder axis transposition or channel
+    interleave bug breaks oracle parity on every row.
+
+    Plan / 100 TB shape: the m2 discipline applied to stats — the 1→3
+    per-image fan-out happens INSIDE the Arrow batch and emits typed
+    scalars only; a full-corpus normalization reduces these per-image
+    rows with one channel-keyed aggregate (3 output rows), payload
+    bytes never shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        _channel_stats,
+        schema="doc_id long, channel int, channel_sum long, "
+        "channel_min long, channel_max long",
+    )

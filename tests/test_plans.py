@@ -1177,14 +1177,24 @@ def test_j72_every_corpus_scan_is_stratum_filtered(spark, sf_dir):
     every documents.parquet scan in the plan carries the md5-prefix
     stratum predicate as a data filter (so the exact shared-shingle
     self-join is stratum-sized — the whole point of j72), and there is
-    no cartesian pair enumeration."""
-    for key in ("j72_lsh_eval_sampled", "j73_dedup_curve_sampled"):
-        p = _plan(spark, sf_dir, key)
+    no cartesian pair enumeration.  Guarded on the raw stratum
+    builders (the registered j72/j73 serve the same frames via the
+    shared materialization, whose checkpoint scan hides the filter —
+    the j47/j32 builder-guard pattern)."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _exact_stats_from,
+        _lsh_pairs_from,
+        _stratum_shingle_build,
+    )
+
+    per_doc = _stratum_shingle_build(spark, sf_dir)
+    for frame in (_lsh_pairs_from(per_doc), _exact_stats_from(per_doc)):
+        p = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
         # every FileScan over the documents table must be stratum-filtered
         doc_scans = [
             ln for ln in p.splitlines() if "FileScan parquet [doc_id" in ln
         ]
-        assert doc_scans, key
+        assert doc_scans
         for ln in doc_scans:
-            assert "substring(md5(" in ln, (key, ln)
+            assert "substring(md5(" in ln, ln
