@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..registry import query
 from ..sources import load
-from .llm_pipeline import _SHINGLE_CTE, _duck_cos, dot, j5_label_centroids, shingles, vec_double
+from .llm_pipeline import (
+    _SHINGLE_CTE,
+    _duck_cos,
+    cosine,
+    dot,
+    j5_label_centroids,
+    shingles,
+    vec_double,
+)
 
 _NPROBE = 3
 
@@ -574,4 +582,118 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j78 — embedding-cosine near-duplicate PAIRS via banded hyperplane LSH
+# (the vector-space analogue of j8's MinHash-LSH text near-dedup: band
+# collision proposes candidates, exact cosine verifies — never all-pairs)
+# ---------------------------------------------------------------------------
+
+_J78_THETA = 0.45  # near-dup threshold; fixture max pairwise cos ~0.51
+
+
+def _duck_seq_dot(a: str, b: str) -> str:
+    """DuckDB sequential left-to-right double dot product — list_reduce
+    folds in list order, the same order as Spark's F.aggregate, so the
+    IEEE sum is bit-identical across engines (Spark's extra leading
+    0.0 + x is exact for every x)."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def _duck_seq_cos(a: str, b: str) -> str:
+    return (
+        f"{_duck_seq_dot(a, b)} / (SQRT({_duck_seq_dot(a, a)})"
+        f" * SQRT({_duck_seq_dot(b, b)}))"
+    )
+
+
+_J78_ORACLE = (
+    """
+    WITH sig AS (
+        SELECT e.vec_id, e.embedding,
+    """
+    + ",\n".join(f"({_duck_band(g)}) AS band{g}" for g in range(_LSH_BANDS))
+    + f"""
+        FROM embeddings e
+    ),
+    cand AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.embedding AS ea, b.embedding AS eb
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)
+    ),
+    scored AS (
+        SELECT ia, ib, {_duck_seq_cos('ea', 'eb')} AS cos
+        FROM cand
+    )
+    SELECT ia, ib, ROUND(cos, 4) AS score
+    FROM scored
+    WHERE cos >= {_J78_THETA}
+    ORDER BY ia, ib
+    """
+)
+
+
+@query("j78_embedding_near_dup", oracle=_J78_ORACLE)
+def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= {theta}) with
+    banded random-hyperplane LSH candidates: two vectors are a
+    candidate iff ANY of the 4 band buckets (4 sign bits each, j22's
+    signature) collide; only candidates get the exact-cosine verify.
+
+    This closes the dedup-method matrix next to j1 (exact hash), j8
+    (MinHash-LSH on shingles), j9 (SimHash) and j2 (n-gram Jaccard):
+    the semantic/embedding-space near-dup that catches paraphrases
+    exact text hashing cannot.
+
+    100 TB shape: the signature is a narrow zero-shuffle map pass; the
+    candidate generator is ONE shuffle on (band, bucket) — ~N·4 rows of
+    (int, int) keys — followed by a pair-distinct; the exact verify
+    joins the (small) candidate pair list back to the corpus on vec_id
+    (shuffle-free when the corpus is bucketed by vec_id, j21's store
+    layout).  The quadratic blowup is confined to within-bucket pairs,
+    bounded by band-bucket occupancy — same skew story as j8 (a
+    degenerate bucket is capped/salted there; the same guard applies).
+    The oracle replicates the band-collision predicate, so the check is
+    exact equivalence of the approximate operator, not a recall claim —
+    recall certification is j54/j72's job."""
+    emb = load(spark, sf_dir, "embeddings")
+    ve = vec_double(F.col("embedding"))
+    sig = emb.select(F.col("vec_id"), *_lsh_band_cols(ve))
+    buckets = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{g}") for g in range(_LSH_BANDS)])
+        ).alias("g", "bucket"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            [F.col("a.g") == F.col("b.g"),
+             F.col("a.bucket") == F.col("b.bucket"),
+             F.col("a.vec_id") < F.col("b.vec_id")],
+        )
+        .select(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("ia"), ve.alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), ve.alias("vb"))
+    return (
+        cand.join(ea, "ia")
+        .join(eb, "ib")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(_J78_THETA))
+        .select("ia", "ib", F.round(F.col("cos"), 4).alias("score"))
+        .orderBy("ia", "ib")
     )

@@ -1198,3 +1198,18 @@ def test_j72_every_corpus_scan_is_stratum_filtered(spark, sf_dir):
         assert doc_scans
         for ln in doc_scans:
             assert "substring(md5(" in ln, ln
+
+
+def test_j78_candidates_from_band_collision_only(spark, sf_dir):
+    """j78's candidate generator must be an equi-join on the LSH
+    (band, bucket) keys — never a cartesian all-pairs cosine (the
+    brute-force formulation j78 exists to replace).  The exact-cosine
+    verify must run on the candidate pair list joined back to the
+    corpus, so no plan node scores embedding pairs without a join
+    condition."""
+    p = _plan(spark, sf_dir, "j78_embedding_near_dup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    assert join_lines, "candidate join missing from plan"
+    assert any("bucket#" in ln for ln in join_lines), join_lines
