@@ -613,9 +613,12 @@ def _duck_seq_cos(a: str, b: str) -> str:
     )
 
 
-_J78_ORACLE = (
+#: shared CTE chain: signature → band-collision candidates → exact
+#: cosine → verified pair list (j78 reports it; j79 closes it
+#: transitively)
+_J78_CTES = (
     """
-    WITH sig AS (
+    sig AS (
         SELECT e.vec_id, e.embedding,
     """
     + ",\n".join(f"({_duck_band(g)}) AS band{g}" for g in range(_LSH_BANDS))
@@ -633,13 +636,19 @@ _J78_ORACLE = (
     scored AS (
         SELECT ia, ib, {_duck_seq_cos('ea', 'eb')} AS cos
         FROM cand
+    ),
+    pairs AS (
+        SELECT ia, ib, cos FROM scored WHERE cos >= {_J78_THETA}
     )
-    SELECT ia, ib, ROUND(cos, 4) AS score
-    FROM scored
-    WHERE cos >= {_J78_THETA}
-    ORDER BY ia, ib
     """
 )
+
+_J78_ORACLE = f"""
+    WITH {_J78_CTES}
+    SELECT ia, ib, ROUND(cos, 4) AS score
+    FROM pairs
+    ORDER BY ia, ib
+    """
 
 
 @query("j78_embedding_near_dup", oracle=_J78_ORACLE)
@@ -665,6 +674,16 @@ def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
     The oracle replicates the band-collision predicate, so the check is
     exact equivalence of the approximate operator, not a recall claim —
     recall certification is j54/j72's job."""
+    pairs = _embedding_near_dup_pairs(spark, sf_dir)
+    return pairs.select(
+        "ia", "ib", F.round(F.col("cos"), 4).alias("score")
+    ).orderBy("ia", "ib")
+
+
+def _embedding_near_dup_pairs(spark, sf_dir) -> DataFrame:
+    """(ia, ib, cos): verified embedding near-dup pairs — band-collision
+    candidates, pair-distinct, exact-cosine verify at θ (j78's body,
+    shared with j79's component closure)."""
     emb = load(spark, sf_dir, "embeddings")
     ve = vec_double(F.col("embedding"))
     sig = emb.select(F.col("vec_id"), *_lsh_band_cols(ve))
@@ -694,6 +713,44 @@ def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
         .join(eb, "ib")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= F.lit(_J78_THETA))
-        .select("ia", "ib", F.round(F.col("cos"), 4).alias("score"))
-        .orderBy("ia", "ib")
+        .select("ia", "ib", "cos")
     )
+
+
+@query(
+    "j79_embedding_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_J78_CTES},
+    edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def j79_embedding_dedup_components(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style keeper selection over the j78 embedding near-dup
+    pair graph: connected components by min-label propagation to a
+    fixed point, so a paraphrase CHAIN (A≈B≈C with A,C below θ)
+    still collapses to one representative — the embedding-space twin of
+    j20's text-shingle closure, completing the j78 pipeline the way
+    j32 completes j8's.
+
+    100 TB shape: the edge set (verified near-dup pairs) is orders of
+    magnitude smaller than the corpus; the iteration is j20's pointer-
+    doubled min-propagation (Kiveris et al. hash-to-min family) with
+    per-round localCheckpoint lineage truncation — cost scales with
+    |edges|, never corpus size.  The oracle is the same closure as a
+    DuckDB recursive CTE over the identical band-candidate pair SQL."""
+    from .llm_scale import _connected_components
+
+    pairs = _embedding_near_dup_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    labels, _rounds = _connected_components(edges)
+    return labels.select(F.col("node").alias("vec_id"), "component")

@@ -933,3 +933,154 @@ def m10_channel_stats(spark, sf_dir) -> DataFrame:
         schema="doc_id long, channel int, channel_sum long, "
         "channel_min long, channel_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# m11 — REAL video path: concatenated-P6 frame stream, walked + sampled
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm_stream(doc_id: int) -> tuple[bytes, int, int, int]:
+    """Build a real multi-frame Netpbm stream (back-to-back P6
+    payloads — the `image2pipe` ppm stream layout): n_frames frames of
+    fixed per-doc geometry; frame k's pixel (x, y, c) carries value
+    (x + y + c + doc_id + 13·k) % 256.  Returns (payload, n_frames,
+    w, h)."""
+    n_frames = doc_id % 7 + 2
+    w = doc_id % 8 + 2
+    h = (doc_id * 3) % 6 + 2
+    return (
+        b"".join(encode_ppm(w, h, doc_id + 13 * k) for k in range(n_frames)),
+        n_frames,
+        w,
+        h,
+    )
+
+
+def decode_ppm_stream(data: bytes):
+    """REAL stream walker: repeatedly parse a P6 header (same Netpbm
+    tokenizer as :func:`decode_ppm` — whitespace and ``#`` comments),
+    slice that frame's raster, and advance to the next frame at the
+    offset the DECODED header dictates (never a generation-side frame
+    table).  Returns a list of (width, height, pixels[h, w, 3]).
+    Raises ValueError on a malformed or truncated stream; a stream
+    must be consumed exactly to its last byte."""
+    import numpy as np
+
+    frames = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame at offset {pos} is not P6")
+        pos += 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(data) and data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header in stream")
+            tokens.append(int(data[start:pos]))
+        pos += 1  # single whitespace byte after maxval, per spec
+        width, height, maxval = tokens
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        n = width * height * 3
+        raster = data[pos : pos + n]
+        if len(raster) != n:
+            raise ValueError("truncated raster in stream")
+        pos += n
+        frames.append(
+            (
+                width,
+                height,
+                np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3),
+            )
+        )
+    return frames
+
+
+_M11_STRIDE = 2  # keep frames 0, 2, 4, …
+
+
+def _decode_frame_sample(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body with 1→N fan-out: synthesize the frame stream,
+    DECODE it with the real walker, keep every {stride}-th decoded
+    frame, and compute the output columns from the decoded arrays."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [], "frame_idx": [], "w": [], "h": [],
+            "pixel_sum": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            payload, _n, _w, _h = encode_ppm_stream(doc_id)
+            frames = decode_ppm_stream(payload)
+            for k in range(0, len(frames), _M11_STRIDE):
+                dw, dh, img = frames[k]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(k)
+                rows["w"].append(dw)
+                rows["h"].append(dh)
+                rows["pixel_sum"].append(int(img.sum(dtype=np.int64)))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "m11_video_frame_decode",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(doc_id % 7 + 2 AS INT) AS n_frames,
+               CAST(doc_id % 8 + 2 AS INT) AS w,
+               CAST((doc_id * 3) % 6 + 2 AS INT) AS h
+        FROM documents
+    ),
+    frames AS (
+        SELECT v.doc_id, CAST(k.i AS INT) AS frame_idx, v.w, v.h
+        FROM vids v
+        JOIN range(0, 9) k(i)
+          ON k.i < v.n_frames AND k.i % {_M11_STRIDE} = 0
+    )
+    SELECT f.doc_id, f.frame_idx, f.w, f.h,
+           CAST(SUM((x.i + y.i + c.i + f.doc_id + 13 * f.frame_idx) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM frames f
+    CROSS JOIN range(0, 10) x(i)
+    CROSS JOIN range(0, 8) y(i)
+    CROSS JOIN range(0, 3) c(i)
+    WHERE x.i < f.w AND y.i < f.h
+    GROUP BY f.doc_id, f.frame_idx, f.w, f.h
+    """,
+)
+def m11_video_frame_decode(spark, sf_dir) -> DataFrame:
+    """The UNSTUBBED video path: a real multi-frame concatenated-P6
+    stream per document (the layout `ffmpeg -f image2pipe` emits for
+    ppm), DECODED by a real stream walker whose frame boundaries come
+    only from parsed headers, then stride-sampled (every 2nd decoded
+    frame) with per-frame pixel sums computed from the decoded rasters
+    — the keyframe-extraction shape of a video training pipeline, with
+    the m8 discipline that the oracle checks the BYTES: a walker bug
+    (wrong raster offset, off-by-one frame boundary, dropped tail
+    frame) breaks hash parity on every affected row.
+
+    100 TB shape: same as m2/m8 — zero-shuffle Arrow-batched map pass
+    with 1→N fan-out inside the batch; multi-megabyte video payloads
+    live and die inside the task and only typed per-frame scalars ever
+    reach an exchange.  Swapping the synthetic stream for a parquet
+    blob column (or a binaryFile source) changes one line."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id").mapInPandas(
+        _decode_frame_sample,
+        schema="doc_id long, frame_idx int, w int, h int, pixel_sum long",
+    )

@@ -3690,3 +3690,42 @@ def test_wav_codec_round_trip_and_conservation():
         decode_wav(b"RIFX" + bytes(40))
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+
+
+def test_ppm_stream_walker_round_trip_and_conservation():
+    """decode_ppm_stream(encode_ppm_stream(doc)) must recover every
+    frame byte-exactly (frame-count AND pixel-count conservation),
+    derive each frame boundary from the DECODED header (verified by
+    parsing a hand-built heterogeneous stream), and reject malformed
+    or truncated streams."""
+    import numpy as np
+
+    from bdt_enwikisearch_hadoop_spark.functions.multimodal import (
+        decode_ppm_stream,
+        encode_ppm,
+        encode_ppm_stream,
+    )
+
+    for doc_id in [0, 7, 13, 123456]:
+        payload, n_frames, w, h = encode_ppm_stream(doc_id)
+        frames = decode_ppm_stream(payload)
+        assert len(frames) == n_frames  # frame-count conservation
+        for k, (dw, dh, img) in enumerate(frames):
+            assert (dw, dh) == (w, h)
+            assert img.size == w * h * 3  # pixel-count conservation
+            expect = np.fromfunction(
+                lambda y, x, c: (x + y + c + doc_id + 13 * k) % 256,
+                (h, w, 3),
+            ).astype(np.uint8)
+            assert (img == expect).all()
+    # heterogeneous stream: frame boundaries must come from the parsed
+    # headers, not any fixed-size assumption
+    mixed = encode_ppm(2, 3, 1) + encode_ppm(5, 1, 9) + encode_ppm(1, 1, 0)
+    shapes = [(f[0], f[1]) for f in decode_ppm_stream(mixed)]
+    assert shapes == [(2, 3), (5, 1), (1, 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm_stream(encode_ppm(2, 2, 0) + b"JUNK")  # garbage tail
+    with _pytest.raises(ValueError):
+        decode_ppm_stream(encode_ppm(2, 2, 0)[:-1])  # truncated raster
