@@ -1206,8 +1206,19 @@ def test_j78_candidates_from_band_collision_only(spark, sf_dir):
     brute-force formulation j78 exists to replace).  The exact-cosine
     verify must run on the candidate pair list joined back to the
     corpus, so no plan node scores embedding pairs without a join
-    condition."""
-    p = _plan(spark, sf_dir, "j78_embedding_near_dup")
+    condition.  Asserts on the RAW builder (the registered j78/j79
+    serve the materialized pair table, whose checkpoint scan hides the
+    band join — the j47/j32 builder-guard pattern)."""
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _embedding_near_dup_pairs,
+    )
+
+    p = (
+        _embedding_near_dup_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     join_lines = [ln for ln in p.splitlines() if "Join" in ln]
