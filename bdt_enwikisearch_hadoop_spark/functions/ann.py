@@ -282,11 +282,14 @@ _LSH_BANDS = 4   # 4 bands x 4 bits: candidate iff ANY band bucket matches
 _EVEN_HEX = "02468ace"
 
 
-def _lsh_coefs() -> list[list[float]]:
+def _lsh_coefs(nbits: int = _LSH_BITS) -> list[list[float]]:
     """±1 hyperplane coefficients, bit b x dim d, derived from
     md5('lsh{b}_{d}') first-hex-digit parity — deterministic,
     engine-independent, and reproducible from the seed string alone
-    (no RNG state to ship to 1000 executors)."""
+    (no RNG state to ship to 1000 executors).  j22 uses the first 16
+    bits; j78's wide banded signature uses the first 64 of the same
+    family (the oracle re-derives them with md5() IN SQL, so the two
+    engines share coefficients by construction, not by literal)."""
     return [
         [
             1.0
@@ -294,7 +297,7 @@ def _lsh_coefs() -> list[list[float]]:
             else -1.0
             for d in range(64)
         ]
-        for b in range(_LSH_BITS)
+        for b in range(nbits)
     ]
 
 

@@ -3332,6 +3332,14 @@ _STRATUM_INV_PAIR = 16  # 1 / (0.25 * 0.25)
 _STRATUM_SHINGLE_CTE = _SHINGLE_CTE.replace(
     "FROM documents)", f"FROM documents WHERE {_STRATUM_PRED_SQL})"
 )
+# Guard against a silent no-op: if _SHINGLE_CTE's wording ever changes,
+# the replace above would leave the j72/j73 oracles running on the FULL
+# corpus and the failure would surface later as a confusing parity
+# mismatch.  Fail loudly at import time instead.
+assert _STRATUM_PRED_SQL in _STRATUM_SHINGLE_CTE, (
+    "_STRATUM_SHINGLE_CTE substitution no-opped — _SHINGLE_CTE's "
+    "'FROM documents)' anchor changed; update the replace() anchor."
+)
 
 _STRATUM_PAIR_CTES = """
     lshj AS (
@@ -3947,8 +3955,9 @@ def j74_tokenizer_fertility(spark, sf_dir) -> DataFrame:
     SELECT lang, toks,
            (toks * 1000000 // SUM(toks) OVER ()) / 1000000.0 AS prop_share,
            (wt * 1000000 // SUM(wt) OVER ()) / 1000000.0 AS temp_share,
-           ((wt * SUM(toks) OVER ()) * 10000
-            // (SUM(wt) OVER () * toks)) / 10000.0 AS upsample
+           ((wt * 1000000 // SUM(wt) OVER ()) * 10000
+            // GREATEST(toks * 1000000 // SUM(toks) OVER (), 1))
+               / 10000.0 AS upsample
     FROM w
     ORDER BY lang
     """,
@@ -3964,6 +3973,18 @@ def j76_temperature_mix(spark, sf_dir) -> DataFrame:
     language's proportional token share, its temperature share, and
     the implied upsample factor (temperature ÷ proportional, the
     number of extra epochs a low-resource language effectively gets).
+
+    Overflow bounds (why upsample is the RATIO OF THE PUBLISHED
+    SHARES, not the algebraically-expanded wt·Σtoks·10⁴ product): the
+    expanded form passes 2^63 around 10⁸–10⁹ tokens/language, where
+    non-ANSI Spark wraps silently while DuckDB raises — the engines
+    would diverge exactly when it matters.  The share-ratio form keeps
+    every intermediate ≤ toks·10⁶, exact in int64 up to ~9.2×10¹²
+    tokens per language; the binding production bound is the sqrt
+    exactness above (toks·10⁸ < 2^53 ⇒ ~9×10⁷ tokens/lang) — past it,
+    widen wt and the shares to DECIMAL(38,0) in both engines.
+    GREATEST(·,1) guards the <1e-6-share language whose floored
+    prop_share is 0 (integer ÷0: DuckDB raises, Spark nulls).
 
     Plan / 100 TB shape: one map pass + one language-keyed aggregate
     (|langs| rows), then window totals over that tiny table — the
@@ -3991,8 +4012,8 @@ def j76_temperature_mix(spark, sf_dir) -> DataFrame:
         ).alias("temp_share"),
         (
             F.expr(
-                "(wt * sum(toks) over ()) * 10000"
-                " DIV (sum(wt) over () * toks)"
+                "(wt * 1000000 DIV sum(wt) over ()) * 10000"
+                " DIV greatest(toks * 1000000 DIV sum(toks) over (), 1)"
             )
             / 10000.0
         ).alias("upsample"),

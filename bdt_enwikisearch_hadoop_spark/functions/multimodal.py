@@ -787,8 +787,18 @@ def decode_wav(data: bytes):
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            # a declared chunk size past the buffer end is a truncated
+            # or corrupt payload — fail loudly instead of silently
+            # decoding fewer samples than the header promises
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
             fmt_tag, n_ch, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

@@ -144,10 +144,18 @@ def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame
     if got is None:
         import time
 
+        # Bill only this tag's OWN build time: a build() that itself
+        # calls materialized() (e.g. lsh_pair_table building on
+        # doc_shingle_sets) must not double-count the nested build —
+        # the nested call records its own entry, so subtract whatever
+        # landed in MATERIALIZE_SECONDS while build() ran.
+        nested_before = sum(MATERIALIZE_SECONDS.values())
         t0 = time.perf_counter()
         got = build().localCheckpoint(eager=True)
+        elapsed = time.perf_counter() - t0
+        nested = sum(MATERIALIZE_SECONDS.values()) - nested_before
         MATERIALIZE_SECONDS[(sf_dir, tag)] = round(
-            time.perf_counter() - t0, 3
+            max(elapsed - nested, 0.0), 3
         )
         _MATERIALIZED[key] = got
     return got

@@ -3690,6 +3690,19 @@ def test_wav_codec_round_trip_and_conservation():
         decode_wav(b"RIFX" + bytes(40))
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # no chunks
+    # a data chunk whose declared size exceeds the remaining bytes must
+    # raise, not silently yield fewer samples than the header promises
+    truncated = encode_wav(10, 3)[:-4]
+    with _pytest.raises(ValueError, match="declares"):
+        decode_wav(truncated)
+    # a short fmt body must raise ValueError, not struct.error
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + bytes(8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(short_fmt)
 
 
 def test_ppm_stream_walker_round_trip_and_conservation():
