@@ -287,9 +287,12 @@ def _lsh_coefs(nbits: int = _LSH_BITS) -> list[list[float]]:
     md5('lsh{b}_{d}') first-hex-digit parity — deterministic,
     engine-independent, and reproducible from the seed string alone
     (no RNG state to ship to 1000 executors).  j22 uses the first 16
-    bits; j78's wide banded signature uses the first 64 of the same
-    family (the oracle re-derives them with md5() IN SQL, so the two
-    engines share coefficients by construction, not by literal)."""
+    bits; j78's wide banded signature uses all 64 bits of the same
+    family (``_J78_BANDS`` × ``_J78_BAND_BITS`` below — bit b is
+    identical whichever width requests it, so the two signatures agree
+    on their shared prefix; the oracle re-derives them with md5() IN
+    SQL, so the two engines share coefficients by construction, not by
+    literal)."""
     return [
         [
             1.0
@@ -301,10 +304,16 @@ def _lsh_coefs(nbits: int = _LSH_BITS) -> list[list[float]]:
     ]
 
 
+#: the full 64-bit coefficient family, computed once at import — rows
+#: 0..15 are exactly j22's 16-bit signature (family rows are
+#: independent of the requested width).
+_COEFS64 = _lsh_coefs(64)
+
+
 def _coef_sql(b: int) -> str:
     """Bit b's ±1 coefficients as a SQL list literal (64 values)."""
     return "[" + ",".join(
-        "1.0" if c > 0 else "-1.0" for c in _lsh_coefs()[b]
+        "1.0" if c > 0 else "-1.0" for c in _COEFS64[b]
     ) + "]"
 
 
@@ -319,11 +328,12 @@ def _duck_bit(b: int) -> str:
     )
 
 
-def _duck_band(g: int) -> str:
-    """DuckDB: band g's 4-bit bucket value."""
+def _duck_band(g: int, bits: int = 4) -> str:
+    """DuckDB: band g's ``bits``-bit bucket value (band g owns signature
+    bits [g·bits, (g+1)·bits))."""
     return " + ".join(
-        f"(CASE WHEN {_duck_bit(4 * g + i)} THEN {1 << i} ELSE 0 END)"
-        for i in range(4)
+        f"(CASE WHEN {_duck_bit(bits * g + i)} THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
     )
 
 
@@ -364,36 +374,38 @@ _J22_ORACLE = (
 ).format(cos=_duck_cos("e.embedding", "p.pemb"))
 
 
-def _lsh_band_cols(vec) -> list:
-    """The {_LSH_BANDS} band-bucket columns of ``vec``'s LSH signature,
-    computed entirely in-row: each sign bit is a SEQUENTIAL double fold
-    of ±embedding components (zip_with + aggregate — no explode, no
-    shuffle).  Cross-engine determinism: the oracle folds the same
-    doubles in the same left-to-right order via list_reduce, and IEEE
-    double addition is deterministic given the order, so the sign is
-    bit-identical without decimal arithmetic (Spark's extra leading
-    0.0 + x is exact for every x).  At throughput scale the same
-    signature is one numpy sign(X @ C.T) per Arrow batch — the fold
-    form is the oracle-checkable reference semantics."""
-    coefs = _lsh_coefs()
+def _lsh_band_cols(
+    vec, bands: int = _LSH_BANDS, bits_per_band: int = _LSH_BITS // _LSH_BANDS
+) -> list:
+    """The ``bands`` band-bucket columns of ``vec``'s LSH signature
+    (``bands × bits_per_band`` sign bits of the shared coefficient
+    family), computed entirely in-row: each sign bit is a SEQUENTIAL
+    double fold of ±embedding components (zip_with + aggregate — no
+    explode, no shuffle).  Cross-engine determinism: the oracle folds
+    the same doubles in the same left-to-right order via list_reduce,
+    and IEEE double addition is deterministic given the order, so the
+    sign is bit-identical without decimal arithmetic (Spark's extra
+    leading 0.0 + x is exact for every x).  At throughput scale the
+    same signature is one numpy sign(X @ C.T) per Arrow batch — the
+    fold form is the oracle-checkable reference semantics."""
+    nbits = bands * bits_per_band
     bits = []
-    for b in range(_LSH_BITS):
-        carr = F.array(*[F.lit(c) for c in coefs[b]])
+    for b in range(nbits):
+        carr = F.array(*[F.lit(c) for c in _COEFS64[b]])
         s = F.aggregate(
             F.zip_with(vec, carr, lambda x, c: x * c),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
         bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return [
-        (
-            bits[4 * g]
-            + bits[4 * g + 1] * 2
-            + bits[4 * g + 2] * 4
-            + bits[4 * g + 3] * 8
-        ).alias(f"band{g}")
-        for g in range(_LSH_BANDS)
-    ]
+    out = []
+    for g in range(bands):
+        v = None
+        for i in range(bits_per_band):
+            term = bits[bits_per_band * g + i] * (1 << i)
+            v = term if v is None else v + term
+        out.append(v.alias(f"band{g}"))
+    return out
 
 
 @query("j22_ann_lsh", oracle=_J22_ORACLE)
@@ -593,7 +605,83 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
 # collision proposes candidates, exact cosine verifies — never all-pairs)
 # ---------------------------------------------------------------------------
 
-_J78_THETA = 0.45  # near-dup threshold; fixture max pairwise cos ~0.51
+_J78_THETA = 0.45  # near-dup threshold; fixture max pairwise cos ~0.60
+
+#: j78 band geometry: 8 bands × 8 bits = all 64 bits of the coefficient
+#: family.  8-bit bands give 256 buckets/band, so the uniform-data
+#: candidate expectation is L·C(N,2)/2^b = N²/64 pairs vs N²/8 under
+#: the old 4×4-bit geometry (measured on the sf0.1 fixture: 72 762
+#: candidates vs 459 129 — 6.3× fewer; asserted ≪ all-pairs in
+#: tests/test_properties.py).  The geometry is a LIBRARY parameter
+#: (``_embedding_near_dup_pairs(bands=, bits_per_band=)``): the
+#: registered key pins 8×8 so its oracle replicates the exact band
+#: predicate, and a production corpus sizes bits_per_band ≈
+#: log2(N / target_occupancy) so bucket cardinality GROWS with the
+#: corpus and expected occupancy — hence candidate count per vector —
+#: stays constant.
+_J78_BANDS = 8
+_J78_BAND_BITS = 8
+
+#: per-(band, bucket) occupancy cap — the skew guard.  A bucket with
+#: more than _BUCKET_CAP members (a degenerate hyperplane cell: e.g.
+#: a corpus slice of identical vectors) would contribute O(occ²)
+#: within-bucket pairs; above the cap the bucket DEGRADES TO A CHAIN —
+#: consecutive members in vec_id order — so its candidate cost is
+#: O(occ) while connectivity is preserved: for a bucket of true
+#: duplicates every chain edge passes the exact-cosine verify, so j79's
+#: component closure still collapses the whole group (dedup needs the
+#: component, not the complete pairwise clique).  Fixture maxima are 33
+#: (embeddings, sf0.1) and 4 (text bands), so the guard never fires at
+#: oracle scale; the adversarial identical-vector test in
+#: tests/test_properties.py drives it directly.  Worst-case candidate
+#: volume with the guard: O(L·N·CAP) — linear in N.
+_BUCKET_CAP = 64
+
+
+def guarded_band_pairs(
+    bucketed: DataFrame,
+    band_cols: list[str],
+    id_col: str,
+    cap: int = _BUCKET_CAP,
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from a long-form bucket
+    table (one row per (band-key..., member id)) with the occupancy
+    skew guard — the SHARED candidate generator of the embedding
+    (j78/j79/j80: band_cols=(g, bucket), id=vec_id) and text
+    (j8/j32/j72: band_cols=(b, bk), id=doc_id) LSH dedup pipelines.
+
+    * bucket occupancy ≤ ``cap``: the full within-bucket clique
+      (equi-join on the band key, id_a < id_b);
+    * bucket occupancy > ``cap``: the consecutive-member CHAIN in id
+      order — O(occ) edges instead of O(occ²), and for a bucket of
+      true duplicates every chain edge survives the exact verify, so
+      the component closure (j20/j79) still collapses the whole group.
+
+    The occupancy aggregate and its join back both key on the band
+    columns — the SAME key as the clique self-join — so the guard adds
+    no new shuffle key; worst-case candidate volume is O(rows·cap)."""
+    from pyspark.sql import Window
+
+    occ = bucketed.groupBy(*band_cols).agg(F.count(F.lit(1)).alias("occ"))
+    guarded = bucketed.join(occ, list(band_cols))
+    small = guarded.filter(F.col("occ") <= cap)
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in band_cols] + [
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ]
+    clique = small.alias("a").join(small.alias("b"), cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    w = Window.partitionBy(*band_cols).orderBy(id_col)
+    chain = (
+        guarded.filter(F.col("occ") > cap)
+        .withColumn("nxt", F.lead(id_col).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col(id_col).alias("id_a"), F.col("nxt").alias("id_b")
+        )
+    )
+    return clique.unionAll(chain).distinct()
 
 
 def _duck_seq_dot(a: str, b: str) -> str:
@@ -615,37 +703,72 @@ def _duck_seq_cos(a: str, b: str) -> str:
     )
 
 
-#: shared CTE chain: signature (+ per-vector norm, computed ONCE) →
-#: band-collision candidates → exact cosine → verified pair list (j78
-#: reports it; j79 closes it transitively)
-_J78_CTES = (
-    f"""
+def _j78_ctes(from_embeddings: str = "embeddings e") -> str:
+    """The shared j78/j79/j80 CTE chain over ``from_embeddings``:
+    signature (+ per-vector norm, computed ONCE) → per-(band, bucket)
+    occupancy → guarded band-collision candidates (all-pairs below
+    _BUCKET_CAP, consecutive-chain above it) → exact cosine → verified
+    pair list (j78 reports it; j79 closes it transitively; j80 runs it
+    on a sampled stratum next to the exact ground truth)."""
+    band_case = "CASE t.g " + " ".join(
+        f"WHEN {g} THEN band{g}" for g in range(_J78_BANDS)
+    ) + " END"
+    return (
+        f"""
     sig AS (
         SELECT e.vec_id, e.embedding,
                SQRT({_duck_seq_dot('e.embedding', 'e.embedding')}) AS nrm,
     """
-    + ",\n".join(f"({_duck_band(g)}) AS band{g}" for g in range(_LSH_BANDS))
-    + f"""
-        FROM embeddings e
+        + ",\n".join(
+            f"({_duck_band(g, _J78_BAND_BITS)}) AS band{g}"
+            for g in range(_J78_BANDS)
+        )
+        + f"""
+        FROM {from_embeddings}
+    ),
+    bkt AS (
+        SELECT vec_id, CAST(t.g AS INT) AS g, ({band_case}) AS bucket
+        FROM sig CROSS JOIN range(0, {_J78_BANDS}) t(g)
+    ),
+    occ AS (
+        SELECT g, bucket, COUNT(*) AS occ FROM bkt GROUP BY g, bucket
+    ),
+    bkt2 AS (
+        SELECT b.vec_id, b.g, b.bucket, o.occ,
+               LEAD(b.vec_id) OVER (
+                   PARTITION BY b.g, b.bucket ORDER BY b.vec_id
+               ) AS nxt
+        FROM bkt b JOIN occ o USING (g, bucket)
     ),
     cand AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib,
-               a.embedding AS ea, b.embedding AS eb,
-               a.nrm AS na, b.nrm AS nb
-        FROM sig a JOIN sig b
-          ON a.vec_id < b.vec_id
-         AND (a.band0 = b.band0 OR a.band1 = b.band1
-              OR a.band2 = b.band2 OR a.band3 = b.band3)
+        SELECT DISTINCT ia, ib FROM (
+            SELECT a.vec_id AS ia, b.vec_id AS ib
+            FROM bkt2 a JOIN bkt2 b
+              ON a.g = b.g AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE a.occ <= {_BUCKET_CAP} AND b.occ <= {_BUCKET_CAP}
+            UNION ALL
+            SELECT vec_id AS ia, nxt AS ib
+            FROM bkt2
+            WHERE occ > {_BUCKET_CAP} AND nxt IS NOT NULL
+        )
     ),
     scored AS (
-        SELECT ia, ib, {_duck_seq_dot('ea', 'eb')} / (na * nb) AS cos
-        FROM cand
+        SELECT c.ia, c.ib,
+               {_duck_seq_dot('a.embedding', 'b.embedding')}
+                   / (a.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN sig a ON a.vec_id = c.ia
+        JOIN sig b ON b.vec_id = c.ib
     ),
     pairs AS (
         SELECT ia, ib, cos FROM scored WHERE cos >= {_J78_THETA}
     )
     """
-)
+    )
+
+
+_J78_CTES = _j78_ctes()
 
 _J78_ORACLE = f"""
     WITH {_J78_CTES}
@@ -659,8 +782,9 @@ _J78_ORACLE = f"""
 def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= {theta}) with
     banded random-hyperplane LSH candidates: two vectors are a
-    candidate iff ANY of the 4 band buckets (4 sign bits each, j22's
-    signature) collide; only candidates get the exact-cosine verify.
+    candidate iff ANY of the 8 band buckets (8 sign bits each — all 64
+    bits of j22's coefficient family) collide; only candidates get the
+    exact-cosine verify.
 
     This closes the dedup-method matrix next to j1 (exact hash), j8
     (MinHash-LSH on shingles), j9 (SimHash) and j2 (n-gram Jaccard):
@@ -668,16 +792,23 @@ def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
     exact text hashing cannot.
 
     100 TB shape: the signature is a narrow zero-shuffle map pass; the
-    candidate generator is ONE shuffle on (band, bucket) — ~N·4 rows of
+    candidate generator is ONE shuffle on (band, bucket) — ~N·8 rows of
     (int, int) keys — followed by a pair-distinct; the exact verify
     joins the (small) candidate pair list back to the corpus on vec_id
     (shuffle-free when the corpus is bucketed by vec_id, j21's store
-    layout).  The quadratic blowup is confined to within-bucket pairs,
-    bounded by band-bucket occupancy — same skew story as j8 (a
-    degenerate bucket is capped/salted there; the same guard applies).
-    The oracle replicates the band-collision predicate, so the check is
-    exact equivalence of the approximate operator, not a recall claim —
-    recall certification is j54/j72's job."""
+    layout).  The within-bucket blowup is bounded twice: 8-bit bands
+    keep expected occupancy at N/256 per bucket (candidates ≈ N²/64
+    on uniform data — measured 6.3× below the old 4×4-bit geometry,
+    asserted ≪ all-pairs in tests/test_properties.py), and the
+    _BUCKET_CAP occupancy guard degrades any degenerate bucket to a
+    consecutive-member chain (O(occ) edges, connectivity preserved for
+    j79's closure), capping worst-case candidate volume at O(L·N·CAP).
+    A production corpus additionally grows bits_per_band with log2(N)
+    (see _J78_BANDS) so expected occupancy stays constant.  The oracle
+    replicates the band predicate AND the guard, so the check is exact
+    equivalence of the approximate operator, not a recall claim —
+    recall certification against exact ground truth is j80's job
+    (j72's sampled-stratum pattern on the embedding side)."""
     pairs = embedding_near_dup_pair_table(spark, sf_dir)
     return pairs.select(
         "ia", "ib", F.round(F.col("cos"), 4).alias("score")
@@ -697,13 +828,31 @@ def embedding_near_dup_pair_table(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_near_dup_pairs(spark, sf_dir) -> DataFrame:
-    """(ia, ib, cos): verified embedding near-dup pairs — band-collision
-    candidates, pair-distinct, exact-cosine verify at θ (j78's body,
-    shared with j79's component closure).
+def _embedding_near_dup_pairs(
+    spark,
+    sf_dir,
+    bands: int = _J78_BANDS,
+    bits_per_band: int = _J78_BAND_BITS,
+    emb: DataFrame | None = None,
+) -> DataFrame:
+    """(ia, ib, cos): verified embedding near-dup pairs — guarded
+    band-collision candidates, pair-distinct, exact-cosine verify at θ
+    (j78's body, shared with j79's component closure and j80's stratum
+    certification via ``emb``).
 
-    Two measured plan decisions (sf0.1, 2 000 vectors → ~460 k
-    candidate pairs at 16-bucket band granularity):
+    The band geometry is a parameter: the registered keys pin
+    ``_J78_BANDS × _J78_BAND_BITS`` (8×8 — see the constants' rationale)
+    so their oracles replicate the exact predicate; a production corpus
+    sizes ``bits_per_band ≈ log2(N / target_occupancy)``.
+
+    Candidate generation is occupancy-guarded (the skew guard j8's text
+    pipeline shares): per-(band, bucket) counts are joined back to the
+    bucket table — the SAME (g, bucket) key as the self-join, so the
+    exchange is reused — and a bucket above ``_BUCKET_CAP`` emits only
+    the consecutive-member chain in vec_id order (O(occ) edges, the
+    connectivity j79 needs) instead of its O(occ²) clique.
+
+    Two measured plan decisions (sf0.1, 2 000 vectors):
 
     * per-vector norms are computed ONCE in the vector pass and joined
       alongside the vectors, so the per-candidate verify is a single
@@ -714,33 +863,26 @@ def _embedding_near_dup_pairs(spark, sf_dir) -> DataFrame:
       size to a few partitions, but the next projection widens every
       row by 2×64 doubles, so without the explicit round-robin the
       whole verify runs ~3-wide on a 32-core cluster (measured 9.5 s
-      → 1.6 s warm)."""
-    emb = load(spark, sf_dir, "embeddings")
+      → 1.6 s warm at the old 4×4 geometry)."""
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     ve = vec_double(F.col("embedding"))
     vecs = emb.select(
         "vec_id",
         ve.alias("v"),
         F.sqrt(dot(ve, ve)).alias("nrm"),
     )
-    sig = emb.select(F.col("vec_id"), *_lsh_band_cols(ve))
+    sig = emb.select(
+        F.col("vec_id"), *_lsh_band_cols(ve, bands, bits_per_band)
+    )
     buckets = sig.select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.col(f"band{g}") for g in range(_LSH_BANDS)])
+            F.array(*[F.col(f"band{g}") for g in range(bands)])
         ).alias("g", "bucket"),
     )
-    cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            [F.col("a.g") == F.col("b.g"),
-             F.col("a.bucket") == F.col("b.bucket"),
-             F.col("a.vec_id") < F.col("b.vec_id")],
-        )
-        .select(
-            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
-        )
-        .distinct()
+    cand = guarded_band_pairs(buckets, ["g", "bucket"], "vec_id").select(
+        F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )
     ea = vecs.select(
         F.col("vec_id").alias("ia"), F.col("v").alias("va"),
@@ -800,3 +942,138 @@ def j79_embedding_dedup_components(spark, sf_dir) -> DataFrame:
     edges = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     labels, _rounds = _connected_components(edges)
     return labels.select(F.col("node").alias("vec_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# j80 — SAMPLED-STRATUM embedding-LSH recall certification (j72's pattern
+# applied to the vector side: j78's oracle proves band-predicate
+# equivalence; THIS key measures recall against exact ground truth at a
+# cost a 100 TB pipeline can afford)
+# ---------------------------------------------------------------------------
+
+#: deterministic ~25% vector stratum by vec_id content hash — j72's
+#: sampler on the embedding corpus.  A PAIR survives iff BOTH endpoints
+#: land in the stratum, so stratum pair counts are unbiased 1/16
+#: estimators of full-corpus pair counts (Horvitz-Thompson).
+_J80_PRED_SQL = (
+    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+)
+_J80_INV_PAIR = 16  # 1 / (0.25 * 0.25)
+
+_J80_ORACLE = f"""
+    WITH {_j78_ctes(f"(SELECT * FROM embeddings WHERE {_J80_PRED_SQL}) e")},
+    exact_pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               {_duck_seq_dot('a.embedding', 'b.embedding')}
+                   / (a.nrm * b.nrm) AS cos
+        FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
+           AS BIGINT) AS n_exact_stratum,
+      CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_found_stratum,
+      ((SELECT COUNT(*) FROM pairs) * 10000
+       // GREATEST((SELECT COUNT(*) FROM exact_pairs
+                    WHERE cos >= {_J78_THETA}), 1)) / 10000.0 AS recall,
+      CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
+           * {_J80_INV_PAIR} AS BIGINT) AS est_full_pairs
+    """
+
+
+def _j80_stratum_emb(spark, sf_dir) -> DataFrame:
+    """The ~25% embedding stratum (content-hashed on vec_id — identical
+    membership on any engine/partitioning).  Unmemoized so the plan
+    guard can assert every embeddings scan below the certification's
+    joins carries the stratum predicate."""
+    return load(spark, sf_dir, "embeddings").filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+
+
+def _j80_exact_stratum_pairs(spark, sf_dir) -> DataFrame:
+    """(ia, ib, cos) for EVERY stratum pair — the exact all-pairs
+    ground truth, affordable precisely because the quadratic join
+    touches only stratum vectors (~1/16 of the full pair work; at
+    100 TB this is the only place an embedding all-pairs ever runs).
+    The cosine is the identical norms-precomputed sequential-dot form
+    the j78 verify uses, so LSH-found and exact pairs agree bit-for-bit
+    at the θ boundary."""
+    vs = _j80_stratum_emb(spark, sf_dir)
+    ve = vec_double(F.col("embedding"))
+    vecs = vs.select(
+        "vec_id", ve.alias("v"), F.sqrt(dot(ve, ve)).alias("nrm")
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+    )
+
+
+@query("j80_embedding_lsh_recall_sampled", oracle=_J80_ORACLE)
+def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
+    """j78's banded-LSH near-dup run on a deterministic ~25% vector
+    stratum NEXT TO the exact all-pairs ground truth, reporting the
+    stratum recall at θ and the inverse-probability (Horvitz-Thompson)
+    extrapolation of the full-corpus near-dup pair count — the
+    embedding-side twin of j72's text-LSH certification, and the key
+    that turns j78's 'oracle proves predicate equivalence' into a
+    measured recall number a pipeline owner can gate on.
+
+    100 TB shape: the exact side is quadratic ONLY in the stratum
+    (P(pair survives) = 1/16 — the knob that makes ground truth
+    affordable at any corpus size); the LSH side is the identical
+    guarded band pipeline j78 ships (geometry, cap, verify — asserted
+    by the plan guard to scan ONLY stratum-filtered embeddings).
+    Determinism: content-hashed stratum, sequential-fold cosines
+    shared with the oracle, BIGINT counts, floor-division recall at
+    4dp."""
+    lsh = materialized(
+        spark,
+        sf_dir,
+        "stratum_embedding_pairs",
+        lambda: _embedding_near_dup_pairs(
+            spark, sf_dir, emb=_j80_stratum_emb(spark, sf_dir)
+        ),
+    )
+    exact = materialized(
+        spark,
+        sf_dir,
+        "stratum_embedding_exact",
+        lambda: _j80_exact_stratum_pairs(spark, sf_dir),
+    )
+    n_exact = exact.filter(F.col("cos") >= _J78_THETA).agg(
+        F.count(F.lit(1)).alias("n_exact_stratum")
+    )
+    n_found = lsh.agg(F.count(F.lit(1)).alias("n_found_stratum"))
+    return (
+        n_exact.crossJoin(n_found)
+        .select(
+            "n_exact_stratum",
+            "n_found_stratum",
+            (
+                F.expr(
+                    "n_found_stratum * 10000 DIV greatest(n_exact_stratum, 1)"
+                )
+                / 10000.0
+            ).alias("recall"),
+            (F.col("n_exact_stratum") * _J80_INV_PAIR)
+            .cast("long")
+            .alias("est_full_pairs"),
+        )
+    )

@@ -46,8 +46,21 @@ _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASH // _N_BANDS
 
 
+#: per-(band, bucket) occupancy cap — the skew guard shared with the
+#: embedding pipeline (see ann._BUCKET_CAP for the full rationale and
+#: the O(rows·cap) worst-case bound): a bucket above the cap degrades
+#: from its O(occ²) clique to the consecutive-member chain in doc_id
+#: order, preserving component connectivity (j20/j32) for degenerate
+#: corpora (e.g. thousands of identical documents) at O(occ) cost.
+#: Fixture band-bucket maxima are 4, so the guard never fires at
+#: oracle scale; the adversarial identical-document test in
+#: tests/test_properties.py drives it directly.
+from .ann import _BUCKET_CAP, guarded_band_pairs  # noqa: E402
+
 #: the LSH candidate + exact-intersection CTE chain, shared verbatim by
 #: j8's and j32's oracles (identical md5 arithmetic in both engines).
+#: The cand CTE replicates the occupancy guard bit-for-bit: clique
+#: below the cap, doc_id-ordered chain above it.
 _LSH_CAND_CTE = f"""
     sig AS (
         SELECT doc_id, t.hi,
@@ -61,10 +74,27 @@ _LSH_CAND_CTE = f"""
         FROM sig
         GROUP BY doc_id, hi // {_ROWS_PER_BAND}
     ),
+    bandocc AS (
+        SELECT b, bk, COUNT(*) AS occ FROM band GROUP BY b, bk
+    ),
+    band2 AS (
+        SELECT band.doc_id, band.b, band.bk, o.occ,
+               LEAD(band.doc_id) OVER (
+                   PARTITION BY band.b, band.bk ORDER BY band.doc_id
+               ) AS nxt
+        FROM band JOIN bandocc o USING (b, bk)
+    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM band a JOIN band b
-          ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band2 a JOIN band2 b
+              ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+            WHERE a.occ <= {_BUCKET_CAP} AND b.occ <= {_BUCKET_CAP}
+            UNION ALL
+            SELECT doc_id AS doc_a, nxt AS doc_b
+            FROM band2
+            WHERE occ > {_BUCKET_CAP} AND nxt IS NOT NULL
+        )
     ),
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
@@ -244,19 +274,8 @@ def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.b").alias("b"), F.col("z.bk").alias("bk"))
-    a = band.alias("a")
-    b = band.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    cand = guarded_band_pairs(band, ["b", "bk"], "doc_id").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     # exact verification: fetch both docs' shingle sets, intersect in-row
     sa = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
@@ -3335,11 +3354,13 @@ _STRATUM_SHINGLE_CTE = _SHINGLE_CTE.replace(
 # Guard against a silent no-op: if _SHINGLE_CTE's wording ever changes,
 # the replace above would leave the j72/j73 oracles running on the FULL
 # corpus and the failure would surface later as a confusing parity
-# mismatch.  Fail loudly at import time instead.
-assert _STRATUM_PRED_SQL in _STRATUM_SHINGLE_CTE, (
-    "_STRATUM_SHINGLE_CTE substitution no-opped — _SHINGLE_CTE's "
-    "'FROM documents)' anchor changed; update the replace() anchor."
-)
+# mismatch.  Fail loudly at import time instead — a real raise, not an
+# assert, so the guard survives `python -O` (asserts are stripped).
+if _STRATUM_PRED_SQL not in _STRATUM_SHINGLE_CTE:
+    raise RuntimeError(
+        "_STRATUM_SHINGLE_CTE substitution no-opped — _SHINGLE_CTE's "
+        "'FROM documents)' anchor changed; update the replace() anchor."
+    )
 
 _STRATUM_PAIR_CTES = """
     lshj AS (

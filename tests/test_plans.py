@@ -1224,3 +1224,35 @@ def test_j78_candidates_from_band_collision_only(spark, sf_dir):
     join_lines = [ln for ln in p.splitlines() if "Join" in ln]
     assert join_lines, "candidate join missing from plan"
     assert any("bucket#" in ln for ln in join_lines), join_lines
+
+
+def test_j80_every_embeddings_scan_is_stratum_filtered(spark, sf_dir):
+    """j80's whole certification — the guarded LSH side AND the exact
+    all-pairs side — must read ONLY stratum-filtered embeddings: every
+    FileScan over the embeddings table carries the md5 stratum
+    predicate as a data filter, so the quadratic exact join is
+    stratum-sized (the whole point — j72's guard on the vector side).
+    Guarded on the raw builders; the registered key serves the same
+    frames from materialized()."""
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _embedding_near_dup_pairs,
+        _j80_exact_stratum_pairs,
+        _j80_stratum_emb,
+    )
+
+    lsh = _embedding_near_dup_pairs(
+        spark, sf_dir, emb=_j80_stratum_emb(spark, sf_dir)
+    )
+    exact = _j80_exact_stratum_pairs(spark, sf_dir)
+    for frame in (lsh, exact):
+        p = frame._jdf.queryExecution().executedPlan().toString()
+        emb_scans = [
+            ln for ln in p.splitlines() if "FileScan parquet [vec_id" in ln
+        ]
+        assert emb_scans
+        for ln in emb_scans:
+            assert "substring(md5(" in ln, ln
+    # and the LSH side must never be all-pairs (band join only)
+    p = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -3742,3 +3742,116 @@ def test_ppm_stream_walker_round_trip_and_conservation():
         decode_ppm_stream(encode_ppm(2, 2, 0) + b"JUNK")  # garbage tail
     with _pytest.raises(ValueError):
         decode_ppm_stream(encode_ppm(2, 2, 0)[:-1])  # truncated raster
+
+
+def test_j78_band_candidates_far_below_all_pairs(spark, sf_dir):
+    """The 8×8-bit band geometry must keep the candidate set FAR below
+    all-pairs — the round-10 scale fix for the old 4×4-bit geometry
+    whose 16 buckets/band admitted ~23% of all pairs as candidates.
+    Bound: measured candidates ≤ 2 × the uniform-data expectation
+    L·C(N,2)/2^bits (the analytic asymptote the docstring claims),
+    which at 8 bands × 8 bits is N²/64 — so the assert also pins the
+    geometry itself (reverting to 4×4 would blow the bound 8×)."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _J78_BAND_BITS,
+        _J78_BANDS,
+        _lsh_band_cols,
+        guarded_band_pairs,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_pipeline import vec_double
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ve = vec_double(F.col("embedding"))
+    buckets = emb.select(
+        "vec_id", *_lsh_band_cols(ve, _J78_BANDS, _J78_BAND_BITS)
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{g}") for g in range(_J78_BANDS)])
+        ).alias("g", "bucket"),
+    )
+    n_cand = guarded_band_pairs(buckets, ["g", "bucket"], "vec_id").count()
+    all_pairs = n * (n - 1) / 2
+    expected = _J78_BANDS * all_pairs / (2 ** _J78_BAND_BITS)
+    assert 0 < n_cand <= 2 * expected, (n_cand, expected, all_pairs)
+
+
+def test_bucket_cap_chain_identical_vectors(spark):
+    """Adversarial skew: N identical vectors land in ONE bucket of
+    every band (occupancy N ≫ _BUCKET_CAP).  The guard must emit the
+    O(N) consecutive chain — never the N²/2 clique — every chain edge
+    must survive the exact verify (cos = 1), and the j79 closure must
+    still collapse the whole group to one component (the property that
+    makes chain-degradation safe for dedup)."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _BUCKET_CAP,
+        _embedding_near_dup_pairs,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _connected_components,
+    )
+
+    n = 3 * _BUCKET_CAP
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = _embedding_near_dup_pairs(spark, None, emb=emb)
+    rows = pairs.collect()
+    assert len(rows) == n - 1, len(rows)  # chain, not clique
+    assert sorted((r["ia"], r["ib"]) for r in rows) == [
+        (i, i + 1) for i in range(n - 1)
+    ]
+    assert all(abs(r["cos"] - 1.0) < 1e-12 for r in rows)
+    comps = _connected_components(
+        pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )[0]
+    assert comps.select("component").distinct().count() == 1
+    # the guard must be IN THE PLAN: an occupancy filter at the cap on
+    # the clique side (no unbounded within-bucket self-join survives)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert f"<= {_BUCKET_CAP}" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucket_cap_chain_identical_documents(spark):
+    """Same adversarial skew on the TEXT side: N identical documents
+    share every band key; the guard chains them (N-1 verified pairs,
+    Jaccard 1) instead of the N²/2 clique, and the closure still finds
+    one duplicate group."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import _BUCKET_CAP
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _connected_components,
+        _lsh_verified_pairs,
+    )
+
+    n = 3 * _BUCKET_CAP
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = _lsh_verified_pairs(docs)
+    rows = pairs.collect()
+    assert len(rows) == n - 1, len(rows)
+    assert sorted((r["doc_a"], r["doc_b"]) for r in rows) == [
+        (i, i + 1) for i in range(n - 1)
+    ]
+    assert all(r["i"] == r["na"] == r["nb"] for r in rows)  # Jaccard 1
+    comps = _connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )[0]
+    assert comps.select("component").distinct().count() == 1
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert f"<= {_BUCKET_CAP}" in plan
+    assert "CartesianProduct" not in plan
