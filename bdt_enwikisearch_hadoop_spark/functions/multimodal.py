@@ -2,12 +2,18 @@
 as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched Pandas functions over ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual byte decode
-is STUBBED (:func:`decode_image` raises ``NotImplementedError``; the
-pipeline uses :func:`fake_decode_meta`, a deterministic stand-in) — but
-every piece of Spark-side plumbing is real and tested: the binary
-column, the explicit output schema, the Arrow batch iteration, and the
-one-to-many frame-sampling shape.
+The container has no image/audio libraries, so m1-m4 exercise the
+plumbing with :func:`fake_decode_meta`, a deterministic metadata
+stand-in — every piece of Spark-side plumbing is real and tested: the
+binary column, the explicit output schema, the Arrow batch iteration,
+and the one-to-many frame-sampling shape.  The REAL end-to-end decode
+paths exist for every codec the standard library can parse and are
+first-class keys of their own: :func:`decode_ppm` (m8 decode+resize),
+:func:`decode_wav` (m9 PCM stats), m10 channel stats, and
+:func:`decode_ppm_stream` (m11 video frame decode).  Entropy-coded
+formats (JPEG/PNG/WebP) slot into the same mapInPandas signatures by
+swapping the parser for an imaging library — the schemas, batch
+shapes, and shuffle discipline are identical.
 
 The fixtures carry no binary column, so the queries synthesize one
 (``encode(text)``) — at 100 TB the binary column is the parquet blob
@@ -38,24 +44,13 @@ from ..registry import query
 from ..sources import load
 
 
-def decode_image(data: bytes):
-    """Decode a COMPRESSED image payload (JPEG/PNG/WebP) to pixels.
-    STUB: entropy-coded formats need an image library not present in
-    this container (Pillow / torchvision); the pipeline shape is
-    exercised with :func:`fake_decode_meta`, and the REAL end-to-end
-    decode path exists for the uncompressed formats the standard
-    library can parse — see :func:`decode_ppm` (m8) and
-    :func:`decode_wav` (m9)."""
-    raise NotImplementedError(
-        "compressed-image decode requires an imaging library; see "
-        "decode_ppm/decode_wav for the real uncompressed-codec paths, "
-        "or fake_decode_meta for the deterministic stand-in"
-    )
-
-
 def fake_decode_meta(data: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for header decode: (n_bytes, width,
-    height) derived purely from the payload length."""
+    height) derived purely from the payload length.  m1/m4 use this so
+    their oracles stay pure SQL over byte lengths; the real header
+    parses live in :func:`decode_ppm` / :func:`decode_wav` /
+    :func:`decode_ppm_stream` (m8-m11), which share the identical
+    mapInPandas plumbing."""
     n = len(data)
     return n, n % 640, (n * 7) % 480
 
@@ -243,8 +238,8 @@ def m4_image_resize(spark, sf_dir) -> DataFrame:
     """Image resize planning: completes the multimodal quartet (decode
     meta m1, frame-sample m2, audio-chunk m3, resize m4).  Integer
     aspect-fit into 224x224 per image — the geometry/allocation half of
-    a resize; the pixel resample is behind the stubbed decode_image
-    (no imaging libs in this container).
+    a resize; the full decode-and-resample path is m8 (decode_ppm on a
+    real P6 payload), which uses this same geometry arithmetic.
 
     100 TB shape: like m1, a zero-shuffle Arrow-batched map pass;
     payload bytes never shuffle — downstream selection joins on the

@@ -92,6 +92,21 @@ def main() -> int:
             "value": total,
         }
     )
+    # The driver records only the last ~2KB of stdout (≈67 of 300+
+    # per-key timings survive).  Persist the COMPLETE record — full
+    # per-key timings plus the per-tag materialize ledger — so
+    # round-over-round per-key regression checks read a committed
+    # artifact instead of a truncated tail.
+    full = dict(result)
+    full["materialize_by_tag"] = {
+        tag: sec for (_app, _sf, tag), sec in sorted(MATERIALIZE_SECONDS.items())
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
     print(json.dumps(result))
     return 0
 

@@ -76,13 +76,19 @@ def test_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
     assert len(lsh) >= 0.9 * len(exact)
 
 
-def test_multimodal_decode_is_stubbed():
-    import pytest
+def test_multimodal_module_has_no_stub_paths():
+    """Round-10 retirement of the legacy decode_image stub: the
+    multimodal module must carry ZERO NotImplementedError paths — every
+    decoder it ships (decode_ppm, decode_wav, decode_ppm_stream) is a
+    real parser, and the m1-m4 metadata stand-in is fake_decode_meta,
+    not a raising stub."""
+    import inspect
 
-    from bdt_enwikisearch_hadoop_spark.functions.multimodal import decode_image
+    from bdt_enwikisearch_hadoop_spark.functions import multimodal
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    src = inspect.getsource(multimodal)
+    assert "NotImplementedError" not in src
+    assert not hasattr(multimodal, "decode_image")
 
 
 def test_simhash_identical_docs_identical_fingerprint(spark, sf_dir):
@@ -3855,3 +3861,26 @@ def test_bucket_cap_chain_identical_documents(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert f"<= {_BUCKET_CAP}" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_driver_window_keys_all_have_oracles():
+    """Canary for the driver's only externally-checked window: the
+    correctness driver checks the first 50 keys of the registry in
+    natural (numeric-aware) order — a1…d8 as of round 9
+    (CORRECTNESS_r09.json) — so a refactor that silently drops an
+    oracle inside that window would go dark externally even though the
+    full local sweep still covers it.  Assert every window key keeps
+    an oracle, except the single documented rows-only-by-design key
+    (d3's HLL sketch)."""
+    import re
+
+    from bdt_enwikisearch_hadoop_spark.registry import ORACLES, QUERIES
+
+    def natural(key):
+        m = re.match(r"([a-z]+)(\d+)(.*)", key)
+        return (m.group(1), int(m.group(2)), m.group(3)) if m else (key, 0, "")
+
+    window = sorted(QUERIES, key=natural)[:50]
+    assert window[0].startswith("a1_") and window[-1].startswith("d8_"), window
+    missing = [k for k in window if k not in ORACLES]
+    assert missing == ["d3_approx_count_distinct"], missing
