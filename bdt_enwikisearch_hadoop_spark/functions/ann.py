@@ -374,38 +374,74 @@ _J22_ORACLE = (
 ).format(cos=_duck_cos("e.embedding", "p.pemb"))
 
 
-def _lsh_band_cols(
-    vec, bands: int = _LSH_BANDS, bits_per_band: int = _LSH_BITS // _LSH_BANDS
-) -> list:
-    """The ``bands`` band-bucket columns of ``vec``'s LSH signature
-    (``bands × bits_per_band`` sign bits of the shared coefficient
-    family), computed entirely in-row: each sign bit is a SEQUENTIAL
-    double fold of ±embedding components (zip_with + aggregate — no
-    explode, no shuffle).  Cross-engine determinism: the oracle folds
-    the same doubles in the same left-to-right order via list_reduce,
-    and IEEE double addition is deterministic given the order, so the
-    sign is bit-identical without decimal arithmetic (Spark's extra
-    leading 0.0 + x is exact for every x).  At throughput scale the
-    same signature is one numpy sign(X @ C.T) per Arrow batch — the
-    fold form is the oracle-checkable reference semantics."""
+def band_signature(
+    df: DataFrame,
+    vec,
+    bands: int = _LSH_BANDS,
+    bits_per_band: int = _LSH_BITS // _LSH_BANDS,
+    keep: list | None = None,
+) -> DataFrame:
+    """``keep`` columns + the ``bands`` band-bucket columns of
+    ``vec``'s LSH signature (``bands × bits_per_band`` sign bits of the
+    shared coefficient family), computed entirely in-row: each sign bit
+    is a SEQUENTIAL double fold of ±embedding components (zip_with +
+    aggregate — no explode, no shuffle).
+
+    TWO-STEP projection, and that structure is load-bearing: the nbits
+    sign bits are computed ONCE per row by a single transform-loop
+    expression over a 2-D coefficient literal (one loop the codegen
+    compiles once, not nbits inlined fold trees — the 64-expression
+    form measured 4.0 s vs 1.0 s for this form at sf0.1), materialized
+    as an intermediate array column, and the band buckets then fold
+    slices of it (emitting band cols that each re-embed the bit
+    expression defeats subexpression elimination and re-pays the whole
+    signature per band — measured 5.6 s).
+
+    Cross-engine determinism: the oracle folds the same doubles in the
+    same left-to-right order via list_reduce, and IEEE double addition
+    is deterministic given the order, so the sign is bit-identical
+    without decimal arithmetic (Spark's extra leading 0.0 + x is exact
+    for every x).  At throughput scale the same signature is one numpy
+    sign(X @ C.T) per Arrow batch — the fold form is the
+    oracle-checkable reference semantics."""
     nbits = bands * bits_per_band
-    bits = []
-    for b in range(nbits):
-        carr = F.array(*[F.lit(c) for c in _COEFS64[b]])
-        s = F.aggregate(
-            F.zip_with(vec, carr, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = []
-    for g in range(bands):
-        v = None
-        for i in range(bits_per_band):
-            term = bits[bits_per_band * g + i] * (1 << i)
-            v = term if v is None else v + term
-        out.append(v.alias(f"band{g}"))
-    return out
+    keep = list(keep) if keep is not None else [F.col("vec_id")]
+    mat = F.array(
+        *[F.array(*[F.lit(c) for c in _COEFS64[b]]) for b in range(nbits)]
+    )
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(nbits)),
+        lambda b: F.when(
+            F.aggregate(
+                F.zip_with(vec, F.element_at(mat, b), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    weights = F.array(*[F.lit(1 << i) for i in range(bits_per_band)])
+    step1 = df.select(*keep, bits.alias("_sig_bits"))
+    named = [c for c in step1.columns if c != "_sig_bits"]
+    return step1.select(
+        *named,
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("_sig_bits"), g * bits_per_band + 1,
+                        bits_per_band,
+                    ),
+                    weights,
+                    lambda b, w: b * w,
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias(f"band{g}")
+            for g in range(bands)
+        ],
+    )
 
 
 @query("j22_ann_lsh", oracle=_J22_ORACLE)
@@ -416,7 +452,7 @@ def j22_ann_lsh(spark, sf_dir) -> DataFrame:
     + top-k over candidates only.
 
     100 TB shape: the signature is a narrow zero-shuffle map pass
-    (in-row folds, see _lsh_band_cols), the probe row is a broadcast,
+    (in-row folds, see band_signature), the probe row is a broadcast,
     and the band match prunes the exact-scoring set to ~N/2^4 per band
     — no all-pairs, no corpus shuffle; the only wide op is the final
     TakeOrdered top-k.  At scale the signature columns are written once
@@ -425,7 +461,7 @@ def j22_ann_lsh(spark, sf_dir) -> DataFrame:
     j21's IVF store."""
     emb = load(spark, sf_dir, "embeddings")
     ve = vec_double(F.col("embedding"))
-    sig = emb.select("vec_id", ve.alias("ve"), *_lsh_band_cols(ve))
+    sig = band_signature(emb, ve, keep=[F.col("vec_id"), ve.alias("ve")])
     probe = F.broadcast(
         sig.filter(F.col("vec_id") == 0).select(
             F.col("ve").alias("pemb"),
@@ -872,9 +908,7 @@ def _embedding_near_dup_pairs(
         ve.alias("v"),
         F.sqrt(dot(ve, ve)).alias("nrm"),
     )
-    sig = emb.select(
-        F.col("vec_id"), *_lsh_band_cols(ve, bands, bits_per_band)
-    )
+    sig = band_signature(emb, ve, bands, bits_per_band)
     buckets = sig.select(
         "vec_id",
         F.posexplode(

@@ -3763,7 +3763,7 @@ def test_j78_band_candidates_far_below_all_pairs(spark, sf_dir):
     from bdt_enwikisearch_hadoop_spark.functions.ann import (
         _J78_BAND_BITS,
         _J78_BANDS,
-        _lsh_band_cols,
+        band_signature,
         guarded_band_pairs,
     )
     from bdt_enwikisearch_hadoop_spark.functions.llm_pipeline import vec_double
@@ -3772,9 +3772,7 @@ def test_j78_band_candidates_far_below_all_pairs(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     ve = vec_double(F.col("embedding"))
-    buckets = emb.select(
-        "vec_id", *_lsh_band_cols(ve, _J78_BANDS, _J78_BAND_BITS)
-    ).select(
+    buckets = band_signature(emb, ve, _J78_BANDS, _J78_BAND_BITS).select(
         "vec_id",
         F.posexplode(
             F.array(*[F.col(f"band{g}") for g in range(_J78_BANDS)])
