@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import load
-from .text_search import term_freq, tfidf, tokenize
+from .text_search import term_freq, tfidf_w, tokenize
 
 
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
@@ -36,7 +36,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
     prescribes: norms change only when a document changes, so VSM
     cosine serving reads |Q| postings rows + a doc-keyed norm column
     instead of re-aggregating the corpus-wide weight table per query."""
-    w = tfidf(load(spark, sf_dir, "documents"))
+    w = tfidf_w(spark, sf_dir)
     index = w.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_count"),
         F.array_sort(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
-from ..sources import load, rebalance
+from ..sources import load, materialized, rebalance
 
 # ---------------------------------------------------------------------------
 # shared vector helpers (reused by llm_scale)
@@ -327,21 +327,32 @@ def j5_label_centroids(spark, sf_dir) -> DataFrame:
     order and its error (~1e-16 per add) straddles the 4-decimal
     boundary for near-zero centroids.  Exact decimal summation gives
     both engines the identical double quotient; FLOOR-truncation avoids
-    ROUND's engine-specific tie behavior."""
-    emb = load(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label", F.posexplode(vec_double(F.col("embedding"))).alias("dim", "x")
-    )
-    return ex.groupBy("label", "dim").agg(
-        (
-            F.floor(
-                F.sum(F.col("x").cast("decimal(38,15)")).cast("double")
-                / F.count(F.lit(1))
-                * 10000
-            )
-            / 10000
-        ).alias("centroid")
-    )
+    ROUND's engine-specific tie behavior.
+
+    MATERIALIZED (tag ``label_centroids``): the centroid table is the
+    coarse-quantizer artifact every IVF consumer reads (j13/j21/j35's
+    cell shortlist scores it per call) — O(n_labels × dim) rows built
+    from one corpus aggregate, the canonical build-once/serve-many
+    boundary."""
+
+    def build() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")
+        ex = emb.select(
+            "label",
+            F.posexplode(vec_double(F.col("embedding"))).alias("dim", "x"),
+        )
+        return ex.groupBy("label", "dim").agg(
+            (
+                F.floor(
+                    F.sum(F.col("x").cast("decimal(38,15)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                )
+                / 10000
+            ).alias("centroid")
+        )
+
+    return materialized(spark, sf_dir, "label_centroids", build)
 
 
 # ---------------------------------------------------------------------------

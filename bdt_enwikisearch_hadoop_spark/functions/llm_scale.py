@@ -2914,44 +2914,38 @@ def j61_embedding_pool(spark, sf_dir) -> DataFrame:
     unchanged.  Long-row output (doc, j, pooled) keeps the result
     scalar-typed for the driver hash; production would pivot to an
     array column in the same pass."""
-    tok = (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-        )
-    )
-    comp = tok.select(
-        "doc_id",
-        "term",
-        F.explode(
-            F.array(*[F.lit(j) for j in range(_POOL_D)])
-        ).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        F.conv(
+    # Served from the materialized (doc_id, term, tf) table: the j-th
+    # component of a token is weighted by its tf, so
+    # Σ_tokens v_j = Σ_(doc,term) tf·v_j exactly (integer arithmetic),
+    # with _POOL_D md5s per DISTINCT (doc, term) instead of per token
+    # occurrence.  All components aggregate WIDE (one groupBy(doc_id)
+    # carrying _POOL_D partial sums + the token count) and the long-row
+    # (doc, j, pooled) shape is restored in-row with posexplode — the
+    # exchange is 1 row/doc, not _POOL_D rows/(doc, term).
+    tf = doc_term_tf(spark, sf_dir)
+
+    def v(j: int):
+        return F.conv(
             F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("e"),
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("term"),
-                    )
-                ),
-                1,
-                4,
+                F.md5(F.concat(F.lit(f"e{j}:"), F.col("term"))), 1, 4
             ),
             16,
             10,
-        )
-        .cast("long")
-        .alias("v"),
+        ).cast("long")
+
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"),
+        *[F.sum(v(j) * F.col("tf")).alias(f"s{j}") for j in range(_POOL_D)],
     )
     return (
-        comp.groupBy("doc_id", "j")
-        .agg(F.expr("sum(v) DIV count(1)").alias("pooled"))
+        agg.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.col(f"s{j}") for j in range(_POOL_D)])
+            ).alias("j", "s"),
+            "n",
+        )
+        .select("doc_id", "j", F.expr("s DIV n").alias("pooled"))
         .orderBy("doc_id", "j")
     )
 
