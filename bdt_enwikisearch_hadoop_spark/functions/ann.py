@@ -374,6 +374,41 @@ _J22_ORACLE = (
 ).format(cos=_duck_cos("e.embedding", "p.pemb"))
 
 
+#: parsed coefficient-matrix Column per (applicationId, nbits) — the
+#: Column is a pure expression tree, so one parse serves every
+#: signature invocation of the session (see _coef_matrix_col).
+_COEF_COL_CACHE: dict = {}
+
+
+def _coef_matrix_col(spark, nbits: int):
+    """The first ``nbits`` rows of the ±1 coefficient family as ONE
+    nested-array literal Column, built from a single SQL string.
+
+    Emitting the matrix as ``F.array(F.array(F.lit(c) …))`` costs one
+    py4j round trip per element — 4096 driver calls ≈ 2.4 s rebuilt on
+    EVERY invocation at the 64-bit geometry (measured; it dwarfed the
+    0.2 s the signature itself executes in).  One ``F.expr`` over a
+    pre-rendered ``array(array(…))`` string is a single round trip and
+    one parse (~0.8 s), and the parsed Column is a session-independent
+    expression tree, so it is cached per (applicationId, nbits) and
+    every later invocation pays ~0.  The literal VALUES are unchanged
+    — analysis resolves the same nested double-array literal the F.lit
+    form produced, so plans, codegen, and results are byte-identical."""
+    key = (spark.sparkContext.applicationId, nbits)
+    got = _COEF_COL_CACHE.get(key)
+    if got is None:
+        sql = "array(" + ",".join(
+            "array("
+            + ",".join(
+                "1.0D" if c > 0 else "-1.0D" for c in _COEFS64[b]
+            )
+            + ")"
+            for b in range(nbits)
+        ) + ")"
+        got = _COEF_COL_CACHE[key] = F.expr(sql)
+    return got
+
+
 def band_signature(
     df: DataFrame,
     vec,
@@ -406,9 +441,7 @@ def band_signature(
     oracle-checkable reference semantics."""
     nbits = bands * bits_per_band
     keep = list(keep) if keep is not None else [F.col("vec_id")]
-    mat = F.array(
-        *[F.array(*[F.lit(c) for c in _COEFS64[b]]) for b in range(nbits)]
-    )
+    mat = _coef_matrix_col(df.sparkSession, nbits)
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(nbits)),
         lambda b: F.when(
@@ -1041,19 +1074,33 @@ _J80_PRED_SQL = (
 )
 _J80_INV_PAIR = 16  # 1 / (0.25 * 0.25)
 
+def _j80_pred(col: str) -> str:
+    """The vec_id stratum predicate applied to an arbitrary column."""
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+
+
+#: the certified artifact is the PRODUCTION pair table (full-corpus
+#: CTE chain — geometry, occupancy cap, verify — exactly as j78 ships
+#: it), restricted to pairs whose BOTH endpoints fall in the stratum;
+#: the exact side is the stratum's all-pairs ground truth.
 _J80_ORACLE = f"""
-    WITH {_j78_ctes(f"(SELECT * FROM embeddings WHERE {_J80_PRED_SQL}) e")},
+    WITH {_J78_CTES},
+    spairs AS (
+        SELECT ia, ib FROM pairs
+        WHERE {_j80_pred('ia')} AND {_j80_pred('ib')}
+    ),
     exact_pairs AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                {_duck_seq_dot('a.embedding', 'b.embedding')}
                    / (a.nrm * b.nrm) AS cos
         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        WHERE {_j80_pred('a.vec_id')} AND {_j80_pred('b.vec_id')}
     )
     SELECT
       CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
            AS BIGINT) AS n_exact_stratum,
-      CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_found_stratum,
-      ((SELECT COUNT(*) FROM pairs) * 10000
+      CAST((SELECT COUNT(*) FROM spairs) AS BIGINT) AS n_found_stratum,
+      ((SELECT COUNT(*) FROM spairs) * 10000
        // GREATEST((SELECT COUNT(*) FROM exact_pairs
                     WHERE cos >= {_J78_THETA}), 1)) / 10000.0 AS recall,
       CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
@@ -1113,29 +1160,39 @@ def _j80_exact_stratum_pairs(spark, sf_dir) -> DataFrame:
 
 @query("j80_embedding_lsh_recall_sampled", oracle=_J80_ORACLE)
 def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
-    """j78's banded-LSH near-dup run on a deterministic ~25% vector
-    stratum NEXT TO the exact all-pairs ground truth, reporting the
-    stratum recall at θ and the inverse-probability (Horvitz-Thompson)
-    extrapolation of the full-corpus near-dup pair count — the
-    embedding-side twin of j72's text-LSH certification, and the key
-    that turns j78's 'oracle proves predicate equivalence' into a
-    measured recall number a pipeline owner can gate on.
+    """j78's SHIPPED near-dup pair table restricted to a deterministic
+    ~25% vector stratum NEXT TO the stratum's exact all-pairs ground
+    truth, reporting the stratum recall at θ and the
+    inverse-probability (Horvitz-Thompson) extrapolation of the
+    full-corpus near-dup pair count — the embedding-side twin of j72's
+    text-LSH certification, and the key that turns j78's 'oracle
+    proves predicate equivalence' into a measured recall number a
+    pipeline owner can gate on.
 
     100 TB shape: the exact side is quadratic ONLY in the stratum
     (P(pair survives) = 1/16 — the knob that makes ground truth
-    affordable at any corpus size); the LSH side is the identical
-    guarded band pipeline j78 ships (geometry, cap, verify — asserted
-    by the plan guard to scan ONLY stratum-filtered embeddings).
-    Determinism: content-hashed stratum, sequential-fold cosines
-    shared with the oracle, BIGINT counts, floor-division recall at
-    4dp."""
-    lsh = materialized(
-        spark,
-        sf_dir,
-        "stratum_embedding_pairs",
-        lambda: _embedding_near_dup_pairs(
-            spark, sf_dir, emb=_j80_stratum_emb(spark, sf_dir)
-        ),
+    affordable at any corpus size); the LSH side is the PRODUCTION
+    pair table itself (j78's materialized artifact — geometry, skew
+    cap, verify, exactly as shipped) restricted to pairs with both
+    endpoints in the stratum.  Certifying the shipped table, rather
+    than re-running LSH on a stratum-sized corpus, measures the recall
+    of the run that downstream dedup actually consumed — including
+    whatever the occupancy cap did at full-corpus bucket load — and
+    costs one filter over the checkpoint instead of a second full
+    build.  (Signatures are per-vector, so candidate collisions among
+    stratum members are identical either way; only cap decisions can
+    differ, and the production table's decisions are the ones worth
+    certifying.)  Determinism: content-hashed stratum, sequential-fold
+    cosines shared with the oracle, BIGINT counts, floor-division
+    recall at 4dp."""
+    pred_a = F.substring(F.md5(F.col("ia").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    pred_b = F.substring(F.md5(F.col("ib").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    lsh = embedding_near_dup_pair_table(spark, sf_dir).filter(
+        pred_a & pred_b
     )
     exact = materialized(
         spark,

@@ -216,9 +216,13 @@ def i4_tfidf(spark, sf_dir) -> DataFrame:
 def i5_inverted_index(spark, sf_dir) -> DataFrame:
     """term → sorted postings list.  This is the artifact the reference
     persisted to HDFS; here it would be written bucketed by term
-    (collect_list order is nondeterministic → array_sort, §2.0 rule 3)."""
-    tok = tokenize(load(spark, sf_dir, "documents"))
-    pairs = tok.select("doc_id", "term").distinct()
+    (collect_list order is nondeterministic → array_sort, §2.0 rule 3).
+    Served from the materialized (doc, term, tf) table — one row per
+    (doc, term) by construction, so the distinct-pairs stage is a
+    checkpoint projection."""
+    from .llm_scale import doc_term_tf
+
+    pairs = doc_term_tf(spark, sf_dir).select("doc_id", "term")
     return pairs.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_count"),
         F.array_sort(F.collect_list("doc_id")).alias("postings"),
@@ -898,15 +902,17 @@ def i21_postings_delta(spark, sf_dir) -> DataFrame:
     an exact INTEGER path in both engines, never float log2 (whose
     3.999… artifacts misround exact powers of two).
 
-    Plan: the distinct shuffles on (term, doc_id), the lag window
-    re-partitions on term alone, and the final per-term aggregate
-    reuses the window's sorted partitions (two exchanges total, no
-    third before the aggregate).  At 100 TB
+    Plan: the posting pairs come from the materialized (doc, term, tf)
+    table (one row per (doc, term) — no distinct exchange needed); the
+    lag window partitions on term and the final per-term aggregate
+    reuses the window's sorted partitions (one exchange beyond the
+    checkpoint scan).  At 100 TB
     this runs beside the i5 index build and its output IS the storage
     layout decision: gaps shrink as postings densify, so hot terms
     compress best exactly when their lists are longest."""
-    tok = tokenize(load(spark, sf_dir, "documents"))
-    return postings_delta(tok.select("term", "doc_id").distinct())
+    from .llm_scale import doc_term_tf
+
+    return postings_delta(doc_term_tf(spark, sf_dir).select("term", "doc_id"))
 
 
 def postings_delta(posting: DataFrame) -> DataFrame:
@@ -1150,23 +1156,20 @@ def i23_cooccurrence_pmi(spark, sf_dir) -> DataFrame:
     the reference archetype's search layer would mine from its own
     index.
 
-    Plan: all three statistics (N, per-term df, pair co-df) derive
-    from the same distinct (doc, term) projection — Catalyst
-    re-derives it per branch here (each re-derivation is a pipelined
-    scan+explode+distinct, cheap at fixture scale); a production run
-    persists that table once (it IS the i5 index build's input) so
-    every branch reads one materialized artifact.  The pair self-join
+    Plan: all three statistics (N, per-term df, pair co-df) read the
+    same MATERIALIZED (doc, term) table (the i5 index build's input —
+    one row per pair by construction, so no distinct expand), exactly
+    the persisted-artifact discipline a production run applies; each
+    branch is a checkpoint scan.  The pair self-join
     is per-doc quadratic in DISTINCT terms per doc (~30 in fixture,
     bounded by vocabulary not doc length); the df tables are
     vocabulary-sized and broadcast onto the pair aggregate.  At
     100 TB: prune the vocabulary first (i12's min/max-df prune) so the
     per-doc pair expansion stays k², k ≲ 10³, and the pair space is
     capped by vocab², not corpus size."""
-    dt = (
-        tokenize(load(spark, sf_dir, "documents"))
-        .select("doc_id", "term")
-        .distinct()
-    )
+    from .llm_scale import doc_term_tf
+
+    dt = doc_term_tf(spark, sf_dir).select("doc_id", "term")
     n = dt.agg(F.countDistinct("doc_id").alias("nd"))
     tdf = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     a = dt.alias("a")
@@ -1914,7 +1917,7 @@ def i37_ltr_features(spark, sf_dir) -> DataFrame:
     bucketed at scale).  nd/avgdl is one broadcast scalar row.  Output
     is (matched docs × query terms) — the training-candidate set, not
     the corpus."""
-    from .link_graph import extract_links
+    from .link_graph import link_edges
 
     docs = load(spark, sf_dir, "documents")
     tok = tokenize(docs)
@@ -1927,7 +1930,7 @@ def i37_ltr_features(spark, sf_dir) -> DataFrame:
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     deg = (
-        extract_links(docs)
+        link_edges(spark, sf_dir)
         .groupBy("target")
         .agg(F.count(F.lit(1)).alias("in_deg"))
     )
@@ -2092,16 +2095,18 @@ def i39_postings_compression(spark, sf_dir) -> DataFrame:
     artifact: the top-100-df rows are exactly the lists whose
     compression decides index size.
 
-    Plan / 100 TB shape: one distinct on (term, doc_id) — the i5
-    index-build shuffle — then the lag window and the size aggregate
-    RIDE that same term partitioning (no second exchange,
-    plan-guarded); top-100 is a heap.  At build time this aggregate is
+    Plan / 100 TB shape: the posting pairs read the MATERIALIZED
+    (doc, term, tf) table (one row per pair by construction — the i5
+    index-build artifact, no distinct expand); the lag window and the
+    size aggregate RIDE one term partitioning (plan-guarded); top-100
+    is a heap.  At build time this aggregate is
     computed alongside the index write as free telemetry (j36's
     observe discipline); the decision it feeds — which lists to cache
     raw vs compressed — is index-format engineering, and the numbers
     here are the ones that drive it."""
-    docs = load(spark, sf_dir, "documents")
-    post = tokenize(docs).select("term", "doc_id").distinct()
+    from .llm_scale import doc_term_tf
+
+    post = doc_term_tf(spark, sf_dir).select("term", "doc_id")
     wlag = Window.partitionBy("term").orderBy("doc_id")
     gaps = post.select(
         "term",

@@ -1561,39 +1561,51 @@ def d34_trimmed_mean(spark, sf_dir) -> DataFrame:
     and the mean is one integer floor division scaled to 4dp — no
     float accumulation, no interpolation.
 
-    Plan / 100 TB shape: one shuffle on the group key serves the rank
-    window, the count window AND the final conditional aggregate
-    (same partitioning throughout — the d28 pattern); per-group state
-    is the window sort.  At extreme group sizes the exact rank trim
-    swaps for approx_percentile bounds (d13) with the same aggregate
-    downstream."""
+    Plan / 100 TB shape: HISTOGRAM form — the measure is discrete
+    (~50 distinct quantities), so the corpus-sized work is ONE
+    map-side-combining hash aggregate to (group, value, count) and the
+    rank arithmetic runs on the tiny histogram: value v occupies the
+    contiguous rank range (cum−c, cum] in the (quantity, pk) total
+    order (rounding is monotone, so equal-q100 rows are rank-adjacent),
+    and its kept count is that range's overlap with the trim window
+    (n/10, n−n/10].  Identical output to the row-rank form — which
+    rows of a tied value the trim drops never changes the kept SUM —
+    without per-group sorting 100 TB of rows: the window sort that was
+    the whole cost (and, with few groups, the whole skew) now touches
+    |groups|×|distinct values| rows.  For a continuous measure the
+    row-rank form (this key's first cut) or approx_percentile bounds
+    (d13) remain the fallbacks."""
     li = load(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    q = li.select(
+    hist = li.groupBy(
         "l_returnflag",
         F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q100")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    keep = (F.col("rn") > F.expr("n DIV 10")) & (
-        F.col("rn") <= F.col("n") - F.expr("n DIV 10")
+    wn = Window.partitionBy("l_returnflag")
+    ranged = hist.select(
+        "l_returnflag",
+        "q100",
+        "c",
+        F.sum("c").over(wo).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - F.expr("n DIV 10"))
+        - F.greatest(F.col("cum") - F.col("c"), F.expr("n DIV 10")),
     )
     return (
-        q.groupBy("l_returnflag")
+        ranged.select("l_returnflag", "q100", "n", kept.alias("kept"))
+        .groupBy("l_returnflag")
         .agg(
             F.max("n").alias("n"),
-            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum("kept").alias("n_kept"),
             (
-                F.expr(
-                    "sum(CASE WHEN rn > n DIV 10 AND rn <= n - n DIV 10"
-                    " THEN q100 END) * 100"
-                    " DIV sum(CASE WHEN rn > n DIV 10"
-                    " AND rn <= n - n DIV 10 THEN 1 END)"
-                )
-                / 10000.0
+                F.expr("sum(q100 * kept) * 100 DIV sum(kept)") / 10000.0
             ).alias("trimmed_mean"),
         )
         .orderBy("l_returnflag")

@@ -1136,10 +1136,19 @@ def test_j34_cell_pairs_are_cogrouped_numpy_not_self_join(spark, sf_dir):
 
 
 def test_d34_trim_windows_and_aggregate_share_group_exchange(spark, sf_dir):
-    """Rank window, count window and the conditional aggregate all key
-    on l_returnflag — one hash exchange total."""
+    """Histogram form: corpus-sized work is ONE map-side-combining
+    hash aggregate to (group, value, count); the cumulative/total
+    windows and the final aggregate then share a single group-key
+    exchange over the tiny histogram — two hash exchanges total, and
+    both window passes ride the same sort (no per-row rank window over
+    the raw table anywhere)."""
     p = _plan(spark, sf_dir, "d34_trimmed_mean")
-    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Window") == 2
+    assert "partial_count" in p  # histogram combines map-side
+    # the raw-table window sort is gone: the only Sorts are the
+    # histogram's group sort and the output ordering
+    assert "row_number" not in p
 
 
 def test_k27_lag_lead_share_one_window_pass(spark, sf_dir):
@@ -1227,32 +1236,41 @@ def test_j78_candidates_from_band_collision_only(spark, sf_dir):
 
 
 def test_j80_every_embeddings_scan_is_stratum_filtered(spark, sf_dir):
-    """j80's whole certification — the guarded LSH side AND the exact
-    all-pairs side — must read ONLY stratum-filtered embeddings: every
-    FileScan over the embeddings table carries the md5 stratum
-    predicate as a data filter, so the quadratic exact join is
-    stratum-sized (the whole point — j72's guard on the vector side).
-    Guarded on the raw builders; the registered key serves the same
-    frames from materialized()."""
+    """j80's certification reads stratum-sized inputs on BOTH sides.
+    Exact side (raw builder): every FileScan over the embeddings table
+    carries the md5 stratum predicate as a data filter, so the
+    quadratic join is stratum-sized (j72's guard on the vector side).
+    LSH side (registered key): the found-pair frame must be the
+    PRODUCTION pair table's checkpoint filtered by the stratum
+    predicate on both endpoints — never a second LSH build (no
+    embeddings FileScan at all below it)."""
     from bdt_enwikisearch_hadoop_spark.functions.ann import (
-        _embedding_near_dup_pairs,
         _j80_exact_stratum_pairs,
-        _j80_stratum_emb,
+        embedding_near_dup_pair_table,
     )
+    from pyspark.sql import functions as F
 
-    lsh = _embedding_near_dup_pairs(
-        spark, sf_dir, emb=_j80_stratum_emb(spark, sf_dir)
-    )
     exact = _j80_exact_stratum_pairs(spark, sf_dir)
-    for frame in (lsh, exact):
-        p = frame._jdf.queryExecution().executedPlan().toString()
-        emb_scans = [
-            ln for ln in p.splitlines() if "FileScan parquet [vec_id" in ln
-        ]
-        assert emb_scans
-        for ln in emb_scans:
-            assert "substring(md5(" in ln, ln
-    # and the LSH side must never be all-pairs (band join only)
+    p = exact._jdf.queryExecution().executedPlan().toString()
+    emb_scans = [
+        ln for ln in p.splitlines() if "FileScan parquet [vec_id" in ln
+    ]
+    assert emb_scans
+    for ln in emb_scans:
+        assert "substring(md5(" in ln, ln
+
+    pred_a = F.substring(F.md5(F.col("ia").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    pred_b = F.substring(F.md5(F.col("ib").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    lsh = embedding_near_dup_pair_table(spark, sf_dir).filter(
+        pred_a & pred_b
+    )
     p = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in p  # serves the checkpoint, no rebuild
+    assert "Scan ExistingRDD" in p
+    assert "substring(md5(" in p  # both-endpoint stratum filter applied
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
