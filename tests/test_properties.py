@@ -3882,3 +3882,74 @@ def test_driver_window_keys_all_have_oracles():
     assert window[0].startswith("a1_") and window[-1].startswith("d8_"), window
     missing = [k for k in window if k not in ORACLES]
     assert missing == ["d3_approx_count_distinct"], missing
+
+
+def test_coef_matrix_expr_equals_literal_form(spark, sf_dir):
+    """The cached single-expression coefficient matrix must resolve to
+    exactly the nested double-array literal the per-element F.lit form
+    produced (band_signature swapped forms for driver-call cost only —
+    the VALUES are the contract both j22's plan and every oracle's SQL
+    re-derivation share), and the cache must hand back the SAME parsed
+    Column within one application."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _COEF_COL_CACHE,
+        _COEFS64,
+        _coef_matrix_col,
+    )
+
+    for nbits in (16, 64):
+        got = spark.range(1).select(
+            _coef_matrix_col(spark, nbits).alias("m")
+        ).collect()[0]["m"]
+        lit = spark.range(1).select(
+            F.array(
+                *[
+                    F.array(*[F.lit(c) for c in _COEFS64[b]])
+                    for b in range(nbits)
+                ]
+            ).alias("m")
+        ).collect()[0]["m"]
+        assert [list(r) for r in got] == [list(r) for r in lit]
+    app = spark.sparkContext.applicationId
+    assert _coef_matrix_col(spark, 64) is _COEF_COL_CACHE[(app, 64)]
+    assert _coef_matrix_col(spark, 64) is _coef_matrix_col(spark, 64)
+
+
+def test_j80_filtered_table_equals_stratum_rebuild(spark, sf_dir):
+    """j80's LSH side is the PRODUCTION pair table filtered to stratum
+    endpoints.  On the fixtures (no bucket over _BUCKET_CAP in either
+    corpus) that must coincide pair-for-pair with rebuilding the LSH
+    pipeline on the stratum corpus — signatures are per-vector, so
+    restricting the corpus only removes pairs with a non-stratum
+    endpoint.  The two diverge exactly when the occupancy cap fires at
+    different bucket loads; certifying the shipped table is the point
+    of the key, and this test documents the equivalence domain."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _embedding_near_dup_pairs,
+        _j80_stratum_emb,
+        embedding_near_dup_pair_table,
+    )
+
+    pred_a = F.substring(F.md5(F.col("ia").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    pred_b = F.substring(F.md5(F.col("ib").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    filtered = {
+        (r["ia"], r["ib"])
+        for r in embedding_near_dup_pair_table(spark, sf_dir)
+        .filter(pred_a & pred_b)
+        .collect()
+    }
+    rebuilt = {
+        (r["ia"], r["ib"])
+        for r in _embedding_near_dup_pairs(
+            spark, sf_dir, emb=_j80_stratum_emb(spark, sf_dir)
+        ).collect()
+    }
+    assert filtered == rebuilt
