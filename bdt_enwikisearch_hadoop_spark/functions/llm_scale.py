@@ -2916,12 +2916,16 @@ def j61_embedding_pool(spark, sf_dir) -> DataFrame:
     array column in the same pass."""
     # Served from the materialized (doc_id, term, tf) table: the j-th
     # component of a token is weighted by its tf, so
-    # Σ_tokens v_j = Σ_(doc,term) tf·v_j exactly (integer arithmetic),
-    # with _POOL_D md5s per DISTINCT (doc, term) instead of per token
-    # occurrence.  All components aggregate WIDE (one groupBy(doc_id)
-    # carrying _POOL_D partial sums + the token count) and the long-row
-    # (doc, j, pooled) shape is restored in-row with posexplode — the
-    # exchange is 1 row/doc, not _POOL_D rows/(doc, term).
+    # Σ_tokens v_j = Σ_(doc,term) tf·v_j exactly (integer arithmetic).
+    # The _POOL_D md5 derivations run once per DISTINCT TERM — the
+    # vocabulary-sized "embedding table" build the docstring promises —
+    # and broadcast-hash-join onto the tf stream (j47's model-serving
+    # shape realized literally: swap the md5 select for a real weight
+    # table and nothing else changes).  All components aggregate WIDE
+    # (one groupBy(doc_id) carrying _POOL_D partial sums + the token
+    # count) and the long-row (doc, j, pooled) shape is restored in-row
+    # with posexplode — the exchange is 1 row/doc, not
+    # _POOL_D rows/(doc, term).
     tf = doc_term_tf(spark, sf_dir)
 
     def v(j: int):
@@ -2933,9 +2937,19 @@ def j61_embedding_pool(spark, sf_dir) -> DataFrame:
             10,
         ).cast("long")
 
-    agg = tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("n"),
-        *[F.sum(v(j) * F.col("tf")).alias(f"s{j}") for j in range(_POOL_D)],
+    vocab = tf.select("term").distinct().select(
+        "term", *[v(j).alias(f"v{j}") for j in range(_POOL_D)]
+    )
+    agg = (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n"),
+            *[
+                F.sum(F.col(f"v{j}") * F.col("tf")).alias(f"s{j}")
+                for j in range(_POOL_D)
+            ],
+        )
     )
     return (
         agg.select(

@@ -1112,10 +1112,14 @@ def test_a10_triage_is_single_pass(spark, sf_dir):
 
 
 def test_j61_pool_aggregate_carries_partials(spark, sf_dir):
-    """Mean pooling must partial-aggregate map-side: the exchange
-    carries per-(doc, j) sums, never the exploded token stream."""
+    """Mean pooling must partial-aggregate map-side (the exchange
+    carries per-doc component sums, never the token stream) and the
+    component lookup must be a BROADCAST join of the vocabulary-sized
+    embedding table onto the tf stream — j47's model-serving shape."""
     p = _plan(spark, sf_dir, "j61_embedding_pool")
-    assert p.count("HashAggregate") == 2
+    assert "partial_sum" in p  # the doc_id exchange carries partials
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
 
 
 def test_i40_expansion_scores_with_broadcast_boost_table(spark, sf_dir):
