@@ -618,23 +618,32 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
             .select("vec_id", "ven")
             .collect()
         }
+        # train on whatever rows exist below the id bound (a sparse or
+        # filtered corpus yields fewer codes, like the join-based form
+        # this replaced — never a KeyError); code index order follows
+        # ascending vec_id, the old (d, code_id) window tie-break.
+        codes = sorted(cb_rows)
+        if not codes:
+            raise ValueError("j35: no codebook rows (vec_id < %d) in corpus"
+                             % _PQ_CODES)
         cb = [
             [
                 cb_rows[k][m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
-                for k in range(_PQ_CODES)
+                for k in codes
             ]
             for m in range(_PQ_M)
         ]
-        pv = list(
-            normed(emb.filter(F.col("vec_id") == 0))
-            .select("ven")
-            .collect()[0]["ven"]
+        probe_rows = (
+            normed(emb.filter(F.col("vec_id") == 0)).select("ven").collect()
         )
+        if not probe_rows:
+            raise ValueError("j35: probe row vec_id=0 missing from corpus")
+        pv = list(probe_rows[0]["ven"])
         lut = []
         for m in range(_PQ_M):
             psub = pv[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
             row = []
-            for k in range(_PQ_CODES):
+            for k in range(len(codes)):
                 s = 0.0
                 for x, y in zip(psub, cb[m][k]):
                     s += (x - y) * (x - y)
@@ -642,6 +651,7 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
             lut.append(row)
         cached = _PQ_META[ck] = (cb, pv, lut)
     cb, pv, lut = cached
+    n_codes = len(cb[0])
 
     cand = normed(
         emb.join(F.broadcast(cells), "label").filter(F.col("vec_id") != 0)
@@ -658,8 +668,8 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
         spark.createDataFrame(
             [
                 (
-                    [cb[m][k] for m in range(_PQ_M) for k in range(_PQ_CODES)],
-                    [lut[m][k] for m in range(_PQ_M) for k in range(_PQ_CODES)],
+                    [cb[m][k] for m in range(_PQ_M) for k in range(n_codes)],
+                    [lut[m][k] for m in range(_PQ_M) for k in range(n_codes)],
                     pv,
                 )
             ],
@@ -667,12 +677,12 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
         )
     )
     dists = F.transform(
-        F.sequence(F.lit(1), F.lit(_PQ_M * _PQ_CODES)),
+        F.sequence(F.lit(1), F.lit(_PQ_M * n_codes)),
         lambda i: F.aggregate(
             F.zip_with(
                 F.slice(
                     F.col("ven"),
-                    ((i - 1) / _PQ_CODES).cast("int") * _PQ_SUBDIM + 1,
+                    ((i - 1) / n_codes).cast("int") * _PQ_SUBDIM + 1,
                     _PQ_SUBDIM,
                 ),
                 F.element_at(F.col("_cb"), i),
@@ -691,18 +701,31 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
     # the same tie-break the old orderBy(d, code_id) window applied.
     adist = None
     for m in range(_PQ_M):
-        dm = F.slice("_d", m * _PQ_CODES + 1, _PQ_CODES)
+        dm = F.slice("_d", m * n_codes + 1, n_codes)
         code = F.array_position(dm, F.array_min(dm)).cast("int")
-        term = F.element_at(F.col("_lut"), code + m * _PQ_CODES)
+        term = F.element_at(F.col("_lut"), code + m * n_codes)
         adist = term if adist is None else adist + term
 
+    # the ADC heap carries (vec_id, ven, adist) — the candidate's OWN
+    # vector rides along because the fused encode+ADC pass already has
+    # it in hand (re-joining the corpus for the re-rank would execute
+    # the scan+normalize subtree twice; measured ~2× the key's warm
+    # cost), but the CONSTANT columns (_pe, _lut: identical on every
+    # row) are dropped before the heap and the probe re-attaches to
+    # the 100 survivors via the same one-row meta broadcast.
+    # TakeOrdered keeps ≤ shortlist rows per task, so per-task heap
+    # memory is shortlist × dim doubles regardless of corpus size; a
+    # true PQ deployment scans CODES (no raw vectors in flight) and
+    # re-ranks via an id-join against the vector store — that form is
+    # the join-back this fused expression deliberately avoids locally.
     shortlist = (
-        step1.select("vec_id", "ven", "_pe", adist.alias("adist"))
+        step1.select("vec_id", "ven", adist.alias("adist"))
         .orderBy(F.col("adist").asc(), F.col("vec_id"))
         .limit(_PQ_SHORTLIST)
     )
     return (
-        shortlist.select(
+        shortlist.crossJoin(meta.select("_pe"))
+        .select(
             "vec_id",
             F.round(dot(F.col("ven"), F.col("_pe")), 4).alias("score"),
         )
@@ -724,6 +747,25 @@ _J78_THETA = 0.45  # near-dup threshold; fixture max pairwise cos ~0.60
 #: candidate expectation is L·C(N,2)/2^b = N²/64 pairs vs N²/8 under
 #: the old 4×4-bit geometry (measured on the sf0.1 fixture: 72 762
 #: candidates vs 459 129 — 6.3× fewer; asserted ≪ all-pairs in
+#: tests/test_properties.py).
+#:
+#: RECALL is the other side of that trade, and the θ regime decides
+#: whether any geometry wins: SRP-LSH's per-bit collision probability
+#: is p(θ) = 1 − arccos(θ)/π, so an L-band × b-bit signature recalls
+#: 1 − (1 − p^b)^L.  At production embedding-dedup thresholds
+#: (θ ≥ 0.9, p ≥ 0.86) the 8×8 geometry recalls ≥ 0.95 with the N²/64
+#: candidate floor.  THIS FIXTURE's θ = 0.45 (its synthetic 64-dim
+#: vectors top out at cos ≈ 0.60) sits at a 63.7° angle where
+#: p = 0.649 and the amplification exponent ρ = ln p₁ / ln p₂ ≈ 0.63
+#: — there, EVERY band geometry is either low-recall or
+#: near-quadratic (8×8 measures 0.26 full-corpus / 0.55 stratum
+#: recall; the old 4×4 bought 0.51 recall only by generating half of
+#: all pairs as candidates).  That is a property of hyperplane LSH,
+#: not a tuning miss: below θ ≈ 0.8 the right tools are the exact
+#: block-pair grid (j12) or clustering-based SemDeDup (j34), and
+#: j80's sampled certification exists precisely to MEASURE the
+#: operating recall so a pipeline owner sees which regime they are in
+#: before trusting the pair table (its fixture floor is pinned in
 #: tests/test_properties.py).  The geometry is a LIBRARY parameter
 #: (``_embedding_near_dup_pairs(bands=, bits_per_band=)``): the
 #: registered key pins 8×8 so its oracle replicates the exact band
@@ -815,13 +857,14 @@ def _duck_seq_cos(a: str, b: str) -> str:
     )
 
 
-def _j78_ctes(from_embeddings: str = "embeddings e") -> str:
-    """The shared j78/j79/j80 CTE chain over ``from_embeddings``:
+def _j78_ctes() -> str:
+    """The shared j78/j79/j80 CTE chain over the full embeddings table:
     signature (+ per-vector norm, computed ONCE) → per-(band, bucket)
     occupancy → guarded band-collision candidates (all-pairs below
     _BUCKET_CAP, consecutive-chain above it) → exact cosine → verified
-    pair list (j78 reports it; j79 closes it transitively; j80 runs it
-    on a sampled stratum next to the exact ground truth)."""
+    pair list (j78 reports it; j79 closes it transitively; j80 filters
+    its pairs to the sampled stratum next to the exact ground truth)."""
+    from_embeddings = "embeddings e"
     band_case = "CASE t.g " + " ".join(
         f"WHEN {g} THEN band{g}" for g in range(_J78_BANDS)
     ) + " END"
@@ -1006,10 +1049,16 @@ def _embedding_near_dup_pairs(
         F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # NO broadcast hint on ea/eb: they are CORPUS-sized (every vector +
+    # its norm) — a forced broadcast is an OOM at any corpus beyond
+    # executor memory.  Locally AQE broadcasts them anyway (the
+    # embeddings table is far under the auto-broadcast threshold); at
+    # 100 TB the candidate list joins back to the vec_id-bucketed
+    # corpus shuffle-free, exactly as the docstring states.
     return (
         rebalance(cand)
-        .join(F.broadcast(ea), "ia")
-        .join(F.broadcast(eb), "ib")
+        .join(ea, "ia")
+        .join(eb, "ib")
         .withColumn(
             "cos",
             dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
@@ -1068,15 +1117,24 @@ def j79_embedding_dedup_components(spark, sf_dir) -> DataFrame:
 #: deterministic ~25% vector stratum by vec_id content hash — j72's
 #: sampler on the embedding corpus.  A PAIR survives iff BOTH endpoints
 #: land in the stratum, so stratum pair counts are unbiased 1/16
-#: estimators of full-corpus pair counts (Horvitz-Thompson).
-_J80_PRED_SQL = (
-    "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
-)
+#: estimators of full-corpus pair counts (Horvitz-Thompson).  The
+#: stratum rate lives in exactly TWO symbols — _STRATUM_HEX (both
+#: predicate spellings) and _J80_INV_PAIR — change them together.
+_STRATUM_HEX = ("0", "1", "2", "3")
 _J80_INV_PAIR = 16  # 1 / (0.25 * 0.25)
 
+
 def _j80_pred(col: str) -> str:
-    """The vec_id stratum predicate applied to an arbitrary column."""
-    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+    """SQL spelling of the stratum predicate on an arbitrary column."""
+    quoted = ",".join(f"'{h}'" for h in _STRATUM_HEX)
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 1) IN ({quoted})"
+
+
+def _j80_pred_col(col):
+    """Column spelling of the same predicate (shared by the stratum
+    loader and j80's pair-endpoint filters, so the rate can never
+    drift between Spark call sites)."""
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(*_STRATUM_HEX)
 
 
 #: the certified artifact is the PRODUCTION pair table (full-corpus
@@ -1100,9 +1158,13 @@ _J80_ORACLE = f"""
       CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
            AS BIGINT) AS n_exact_stratum,
       CAST((SELECT COUNT(*) FROM spairs) AS BIGINT) AS n_found_stratum,
-      ((SELECT COUNT(*) FROM spairs) * 10000
-       // GREATEST((SELECT COUNT(*) FROM exact_pairs
-                    WHERE cos >= {_J78_THETA}), 1)) / 10000.0 AS recall,
+      CASE WHEN (SELECT COUNT(*) FROM exact_pairs
+                 WHERE cos >= {_J78_THETA}) = 0
+           THEN 1.0
+           ELSE ((SELECT COUNT(*) FROM spairs) * 10000
+                 // (SELECT COUNT(*) FROM exact_pairs
+                     WHERE cos >= {_J78_THETA})) / 10000.0
+      END AS recall,
       CAST((SELECT COUNT(*) FROM exact_pairs WHERE cos >= {_J78_THETA})
            * {_J80_INV_PAIR} AS BIGINT) AS est_full_pairs
     """
@@ -1114,9 +1176,7 @@ def _j80_stratum_emb(spark, sf_dir) -> DataFrame:
     guard can assert every embeddings scan below the certification's
     joins carries the stratum predicate."""
     return load(spark, sf_dir, "embeddings").filter(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
-            "0", "1", "2", "3"
-        )
+        _j80_pred_col(F.col("vec_id"))
     )
 
 
@@ -1185,14 +1245,8 @@ def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
     certifying.)  Determinism: content-hashed stratum, sequential-fold
     cosines shared with the oracle, BIGINT counts, floor-division
     recall at 4dp."""
-    pred_a = F.substring(F.md5(F.col("ia").cast("string")), 1, 1).isin(
-        "0", "1", "2", "3"
-    )
-    pred_b = F.substring(F.md5(F.col("ib").cast("string")), 1, 1).isin(
-        "0", "1", "2", "3"
-    )
     lsh = embedding_near_dup_pair_table(spark, sf_dir).filter(
-        pred_a & pred_b
+        _j80_pred_col(F.col("ia")) & _j80_pred_col(F.col("ib"))
     )
     exact = materialized(
         spark,
@@ -1209,11 +1263,16 @@ def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
         .select(
             "n_exact_stratum",
             "n_found_stratum",
-            (
-                F.expr(
-                    "n_found_stratum * 10000 DIV greatest(n_exact_stratum, 1)"
-                )
-                / 10000.0
+            # a zero-duplicate stratum is a PERFECT run, not a failed
+            # one: recall degenerates to 1.0 (found ⊆ exact forces
+            # found = 0 too), so a pipeline gate on recall ≥ x never
+            # fires on a clean corpus.
+            # 1.0D / the double division keep the column DOUBLE — bare
+            # float literals inside Spark SQL text are DECIMAL.
+            F.expr(
+                "CASE WHEN n_exact_stratum = 0 THEN 1.0D"
+                " ELSE CAST(n_found_stratum * 10000 DIV n_exact_stratum"
+                " AS DOUBLE) / 10000.0D END"
             ).alias("recall"),
             (F.col("n_exact_stratum") * _J80_INV_PAIR)
             .cast("long")

@@ -58,16 +58,12 @@ def doc_freq(tok: DataFrame) -> DataFrame:
     return tok.groupBy("term").agg(F.countDistinct("doc_id").alias("dfc"))
 
 
-def tfidf(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, wt) with wt = tf * ln(N / df) — unrounded.
-
-    DF is derived from the aggregated TF pairs (already one row per
-    (doc, term)), NOT by re-tokenizing: one explode instead of two, no
-    countDistinct expand, and the TF exchange is reused by both
-    branches (ReusedExchange in the physical plan)."""
-    tf = term_freq(tokenize(docs))
+def _tfidf_from(tf: DataFrame, n: DataFrame) -> DataFrame:
+    """The ONE spelling of wt = tf * ln(N / df) over a (doc_id, term,
+    tf) frame and a single-row (nd) count — both tfidf() and the
+    materialized tfidf_w() route through this, so the weight formula
+    cannot drift between the ad-hoc and persisted-index paths."""
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-    n = docs.agg(F.count(F.lit(1)).alias("nd"))
     return (
         tf.join(df, "term")
         .join(F.broadcast(n))  # single-row scalar: broadcast, never collect
@@ -79,6 +75,19 @@ def tfidf(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, wt) with wt = tf * ln(N / df) — unrounded.
+
+    DF is derived from the aggregated TF pairs (already one row per
+    (doc, term)), NOT by re-tokenizing: one explode instead of two, no
+    countDistinct expand, and the TF exchange is reused by both
+    branches (ReusedExchange in the physical plan)."""
+    return _tfidf_from(
+        term_freq(tokenize(docs)),
+        docs.agg(F.count(F.lit(1)).alias("nd")),
+    )
+
+
 def tfidf_w(spark, sf_dir: str) -> DataFrame:
     """MATERIALIZED tf-idf weight table (doc_id, term, wt) — the
     persisted-index boundary every §2.I retrieval key reads (i35's
@@ -86,27 +95,18 @@ def tfidf_w(spark, sf_dir: str) -> DataFrame:
     serve-many layer, like j8's shingle sidecar).  Built FROM the
     materialized ``doc_term_tf`` token table so the corpus is tokenized
     once per session across the whole i/j family; the weight formula is
-    byte-identical to :func:`tfidf` (same tf counts, df derived from
-    the aggregated pairs, same float product), so every consumer's
-    values are unchanged — only the plan under it shrinks to a
-    checkpoint scan."""
+    the SAME CODE as :func:`tfidf` (both route through
+    :func:`_tfidf_from`), so every consumer's values are unchanged by
+    construction — only the plan under it shrinks to a checkpoint
+    scan."""
     from .llm_scale import doc_term_tf
 
     def build() -> DataFrame:
-        tf = doc_term_tf(spark, sf_dir)
-        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-        n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("nd"))
-        return (
-            tf.join(df, "term")
-            .join(F.broadcast(n))
-            .select(
-                "doc_id",
-                "term",
-                (
-                    F.col("tf")
-                    * F.log(F.col("nd").cast("double") / F.col("dfc"))
-                ).alias("wt"),
-            )
+        return _tfidf_from(
+            doc_term_tf(spark, sf_dir),
+            load(spark, sf_dir, "documents").agg(
+                F.count(F.lit(1)).alias("nd")
+            ),
         )
 
     return materialized(spark, sf_dir, "tfidf_w", build)

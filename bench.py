@@ -98,9 +98,14 @@ def main() -> int:
     # round-over-round per-key regression checks read a committed
     # artifact instead of a truncated tail.
     full = dict(result)
-    full["materialize_by_tag"] = {
-        tag: sec for (_app, _sf, tag), sec in sorted(MATERIALIZE_SECONDS.items())
-    }
+    # SUM per tag: the ledger is keyed (applicationId, sf_dir, tag) so a
+    # tag rebuilt in a second session adds a second entry — a dict
+    # comprehension keyed on tag alone would silently keep only one and
+    # stop reconciling with materialize_sec (the sum of ALL entries).
+    by_tag: dict[str, float] = {}
+    for (_app, _sf, tag), sec in MATERIALIZE_SECONDS.items():
+        by_tag[tag] = round(by_tag.get(tag, 0.0) + sec, 3)
+    full["materialize_by_tag"] = dict(sorted(by_tag.items()))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_full.json"),

@@ -3953,3 +3953,24 @@ def test_j80_filtered_table_equals_stratum_rebuild(spark, sf_dir):
         ).collect()
     }
     assert filtered == rebuilt
+
+
+def test_j80_recall_floor_at_bench_scale(spark):
+    """The embedding-side certification must keep reporting a usable
+    stratum recall on the bench fixture — the text side pins recall
+    >= 0.9; this pins the embedding side's measured operating point so
+    a geometry change can't silently crater it.  Run at sf0.1
+    explicitly: the sf0.001 stratum holds a single exact pair, where
+    recall is a coin flip, not a signal.  The fixture's θ = 0.45 sits
+    in the regime where hyperplane LSH is recall-limited by theory
+    (see the geometry note in ann.py) — the floor asserts the shipped
+    8×8 geometry's measured 0.54, not a production-θ 0.95."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    row = QUERIES["j80_embedding_lsh_recall_sampled"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()[0]
+    assert row["n_exact_stratum"] >= 5  # enough pairs to mean something
+    assert row["recall"] >= 0.5, row
+    # and the found side is a true subset: never more than exact
+    assert row["n_found_stratum"] <= row["n_exact_stratum"]
