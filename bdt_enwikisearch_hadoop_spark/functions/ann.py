@@ -376,7 +376,10 @@ _J22_ORACLE = (
 
 #: parsed coefficient-matrix Column per (applicationId, nbits) — the
 #: Column is a pure expression tree, so one parse serves every
-#: signature invocation of the session (see _coef_matrix_col).
+#: signature invocation of the session (see _coef_matrix_col).  Like
+#: _PQ_META/_MATERIALIZED, entries for stopped applications are not
+#: evicted: the cache is bounded at one small entry per
+#: (application, width) and a CLI/driver process runs one application.
 _COEF_COL_CACHE: dict = {}
 
 
@@ -693,7 +696,7 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
         ),
     )
     step1 = cand.crossJoin(meta).select(
-        "vec_id", "ven", "_lut", "_pe", dists.alias("_d")
+        "vec_id", "ven", "_lut", dists.alias("_d")
     )
 
     # per-subspace code = argmin over the K codeword distances;
@@ -863,8 +866,10 @@ def _j78_ctes() -> str:
     occupancy → guarded band-collision candidates (all-pairs below
     _BUCKET_CAP, consecutive-chain above it) → exact cosine → verified
     pair list (j78 reports it; j79 closes it transitively; j80 filters
-    its pairs to the sampled stratum next to the exact ground truth)."""
-    from_embeddings = "embeddings e"
+    its pairs to the sampled stratum next to the exact ground truth).
+    Always over the full embeddings table — built once into the
+    module-level _J78_CTES."""
+    from_embeddings = "embeddings e"  # the one FROM clause ever used
     band_case = "CASE t.g " + " ".join(
         f"WHEN {g} THEN band{g}" for g in range(_J78_BANDS)
     ) + " END"
