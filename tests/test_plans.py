@@ -1278,3 +1278,68 @@ def test_j80_every_embeddings_scan_is_stratum_filtered(spark, sf_dir):
     assert "substring(md5(" in p  # both-endpoint stratum filter applied
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+#: keys whose plans legitimately contain a BroadcastNestedLoopJoin —
+#: every entry is a 1-row (or query-sized, corpus-independent) build
+#: side: corpus-stats scalars joined onto a stream (the i-family
+#: nd/avgdl row), ANN probe/codebook meta rows (j13/j21/j22/j35/j80),
+#: certification count combines (j54/j72/j80), the contract-mandated
+#: cross join (c9), and scalar mix/threshold rows (j25/j29/j30/j33/
+#: j38/j42/j59/j65/k23).  A BNLJ whose build side grows with the
+#: corpus is never legitimate — add here only with that argument.
+_BNLJ_OK = {
+    "c9_join_cross",
+    "f17_tpch_q22_antijoin",
+    "i10_bm25", "i12_vocab_prune", "i20_query_likelihood",
+    "i22_dump_to_search", "i23_cooccurrence_pmi", "i25_two_stage_rerank",
+    "i31_rocchio_feedback", "i32_maxscore_prune", "i33_field_boost",
+    "i34_search_eval", "i35_batch_queries", "i37_ltr_features",
+    "i40_pmi_expansion",
+    "j13_ann_ivf", "j21_ann_ivf_store", "j22_ann_lsh", "j25_source_mix",
+    "j29_kmeans_step", "j30_unigram_logprob", "j33_bigram_logprob",
+    "j34_semdedup", "j35_ann_ivfpq", "j38_dsir_score", "j3_sim_topk",
+    "j42_dsir_select", "j4_knn_self", "j51_knn_triangles", "j54_lsh_eval",
+    "j59_negative_sampling", "j65_systematic_resample",
+    "j72_lsh_eval_sampled", "j80_embedding_lsh_recall_sampled",
+    "k23_decayed_trending",
+}
+
+#: keys allowed a row-at-a-time Python eval: l1 is the DOCUMENTED
+#: worst-case baseline (its docstring exists to measure it), l4 is a
+#: Python UDTF (row-wise evaluation is the operator's definition).
+_ROW_PYTHON_OK = {"l1_python_udf", "l4_python_udtf"}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """GLOBAL physical-plan invariants over EVERY registered key — the
+    per-key guards above pin specific shapes; this lint guarantees the
+    three anti-patterns cannot creep into ANY of the 312 plans:
+
+    1. no CartesianProduct anywhere (even c9's contract cross join
+       plans as a broadcast nested loop, never a shuffled cartesian);
+    2. BroadcastNestedLoopJoin only where the build side is provably
+       corpus-independent (_BNLJ_OK, each entry documented);
+    3. row-at-a-time Python (BatchEvalPython) only in the two keys
+       whose purpose IS row-wise Python — everything else stays
+       JVM-side or Arrow-batched (ArrowEvalPython / *InPandas)."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    offenders = {}
+    for key in sorted(QUERIES):
+        p = (
+            QUERIES[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p and key not in _BNLJ_OK:
+            bad.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in p and key not in _ROW_PYTHON_OK:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[key] = bad
+    assert not offenders, offenders
