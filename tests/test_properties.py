@@ -3974,3 +3974,84 @@ def test_j80_recall_floor_at_bench_scale(spark):
     assert row["recall"] >= 0.5, row
     # and the found side is a true subset: never more than exact
     assert row["n_found_stratum"] <= row["n_exact_stratum"]
+
+
+def test_f20_q1_matches_python_decimal_reference(spark, sf_dir):
+    """TPC-H Q1's exactness machinery — decimal money sums, the
+    scaled-integer triple product for sum_charge, FLOOR truncations —
+    re-derived in pure Python (Decimal + int arithmetic, no Spark, no
+    DuckDB).  The DuckDB oracle replicates the same formulas, so this
+    is the independent third opinion that catches a both-engines-agree
+    mistake in the arithmetic itself."""
+    import datetime
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        )
+        .collect()
+    )
+    cut = datetime.datetime(2000, 1, 1)
+    groups = defaultdict(list)
+    for r in rows:
+        sd = r.l_shipdate
+        if isinstance(sd, datetime.date) and not isinstance(
+            sd, datetime.datetime
+        ):
+            sd = datetime.datetime(sd.year, sd.month, sd.day)
+        if sd <= cut:
+            groups[(r.l_returnflag, r.l_linestatus)].append(r)
+
+    def half_up100(x):  # Spark's ROUND(x*100) on non-negative doubles
+        return math.floor(x * 100 + 0.5)
+
+    expected = {}
+    for key, rs in groups.items():
+        n = len(rs)
+        sq = sum(r.l_quantity for r in rs)
+        # Decimal(repr(double)) == Spark's double->decimal cast (both
+        # go through the shortest decimal representation)
+        dp = [
+            Decimal(repr(r.l_extendedprice)).quantize(
+                Decimal("0.01"), ROUND_HALF_UP
+            )
+            for r in rs
+        ]
+        dd = [
+            Decimal(repr(r.l_discount)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+            for r in rs
+        ]
+        charge = 0
+        for r in rs:
+            cents = half_up100(r.l_extendedprice)
+            d6 = 1000000 - int(math.floor(r.l_discount * 1000000 + 0.5))
+            t6 = 1000000 + int(math.floor(r.l_tax * 1000000 + 0.5))
+            charge += cents * d6 * t6  # exact ints, like decimal(38,0)
+        expected[key] = (
+            int(sq),
+            float(math.floor(sum(dp) * 100)) / 100,
+            float(math.floor(sum(p * (1 - d) for p, d in zip(dp, dd)) * 100))
+            / 100,
+            math.floor(charge / 1e12) / 100,
+            math.floor(sq / n * 10000) / 10000,
+            math.floor(float(sum(dp)) / n * 100) / 100,
+            n,
+        )
+    got = {
+        (r.l_returnflag, r.l_linestatus): (
+            r.sum_qty, r.sum_base_price, r.sum_disc_price, r.sum_charge,
+            r.avg_qty, r.avg_price, r.count_order,
+        )
+        for r in QUERIES["f20_tpch_q1_pricing"](spark, sf_dir).collect()
+    }
+    assert got == expected
