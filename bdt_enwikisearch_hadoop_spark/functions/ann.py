@@ -584,15 +584,20 @@ def j35_ann_ivfpq(spark, sf_dir) -> DataFrame:
     100 TB shape: the codebook is M×K×subdim floats (KB) and the probe
     LUT is M×K floats — both DRIVER-side artifacts (FAISS trains and
     ships its codebook centrally; same bounded-metadata discipline as
-    the O(n_cells) nprobe shortlist above), inlined as literals so
-    encode + ADC is ONE narrow map pass over the pruned cells: per
-    vector, argmin over K in-row subspace distances per m, LUT lookup,
-    running sum — no explode, no join, no window, no shuffle; the only
-    wide ops are the two TakeOrdered heaps (shortlist, final top-10).
-    The codes themselves are ~N×M SMALL ints (4 bits each in principle
-    — the 16× compression is why PQ exists: the scan that ranks 100 TB
-    of vectors reads ~6 GB of codes, persisted at index-build time);
-    only shortlist×dim bytes of raw vectors are ever fetched for the
+    the O(n_cells) nprobe shortlist above), shipped as one broadcast
+    row so encode + ADC is ONE narrow map pass over the pruned cells:
+    per vector, argmin over K in-row subspace distances per m, LUT
+    lookup, running sum — no explode, no join, no window, no shuffle;
+    the only wide ops are the two TakeOrdered heaps (shortlist, final
+    top-10), each keeping ≤ k rows per task.  In THIS fused
+    expression the ADC pass reads the raw vectors anyway (encode and
+    rank in one projection), so the candidate's own vector rides its
+    heap row to spare a second corpus pass; a true PQ deployment
+    persists the ~N×M 4-bit codes at index-build time (the 16×
+    compression is why PQ exists: the scan that ranks 100 TB of
+    vectors reads ~6 GB of codes), heaps scalar (id, adist) rows, and
+    id-joins the shortlist back to the vector store so only
+    shortlist×dim bytes of raw vectors are ever fetched for the
     re-rank.  Cell pruning composes in front exactly as in j13
     (partition-pruned at scale)."""
     emb = load(spark, sf_dir, "embeddings")
