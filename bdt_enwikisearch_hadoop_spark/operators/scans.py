@@ -532,6 +532,86 @@ def a9_time_travel(spark, sf_dir) -> DataFrame:
     )
 
 
+@query(
+    "a11_snapshot_diff",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c0
+        FROM orders
+    ),
+    v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.05
+                        ELSE o_totalprice END * 100) AS BIGINT) AS c1
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    d AS (
+        SELECT c0, c1 FROM v0 FULL OUTER JOIN v1 ON v0.k = v1.k
+    )
+    SELECT CASE WHEN c0 IS NULL THEN 'added'
+                WHEN c1 IS NULL THEN 'deleted'
+                WHEN c0 <> c1 THEN 'modified'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(c1, 0) - COALESCE(c0, 0)) AS BIGINT)
+               AS cents_delta
+    FROM d
+    GROUP BY 1
+    ORDER BY status
+    """,
+)
+def a11_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """DATASET-VERSION DIFF between a9's two staged snapshots: every
+    row classified added / deleted / modified / unchanged by primary
+    key + content comparison, with the aggregate money delta — the
+    audit a training-data pipeline runs before switching snapshot
+    versions ('what changed between the dataset I trained on and the
+    one I'm about to train on', the data-versioning counterpart of
+    j60's dedup report and j63's dataset card).  This change set has
+    no adds (v1's keys ⊆ v0's), so the 'added' branch is exercised by
+    the oracle's CASE but yields no group row — by design, proven
+    equal on both engines.
+
+    Plan / 100 TB shape: ONE full-outer hash join on the primary key
+    (both snapshot scans prune to their partition at plan time, snap
+    being the partition column) + a four-group aggregate; at scale the
+    two versions are bucketed/co-partitioned on the key by the table
+    format so the diff is exchange-free, and real formats shortcut
+    further by diffing manifest file lists before touching rows.
+    Content equality compares exact cents (BIGINT), never floats."""
+    snap = spark.read.parquet(_snapshot_dir(spark, sf_dir))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v0 = snap.filter(F.col("snap") == 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("c0")
+    )
+    v1 = snap.filter(F.col("snap") == 1).select(
+        F.col("o_orderkey").alias("k"), cents.alias("c1")
+    )
+    d = v0.join(v1, "k", "full")
+    status = (
+        F.when(F.col("c0").isNull(), F.lit("added"))
+        .when(F.col("c1").isNull(), F.lit("deleted"))
+        .when(F.col("c0") != F.col("c1"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        d.select(status.alias("status"), "c0", "c1")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(F.col("c1"), F.lit(0))
+                - F.coalesce(F.col("c0"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cents_delta"),
+        )
+        .orderBy("status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # a10 — malformed-record ingestion accounting (PERMISSIVE + corrupt column)
 # ---------------------------------------------------------------------------

@@ -3864,12 +3864,12 @@ def test_bucket_cap_chain_identical_documents(spark):
 def test_driver_window_keys_all_have_oracles():
     """Canary for the driver's only externally-checked window: the
     correctness driver checks the first 50 keys of the registry in
-    natural (numeric-aware) order — a1…d8 as of round 9
-    (CORRECTNESS_r09.json) — so a refactor that silently drops an
-    oracle inside that window would go dark externally even though the
-    full local sweep still covers it.  Assert every window key keeps
-    an oracle, except the single documented rows-only-by-design key
-    (d3's HLL sketch)."""
+    natural (numeric-aware) order — a1…d7 as of round 10 (a11 joined
+    the a-family, shifting the tail from d8 to d7) — so a refactor
+    that silently drops an oracle inside that window would go dark
+    externally even though the full local sweep still covers it.
+    Assert every window key keeps an oracle, except the single
+    documented rows-only-by-design key (d3's HLL sketch)."""
     import re
 
     from bdt_enwikisearch_hadoop_spark.registry import ORACLES, QUERIES
@@ -3879,7 +3879,7 @@ def test_driver_window_keys_all_have_oracles():
         return (m.group(1), int(m.group(2)), m.group(3)) if m else (key, 0, "")
 
     window = sorted(QUERIES, key=natural)[:50]
-    assert window[0].startswith("a1_") and window[-1].startswith("d8_"), window
+    assert window[0].startswith("a1_") and window[-1].startswith("d7_"), window
     missing = [k for k in window if k not in ORACLES]
     assert missing == ["d3_approx_count_distinct"], missing
 
