@@ -4156,3 +4156,139 @@ def j77_length_histogram(spark, sf_dir) -> DataFrame:
             / 10000.0
         ).alias("cum_token_share"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# j81/j82 — dedup-run audits over the materialized pair table (round 10)
+# ---------------------------------------------------------------------------
+
+_VERIFIED_PAIRS_SQL = """
+    pairs AS (
+        SELECT x.doc_a, x.doc_b
+        FROM inter x
+        JOIN sz sa ON sa.doc_id = x.doc_a
+        JOIN sz sb ON sb.doc_id = x.doc_b
+        WHERE x.i * 1.0 / (sa.n + sb.n - x.i) >= 0.8
+    )
+"""
+
+
+@query(
+    "j81_cross_source_overlap",
+    oracle=f"WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE}, {_VERIFIED_PAIRS_SQL}"
+    """
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+    """,
+)
+def j81_cross_source_overlap(spark, sf_dir) -> DataFrame:
+    """Cross-source near-dup OVERLAP MATRIX: verified ≥0.8-Jaccard
+    pairs counted per unordered source pair — the contamination
+    heatmap a multi-source corpus audit reads before mixing (heavy
+    off-diagonal mass means two feeds scrape the same upstream, so
+    j25's mixing weights double-count; the diagonal is within-source
+    boilerplate).  j28 resolves cross-source duplicates to a keeper;
+    THIS key reports where the duplication lives.
+
+    Plan / 100 TB shape: two hash joins attach each endpoint's source
+    to the MATERIALIZED pair table (pair-table-sized, orders of
+    magnitude below the corpus; the doc→source map joins on the doc
+    key the table is already bucketed by), then one aggregate on the
+    normalized (least, greatest) source pair — |sources|²-bounded
+    output.  No corpus pass anywhere: the whole audit reads the
+    persisted dedup artifact, the j60/j67 discipline."""
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    p = lsh_pair_table(spark, sf_dir).filter(jac >= 0.8).select(
+        "doc_a", "doc_b"
+    )
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        p.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "j82_dup_cluster_sizes",
+    oracle=f"WITH RECURSIVE {_SHINGLE_CTE}, {_LSH_CAND_CTE}, "
+    f"{_VERIFIED_PAIRS_SQL},"
+    """
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp
+        GROUP BY component
+    ),
+    hist AS (
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+    )
+    SELECT cluster_size, n_clusters FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp) AS BIGINT)
+    ORDER BY cluster_size
+    """,
+)
+def j82_dup_cluster_sizes(spark, sf_dir) -> DataFrame:
+    """Duplicate-CLUSTER size histogram: connected components of the
+    verified near-dup pair graph (j20's closure over the production
+    LSH pairs, as j32 runs it) bucketed by component size, plus the
+    singleton row (docs in no pair) — the dedup-run shape report: a
+    fat tail of large clusters means boilerplate/mirror mass (and
+    predicts j32's keeper yield), a histogram hugging size 2 means
+    point duplicates.  Every node in a component touches ≥1 edge, so
+    size-1 never collides with the computed histogram rows.
+
+    Plan / 100 TB shape: the component loop is pointer-doubled
+    min-propagation over the pair-table edges (cost ∝ |edges|, never
+    corpus); the histogram is two tiny aggregates on top; the
+    singleton count is corpus COUNT minus node COUNT — one metadata
+    scalar each, combined as a one-row broadcast."""
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    p = lsh_pair_table(spark, sf_dir).filter(jac >= 0.8).select(
+        "doc_a", "doc_b"
+    )
+    edges = p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _rounds = _connected_components(edges)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    ndocs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    nnodes = labels.agg(F.count(F.lit(1)).alias("nn"))
+    singles = ndocs.crossJoin(nnodes).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("nd") - F.col("nn")).cast("long").alias("n_clusters"),
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")

@@ -1302,6 +1302,7 @@ _BNLJ_OK = {
     "j42_dsir_select", "j4_knn_self", "j51_knn_triangles", "j54_lsh_eval",
     "j59_negative_sampling", "j65_systematic_resample",
     "j72_lsh_eval_sampled", "j80_embedding_lsh_recall_sampled",
+    "j82_dup_cluster_sizes",  # singleton count = two scalar aggregates
     "k23_decayed_trending",
 }
 
