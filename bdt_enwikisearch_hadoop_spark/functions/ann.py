@@ -874,7 +874,6 @@ def _j78_ctes() -> str:
     its pairs to the sampled stratum next to the exact ground truth).
     Always over the full embeddings table — built once into the
     module-level _J78_CTES."""
-    from_embeddings = "embeddings e"  # the one FROM clause ever used
     band_case = "CASE t.g " + " ".join(
         f"WHEN {g} THEN band{g}" for g in range(_J78_BANDS)
     ) + " END"
@@ -889,7 +888,7 @@ def _j78_ctes() -> str:
             for g in range(_J78_BANDS)
         )
         + f"""
-        FROM {from_embeddings}
+        FROM embeddings e
     ),
     bkt AS (
         SELECT vec_id, CAST(t.g AS INT) AS g, ({band_case}) AS bucket

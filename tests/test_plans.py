@@ -1283,11 +1283,15 @@ def test_j80_every_embeddings_scan_is_stratum_filtered(spark, sf_dir):
 #: keys whose plans legitimately contain a BroadcastNestedLoopJoin —
 #: every entry is a 1-row (or query-sized, corpus-independent) build
 #: side: corpus-stats scalars joined onto a stream (the i-family
-#: nd/avgdl row), ANN probe/codebook meta rows (j13/j21/j22/j35/j80),
-#: certification count combines (j54/j72/j80), the contract-mandated
-#: cross join (c9), and scalar mix/threshold rows (j25/j29/j30/j33/
-#: j38/j42/j59/j65/k23).  A BNLJ whose build side grows with the
-#: corpus is never legitimate — add here only with that argument.
+#: nd/avgdl row), ANN probe/codebook meta rows (j13/j21/j22/j35/j80)
+#: and probe-bounded combines (j3's probe row, j4's ≤50-row probe
+#: set), certification / scalar-stat combines (j54/j72/j80, j34's
+#: per-cell stats row, j51's triangle-count scalar, j82's
+#: singleton-count scalars), f17's Q22 average-balance scalar
+#: subquery, the contract-mandated cross join (c9), and scalar
+#: mix/threshold rows (j25/j29/j30/j33/j38/j42/j59/j65/k23).  A BNLJ
+#: whose build side grows with the corpus is never legitimate — add
+#: here only with that argument.
 _BNLJ_OK = {
     "c9_join_cross",
     "f17_tpch_q22_antijoin",
@@ -1313,9 +1317,9 @@ _ROW_PYTHON_OK = {"l1_python_udf", "l4_python_udtf"}
 
 
 def test_registry_wide_plan_lint(spark, sf_dir):
-    """GLOBAL physical-plan invariants over EVERY registered key — the
-    per-key guards above pin specific shapes; this lint guarantees the
-    three anti-patterns cannot creep into ANY of the 312 plans:
+    """GLOBAL physical-plan invariants over EVERY registered key's
+    SERVING plan — the per-key guards above pin specific shapes; this
+    lint keeps three anti-patterns out of every registered plan:
 
     1. no CartesianProduct anywhere (even c9's contract cross join
        plans as a broadcast nested loop, never a shuffled cartesian);
@@ -1323,7 +1327,14 @@ def test_registry_wide_plan_lint(spark, sf_dir):
        corpus-independent (_BNLJ_OK, each entry documented);
     3. row-at-a-time Python (BatchEvalPython) only in the two keys
        whose purpose IS row-wise Python — everything else stays
-       JVM-side or Arrow-batched (ArrowEvalPython / *InPandas)."""
+       JVM-side or Arrow-batched (ArrowEvalPython / *InPandas).
+
+    SCOPE: keys that serve a materialized() artifact show a checkpoint
+    scan here, so this lint does NOT see the builder plans (and
+    constructing the DataFrames executes those builds as side effects
+    — most of this test's wall-clock).  The builders carry their own
+    dedicated raw-builder guards above (j32 band join, j47 broadcast,
+    j78 candidates, j80 stratum scans)."""
     from bdt_enwikisearch_hadoop_spark.registry import QUERIES
 
     offenders = {}
