@@ -760,9 +760,18 @@ _J78_THETA = 0.45  # near-dup threshold; fixture max pairwise cos ~0.60
 #: RECALL is the other side of that trade, and the θ regime decides
 #: whether any geometry wins: SRP-LSH's per-bit collision probability
 #: is p(θ) = 1 − arccos(θ)/π, so an L-band × b-bit signature recalls
-#: 1 − (1 − p^b)^L.  At production embedding-dedup thresholds
-#: (θ ≥ 0.9, p ≥ 0.86) the 8×8 geometry recalls ≥ 0.95 with the N²/64
-#: candidate floor.  THIS FIXTURE's θ = 0.45 (its synthetic 64-dim
+#: 1 − (1 − p^b)^L.  At production embedding-dedup thresholds the 8×8
+#: geometry's per-pair candidate probability is 0.935 at exactly
+#: cos = 0.90, 0.961 at 0.92, and ≥ 0.988 from 0.95 up — so a real
+#: duplicate population (θ = 0.9 cut, cosine mass concentrated near 1)
+#: recalls ≥ 0.95 with the N²/64 candidate floor, while pairs sitting
+#: exactly on the 0.90 boundary are caught at ≈ 0.94.  MEASURED, not
+#: just closed-form: planted-pair sets driven through the full
+#: guarded_band_pairs path (tests/test_properties.py::
+#: test_j78_planted_pair_recall_at_production_theta) measure 0.940 on
+#: 300 boundary pairs at cos = 0.90 (closed form 0.935 — the ±1
+#: Rademacher family tracks the Gaussian SRP law at d = 64) and 0.977
+#: on 300 pairs uniform in cos ∈ [0.90, 1.0].  THIS FIXTURE's θ = 0.45 (its synthetic 64-dim
 #: vectors top out at cos ≈ 0.60) sits at a 63.7° angle where
 #: p = 0.649 and the amplification exponent ρ = ln p₁ / ln p₂ ≈ 0.63
 #: — there, EVERY band geometry is either low-recall or
