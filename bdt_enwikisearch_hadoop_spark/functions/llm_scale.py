@@ -2940,8 +2940,18 @@ def j61_embedding_pool(spark, sf_dir) -> DataFrame:
     vocab = tf.select("term").distinct().select(
         "term", *[v(j).alias(f"v{j}") for j in range(_POOL_D)]
     )
+    # NO forced broadcast on vocab: it is the DISTINCT CORPUS TERM SET,
+    # which grows with the corpus (a web-scale vocabulary is billions
+    # of terms — not broadcast-safe), unlike j47's genuinely bounded
+    # model-weight table.  AQE picks the join strategy from the
+    # measured runtime size: locally it broadcasts (the sf vocab is
+    # tiny — the plan guard executes and checks the FINAL adaptive
+    # plan), at scale it degrades to a hash join on term instead of an
+    # executor OOM.  A production deployment pooling with a REAL model
+    # vocabulary (bounded by the tokenizer, not the corpus) may
+    # re-add the hint with that bound as the argument.
     agg = (
-        tf.join(F.broadcast(vocab), "term")
+        tf.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n"),

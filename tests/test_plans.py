@@ -1113,13 +1113,21 @@ def test_a10_triage_is_single_pass(spark, sf_dir):
 
 def test_j61_pool_aggregate_carries_partials(spark, sf_dir):
     """Mean pooling must partial-aggregate map-side (the exchange
-    carries per-doc component sums, never the token stream) and the
-    component lookup must be a BROADCAST join of the vocabulary-sized
-    embedding table onto the tf stream — j47's model-serving shape."""
-    p = _plan(spark, sf_dir, "j61_embedding_pool")
-    assert "partial_sum" in p  # the doc_id exchange carries partials
-    assert "BroadcastHashJoin" in p
-    assert "CartesianProduct" not in p
+    carries per-doc component sums, never the token stream), and the
+    component lookup carries NO forced broadcast — the vocabulary is
+    corpus-derived, so AQE must pick the strategy from measured size
+    (here: tiny → the FINAL adaptive plan broadcasts; at web scale the
+    same plan degrades to a hash join instead of an executor OOM)."""
+    df = QUERIES["j61_embedding_pool"](spark, sf_dir)
+    pre = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in pre  # the doc_id exchange carries partials
+    assert "CartesianProduct" not in pre
+    # a write() plans a NEW query execution — run an action on THIS
+    # DataFrame's own QE so its AdaptiveSparkPlan finalizes in place
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final  # AQE's choice, not a hint
 
 
 def test_i40_expansion_scores_with_broadcast_boost_table(spark, sf_dir):
