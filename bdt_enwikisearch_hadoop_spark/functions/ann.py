@@ -809,6 +809,31 @@ _J78_BAND_BITS = 8
 _BUCKET_CAP = 64
 
 
+def embedding_band_buckets(
+    emb: DataFrame,
+    bands: int = _J78_BANDS,
+    bits_per_band: int = _J78_BAND_BITS,
+) -> DataFrame:
+    """Long-form (vec_id, g, bucket) band-bucket table of the embedding
+    LSH signature — the input shape :func:`guarded_band_pairs` consumes
+    and the occupancy the guard report (j83) audits.  Extracted from
+    the pair builder so the report measures EXACTLY the bucket table
+    the candidate generator runs on.
+
+    rebalance BEFORE the signature pass: a single-file corpus scan
+    otherwise pins the whole sig → bucket chain (the nbits×dim fold per
+    row is the CPU-heavy narrow stage) onto ONE task — measured 6.9 s →
+    2.5 s warm for the full pair build."""
+    ve = vec_double(F.col("embedding"))
+    sig = band_signature(rebalance(emb), ve, bands, bits_per_band)
+    return sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{g}") for g in range(bands)])
+        ).alias("g", "bucket"),
+    )
+
+
 def guarded_band_pairs(
     bucketed: DataFrame,
     band_cols: list[str],
@@ -1045,17 +1070,7 @@ def _embedding_near_dup_pairs(
         ve.alias("v"),
         F.sqrt(dot(ve, ve)).alias("nrm"),
     )
-    # rebalance BEFORE the signature pass: a single-file corpus scan
-    # otherwise pins the whole sig → bucket → candidate chain (the
-    # nbits×dim fold per row is the CPU-heavy narrow stage) onto ONE
-    # task — measured 6.9 s → 2.5 s warm for the full pair build.
-    sig = band_signature(rebalance(emb), ve, bands, bits_per_band)
-    buckets = sig.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.col(f"band{g}") for g in range(bands)])
-        ).alias("g", "bucket"),
-    )
+    buckets = embedding_band_buckets(emb, bands, bits_per_band)
     cand = guarded_band_pairs(buckets, ["g", "bucket"], "vec_id").select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )

@@ -242,7 +242,11 @@ def _exact_stats_from(per_doc: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
+def _text_band_table(per_doc: DataFrame) -> DataFrame:
+    """Long-form (doc_id, b, bk) MinHash band-bucket table — the input
+    shape :func:`guarded_band_pairs` consumes and the occupancy the
+    guard report (j83) audits; extracted from the pair builder so the
+    report measures exactly the bucket table the candidates run on."""
     sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -252,7 +256,7 @@ def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
             for i in range(_N_HASH)
         ]
     )
-    band = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -274,6 +278,10 @@ def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.b").alias("b"), F.col("z.bk").alias("bk"))
+
+
+def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
+    band = _text_band_table(per_doc)
     cand = guarded_band_pairs(band, ["b", "bk"], "doc_id").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
@@ -4302,3 +4310,113 @@ def j82_dup_cluster_sizes(spark, sf_dir) -> DataFrame:
         (F.col("nd") - F.col("nn")).cast("long").alias("n_clusters"),
     )
     return hist.unionByName(singles).orderBy("cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# j83 — LSH skew-guard occupancy report (surfaces _BUCKET_CAP degradation)
+# ---------------------------------------------------------------------------
+
+def _guard_occupancy_report(
+    buckets: DataFrame, band_cols: list[str], pipeline: str
+) -> DataFrame:
+    """One-row occupancy audit of a band-bucket table against
+    ``_BUCKET_CAP`` — the shared aggregation of j83's two pipelines.
+    The occupancy groupBy is the SAME (band, bucket) keying the
+    candidate generator shuffles on, so the audit costs one extra tiny
+    aggregate over an exchange the pipeline already pays for."""
+    capped = F.col("occ") > _BUCKET_CAP
+    occ = buckets.groupBy(*band_cols).agg(F.count(F.lit(1)).alias("occ"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("max_occ"),
+        F.sum(capped.cast("long")).alias("n_capped_buckets"),
+        F.sum(F.when(capped, F.col("occ")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("capped_members"),
+        F.sum(F.when(capped, F.col("occ") - 1).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chain_edges"),
+    ).select(F.lit(pipeline).alias("pipeline"), "*")
+
+
+def _j83_stats(frm: str) -> str:
+    return f"""
+        CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        CAST(MAX(occ) AS BIGINT) AS max_occ,
+        CAST(SUM(CASE WHEN occ > {_BUCKET_CAP} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_capped_buckets,
+        CAST(SUM(CASE WHEN occ > {_BUCKET_CAP} THEN occ ELSE 0 END)
+             AS BIGINT) AS capped_members,
+        CAST(SUM(CASE WHEN occ > {_BUCKET_CAP} THEN occ - 1 ELSE 0 END)
+             AS BIGINT) AS chain_edges
+    FROM {frm}"""
+
+
+def _j83_oracle() -> str:
+    from .ann import _J78_BAND_BITS, _J78_BANDS, _duck_band
+
+    eband_case = "CASE t.g " + " ".join(
+        f"WHEN {g} THEN band{g}" for g in range(_J78_BANDS)
+    ) + " END"
+    ebands = ",\n".join(
+        f"({_duck_band(g, _J78_BAND_BITS)}) AS band{g}"
+        for g in range(_J78_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},
+    esig AS (
+        SELECT e.vec_id, {ebands} FROM embeddings e
+    ),
+    ebkt AS (
+        SELECT vec_id, CAST(t.g AS INT) AS g, ({eband_case}) AS bucket
+        FROM esig CROSS JOIN range(0, {_J78_BANDS}) t(g)
+    ),
+    eocc AS (
+        SELECT g, bucket, COUNT(*) AS occ FROM ebkt GROUP BY g, bucket
+    )
+    SELECT * FROM (
+        SELECT 'embedding' AS pipeline, {_j83_stats('eocc')}
+        UNION ALL
+        SELECT 'text', {_j83_stats('bandocc')}
+    ) ORDER BY pipeline
+    """
+
+
+@query("j83_lsh_guard_report", oracle=_j83_oracle())
+def j83_lsh_guard_report(spark, sf_dir) -> DataFrame:
+    """Skew-guard occupancy audit of BOTH banded-LSH dedup pipelines
+    (text MinHash bands and embedding hyperplane bands): per pipeline,
+    the band-bucket count, the maximum occupancy, and — the number that
+    matters — how many buckets exceeded ``_BUCKET_CAP`` and therefore
+    DEGRADED from their within-bucket clique to a consecutive-member
+    chain (``capped_members`` / ``chain_edges`` size the degradation).
+
+    Round-10 advice surfaced this: above the cap the shipped pair
+    tables (j8/j32, j78) intentionally omit non-adjacent true pairs in
+    degenerate buckets — connectivity is preserved for the component
+    closures (j20/j79), but a pipeline owner consuming the PAIR LIST
+    itself (not the components) needs a detector.  n_capped_buckets = 0
+    certifies the pair table is clique-complete over its candidates;
+    anything else says which pipeline degraded and by how much.  The
+    fixture never trips the cap (text max occ 4, embedding 33) — the
+    adversarial identical-vector/document tests drive the capped branch
+    of the SAME aggregation via `_guard_occupancy_report`.
+
+    Plan / 100 TB shape: each side is the candidate generator's own
+    (band, bucket) aggregate — one shuffle of narrow key rows — folded
+    to a single row; the two one-row sides union.  Cost is strictly
+    below one LSH candidate pass, so the audit can run on every dedup
+    job's band table before the pair join is even attempted."""
+    from .ann import embedding_band_buckets
+
+    text = _guard_occupancy_report(
+        _text_band_table(doc_shingle_sets(spark, sf_dir)),
+        ["b", "bk"],
+        "text",
+    )
+    emb = _guard_occupancy_report(
+        embedding_band_buckets(load(spark, sf_dir, "embeddings")),
+        ["g", "bucket"],
+        "embedding",
+    )
+    return emb.unionByName(text).orderBy("pipeline")

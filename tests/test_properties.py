@@ -4138,3 +4138,43 @@ def test_j78_planted_pair_recall_at_production_theta(spark):
 
     population = recall(*_planted_cos_pairs(11, 300, 0.90, 1.0))
     assert population >= 0.95, population
+
+
+def test_j83_guard_report_detects_capped_buckets(spark, sf_dir):
+    """The guard report must (a) certify the benign fixture —
+    zero capped buckets on both pipelines, so the shipped pair tables
+    are clique-complete — and (b) DETECT degradation: a degenerate
+    bucket table with one bucket above _BUCKET_CAP reports exactly that
+    bucket, its member count, and its chain-edge count through the SAME
+    aggregation the registered key serves."""
+    from bdt_enwikisearch_hadoop_spark.functions.ann import _BUCKET_CAP
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _guard_occupancy_report,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rows = {
+        r.pipeline: r
+        for r in QUERIES["j83_lsh_guard_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"text", "embedding"}
+    for r in rows.values():
+        assert r.n_capped_buckets == 0, r
+        assert r.capped_members == 0 and r.chain_edges == 0, r
+        assert 0 < r.max_occ <= _BUCKET_CAP, r
+
+    # adversarial: 100 identical-signature members in one bucket (> cap),
+    # plus a benign 3-member bucket
+    n_skew = _BUCKET_CAP + 36
+    skewed = spark.createDataFrame(
+        [(i, 0, 7) for i in range(n_skew)]
+        + [(1000 + i, 1, 9) for i in range(3)],
+        "vec_id long, g int, bucket int",
+    )
+    got = _guard_occupancy_report(skewed, ["g", "bucket"], "adv").collect()[0]
+    assert got.pipeline == "adv"
+    assert got.n_buckets == 2
+    assert got.max_occ == n_skew
+    assert got.n_capped_buckets == 1
+    assert got.capped_members == n_skew
+    assert got.chain_edges == n_skew - 1
