@@ -125,6 +125,14 @@ _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 MATERIALIZE_SECONDS: dict[tuple[str, str, str], float] = {}
 
 
+#: the zero-arg build callable last registered per (sf_dir, tag) —
+#: recorded on EVERY materialized() call (cache hit or miss) so the
+#: builder-plan lint (tests/test_plans.py) can re-plan each tag's RAW
+#: build DataFrame and hold it to the same physical invariants as the
+#: serving plans, which otherwise only ever see the checkpoint scan.
+RAW_BUILDERS: dict[tuple[str, str], object] = {}
+
+
 def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     """Serve a shared heavy intermediate (LSH pair table, dedup keeper
     set, classifier z-scores, kNN edge list …) built ONCE per
@@ -143,6 +151,7 @@ def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame
     a new session can never inherit a checkpoint pinned to a stopped
     session's executors.  ``build`` must be a zero-arg callable
     returning the DataFrame to materialize."""
+    RAW_BUILDERS[(sf_dir, tag)] = build
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     got = _MATERIALIZED.get(key)
     if got is None:

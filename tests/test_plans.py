@@ -1323,6 +1323,20 @@ _BNLJ_OK = {
 #: Python UDTF (row-wise evaluation is the operator's definition).
 _ROW_PYTHON_OK = {"l1_python_udf", "l4_python_udtf"}
 
+#: materialized-tag BUILD plans allowed a BroadcastNestedLoopJoin —
+#: same rule as _BNLJ_OK (build side provably bounded), argued per tag:
+#:   tfidf_w — the broadcast side is the 1-row corpus doc-count scalar;
+#:   stratum_embedding_exact — the DELIBERATE exact all-pairs ground
+#:     truth over the fixed-rate certification stratum (j80's exact
+#:     side): its non-equi vec_id < vec_id self-join is the point of
+#:     the artifact, cost O(stratum²) by design, and at production
+#:     scale the stratum rate is tuned so this stays report-sized —
+#:     the SHIPPED pair path (j78) never takes this shape.
+_BUILDER_BNLJ_OK = {
+    "builder:tfidf_w",
+    "builder:stratum_embedding_exact",
+}
+
 
 def test_registry_wide_plan_lint(spark, sf_dir):
     """GLOBAL physical-plan invariants over EVERY registered key's
@@ -1337,15 +1351,30 @@ def test_registry_wide_plan_lint(spark, sf_dir):
        whose purpose IS row-wise Python — everything else stays
        JVM-side or Arrow-batched (ArrowEvalPython / *InPandas).
 
-    SCOPE: keys that serve a materialized() artifact show a checkpoint
-    scan here, so this lint does NOT see the builder plans (and
-    constructing the DataFrames executes those builds as side effects
-    — most of this test's wall-clock).  The builders carry their own
-    dedicated raw-builder guards above (j32 band join, j47 broadcast,
-    j78 candidates, j80 stratum scans)."""
+    Keys that serve a materialized() artifact show a checkpoint scan
+    here, so the serving loop does NOT see the builder plans
+    (constructing the DataFrames executes those builds as side effects
+    — most of this test's wall-clock).  The second loop closes that
+    hole: every materialized tag's RAW build plan (recorded by
+    materialized() in io.RAW_BUILDERS, fully populated once the
+    serving loop has constructed all keys) is re-planned and held to
+    the SAME three invariants, with its own allowlist."""
     from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources.io import RAW_BUILDERS
 
     offenders = {}
+
+    def lint(name, plan, bnlj_ok, row_py_ok):
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            bad.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan and name not in row_py_ok:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+
     for key in sorted(QUERIES):
         p = (
             QUERIES[key](spark, sf_dir)
@@ -1353,13 +1382,16 @@ def test_registry_wide_plan_lint(spark, sf_dir):
             .executedPlan()
             .toString()
         )
-        bad = []
-        if "CartesianProduct" in p:
-            bad.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in p and key not in _BNLJ_OK:
-            bad.append("BroadcastNestedLoopJoin")
-        if "BatchEvalPython" in p and key not in _ROW_PYTHON_OK:
-            bad.append("BatchEvalPython")
-        if bad:
-            offenders[key] = bad
+        lint(key, p, _BNLJ_OK, _ROW_PYTHON_OK)
+
+    tags = sorted(t for (s, t) in RAW_BUILDERS if s == sf_dir)
+    assert len(tags) >= 16, tags  # every materialize_by_tag tag recorded
+    for tag in tags:
+        p = (
+            RAW_BUILDERS[(sf_dir, tag)]()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        lint(f"builder:{tag}", p, _BUILDER_BNLJ_OK, set())
     assert not offenders, offenders
