@@ -4178,3 +4178,72 @@ def test_j83_guard_report_detects_capped_buckets(spark, sf_dir):
     assert got.n_capped_buckets == 1
     assert got.capped_members == n_skew
     assert got.chain_edges == n_skew - 1
+
+
+def test_d13_approx_percentile_within_rank_tolerance_of_exact(spark, sf_dir):
+    """Accuracy bound for the rows-only percentile sketch (the d16
+    pattern applied to d13): with accuracy = 10000 the sketch's rank
+    error is ≤ 1e-4, so every approximate quantile value must lie
+    between the EXACT quantiles at q ∓ 0.001 (10× slack on the
+    guarantee).  A sketch that silently degraded — wrong accuracy
+    parameter, broken merge — lands outside the bracket."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    eps = 0.001
+    approx = {
+        (r.l_returnflag, r.pct): r.approx_qty
+        for r in QUERIES["d13_approx_percentile"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("d13_bracket_li")
+    brackets = spark.sql(
+        f"""
+        SELECT l_returnflag,
+               percentile(l_quantity, array({0.5 - eps}, {0.5 + eps},
+                                            {0.9 - eps}, {0.9 + eps})) AS b
+        FROM d13_bracket_li GROUP BY l_returnflag
+        """
+    ).collect()
+    assert brackets and approx
+    for r in brackets:
+        lo50, hi50, lo90, hi90 = r.b
+        a50 = approx[(r.l_returnflag, 0.5)]
+        a90 = approx[(r.l_returnflag, 0.9)]
+        assert lo50 <= a50 <= hi50, (r.l_returnflag, a50, lo50, hi50)
+        assert lo90 <= a90 <= hi90, (r.l_returnflag, a90, lo90, hi90)
+
+
+def test_d17_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
+    """Accuracy bound for the rows-only heavy-hitters sketch: every
+    term whose exact count strictly exceeds the exact 10th count MUST
+    be returned (ties at the boundary may legitimately swap), and every
+    returned count must be within 0.5% of that term's exact count
+    (measured: exact to the unit on the fixture — the sketch tracks far
+    more items than k)."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    got = {
+        r.term: r.cnt
+        for r in QUERIES["d17_approx_top_k"](spark, sf_dir).collect()
+    }
+    assert len(got) == 10
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = {
+        r.term: r.n
+        for r in tok.orderBy(F.desc("n"), "term").limit(30).collect()
+    }
+    tenth = sorted(exact.values(), reverse=True)[9]
+    must_have = {t for t, n in exact.items() if n > tenth}
+    assert must_have <= set(got), must_have - set(got)
+    for t, cnt in got.items():
+        assert t in exact, t  # a returned term must be a real heavy hitter
+        assert abs(cnt - exact[t]) <= 0.005 * exact[t], (t, cnt, exact[t])
