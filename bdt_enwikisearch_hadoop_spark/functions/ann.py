@@ -1013,6 +1013,19 @@ def j78_embedding_near_dup(spark, sf_dir) -> DataFrame:
     ).orderBy("ia", "ib")
 
 
+def embedding_bucket_table(spark, sf_dir: str) -> DataFrame:
+    """MATERIALIZED (vec_id, g, bucket) band-bucket table at the pinned
+    8×8 geometry — the 64-bit signature fold runs ONCE per session and
+    both consumers read the result: the pair builder's candidate
+    self-join and the j83 occupancy audit."""
+    return materialized(
+        spark,
+        sf_dir,
+        "embedding_band_buckets",
+        lambda: embedding_band_buckets(load(spark, sf_dir, "embeddings")),
+    )
+
+
 def embedding_near_dup_pair_table(spark, sf_dir: str) -> DataFrame:
     """MATERIALIZED verified embedding near-dup pair table (ia, ib,
     cos) — built once per (session, scale factor), served to j78 (pair
@@ -1064,13 +1077,19 @@ def _embedding_near_dup_pairs(
       → 1.6 s warm at the old 4×4 geometry)."""
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
+        # fixture path: the signature/bucket pass is a session-shared
+        # materialized artifact (the pair builder and the j83 audit
+        # read the same table instead of each re-paying the
+        # nbits×dim-fold signature stage)
+        buckets = embedding_bucket_table(spark, sf_dir)
+    else:
+        buckets = embedding_band_buckets(emb, bands, bits_per_band)
     ve = vec_double(F.col("embedding"))
     vecs = emb.select(
         "vec_id",
         ve.alias("v"),
         F.sqrt(dot(ve, ve)).alias("nrm"),
     )
-    buckets = embedding_band_buckets(emb, bands, bits_per_band)
     cand = guarded_band_pairs(buckets, ["g", "bucket"], "vec_id").select(
         F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
     )

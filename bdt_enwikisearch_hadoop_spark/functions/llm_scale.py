@@ -176,6 +176,21 @@ def doc_shingle_sets(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def text_band_table(spark, sf_dir: str) -> DataFrame:
+    """MATERIALIZED (doc_id, b, bk) MinHash band-bucket table — the
+    16-md5-mins-per-doc signature pass runs ONCE per session and both
+    consumers read the result: the pair builder (its candidate
+    self-join) and the j83 occupancy audit.  At 100 TB this is the
+    persisted signature sidecar a dedup stage writes before its
+    bucket join."""
+    return materialized(
+        spark,
+        sf_dir,
+        "text_band_table",
+        lambda: _text_band_table(doc_shingle_sets(spark, sf_dir)),
+    )
+
+
 def lsh_pair_table(spark, sf_dir: str) -> DataFrame:
     """MATERIALIZED LSH-verified pair table (doc_a, doc_b, i, na, nb)
     over the fixture corpus — build once, serve j8/j32/j54/j68.  At
@@ -187,7 +202,10 @@ def lsh_pair_table(spark, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "lsh_verified_pairs",
-        lambda: _lsh_pairs_from(doc_shingle_sets(spark, sf_dir)),
+        lambda: _lsh_pairs_from(
+            doc_shingle_sets(spark, sf_dir),
+            band=text_band_table(spark, sf_dir),
+        ),
     )
 
 
@@ -280,8 +298,11 @@ def _text_band_table(per_doc: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("z.b").alias("b"), F.col("z.bk").alias("bk"))
 
 
-def _lsh_pairs_from(per_doc: DataFrame) -> DataFrame:
-    band = _text_band_table(per_doc)
+def _lsh_pairs_from(
+    per_doc: DataFrame, band: DataFrame | None = None
+) -> DataFrame:
+    if band is None:
+        band = _text_band_table(per_doc)
     cand = guarded_band_pairs(band, ["b", "bk"], "doc_id").select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
@@ -4321,9 +4342,11 @@ def _guard_occupancy_report(
 ) -> DataFrame:
     """One-row occupancy audit of a band-bucket table against
     ``_BUCKET_CAP`` — the shared aggregation of j83's two pipelines.
-    The occupancy groupBy is the SAME (band, bucket) keying the
-    candidate generator shuffles on, so the audit costs one extra tiny
-    aggregate over an exchange the pipeline already pays for."""
+    The registered key feeds this from the MATERIALIZED band tables
+    (text_band_table / embedding_bucket_table) the pair builders also
+    read, so the audit costs one (band, bucket) aggregate over an
+    already-persisted narrow table — the signature passes are never
+    re-paid."""
     capped = F.col("occ") > _BUCKET_CAP
     occ = buckets.groupBy(*band_cols).agg(F.count(F.lit(1)).alias("occ"))
     return occ.agg(
@@ -4402,21 +4425,20 @@ def j83_lsh_guard_report(spark, sf_dir) -> DataFrame:
     adversarial identical-vector/document tests drive the capped branch
     of the SAME aggregation via `_guard_occupancy_report`.
 
-    Plan / 100 TB shape: each side is the candidate generator's own
-    (band, bucket) aggregate — one shuffle of narrow key rows — folded
-    to a single row; the two one-row sides union.  Cost is strictly
-    below one LSH candidate pass, so the audit can run on every dedup
-    job's band table before the pair join is even attempted."""
-    from .ann import embedding_band_buckets
+    Plan / 100 TB shape: each side reads the MATERIALIZED band table
+    its pair builder also consumes (text_band_table /
+    embedding_bucket_table — the signature passes run once per
+    session, never re-paid here) and folds it through one (band,
+    bucket) aggregate to a single row; the two one-row sides union.
+    Cost is one narrow-key aggregate per side, so the audit can run on
+    every dedup job's band table before the pair join is even
+    attempted."""
+    from .ann import embedding_bucket_table
 
     text = _guard_occupancy_report(
-        _text_band_table(doc_shingle_sets(spark, sf_dir)),
-        ["b", "bk"],
-        "text",
+        text_band_table(spark, sf_dir), ["b", "bk"], "text"
     )
     emb = _guard_occupancy_report(
-        embedding_band_buckets(load(spark, sf_dir, "embeddings")),
-        ["g", "bucket"],
-        "embedding",
+        embedding_bucket_table(spark, sf_dir), ["g", "bucket"], "embedding"
     )
     return emb.unionByName(text).orderBy("pipeline")

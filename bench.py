@@ -2,7 +2,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line:
 
-    {"queries": {...}, "queries_ms": "86,752,…", "qn": 315,
+    {"queries_ms": "86,752,…", "qn": 316, "qk_sha1": "…",
      "metric": "total_runtime", "value": N, "unit": "sec", "sf": 0.1}
 
 Each query is materialized through the noop sink (full execution of the
@@ -24,8 +24,9 @@ keys, with ``qn`` (key count) and ``qk_sha1`` (hash of the joined key
 list) so a decoder can verify alignment against the commit's registry.
 Decode:  dict(zip(sorted(QUERIES), queries_ms.split(","))).  The
 human-readable {key: sec} map plus the per-tag materialize ledger is
-persisted to bench_full.json next to this file; the tiny "queries"
-dict on the printed line carries only the slowest 5 keys as a preview.
+persisted to bench_full.json next to this file, and a >1900-char
+fallback drops the (elastic) error map so the line can never overflow
+the capture on a failure round.
 """
 
 from __future__ import annotations
@@ -87,26 +88,31 @@ def main() -> int:
     import hashlib
 
     all_keys = sorted(QUERIES)
-    queries_ms = ",".join(
-        str(int(round(timings[k] * 1000))) if k in timings else "x"
-        for k in all_keys
-    )
+
+    def keyed_csv(divisor: int) -> str:
+        return ",".join(
+            str(int(round(timings[k] * 1000 / divisor)))
+            if k in timings
+            else "x"
+            for k in all_keys
+        )
+
     qk_sha1 = hashlib.sha1(",".join(all_keys).encode()).hexdigest()[:12]
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    )
     result: dict = {
-        "queries": slowest,  # preview only — full map in queries_ms + bench_full.json
-        "queries_ms": queries_ms,
+        "queries_ms": keyed_csv(1),
         "qn": len(all_keys),
         "qk_sha1": qk_sha1,
     }
     if errors:
+        # Kept SHORT by construction (60-char messages, ≤2 keys each):
+        # the whole printed line must stay under the ~2000-char capture
+        # even on a failure round — failed keys are also recoverable
+        # from queries_ms ('x' entries) + bench_full.json.
         by_msg: dict[str, list[str]] = {}
         for key, msg in errors.items():
-            by_msg.setdefault(msg[:160], []).append(key)
+            by_msg.setdefault(msg[:60], []).append(key)
         result["errors"] = {
-            msg: keys if len(keys) <= 5 else keys[:5] + [f"+{len(keys)-5} more"]
+            msg: keys if len(keys) <= 2 else keys[:2] + [f"+{len(keys)-2}"]
             for msg, keys in by_msg.items()
         }
         result["failed_count"] = len(errors)
@@ -120,11 +126,13 @@ def main() -> int:
         }
     )
     # Persist the human-readable COMPLETE record — full {key: sec}
-    # map plus the per-tag materialize ledger — so round-over-round
-    # per-key regression checks read a committed artifact without
-    # decoding the compact queries_ms line.
+    # map, full error messages, the per-tag materialize ledger — so
+    # round-over-round per-key regression checks read a committed
+    # artifact without decoding the compact queries_ms line.
     full = dict(result)
     full["queries"] = timings
+    if errors:
+        full["errors"] = errors
     # SUM per tag: the ledger is keyed (applicationId, sf_dir, tag) so a
     # tag rebuilt in a second session adds a second entry — a dict
     # comprehension keyed on tag alone would silently keep only one and
@@ -139,7 +147,25 @@ def main() -> int:
         "w",
     ) as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
-    print(json.dumps(result))
+    # HARD guarantee the printed line survives the ~2000-char tail
+    # capture (an overflow truncates the line's HEAD — the exact
+    # round-10 null-parse failure).  Elastic parts, dropped in order
+    # of least information lost: (1) the error map (failed_count
+    # stays; failures remain as 'x' in the CSV and in full detail in
+    # bench_full.json); (2) per-key precision — re-encode the CSV in
+    # centi- then deci-seconds (renamed key says which), which bounds
+    # the line even if every key ran tens of seconds.
+    line = json.dumps(result)
+    if len(line) > 1900 and "errors" in result:
+        del result["errors"]
+        line = json.dumps(result)
+    for unit_key, divisor in (("queries_cs", 10), ("queries_ds", 100)):
+        if len(line) <= 1900:
+            break
+        del result[next(k for k in result if k.startswith("queries_"))]
+        result = {unit_key: keyed_csv(divisor), **result}
+        line = json.dumps(result)
+    print(line)
     return 0
 
 
