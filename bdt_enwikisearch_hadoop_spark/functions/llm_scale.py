@@ -4442,3 +4442,130 @@ def j83_lsh_guard_report(spark, sf_dir) -> DataFrame:
         embedding_bucket_table(spark, sf_dir), ["g", "bucket"], "embedding"
     )
     return emb.unionByName(text).orderBy("pipeline")
+
+
+# ---------------------------------------------------------------------------
+# j84 — incremental (delta) dedup: decide a NEW batch against the corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic ~25% "new batch" by doc_id content hash (seeded 'nb:'
+#: so it is independent of j72/j80's certification stratum); the other
+#: ~75% plays the already-ingested corpus.
+_NB_HEX = ("0", "1", "2", "3")
+
+
+def _nb_pred_col(col):
+    return F.substring(
+        F.md5(F.concat(F.lit("nb:"), col.cast("string"))), 1, 1
+    ).isin(*_NB_HEX)
+
+
+def _nb_pred_sql(col: str) -> str:
+    quoted = ",".join(f"'{h}'" for h in _NB_HEX)
+    return (
+        f"substr(md5('nb:' || CAST({col} AS VARCHAR)), 1, 1) IN ({quoted})"
+    )
+
+
+_J84_ORACLE = f"""
+    WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},
+    dup AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS d, doc_b AS p FROM dup
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup
+    ),
+    agg AS (
+        SELECT d,
+               MIN(CASE WHEN NOT {_nb_pred_sql('p')} THEN p END)
+                   AS corpus_dup,
+               MIN(CASE WHEN {_nb_pred_sql('p')} AND p < d THEN p END)
+                   AS batch_dup
+        FROM edges
+        WHERE {_nb_pred_sql('d')}
+        GROUP BY d
+    )
+    SELECT doc_id,
+           CASE WHEN corpus_dup IS NOT NULL THEN 'drop_corpus_dup'
+                WHEN batch_dup IS NOT NULL THEN 'drop_batch_dup'
+                ELSE 'keep' END AS decision,
+           COALESCE(corpus_dup, batch_dup) AS dup_of
+    FROM documents
+    LEFT JOIN agg ON agg.d = documents.doc_id
+    WHERE {_nb_pred_sql('doc_id')}
+    ORDER BY doc_id
+    """
+
+
+@query("j84_incremental_dedup", oracle=_J84_ORACLE)
+def j84_incremental_dedup(spark, sf_dir) -> DataFrame:
+    """INCREMENTAL dedup — the shape a daily-shard ingestion pipeline
+    actually runs: a deterministic ~25% of documents plays the NEW
+    BATCH, the rest the already-ingested corpus, and every new document
+    gets a per-doc decision: ``drop_corpus_dup`` (a ≥0.8-Jaccard
+    near-dup already exists in the corpus — min partner recorded),
+    ``drop_batch_dup`` (a smaller-id near-dup arrived in the same
+    batch), else ``keep``.
+
+    The keeper rule is deliberately GREEDY-PAIRWISE, not
+    component-transitive: each new document's decision is computable
+    from its OWN candidate probes alone — the property that makes
+    delta dedup embarrassingly parallel and streamable (no batch-wide
+    closure iteration; the principled transitive closure over the full
+    corpus is j20/j79's batch job).
+
+    100 TB shape: an incremental run bands ONLY the new batch and
+    probes the PERSISTED band index (the j21 store pattern: bucketed by
+    (band, bucket), so probes are co-located joins) plus the persisted
+    shingle-set sidecar for the exact verify — the corpus is never
+    rescanned and the decision aggregate is one shuffle of the
+    batch-sized candidate list.  Locally both probe targets are served
+    from the SAME materialized artifacts the batch pipeline writes
+    (text_band_table / lsh_verified_pairs via lsh_pair_table), so the
+    decisions here are byte-equal to what the delta job would emit."""
+    pairs = lsh_pair_table(spark, sf_dir)
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    dup = pairs.filter(jac >= 0.8).select("doc_a", "doc_b")
+    edges = dup.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("p")
+    ).unionAll(
+        dup.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p"))
+    )
+    agg = (
+        edges.filter(_nb_pred_col(F.col("d")))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(~_nb_pred_col(F.col("p")), F.col("p"))
+            ).alias("corpus_dup"),
+            F.min(
+                F.when(
+                    _nb_pred_col(F.col("p")) & (F.col("p") < F.col("d")),
+                    F.col("p"),
+                )
+            ).alias("batch_dup"),
+        )
+    )
+    new_docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(_nb_pred_col(F.col("doc_id")))
+    )
+    return (
+        new_docs.join(agg, new_docs.doc_id == agg.d, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
+            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )

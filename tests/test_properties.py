@@ -4247,3 +4247,55 @@ def test_d17_approx_top_k_matches_exact_heavy_hitters(spark, sf_dir):
     for t, cnt in got.items():
         assert t in exact, t  # a returned term must be a real heavy hitter
         assert abs(cnt - exact[t]) <= 0.005 * exact[t], (t, cnt, exact[t])
+
+
+def test_j84_incremental_decisions_consistent_with_pair_table(spark, sf_dir):
+    """Every j84 decision must be re-derivable from the j8 verified
+    pair table and the batch predicate: corpus-dups name a
+    non-batch partner, batch-dups name a SMALLER-id batch partner,
+    keeps have no partner of either kind — and the decision column is
+    exactly the precedence of the two."""
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _nb_pred_col,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: (r.decision, r.dup_of)
+        for r in QUERIES["j84_incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert len(got) > 50
+    assert {d for d, _ in got.values()} == {
+        "keep", "drop_corpus_dup", "drop_batch_dup",
+    }
+
+    pairs = QUERIES["j8_dedup_minhash_lsh"](spark, sf_dir).select(
+        "doc_a", "doc_b",
+        _nb_pred_col(F.col("doc_a")).alias("a_new"),
+        _nb_pred_col(F.col("doc_b")).alias("b_new"),
+    ).collect()
+    corpus_dup: dict[int, int] = {}
+    batch_dup: dict[int, int] = {}
+    for r in pairs:
+        for d, p, d_new, p_new in (
+            (r.doc_a, r.doc_b, r.a_new, r.b_new),
+            (r.doc_b, r.doc_a, r.b_new, r.a_new),
+        ):
+            if not d_new:
+                continue
+            if not p_new:
+                corpus_dup[d] = min(corpus_dup.get(d, p), p)
+            elif p < d:
+                batch_dup[d] = min(batch_dup.get(d, p), p)
+    for doc_id, (decision, dup_of) in got.items():
+        if doc_id in corpus_dup:
+            assert (decision, dup_of) == (
+                "drop_corpus_dup", corpus_dup[doc_id],
+            ), doc_id
+        elif doc_id in batch_dup:
+            assert (decision, dup_of) == (
+                "drop_batch_dup", batch_dup[doc_id],
+            ), doc_id
+        else:
+            assert (decision, dup_of) == ("keep", None), doc_id
