@@ -4299,3 +4299,29 @@ def test_j84_incremental_decisions_consistent_with_pair_table(spark, sf_dir):
             ), doc_id
         else:
             assert (decision, dup_of) == ("keep", None), doc_id
+
+
+def test_d3_approx_count_distinct_within_rsd_of_exact(spark, sf_dir):
+    """Accuracy bound for the last unbounded sketch key: HLL++ at
+    rsd = 0.05 must land within 3×rsd (15%) of the exact per-group
+    distinct count — a silently degraded sketch (wrong rsd, broken
+    merge) blows far past that; the fixture's true error is ~1-2%."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    got = {
+        r.o_orderstatus: r.approx_cust
+        for r in QUERIES["d3_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) >= 2
+    for status, n in exact.items():
+        assert abs(got[status] - n) <= 0.15 * n, (status, got[status], n)
