@@ -4525,10 +4525,14 @@ def j84_incremental_dedup(spark, sf_dir) -> DataFrame:
     (band, bucket), so probes are co-located joins) plus the persisted
     shingle-set sidecar for the exact verify — the corpus is never
     rescanned and the decision aggregate is one shuffle of the
-    batch-sized candidate list.  Locally both probe targets are served
-    from the SAME materialized artifacts the batch pipeline writes
-    (text_band_table / lsh_verified_pairs via lsh_pair_table), so the
-    decisions here are byte-equal to what the delta job would emit."""
+    batch-sized candidate list.  Locally the probe + verify stages are
+    served PRE-COMPOSED from the materialized verified pair table
+    (lsh_pair_table, itself built over text_band_table): the fixture's
+    band predicate and verify are identical whichever side of the batch
+    boundary a document falls on, so the per-document decisions are
+    byte-equal to what the delta job's probe + verify would emit —
+    only the candidate-generation cost model differs, and that is the
+    part the docstring's first paragraph describes."""
     pairs = lsh_pair_table(spark, sf_dir)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     dup = pairs.filter(jac >= 0.8).select("doc_a", "doc_b")
