@@ -9,6 +9,7 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli bench-key i6_search_and
     python -m bdt_enwikisearch_hadoop_spark.cli card
     python -m bdt_enwikisearch_hadoop_spark.cli dedup-report
+    python -m bdt_enwikisearch_hadoop_spark.cli audit
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
@@ -92,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
         "dedup-report",
         help="run the scale-path dedup pipeline and print its report (j60)",
     )
+    sub.add_parser(
+        "audit",
+        help="LSH trust audit: skew-guard occupancy (j83) + sampled "
+        "recall certification (j80) — run before consuming a pair table",
+    )
 
     args = ap.parse_args(argv)
     spark = _spark(f"cli-{args.cmd}")
@@ -168,6 +174,31 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['n_members']}\t{r['n_clusters']}\t{r['docs_covered']}"
                 f"\t{r['docs_removed']}\t{r['dedup_ratio']}"
             )
+        return 0
+
+    if args.cmd == "audit":
+        from .registry import QUERIES
+
+        # the SCALE.md operational rule, runnable: occupancy guard
+        # state per pipeline, then the embedding-side recall
+        # certification row (the text-side twin is j72)
+        for r in QUERIES["j83_lsh_guard_report"](spark, args.sf_dir).collect():
+            print(
+                f"guard\t{r['pipeline']}\tn_buckets={r['n_buckets']}"
+                f"\tmax_occ={r['max_occ']}"
+                f"\tn_capped_buckets={r['n_capped_buckets']}"
+                f"\tcapped_members={r['capped_members']}"
+                f"\tchain_edges={r['chain_edges']}"
+            )
+        row = QUERIES["j80_embedding_lsh_recall_sampled"](
+            spark, args.sf_dir
+        ).collect()[0]
+        print(
+            f"recall\tembedding\tn_exact_stratum={row['n_exact_stratum']}"
+            f"\tn_found_stratum={row['n_found_stratum']}"
+            f"\trecall={row['recall']}"
+            f"\test_full_pairs={row['est_full_pairs']}"
+        )
         return 0
 
     if args.cmd == "bench-key":

@@ -4325,3 +4325,34 @@ def test_d3_approx_count_distinct_within_rsd_of_exact(spark, sf_dir):
     assert set(got) == set(exact) and len(got) >= 2
     for status, n in exact.items():
         assert abs(got[status] - n) <= 0.15 * n, (status, got[status], n)
+
+
+def test_cli_audit_matches_declared_keys(spark, sf_dir, capsys):
+    """The CLI `audit` command (SCALE.md's run-before-trusting rule,
+    runnable) must print exactly the j83 guard rows and the j80
+    certification row."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    rc = cli.main(["--sf-dir", sf_dir, "audit"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 3
+
+    expect_guard = [
+        f"guard\t{r['pipeline']}\tn_buckets={r['n_buckets']}"
+        f"\tmax_occ={r['max_occ']}"
+        f"\tn_capped_buckets={r['n_capped_buckets']}"
+        f"\tcapped_members={r['capped_members']}"
+        f"\tchain_edges={r['chain_edges']}"
+        for r in QUERIES["j83_lsh_guard_report"](spark, sf_dir).collect()
+    ]
+    assert out[:2] == expect_guard
+    row = QUERIES["j80_embedding_lsh_recall_sampled"](
+        spark, sf_dir
+    ).collect()[0]
+    assert out[2] == (
+        f"recall\tembedding\tn_exact_stratum={row['n_exact_stratum']}"
+        f"\tn_found_stratum={row['n_found_stratum']}"
+        f"\trecall={row['recall']}"
+        f"\test_full_pairs={row['est_full_pairs']}"
+    )
