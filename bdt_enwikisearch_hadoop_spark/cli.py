@@ -180,8 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         from .registry import QUERIES
 
         # the SCALE.md operational rule, runnable: occupancy guard
-        # state per pipeline, then the embedding-side recall
-        # certification row (the text-side twin is j72)
+        # state per pipeline, then BOTH pipelines' sampled recall
+        # certification rows (text j72, embedding j80)
         for r in QUERIES["j83_lsh_guard_report"](spark, args.sf_dir).collect():
             print(
                 f"guard\t{r['pipeline']}\tn_buckets={r['n_buckets']}"
@@ -190,6 +190,13 @@ def main(argv: list[str] | None = None) -> int:
                 f"\tcapped_members={r['capped_members']}"
                 f"\tchain_edges={r['chain_edges']}"
             )
+        trow = QUERIES["j72_lsh_eval_sampled"](spark, args.sf_dir).collect()[0]
+        print(
+            f"recall\ttext\tn_exact_stratum={trow['n_exact_stratum']}"
+            f"\tn_found_stratum={trow['n_dup_found_stratum']}"
+            f"\trecall={trow['recall']}"
+            f"\test_full_pairs={trow['est_full_pairs']}"
+        )
         row = QUERIES["j80_embedding_lsh_recall_sampled"](
             spark, args.sf_dir
         ).collect()[0]

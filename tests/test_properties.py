@@ -4336,7 +4336,7 @@ def test_cli_audit_matches_declared_keys(spark, sf_dir, capsys):
 
     rc = cli.main(["--sf-dir", sf_dir, "audit"])
     out = capsys.readouterr().out.strip().splitlines()
-    assert rc == 0 and len(out) == 3
+    assert rc == 0 and len(out) == 4
 
     expect_guard = [
         f"guard\t{r['pipeline']}\tn_buckets={r['n_buckets']}"
@@ -4347,10 +4347,17 @@ def test_cli_audit_matches_declared_keys(spark, sf_dir, capsys):
         for r in QUERIES["j83_lsh_guard_report"](spark, sf_dir).collect()
     ]
     assert out[:2] == expect_guard
+    trow = QUERIES["j72_lsh_eval_sampled"](spark, sf_dir).collect()[0]
+    assert out[2] == (
+        f"recall\ttext\tn_exact_stratum={trow['n_exact_stratum']}"
+        f"\tn_found_stratum={trow['n_dup_found_stratum']}"
+        f"\trecall={trow['recall']}"
+        f"\test_full_pairs={trow['est_full_pairs']}"
+    )
     row = QUERIES["j80_embedding_lsh_recall_sampled"](
         spark, sf_dir
     ).collect()[0]
-    assert out[2] == (
+    assert out[3] == (
         f"recall\tembedding\tn_exact_stratum={row['n_exact_stratum']}"
         f"\tn_found_stratum={row['n_found_stratum']}"
         f"\trecall={row['recall']}"
