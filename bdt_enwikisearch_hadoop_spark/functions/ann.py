@@ -1048,8 +1048,9 @@ def _embedding_near_dup_pairs(
 ) -> DataFrame:
     """(ia, ib, cos): verified embedding near-dup pairs — guarded
     band-collision candidates, pair-distinct, exact-cosine verify at θ
-    (j78's body, shared with j79's component closure and j80's stratum
-    certification via ``emb``).
+    (j78's body, shared with j79's component closure; j80 certifies the
+    MATERIALIZED output of this function, and the adversarial /
+    planted-pair property tests drive it directly via ``emb``).
 
     The band geometry is a parameter: the registered keys pin
     ``_J78_BANDS × _J78_BAND_BITS`` (8×8 — see the constants' rationale)
