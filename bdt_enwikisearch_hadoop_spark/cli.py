@@ -10,6 +10,8 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli card
     python -m bdt_enwikisearch_hadoop_spark.cli dedup-report
     python -m bdt_enwikisearch_hadoop_spark.cli audit
+    python -m bdt_enwikisearch_hadoop_spark.cli build-dedup-index /tmp/didx
+    python -m bdt_enwikisearch_hadoop_spark.cli dedup-probe /tmp/didx some text here
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
@@ -96,8 +98,28 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser(
         "audit",
         help="LSH trust audit: skew-guard occupancy (j83) + sampled "
-        "recall certification (j80) — run before consuming a pair table",
+        "recall certification (j72/j80) — run before consuming a pair table",
     )
+
+    db = sub.add_parser(
+        "build-dedup-index",
+        help="persist the MinHash band index + shingle sidecar for "
+        "online near-dup probing",
+    )
+    db.add_argument("path")
+    db.add_argument("--table", default="cli_dedup")
+    db.add_argument("--buckets", type=int, default=16)
+
+    dp = sub.add_parser(
+        "dedup-probe",
+        help="ask the persisted index whether TEXT is a near-dup of "
+        "any ingested document (bands only the probe; corpus never "
+        "rescanned)",
+    )
+    dp.add_argument("path")
+    dp.add_argument("text", nargs="+")
+    dp.add_argument("--table", default="cli_dedup")
+    dp.add_argument("--theta", type=float, default=0.8)
 
     args = ap.parse_args(argv)
     spark = _spark(f"cli-{args.cmd}")
@@ -174,6 +196,36 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['n_members']}\t{r['n_clusters']}\t{r['docs_covered']}"
                 f"\t{r['docs_removed']}\t{r['dedup_ratio']}"
             )
+        return 0
+
+    if args.cmd == "build-dedup-index":
+        from .functions.dedup_store import build_dedup_index
+
+        build_dedup_index(
+            spark, args.sf_dir, args.table, args.path, args.buckets
+        )
+        n = spark.table(args.table).count()
+        print(f"built {args.table} at {args.path}: {n} band rows")
+        return 0
+
+    if args.cmd == "dedup-probe":
+        from .functions.dedup_store import probe_dedup
+
+        # a fresh process has an empty in-memory catalog: re-register
+        # the store's files (same fallback as search-index)
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
+        ):
+            if not spark.catalog.tableExists(table):
+                spark.sql(
+                    f"CREATE TABLE {table} USING parquet LOCATION '{path}'"
+                )
+        rows = probe_dedup(
+            spark, args.table, " ".join(args.text), theta=args.theta
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['jaccard']}")
         return 0
 
     if args.cmd == "audit":

@@ -4363,3 +4363,84 @@ def test_cli_audit_matches_declared_keys(spark, sf_dir, capsys):
         f"\trecall={row['recall']}"
         f"\test_full_pairs={row['est_full_pairs']}"
     )
+
+
+def test_dedup_store_probe_contract(spark, sf_dir, tmp_path, capsys):
+    """The persisted dedup index + online probe (dedup_store): a
+    document probes to ITSELF at Jaccard 1.0; a one-token perturbation
+    still matches it ≥ 0.8; unrelated and too-short-to-shingle probes
+    return empty; the probe's pure-Python banding is bit-identical to
+    the corpus-side Spark banding; and the band-index read carries the
+    probe's bucket keys as a PUSHED filter (one bucket lookup per band,
+    never a scan).  The CLI `dedup-probe` prints the same rows."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        probe_bands,
+        probe_dedup,
+        probe_shingles,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _text_band_table,
+        doc_shingle_sets,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    try:
+        build_dedup_index(
+            spark, sf_dir, "t_dedup_idx", str(tmp_path / "didx")
+        )
+        doc = load(spark, sf_dir, "documents").filter("doc_id = 42").collect()[0]
+
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_dedup_idx", doc.text).collect()
+        ]
+        assert got and got[0] == (42, 1.0), got
+
+        toks = doc.text.split(" ")
+        toks[len(toks) // 2] = "zzzperturbzzz"
+        near = {
+            r.doc_id: r.jaccard
+            for r in probe_dedup(
+                spark, "t_dedup_idx", " ".join(toks)
+            ).collect()
+        }
+        assert 42 in near and 0.8 <= near[42] < 1.0, near
+
+        assert probe_dedup(
+            spark, "t_dedup_idx", "entirely unrelated words " * 5
+        ).collect() == []
+        assert probe_dedup(spark, "t_dedup_idx", "two tokens").collect() == []
+
+        spark_bands = {
+            (r.b, r.bk)
+            for r in _text_band_table(doc_shingle_sets(spark, sf_dir))
+            .filter("doc_id = 42")
+            .collect()
+        }
+        assert spark_bands == set(probe_bands(probe_shingles(doc.text)))
+
+        plan = (
+            probe_dedup(spark, "t_dedup_idx", doc.text)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert any(
+            "PushedFilters" in ln and "bk" in ln
+            for ln in plan.splitlines()
+        ), plan
+
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "dedup-probe", str(tmp_path / "didx"),
+             *doc.text.split(" "), "--table", "t_dedup_idx"]
+        )
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        assert [
+            (int(a), float(b)) for a, b in (ln.split("\t") for ln in out)
+        ] == got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx")
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sets")
