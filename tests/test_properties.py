@@ -4413,13 +4413,22 @@ def test_dedup_store_probe_contract(spark, sf_dir, tmp_path, capsys):
         ).collect() == []
         assert probe_dedup(spark, "t_dedup_idx", "two tokens").collect() == []
 
-        spark_bands = {
-            (r.b, r.bk)
-            for r in _text_band_table(doc_shingle_sets(spark, sf_dir))
-            .filter("doc_id = 42")
+        # cross-engine derivation pin over EVERY fixture document, not
+        # a single sample: any Python-vs-Spark divergence in the
+        # lowercase/split/shingle/minhash/band chain fails here
+        spark_bands: dict[int, set] = {}
+        for r in _text_band_table(doc_shingle_sets(spark, sf_dir)).collect():
+            spark_bands.setdefault(r.doc_id, set()).add((r.b, r.bk))
+        texts = {
+            r.doc_id: r.text
+            for r in load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
             .collect()
         }
-        assert spark_bands == set(probe_bands(probe_shingles(doc.text)))
+        assert len(spark_bands) > 100
+        for did, bands in spark_bands.items():
+            got_py = set(probe_bands(probe_shingles(texts[did])))
+            assert got_py == bands, did
 
         plan = (
             probe_dedup(spark, "t_dedup_idx", doc.text)
