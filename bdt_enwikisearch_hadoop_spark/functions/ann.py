@@ -1332,3 +1332,116 @@ def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
             .alias("est_full_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j85 — incremental (delta) EMBEDDING dedup: j84's decision shape on the
+# vector side, over the same materialized pair table j78/j79 serve from
+# ---------------------------------------------------------------------------
+
+#: deterministic ~25% "new batch" of vectors ('nbe:' seed — independent
+#: of j80's certification stratum and j84's text batch).
+_NBE_HEX = ("0", "1", "2", "3")
+
+
+def _nbe_pred_col(col):
+    return F.substring(
+        F.md5(F.concat(F.lit("nbe:"), col.cast("string"))), 1, 1
+    ).isin(*_NBE_HEX)
+
+
+def _nbe_pred_sql(col: str) -> str:
+    quoted = ",".join(f"'{h}'" for h in _NBE_HEX)
+    return (
+        f"substr(md5('nbe:' || CAST({col} AS VARCHAR)), 1, 1) IN ({quoted})"
+    )
+
+
+_J85_ORACLE = f"""
+    WITH {_J78_CTES},
+    edges AS (
+        SELECT ia AS d, ib AS p FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs
+    ),
+    agg AS (
+        SELECT d,
+               MIN(CASE WHEN NOT {_nbe_pred_sql('p')} THEN p END)
+                   AS corpus_dup,
+               MIN(CASE WHEN {_nbe_pred_sql('p')} AND p < d THEN p END)
+                   AS batch_dup
+        FROM edges
+        WHERE {_nbe_pred_sql('d')}
+        GROUP BY d
+    )
+    SELECT vec_id,
+           CASE WHEN corpus_dup IS NOT NULL THEN 'drop_corpus_dup'
+                WHEN batch_dup IS NOT NULL THEN 'drop_batch_dup'
+                ELSE 'keep' END AS decision,
+           COALESCE(corpus_dup, batch_dup) AS dup_of
+    FROM embeddings
+    LEFT JOIN agg ON agg.d = embeddings.vec_id
+    WHERE {_nbe_pred_sql('vec_id')}
+    ORDER BY vec_id
+    """
+
+
+@query("j85_incremental_embedding_dedup", oracle=_J85_ORACLE)
+def j85_incremental_embedding_dedup(spark, sf_dir) -> DataFrame:
+    """j84's incremental-dedup decision shape on the EMBEDDING side,
+    completing the delta-dedup matrix (text MinHash / vector cosine):
+    a deterministic ~25% of vectors plays the new batch; each new
+    vector is dropped if a verified cosine-≥θ near-dup already exists
+    in the corpus (min partner recorded), dropped behind a smaller-id
+    batch near-dup, else kept.  The same greedy-pairwise rule — every
+    decision computable from the vector's own candidate probes alone —
+    keeps the delta job streamable; j79's transitive closure remains
+    the batch-job semantics.
+
+    100 TB shape: identical to j84's — the delta run signs ONLY the
+    new batch (one zero-shuffle fold pass), probes the persisted
+    band-bucket index (j21's store layout on (g, bucket)) and verifies
+    against the vec_id-keyed corpus store; locally the probe + verify
+    stages are served pre-composed from the materialized verified pair
+    table (embedding_near_dup_pair_table — the same artifact j78/j79
+    read), which is decision-equivalent because the band predicate and
+    verify are identical on both sides of the batch boundary."""
+    pairs = embedding_near_dup_pair_table(spark, sf_dir)
+    dup = pairs.select("ia", "ib")
+    edges = dup.select(
+        F.col("ia").alias("d"), F.col("ib").alias("p")
+    ).unionAll(
+        dup.select(F.col("ib").alias("d"), F.col("ia").alias("p"))
+    )
+    agg = (
+        edges.filter(_nbe_pred_col(F.col("d")))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(~_nbe_pred_col(F.col("p")), F.col("p"))
+            ).alias("corpus_dup"),
+            F.min(
+                F.when(
+                    _nbe_pred_col(F.col("p")) & (F.col("p") < F.col("d")),
+                    F.col("p"),
+                )
+            ).alias("batch_dup"),
+        )
+    )
+    new_vecs = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(_nbe_pred_col(F.col("vec_id")))
+    )
+    return (
+        new_vecs.join(agg, new_vecs.vec_id == agg.d, "left")
+        .select(
+            "vec_id",
+            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
+            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
+        )
+        .orderBy("vec_id")
+    )

@@ -4453,3 +4453,56 @@ def test_dedup_store_probe_contract(spark, sf_dir, tmp_path, capsys):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dedup_idx")
         spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sets")
+
+
+def test_j85_embedding_delta_decisions_consistent_with_pair_table(
+    spark, sf_dir
+):
+    """j84's re-derivation check on the embedding side: every j85
+    decision must follow from the j78 verified pair list and the batch
+    predicate (corpus-dups name a non-batch partner, batch-dups a
+    smaller-id batch partner, keeps neither)."""
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _nbe_pred_col,
+        embedding_near_dup_pair_table,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    got = {
+        r.vec_id: (r.decision, r.dup_of)
+        for r in QUERIES["j85_incremental_embedding_dedup"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(got) > 50
+
+    pairs = embedding_near_dup_pair_table(spark, sf_dir).select(
+        "ia", "ib",
+        _nbe_pred_col(F.col("ia")).alias("a_new"),
+        _nbe_pred_col(F.col("ib")).alias("b_new"),
+    ).collect()
+    corpus_dup: dict[int, int] = {}
+    batch_dup: dict[int, int] = {}
+    for r in pairs:
+        for d, p, d_new, p_new in (
+            (r.ia, r.ib, r.a_new, r.b_new),
+            (r.ib, r.ia, r.b_new, r.a_new),
+        ):
+            if not d_new:
+                continue
+            if not p_new:
+                corpus_dup[d] = min(corpus_dup.get(d, p), p)
+            elif p < d:
+                batch_dup[d] = min(batch_dup.get(d, p), p)
+    for vec_id, (decision, dup_of) in got.items():
+        if vec_id in corpus_dup:
+            assert (decision, dup_of) == (
+                "drop_corpus_dup", corpus_dup[vec_id],
+            ), vec_id
+        elif vec_id in batch_dup:
+            assert (decision, dup_of) == (
+                "drop_batch_dup", batch_dup[vec_id],
+            ), vec_id
+        else:
+            assert (decision, dup_of) == ("keep", None), vec_id
