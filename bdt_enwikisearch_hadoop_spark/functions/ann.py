@@ -1335,54 +1335,143 @@ def j80_embedding_lsh_recall_sampled(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# j85 — incremental (delta) EMBEDDING dedup: j84's decision shape on the
-# vector side, over the same materialized pair table j78/j79 serve from
+# Shared delta-dedup machinery (j84 text / j85 embedding): ONE batch
+# predicate family and ONE greedy-pairwise decision fold, parameterized
+# by seed and id column so the two modalities can never fork semantics.
 # ---------------------------------------------------------------------------
 
-#: deterministic ~25% "new batch" of vectors ('nbe:' seed — independent
-#: of j80's certification stratum and j84's text batch).
-_NBE_HEX = ("0", "1", "2", "3")
+#: deterministic ~25% "new batch" hex bucket — shared by every delta
+#: seed (the seed string, not the bucket set, keeps batches independent)
+_BATCH_HEX = ("0", "1", "2", "3")
 
 
-def _nbe_pred_col(col):
+def batch_pred_col(col, seed: str):
+    """Column spelling of the hash-batch membership predicate."""
     return F.substring(
-        F.md5(F.concat(F.lit("nbe:"), col.cast("string"))), 1, 1
-    ).isin(*_NBE_HEX)
+        F.md5(F.concat(F.lit(seed), col.cast("string"))), 1, 1
+    ).isin(*_BATCH_HEX)
 
 
-def _nbe_pred_sql(col: str) -> str:
-    quoted = ",".join(f"'{h}'" for h in _NBE_HEX)
+def batch_pred_sql(col: str, seed: str) -> str:
+    """SQL spelling of the SAME predicate (oracle side)."""
+    quoted = ",".join(f"'{h}'" for h in _BATCH_HEX)
     return (
-        f"substr(md5('nbe:' || CAST({col} AS VARCHAR)), 1, 1) IN ({quoted})"
+        f"substr(md5('{seed}' || CAST({col} AS VARCHAR)), 1, 1)"
+        f" IN ({quoted})"
     )
 
 
-_J85_ORACLE = f"""
-    WITH {_J78_CTES},
+def delta_dedup_decisions(
+    universe: DataFrame,
+    id_name: str,
+    dup: DataFrame,
+    a_col: str,
+    b_col: str,
+    seed: str,
+) -> DataFrame:
+    """(id, decision, dup_of) greedy-pairwise delta-dedup decisions —
+    the SHARED body of j84 (text) and j85 (embedding).  ``universe``
+    is the full id domain, ``dup`` the verified near-dup pair list;
+    every batch member (hash-batch predicate on ``seed``) is dropped
+    behind its min corpus partner, else its min smaller-id batch
+    partner, else kept — each decision computable from the item's own
+    candidate probes alone (the streamable property; transitive
+    closure stays the batch job, j20/j79)."""
+
+    def pred(c):
+        return batch_pred_col(c, seed)
+
+    edges = dup.select(
+        F.col(a_col).alias("d"), F.col(b_col).alias("p")
+    ).unionAll(
+        dup.select(F.col(b_col).alias("d"), F.col(a_col).alias("p"))
+    )
+    agg = (
+        edges.filter(pred(F.col("d")))
+        .groupBy("d")
+        .agg(
+            F.min(F.when(~pred(F.col("p")), F.col("p"))).alias("corpus_dup"),
+            F.min(
+                F.when(
+                    pred(F.col("p")) & (F.col("p") < F.col("d")),
+                    F.col("p"),
+                )
+            ).alias("batch_dup"),
+        )
+    )
+    new_items = universe.select(id_name).filter(pred(F.col(id_name)))
+    return (
+        new_items.join(agg, F.col(id_name) == F.col("d"), "left")
+        .select(
+            id_name,
+            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
+            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
+        )
+        .orderBy(id_name)
+    )
+
+
+def delta_decisions_sql(
+    seed: str, universe: str, id_col: str, dup_select: str
+) -> str:
+    """The oracle-side twin of :func:`delta_dedup_decisions`:
+    CTE chunk + final SELECT, given a ``dup_select`` yielding columns
+    (a, b).  Shared by j84's and j85's oracles so the two engines AND
+    the two modalities all share one spelling of the semantics."""
+
+    def pred(c):
+        return batch_pred_sql(c, seed)
+
+    return f"""
+    dup AS ({dup_select}),
     edges AS (
-        SELECT ia AS d, ib AS p FROM pairs
+        SELECT a AS d, b AS p FROM dup
         UNION ALL
-        SELECT ib, ia FROM pairs
+        SELECT b, a FROM dup
     ),
     agg AS (
         SELECT d,
-               MIN(CASE WHEN NOT {_nbe_pred_sql('p')} THEN p END)
-                   AS corpus_dup,
-               MIN(CASE WHEN {_nbe_pred_sql('p')} AND p < d THEN p END)
-                   AS batch_dup
+               MIN(CASE WHEN NOT {pred('p')} THEN p END) AS corpus_dup,
+               MIN(CASE WHEN {pred('p')} AND p < d THEN p END) AS batch_dup
         FROM edges
-        WHERE {_nbe_pred_sql('d')}
+        WHERE {pred('d')}
         GROUP BY d
     )
-    SELECT vec_id,
+    SELECT {id_col},
            CASE WHEN corpus_dup IS NOT NULL THEN 'drop_corpus_dup'
                 WHEN batch_dup IS NOT NULL THEN 'drop_batch_dup'
                 ELSE 'keep' END AS decision,
            COALESCE(corpus_dup, batch_dup) AS dup_of
-    FROM embeddings
-    LEFT JOIN agg ON agg.d = embeddings.vec_id
-    WHERE {_nbe_pred_sql('vec_id')}
-    ORDER BY vec_id
+    FROM {universe}
+    LEFT JOIN agg ON agg.d = {universe}.{id_col}
+    WHERE {pred(f'{universe}.{id_col}')}
+    ORDER BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# j85 — incremental (delta) EMBEDDING dedup: j84's decision shape on the
+# vector side, over the same materialized pair table j78/j79 serve from
+# ---------------------------------------------------------------------------
+
+#: j85's batch seed ('nbe:' — independent of j80's certification
+#: stratum and j84's text batch 'nb:')
+_NBE_SEED = "nbe:"
+
+
+def _nbe_pred_col(col):
+    return batch_pred_col(col, _NBE_SEED)
+
+
+_J85_ORACLE = f"""
+    WITH {_J78_CTES},
+    {delta_decisions_sql(
+        _NBE_SEED, "embeddings", "vec_id",
+        "SELECT ia AS a, ib AS b FROM pairs",
+    )}
     """
 
 
@@ -1406,42 +1495,11 @@ def j85_incremental_embedding_dedup(spark, sf_dir) -> DataFrame:
     table (embedding_near_dup_pair_table — the same artifact j78/j79
     read), which is decision-equivalent because the band predicate and
     verify are identical on both sides of the batch boundary."""
-    pairs = embedding_near_dup_pair_table(spark, sf_dir)
-    dup = pairs.select("ia", "ib")
-    edges = dup.select(
-        F.col("ia").alias("d"), F.col("ib").alias("p")
-    ).unionAll(
-        dup.select(F.col("ib").alias("d"), F.col("ia").alias("p"))
-    )
-    agg = (
-        edges.filter(_nbe_pred_col(F.col("d")))
-        .groupBy("d")
-        .agg(
-            F.min(
-                F.when(~_nbe_pred_col(F.col("p")), F.col("p"))
-            ).alias("corpus_dup"),
-            F.min(
-                F.when(
-                    _nbe_pred_col(F.col("p")) & (F.col("p") < F.col("d")),
-                    F.col("p"),
-                )
-            ).alias("batch_dup"),
-        )
-    )
-    new_vecs = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id")
-        .filter(_nbe_pred_col(F.col("vec_id")))
-    )
-    return (
-        new_vecs.join(agg, new_vecs.vec_id == agg.d, "left")
-        .select(
-            "vec_id",
-            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
-            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
-            .otherwise("keep")
-            .alias("decision"),
-            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
-        )
-        .orderBy("vec_id")
+    return delta_dedup_decisions(
+        load(spark, sf_dir, "embeddings"),
+        "vec_id",
+        embedding_near_dup_pair_table(spark, sf_dir),
+        "ia",
+        "ib",
+        _NBE_SEED,
     )

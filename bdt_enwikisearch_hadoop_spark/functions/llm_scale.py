@@ -4448,59 +4448,37 @@ def j83_lsh_guard_report(spark, sf_dir) -> DataFrame:
 # j84 — incremental (delta) dedup: decide a NEW batch against the corpus
 # ---------------------------------------------------------------------------
 
-#: deterministic ~25% "new batch" by doc_id content hash (seeded 'nb:'
-#: so it is independent of j72/j80's certification stratum); the other
-#: ~75% plays the already-ingested corpus.
-_NB_HEX = ("0", "1", "2", "3")
+#: j84's batch seed ('nb:' — independent of j72/j80's certification
+#: stratum and j85's embedding batch 'nbe:').  Predicate family and
+#: decision fold are SHARED with j85 (ann.batch_pred_col /
+#: ann.delta_dedup_decisions) so the two modalities can never fork the
+#: delta-dedup semantics.
+_NB_SEED = "nb:"
 
 
 def _nb_pred_col(col):
-    return F.substring(
-        F.md5(F.concat(F.lit("nb:"), col.cast("string"))), 1, 1
-    ).isin(*_NB_HEX)
+    from .ann import batch_pred_col
+
+    return batch_pred_col(col, _NB_SEED)
 
 
-def _nb_pred_sql(col: str) -> str:
-    quoted = ",".join(f"'{h}'" for h in _NB_HEX)
-    return (
-        f"substr(md5('nb:' || CAST({col} AS VARCHAR)), 1, 1) IN ({quoted})"
+def _j84_oracle() -> str:
+    from .ann import delta_decisions_sql
+
+    dup_select = (
+        "SELECT doc_a AS a, doc_b AS b FROM inter"
+        " JOIN sz sa ON sa.doc_id = doc_a"
+        " JOIN sz sb ON sb.doc_id = doc_b"
+        " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
     )
-
-
-_J84_ORACLE = f"""
+    chunk = delta_decisions_sql(_NB_SEED, "documents", "doc_id", dup_select)
+    return f"""
     WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},
-    dup AS (
-        SELECT doc_a, doc_b
-        FROM inter
-        JOIN sz sa ON sa.doc_id = doc_a
-        JOIN sz sb ON sb.doc_id = doc_b
-        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
-    ),
-    edges AS (
-        SELECT doc_a AS d, doc_b AS p FROM dup
-        UNION ALL
-        SELECT doc_b, doc_a FROM dup
-    ),
-    agg AS (
-        SELECT d,
-               MIN(CASE WHEN NOT {_nb_pred_sql('p')} THEN p END)
-                   AS corpus_dup,
-               MIN(CASE WHEN {_nb_pred_sql('p')} AND p < d THEN p END)
-                   AS batch_dup
-        FROM edges
-        WHERE {_nb_pred_sql('d')}
-        GROUP BY d
-    )
-    SELECT doc_id,
-           CASE WHEN corpus_dup IS NOT NULL THEN 'drop_corpus_dup'
-                WHEN batch_dup IS NOT NULL THEN 'drop_batch_dup'
-                ELSE 'keep' END AS decision,
-           COALESCE(corpus_dup, batch_dup) AS dup_of
-    FROM documents
-    LEFT JOIN agg ON agg.d = documents.doc_id
-    WHERE {_nb_pred_sql('doc_id')}
-    ORDER BY doc_id
+    {chunk}
     """
+
+
+_J84_ORACLE = _j84_oracle()
 
 
 @query("j84_incremental_dedup", oracle=_J84_ORACLE)
@@ -4533,43 +4511,15 @@ def j84_incremental_dedup(spark, sf_dir) -> DataFrame:
     byte-equal to what the delta job's probe + verify would emit —
     only the candidate-generation cost model differs, and that is the
     part the docstring's first paragraph describes."""
+    from .ann import delta_dedup_decisions
+
     pairs = lsh_pair_table(spark, sf_dir)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    dup = pairs.filter(jac >= 0.8).select("doc_a", "doc_b")
-    edges = dup.select(
-        F.col("doc_a").alias("d"), F.col("doc_b").alias("p")
-    ).unionAll(
-        dup.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("p"))
-    )
-    agg = (
-        edges.filter(_nb_pred_col(F.col("d")))
-        .groupBy("d")
-        .agg(
-            F.min(
-                F.when(~_nb_pred_col(F.col("p")), F.col("p"))
-            ).alias("corpus_dup"),
-            F.min(
-                F.when(
-                    _nb_pred_col(F.col("p")) & (F.col("p") < F.col("d")),
-                    F.col("p"),
-                )
-            ).alias("batch_dup"),
-        )
-    )
-    new_docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(_nb_pred_col(F.col("doc_id")))
-    )
-    return (
-        new_docs.join(agg, new_docs.doc_id == agg.d, "left")
-        .select(
-            "doc_id",
-            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
-            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
-            .otherwise("keep")
-            .alias("decision"),
-            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
-        )
-        .orderBy("doc_id")
+    return delta_dedup_decisions(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        pairs.filter(jac >= 0.8).select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+        _NB_SEED,
     )

@@ -4413,9 +4413,10 @@ def test_dedup_store_probe_contract(spark, sf_dir, tmp_path, capsys):
         ).collect() == []
         assert probe_dedup(spark, "t_dedup_idx", "two tokens").collect() == []
 
-        # cross-engine derivation pin over EVERY fixture document, not
-        # a single sample: any Python-vs-Spark divergence in the
-        # lowercase/split/shingle/minhash/band chain fails here
+        # cross-engine derivation pin over EVERY fixture document, in
+        # BOTH directions: iterate the full corpus (not just the ids
+        # the Spark chain emitted), so a Spark-side row drop and a
+        # Python-vs-Spark band divergence both fail here
         spark_bands: dict[int, set] = {}
         for r in _text_band_table(doc_shingle_sets(spark, sf_dir)).collect():
             spark_bands.setdefault(r.doc_id, set()).add((r.b, r.bk))
@@ -4425,10 +4426,11 @@ def test_dedup_store_probe_contract(spark, sf_dir, tmp_path, capsys):
             .select("doc_id", "text")
             .collect()
         }
-        assert len(spark_bands) > 100
-        for did, bands in spark_bands.items():
-            got_py = set(probe_bands(probe_shingles(texts[did])))
-            assert got_py == bands, did
+        assert len(texts) > 100
+        for did, text in texts.items():
+            sh = probe_shingles(text)
+            got_py = set(probe_bands(sh)) if sh else set()
+            assert got_py == spark_bands.get(did, set()), did
 
         plan = (
             probe_dedup(spark, "t_dedup_idx", doc.text)
