@@ -55,7 +55,13 @@ _ROWS_PER_BAND = _N_HASH // _N_BANDS
 #: Fixture band-bucket maxima are 4, so the guard never fires at
 #: oracle scale; the adversarial identical-document test in
 #: tests/test_properties.py drives it directly.
-from .ann import _BUCKET_CAP, guarded_band_pairs  # noqa: E402
+from .ann import (  # noqa: E402
+    _BUCKET_CAP,
+    batch_pred_col,
+    delta_decisions_sql,
+    delta_dedup_decisions,
+    guarded_band_pairs,
+)
 
 #: the LSH candidate + exact-intersection CTE chain, shared verbatim by
 #: j8's and j32's oracles (identical md5 arithmetic in both engines).
@@ -4457,28 +4463,20 @@ _NB_SEED = "nb:"
 
 
 def _nb_pred_col(col):
-    from .ann import batch_pred_col
-
     return batch_pred_col(col, _NB_SEED)
 
 
-def _j84_oracle() -> str:
-    from .ann import delta_decisions_sql
+_J84_DUP_SELECT = (
+    "SELECT doc_a AS a, doc_b AS b FROM inter"
+    " JOIN sz sa ON sa.doc_id = doc_a"
+    " JOIN sz sb ON sb.doc_id = doc_b"
+    " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
+)
 
-    dup_select = (
-        "SELECT doc_a AS a, doc_b AS b FROM inter"
-        " JOIN sz sa ON sa.doc_id = doc_a"
-        " JOIN sz sb ON sb.doc_id = doc_b"
-        " WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8"
-    )
-    chunk = delta_decisions_sql(_NB_SEED, "documents", "doc_id", dup_select)
-    return f"""
+_J84_ORACLE = f"""
     WITH {_SHINGLE_CTE}, {_LSH_CAND_CTE},
-    {chunk}
+    {delta_decisions_sql(_NB_SEED, "documents", "doc_id", _J84_DUP_SELECT)}
     """
-
-
-_J84_ORACLE = _j84_oracle()
 
 
 @query("j84_incremental_dedup", oracle=_J84_ORACLE)
@@ -4511,8 +4509,6 @@ def j84_incremental_dedup(spark, sf_dir) -> DataFrame:
     byte-equal to what the delta job's probe + verify would emit —
     only the candidate-generation cost model differs, and that is the
     part the docstring's first paragraph describes."""
-    from .ann import delta_dedup_decisions
-
     pairs = lsh_pair_table(spark, sf_dir)
     jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return delta_dedup_decisions(
