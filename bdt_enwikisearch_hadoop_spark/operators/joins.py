@@ -279,7 +279,17 @@ def c11_join_asof(spark, sf_dir) -> DataFrame:
         "event_id",
         F.lit(1).alias("is_evt"),
     )
-    ords = o.select(
+    # NULL-key hygiene: the oracle's equi-join never matches a NULL
+    # user_id and `o_orderdate <= ts` is never true for a NULL date, but
+    # a window PARTITION BY groups NULLs together — so NULL-keyed or
+    # NULL-dated orders must not enter the union or they would count as
+    # priors for NULL-keyed events.  Events need no filter: a NULL-key
+    # event lands in a partition with no order rows (asof_date NULL,
+    # n_prior 0 — exactly the LEFT JOIN's unmatched row), and a NULL-ts
+    # event sorts before every order (nulls first ascending).
+    ords = o.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
         F.lit(None).cast("long").alias("event_id"),
