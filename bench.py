@@ -2,7 +2,7 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line:
 
-    {"queries_ms": "86,752,…", "qn": 316, "qk_sha1": "…",
+    {"queries_ms": "86,752,…", "qn": len(registry), "qk_sha1": "…",
      "metric": "total_runtime", "value": N, "unit": "sec", "sf": 0.1}
 
 Each query is materialized through the noop sink (full execution of the
@@ -15,12 +15,12 @@ query happens to run first — min-of-2 compares steady-state plan cost,
 which is what matters at 100 TB where compilation amortizes to zero.
 
 OUTPUT SIZE is load-bearing: the driver records only the LAST ~2000
-chars of stdout, and a 315-entry {"key": sec} map is ~9 KB — round 10's
-externally-recorded artifact carried a truncated tail and a null parse.
-The printed line therefore encodes the complete per-key record as
-``queries_ms``: integer-millisecond timings comma-joined in
-sorted(registry-key) order ("x" marks a failed key), ~1.3 KB for 315
-keys, with ``qn`` (key count) and ``qk_sha1`` (hash of the joined key
+chars of stdout, and a registry-sized {"key": sec} map is ~9 KB — round
+10's externally-recorded artifact carried a truncated tail and a null
+parse.  The printed line therefore encodes the complete per-key record
+as ``queries_ms``: integer-millisecond timings comma-joined in
+sorted(registry-key) order ("x" marks a failed key), ~4 B per key,
+with ``qn`` (= len(registry)) and ``qk_sha1`` (hash of the joined key
 list) so a decoder can verify alignment against the commit's registry.
 Decode:  dict(zip(sorted(QUERIES), queries_ms.split(","))).  The
 human-readable {key: sec} map plus the per-tag materialize ledger is
