@@ -12,6 +12,8 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli audit
     python -m bdt_enwikisearch_hadoop_spark.cli build-dedup-index /tmp/didx
     python -m bdt_enwikisearch_hadoop_spark.cli dedup-probe /tmp/didx some text here
+    python -m bdt_enwikisearch_hadoop_spark.cli build-embedding-index /tmp/eidx
+    python -m bdt_enwikisearch_hadoop_spark.cli embedding-probe /tmp/eidx --vec-id 7
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
@@ -121,6 +123,28 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--table", default="cli_dedup")
     dp.add_argument("--theta", type=float, default=0.8)
 
+    eb = sub.add_parser(
+        "build-embedding-index",
+        help="persist the hyperplane band index + vector sidecar for "
+        "online embedding near-dup probing",
+    )
+    eb.add_argument("path")
+    eb.add_argument("--table", default="cli_ededup")
+    eb.add_argument("--buckets", type=int, default=16)
+
+    ep = sub.add_parser(
+        "embedding-probe",
+        help="ask the persisted embedding index whether a vector is a "
+        "near-dup of any ingested vector (bands only the probe; corpus "
+        "never rescanned); pass --vec-id to probe a fixture vector or "
+        "--vec with comma-separated floats",
+    )
+    ep.add_argument("path")
+    ep.add_argument("--table", default="cli_ededup")
+    ep.add_argument("--vec-id", type=int, default=None)
+    ep.add_argument("--vec", default=None)
+    ep.add_argument("--theta", type=float, default=None)
+
     args = ap.parse_args(argv)
     spark = _spark(f"cli-{args.cmd}")
 
@@ -141,17 +165,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search-index":
-        from .functions.index_store import search_index
+        from .functions.index_store import register_external_store, search_index
 
-        # a fresh process has an empty in-memory catalog: re-register the
-        # store's files (bucketing metadata is only known to the building
-        # session; the external-table fallback still answers correctly,
-        # just without the bucketed-join shortcut)
-        if not spark.catalog.tableExists(args.table):
-            spark.sql(
-                f"CREATE TABLE {args.table} USING parquet "
-                f"LOCATION '{args.path}'"
-            )
+        # a fresh process has an empty in-memory catalog: re-register
+        # the store's files, restoring the bucketing spec from the
+        # build-time _meta.json sidecar (plain-external fallback
+        # without one — correct answers, no bucket pruning)
+        register_external_store(spark, args.table, args.path)
         rows = search_index(
             spark, args.table, tuple(args.terms), k=args.k,
             conjunctive=not args.any,
@@ -161,16 +181,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search-vsm":
-        from .functions.index_store import search_index_vsm
+        from .functions.index_store import (
+            register_external_store,
+            search_index_vsm,
+        )
 
         for table, path in (
             (args.table, args.path),
             (f"{args.table}_norms", f"{args.path.rstrip('/')}_norms"),
         ):
-            if not spark.catalog.tableExists(table):
-                spark.sql(
-                    f"CREATE TABLE {table} USING parquet LOCATION '{path}'"
-                )
+            register_external_store(spark, table, path)
         rows = search_index_vsm(
             spark, args.table, tuple(args.terms), k=args.k
         ).collect()
@@ -210,22 +230,69 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "dedup-probe":
         from .functions.dedup_store import probe_dedup
+        from .functions.index_store import register_external_store
 
         # a fresh process has an empty in-memory catalog: re-register
-        # the store's files (same fallback as search-index)
+        # the store's files with the sidecar's bucketing spec (same
+        # discipline as search-index)
         for table, path in (
             (args.table, args.path),
             (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
         ):
-            if not spark.catalog.tableExists(table):
-                spark.sql(
-                    f"CREATE TABLE {table} USING parquet LOCATION '{path}'"
-                )
+            register_external_store(spark, table, path)
         rows = probe_dedup(
             spark, args.table, " ".join(args.text), theta=args.theta
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['jaccard']}")
+        return 0
+
+    if args.cmd == "build-embedding-index":
+        from .functions.embedding_store import build_embedding_index
+
+        build_embedding_index(
+            spark, args.sf_dir, args.table, args.path, args.buckets
+        )
+        n = spark.table(args.table).count()
+        print(f"built {args.table} at {args.path}: {n} band rows")
+        return 0
+
+    if args.cmd == "embedding-probe":
+        from .functions.embedding_store import (
+            _J78_THETA,
+            probe_embedding_dedup,
+        )
+        from .functions.index_store import register_external_store
+
+        if (args.vec_id is None) == (args.vec is None):
+            print("pass exactly one of --vec-id / --vec", file=sys.stderr)
+            return 2
+        if args.vec is not None:
+            vec = [float(x) for x in args.vec.split(",")]
+        else:
+            from .sources import load
+
+            row = (
+                load(spark, args.sf_dir, "embeddings")
+                .filter(F.col("vec_id") == args.vec_id)
+                .collect()
+            )
+            if not row:
+                print(f"no vec_id {args.vec_id} in {args.sf_dir}",
+                      file=sys.stderr)
+                return 2
+            vec = [float(x) for x in row[0]["embedding"]]
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
+        ):
+            register_external_store(spark, table, path)
+        theta = _J78_THETA if args.theta is None else args.theta
+        rows = probe_embedding_dedup(
+            spark, args.table, vec, theta=theta
+        ).collect()
+        for row in rows:
+            print(f"{row['vec_id']}\t{row['cos']}")
         return 0
 
     if args.cmd == "audit":

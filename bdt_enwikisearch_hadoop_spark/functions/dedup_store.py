@@ -31,24 +31,40 @@ import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..sources import rebalance
+from .index_store import write_store_meta
+from .llm_pipeline import shingle_sets
 from .llm_scale import (
     _N_BANDS,
     _N_HASH,
     _ROWS_PER_BAND,
+    _text_band_table,
     doc_shingle_sets,
     text_band_table,
 )
 
 
 def build_dedup_index(spark, sf_dir: str, table: str, path: str,
-                      buckets: int = 16) -> None:
+                      buckets: int = 16,
+                      docs: DataFrame | None = None) -> None:
     """Persist the MinHash band index + shingle-set sidecar for online
-    probing.  Both inputs are served from the session's MATERIALIZED
-    artifacts (text_band_table / doc_shingle_sets), so a session whose
-    batch pipeline already ran pays only the two writes — the 16-md5
-    signature pass is never recomputed here; at 100 TB this is the
-    artifact the dedup job already writes."""
-    band = text_band_table(spark, sf_dir)
+    probing.  Without ``docs`` both inputs are served from the
+    session's MATERIALIZED artifacts (text_band_table /
+    doc_shingle_sets), so a session whose batch pipeline already ran
+    pays only the two writes — the 16-md5 signature pass is never
+    recomputed here; at 100 TB this is the artifact the dedup job
+    already writes.  ``docs`` (a (doc_id, text) frame) builds over a
+    custom corpus instead — the property tests' entry point.
+
+    Each table also gets a ``_meta.json`` sidecar so a FRESH process
+    (the CLI) can re-register the files with the full bucketing spec
+    instead of a plain external table (see register_external_store)."""
+    if docs is None:
+        band = text_band_table(spark, sf_dir)
+        sets = doc_shingle_sets(spark, sf_dir)
+    else:
+        sets = shingle_sets(rebalance(docs))
+        band = _text_band_table(sets)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         band.write.mode("overwrite")
@@ -57,7 +73,7 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
         .sortBy("bk")
         .saveAsTable(table)
     )
-    sets = doc_shingle_sets(spark, sf_dir)
+    write_store_meta(band, path, buckets, "bk")
     spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
     (
         sets.write.mode("overwrite")
@@ -66,6 +82,42 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
         .sortBy("doc_id")
         .saveAsTable(f"{table}_sets")
     )
+    write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
+
+
+def _table_buckets(spark, table: str) -> int:
+    """Bucket count of a catalog table (DESCRIBE EXTENDED — works for
+    both builder-session tables and sidecar-registered ones)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not bucketed")
+
+
+def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
+    """Append a NEW batch's band rows + shingle sets into the persisted
+    index tables — the index-maintenance half of the incremental story:
+    j84 decides a daily shard against the corpus without rescanning it,
+    and this makes the index itself roll forward at batch-sized cost
+    (sign ONLY the batch, two bucketed appends) instead of a rebuild.
+    Appended files land in the same bucket layout (the writer's spec
+    must match the table's or Spark refuses), so probe-time bucket
+    pruning keeps working across build ∪ append; probe-equivalence
+    with a full rebuild is pinned by
+    test_append_dedup_index_equals_rebuild.
+
+    The batch is signed twice (once per table write) — batch-sized
+    work, and keeping the two writer plans independent beats a
+    checkpoint for shards that fit the daily-ingest budget."""
+    nb = _table_buckets(spark, table)
+    sets = shingle_sets(rebalance(docs))
+    band = _text_band_table(sets)
+    band.write.mode("append").bucketBy(nb, "bk").sortBy("bk").saveAsTable(
+        table
+    )
+    sets.write.mode("append").bucketBy(nb, "doc_id").sortBy(
+        "doc_id"
+    ).saveAsTable(f"{table}_sets")
 
 
 def probe_shingles(text: str, k: int = 3) -> list[str]:
@@ -110,13 +162,25 @@ def probe_dedup(spark, table: str, text: str,
     Jaccard with ``text`` is ≥ theta, candidates drawn ONLY from the
     probe's band buckets — the j8 contract served online.
 
-    Plan: the band-index read carries the probe's (b, bk) disjunction
-    as a pushed filter (bucketed on bk, so it opens one bucket file
-    per band); the candidate doc_ids then key a join into the
+    Plan: the band-index read carries a ``bk IN (probe's bucket
+    keys)`` conjunct — the shape Spark's bucket-pruning extractor
+    recognizes, so the scan opens ONLY the probe's bucket files
+    ("SelectedBucketsCount: |bands| out of n" in the plan; the exact
+    (b, bk) disjunction alone defeats the extractor and scanned all
+    buckets) — plus the (b, bk) disjunction as the exact residual
+    filter.  The candidate doc_ids then key a join into the
     shingle-set sidecar; the verify is one in-row array_intersect
     against the probe's shingle-array literal.  A probe that is too
     short to shingle, or whose buckets are all empty, returns an empty
-    DataFrame — never an error."""
+    DataFrame — never an error.
+
+    Threshold contract: keep/drop applies to the EXACT (unrounded)
+    Jaccard — the same ``j >= theta`` cut j8's batch pipeline declares —
+    and the emitted ``jaccard`` column is that same unrounded value, so
+    the displayed number can never disagree with the cut at the
+    boundary (a pair at true J = 0.79996 is dropped and would have
+    shown as 0.79996, not a rounded 0.8; pinned by the boundary-J
+    fixture in tests/test_properties.py)."""
     sh = probe_shingles(text)
     idx = spark.table(table)
     if not sh:
@@ -129,14 +193,15 @@ def probe_dedup(spark, table: str, text: str,
     for b, bk in bands:
         c = (F.col("b") == b) & (F.col("bk") == bk)
         hit = c if hit is None else (hit | c)
-    cand = idx.filter(hit).select("doc_id").distinct()
+    prune = F.col("bk").isin(*[bk for _, bk in bands])
+    cand = idx.filter(prune & hit).select("doc_id").distinct()
     sets = spark.table(f"{table}_sets").join(cand, "doc_id")
     probe_arr = F.array(*[F.lit(s) for s in sh])
     inter = F.size(F.array_intersect(F.col("s"), probe_arr))
     jac = inter / (F.size("s") + F.lit(len(sh)) - inter)
     return (
-        sets.withColumn("jaccard", F.round(jac, 4))
-        .filter(jac >= theta)
+        sets.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= theta)
         .select("doc_id", "jaccard")
         .orderBy(F.col("jaccard").desc(), "doc_id")
     )

@@ -23,10 +23,59 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import load
 from .text_search import term_freq, tfidf_w, tokenize
+
+
+def write_store_meta(df: DataFrame, path: str, buckets: int,
+                     bucket_col: str) -> None:
+    """Persist a ``{path}_meta.json`` sidecar (schema DDL + bucketing
+    spec) next to a store table's files.  The bucketBy metadata written
+    by ``saveAsTable`` lives only in the building session's catalog; a
+    fresh process re-registering the files as a plain external table
+    silently loses bucket pruning and shuffle-free joins — the sidecar
+    is what lets :func:`register_external_store` re-issue the full
+    ``CLUSTERED BY`` DDL.  Local-filesystem write; an object-store
+    deployment writes the same JSON next to the table files."""
+    meta = {
+        "buckets": buckets,
+        "bucket_col": bucket_col,
+        "schema": ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        ),
+    }
+    with open(f"{path.rstrip('/')}_meta.json", "w") as fh:
+        json.dump(meta, fh)
+
+
+def register_external_store(spark, table: str, path: str) -> None:
+    """Register a persisted store's files in a fresh session's catalog,
+    restoring the build-time bucketing spec from the ``_meta.json``
+    sidecar (Spark's ``CREATE TABLE ... CLUSTERED BY`` requires an
+    explicit column list, hence the schema in the sidecar).  Without a
+    sidecar this degrades to a plain external table — correct answers,
+    but probe reads lose bucket pruning.  No-op if ``table`` already
+    exists."""
+    if spark.catalog.tableExists(table):
+        return
+    mp = f"{path.rstrip('/')}_meta.json"
+    if os.path.exists(mp):
+        with open(mp) as fh:
+            m = json.load(fh)
+        spark.sql(
+            f"CREATE TABLE {table} ({m['schema']}) USING parquet "
+            f"CLUSTERED BY ({m['bucket_col']}) "
+            f"SORTED BY ({m['bucket_col']}) "
+            f"INTO {m['buckets']} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
 
 
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
@@ -51,6 +100,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
         .sortBy("term")
         .saveAsTable(table)
     )
+    write_store_meta(index, path, buckets, "term")
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
@@ -62,6 +112,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
         .sortBy("doc_id")
         .saveAsTable(f"{table}_norms")
     )
+    write_store_meta(norms, f"{path.rstrip('/')}_norms", buckets, "doc_id")
 
 
 def search_index(
@@ -158,6 +209,7 @@ def build_tf_index(
         .sortBy("term")
         .saveAsTable(table)
     )
+    write_store_meta(index, path, buckets, "term")
 
 
 def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:

@@ -40,6 +40,17 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # serving: keep bucketed scans ON even when no join/agg needs the
+    # distribution — DisableUnnecessaryBucketedScan would otherwise
+    # turn off bucket PRUNING too (measured: the dedup/postings probe's
+    # `bk IN (...)` read shows "SelectedBucketsCount: 4 out of 16" with
+    # this off vs "Bucketed: false (disabled by query planner)" and a
+    # 16-file scan with it on).  Trade-off: a full scan of a bucketed
+    # table reads one task per bucket instead of splitting by
+    # maxPartitionBytes — acceptable here because every bucketed table
+    # this engine writes is an index store whose bucket count is sized
+    # to the consumer parallelism (index_store module docstring).
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
 }
 
 
