@@ -1,0 +1,193 @@
+"""Persisted embedding near-dup index + ONLINE probe — dedup_store's
+build-once/serve-many pattern on the VECTOR side, completing j85's
+incremental story the way dedup_store completes j84's: an ingestion
+service asks "is this vector a near-duplicate of anything already
+ingested?" by banding ONLY the probe vector (pure-Python, driver-side —
+one signature fold, no job) and reading the probe's |bands| bucket rows
+from the persisted hyperplane-band index, then exact-cosine-verifying
+the handful of candidates against the persisted vector sidecar.  The
+corpus is never rescanned per probe.
+
+Two tables per index:
+
+* ``{table}``       — (vec_id, g, bucket) band-bucket rows at the
+  pinned 8×8 SRP geometry (ann.py's ``_J78_BANDS × _J78_BAND_BITS``),
+  bucketed + sorted by ``bucket`` so a probe's lookup is a
+  bucket-pruned read (``SelectedBucketsCount: |bands| out of n``)
+  instead of a scan;
+* ``{table}_vecs``  — (vec_id, v array<double>, nrm) the widened
+  vectors + L2 norms for the exact-cosine verify — the SAME
+  (vector, norm) projection the batch pair builder computes, persisted
+  (j21's store discipline on the embedding side).
+
+Cross-engine derivation contract (dedup_store.py:20's discipline,
+applied to ann.py's banding): the probe's Python signature fold MUST be
+bit-identical to the corpus-side Spark banding — same ±1 md5-parity
+coefficient family (``_COEFS64``), same sequential left-to-right IEEE
+double fold starting at 0.0, same ``Σ bitᵢ·2ⁱ`` bucket packing — pinned
+by a property test that recomputes EVERY fixture vector's band set in
+Python and compares it against the Spark bucket table, and by a
+decision-level pin: per-vector probe decisions over a corpus-only index
+equal j85's batch-delta decisions for the same vectors.
+
+Equivalence domain: the batch pair table's candidates pass through the
+``_BUCKET_CAP`` occupancy guard (a >cap bucket degrades to a chain);
+the probe reads ALL members of its buckets.  The two coincide exactly
+while no bucket exceeds the cap (fixture max occupancy 33 < 64; the
+guard state is observable via j83 / the CLI ``audit`` lane) — past the
+cap the probe is strictly MORE complete than the batch table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources import load, rebalance
+from .ann import (
+    _COEFS64,
+    _J78_BAND_BITS,
+    _J78_BANDS,
+    _J78_THETA,
+    embedding_band_buckets,
+    embedding_bucket_table,
+)
+from .dedup_store import _table_buckets
+from .index_store import write_store_meta
+from .llm_pipeline import dot, vec_double
+
+
+def _vec_sidecar(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm) — the widened-vector + norm projection the
+    batch pair builder (`_embedding_near_dup_pairs`) computes, so the
+    probe's verify runs over byte-identical doubles."""
+    ve = vec_double(F.col("embedding"))
+    return emb.select(
+        "vec_id", ve.alias("v"), F.sqrt(dot(ve, ve)).alias("nrm")
+    )
+
+
+def build_embedding_index(spark, sf_dir: str, table: str, path: str,
+                          buckets: int = 16,
+                          emb: DataFrame | None = None) -> None:
+    """Persist the hyperplane band index + vector sidecar for online
+    probing.  Without ``emb`` the band table is served from the
+    session's MATERIALIZED artifact (embedding_bucket_table), so a
+    session whose batch pipeline already ran pays only the writes — the
+    64-bit signature pass is never recomputed here.  ``emb`` (a
+    (vec_id, embedding) frame) builds over a custom corpus instead.
+
+    Each table gets a ``_meta.json`` sidecar so a fresh process can
+    re-register the files with the full bucketing spec
+    (index_store.register_external_store)."""
+    if emb is None:
+        band = embedding_bucket_table(spark, sf_dir)
+        vecs = _vec_sidecar(load(spark, sf_dir, "embeddings"))
+    else:
+        band = embedding_band_buckets(emb)
+        vecs = _vec_sidecar(emb)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        band.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(table)
+    )
+    write_store_meta(band, path, buckets, "bucket")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+    (
+        vecs.write.mode("overwrite")
+        .option("path", f"{path.rstrip('/')}_vecs")
+        .bucketBy(buckets, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(f"{table}_vecs")
+    )
+    write_store_meta(vecs, f"{path.rstrip('/')}_vecs", buckets, "vec_id")
+
+
+def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
+    """Append a NEW batch's band rows + vectors into the persisted
+    index — j85's daily-shard lane made true across days: the delta run
+    signs ONLY the batch (one zero-shuffle fold pass per write) and the
+    corpus tables roll forward without a rebuild.  Probe-equivalence
+    with a full rebuild is pinned by
+    test_append_embedding_index_equals_rebuild."""
+    nb = _table_buckets(spark, table)
+    band = embedding_band_buckets(emb)
+    band.write.mode("append").bucketBy(nb, "bucket").sortBy(
+        "bucket"
+    ).saveAsTable(table)
+    _vec_sidecar(emb).write.mode("append").bucketBy(nb, "vec_id").sortBy(
+        "vec_id"
+    ).saveAsTable(f"{table}_vecs")
+
+
+def probe_vector_bands(
+    vec: list[float],
+    bands: int = _J78_BANDS,
+    bits_per_band: int = _J78_BAND_BITS,
+) -> list[tuple[int, int]]:
+    """(g, bucket) band keys of ONE probe vector — pure-Python
+    replication of ``band_signature``'s derivation: per-bit sign of a
+    SEQUENTIAL left-to-right double fold of ±components (Python floats
+    ARE IEEE doubles and ``acc += x*c`` is the same correctly-rounded
+    op chain as Spark's ``aggregate(zip_with(..), 0.0, acc+x)``, so the
+    sign — and hence every bucket — is bit-identical by construction,
+    and pinned against the Spark bucket table over the whole fixture
+    corpus in tests/test_properties.py)."""
+    nbits = bands * bits_per_band
+    bits = []
+    for b in range(nbits):
+        coefs = _COEFS64[b]
+        acc = 0.0
+        for x, c in zip(vec, coefs):
+            acc += x * c
+        bits.append(1 if acc >= 0 else 0)
+    return [
+        (
+            g,
+            sum(
+                bits[g * bits_per_band + i] << i
+                for i in range(bits_per_band)
+            ),
+        )
+        for g in range(bands)
+    ]
+
+
+def probe_embedding_dedup(spark, table: str, vec: list[float],
+                          theta: float = _J78_THETA) -> DataFrame:
+    """(vec_id, cos) of every indexed vector whose exact cosine with
+    ``vec`` is ≥ theta, candidates drawn ONLY from the probe's band
+    buckets — the j78 contract served online.
+
+    Plan: the band-index read carries a ``bucket IN (probe's buckets)``
+    conjunct — the shape Spark's bucket-pruning extractor recognizes —
+    plus the (g, bucket) disjunction as the exact residual filter; the
+    candidate vec_ids then key a join into the vector sidecar; the
+    verify is one in-row dot fold against the probe's array literal
+    (norms: the sidecar's persisted ``nrm`` × the probe's, computed
+    with the same fold, so the cosine is bit-identical to the batch
+    pair table's).
+
+    Threshold contract: keep/drop applies to the exact (unrounded)
+    cosine and the emitted ``cos`` column is that same value — the
+    displayed number can never disagree with the theta cut
+    (dedup_store.probe_dedup's contract, vector side)."""
+    bands = probe_vector_bands(vec)
+    idx = spark.table(table)
+    hit = None
+    for g, bucket in bands:
+        c = (F.col("g") == g) & (F.col("bucket") == bucket)
+        hit = c if hit is None else (hit | c)
+    prune = F.col("bucket").isin(*[b for _, b in bands])
+    cand = idx.filter(prune & hit).select("vec_id").distinct()
+    vecs = spark.table(f"{table}_vecs").join(cand, "vec_id")
+    plit = F.array(*[F.lit(float(x)) for x in vec])
+    cos = dot(F.col("v"), plit) / (F.col("nrm") * F.sqrt(dot(plit, plit)))
+    return (
+        vecs.withColumn("cos", cos)
+        .filter(F.col("cos") >= theta)
+        .select("vec_id", "cos")
+        .orderBy(F.col("cos").desc(), "vec_id")
+    )
