@@ -1123,6 +1123,110 @@ def run_streaming_index_merge_smoke(spark, sf_dir: str) -> tuple[list, list]:
     return merged, rebuilt
 
 
+def run_streaming_delta_dedup_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """j84's delta-dedup decision fold run AS A STREAM — the docstring
+    claim 'embarrassingly parallel and streamable' executed rather than
+    asserted: the new batch's documents arrive as a file-source stream,
+    and foreachBatch probes the PERSISTED dedup index (dedup_store's
+    band table + shingle sidecar, built over the corpus side only —
+    the corpus is never rescanned) to emit the same per-document
+    keep/drop decisions j84 computes in batch.  Returns (streamed,
+    batch) canonical decision lists, which must be equal.
+
+    Per micro-batch: band ONLY the batch (one signature pass), join the
+    batch's band rows against the persisted index on (b, bk) for
+    corpus candidates plus a batch-side self-join for within-batch
+    candidates, exact-verify both against the shingle sets (persisted
+    sidecar for corpus docs, the batch's own for new docs), then the
+    SHARED ``delta_dedup_decisions`` fold.  Equivalence domain: the
+    batch pipeline's candidates pass the _BUCKET_CAP guard, the probe
+    join reads whole buckets — identical while no bucket exceeds the
+    cap (fixture max 4; j83 observes the guard state)."""
+    import tempfile
+
+    from ..functions.ann import delta_dedup_decisions
+    from ..functions.dedup_store import build_dedup_index
+    from ..functions.llm_pipeline import shingle_sets
+    from ..functions.llm_scale import _NB_SEED, _nb_pred_col, _text_band_table
+    from ..registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(~_nb_pred_col(F.col("doc_id")))
+    batch_docs = docs.filter(_nb_pred_col(F.col("doc_id")))
+
+    def canon(rows):
+        return sorted((r["doc_id"], r["decision"], r["dup_of"]) for r in rows)
+
+    with tempfile.TemporaryDirectory() as workdir:
+        try:
+            build_dedup_index(
+                spark, sf_dir, "t_stream_didx", f"{workdir}/didx",
+                docs=corpus,
+            )
+            src = f"{workdir}/batch_src"
+            batch_docs.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(docs.schema).parquet(src)
+            out = f"{workdir}/decisions"
+
+            def decide_batch(bdf, batch_id):
+                sets_b = shingle_sets(bdf)
+                band_b = _text_band_table(sets_b)
+                idx = spark.table("t_stream_didx")
+                cand = (
+                    band_b.alias("n")
+                    .join(idx.alias("c"), ["b", "bk"])
+                    .select(
+                        F.col("n.doc_id").alias("a"),
+                        F.col("c.doc_id").alias("b"),
+                    )
+                    .unionAll(
+                        band_b.alias("x")
+                        .join(band_b.alias("y"), ["b", "bk"])
+                        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                        .select(
+                            F.col("x.doc_id").alias("a"),
+                            F.col("y.doc_id").alias("b"),
+                        )
+                    )
+                    .distinct()
+                )
+                all_sets = spark.table("t_stream_didx_sets").unionByName(
+                    sets_b
+                )
+                sa = all_sets.select(
+                    F.col("doc_id").alias("a"), F.col("s").alias("s_a")
+                )
+                sb = all_sets.select(
+                    F.col("doc_id").alias("b"), F.col("s").alias("s_b")
+                )
+                inter = F.size(F.array_intersect("s_a", "s_b"))
+                jac = inter / (F.size("s_a") + F.size("s_b") - inter)
+                dup = (
+                    cand.join(sa, "a").join(sb, "b")
+                    .filter(jac >= 0.8)
+                    .select("a", "b")
+                )
+                delta_dedup_decisions(
+                    bdf, "doc_id", dup, "a", "b", _NB_SEED
+                ).write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+
+            q = (
+                stream.writeStream.foreachBatch(decide_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            streamed = canon(spark.read.parquet(f"{out}/b0").collect())
+            batch = canon(
+                QUERIES["j84_incremental_dedup"](spark, sf_dir).collect()
+            )
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_stream_didx")
+            spark.sql("DROP TABLE IF EXISTS t_stream_didx_sets")
+    return streamed, batch
+
+
 def run_transform_with_state_smoke(spark, sf_dir: str) -> int:
     """Spark 4's transformWithStateInPandas — the successor API to
     applyInPandasWithState: a StatefulProcessor class with typed state
