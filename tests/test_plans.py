@@ -1360,7 +1360,10 @@ def test_registry_wide_plan_lint(spark, sf_dir):
     serving loop has constructed all keys) is re-planned and held to
     the SAME three invariants, with its own allowlist."""
     from bdt_enwikisearch_hadoop_spark.registry import QUERIES
-    from bdt_enwikisearch_hadoop_spark.sources.io import RAW_BUILDERS
+    from bdt_enwikisearch_hadoop_spark.sources.io import (
+        MATERIALIZE_SECONDS,
+        RAW_BUILDERS,
+    )
 
     offenders = {}
 
@@ -1384,8 +1387,18 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         )
         lint(key, p, _BNLJ_OK, _ROW_PYTHON_OK)
 
+    # SET-EQUALITY against the session's materialize ledger (not a
+    # floor): after the serving loop above, every materialized() tag
+    # has BOTH a billed build (MATERIALIZE_SECONDS) and a recorded raw
+    # builder (RAW_BUILDERS) — a new builder that registers in one but
+    # not the other, or dodges registration entirely, fails here
+    # instead of slipping under a stale count.
+    app = spark.sparkContext.applicationId
+    billed = {t for (a, s, t) in MATERIALIZE_SECONDS
+              if a == app and s == sf_dir}
     tags = sorted(t for (s, t) in RAW_BUILDERS if s == sf_dir)
-    assert len(tags) >= 16, tags  # every materialize_by_tag tag recorded
+    assert set(tags) == billed, sorted(set(tags) ^ billed)
+    assert len(tags) >= 18, tags  # shrinkage guard: 18 tags as of r12
     for tag in tags:
         p = (
             RAW_BUILDERS[(sf_dir, tag)]()
@@ -1395,3 +1408,34 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         )
         lint(f"builder:{tag}", p, _BUILDER_BNLJ_OK, set())
     assert not offenders, offenders
+
+
+def test_exact_quantile_keys_single_sort_no_rescans(spark, sf_dir):
+    """The three deliberate exact-order statistics (d12 interpolated
+    percentiles, d26 weighted percentiles, d34 trimmed mean) document
+    a single corpus pass with per-group ordering as their whole cost
+    and name their sketch substitutes (d13 / weighted t-digest) — this
+    pins that shape so a regression can't silently add a join-back
+    rescan or an extra corpus shuffle:
+
+    * ONE lineitem scan (the measure is never re-read to attach ranks
+      or totals — windows/aggregates fold over the same pass);
+    * no joins of any kind;
+    * the documented exchange budget: d12 one hash exchange (sortless
+      ObjectHashAggregate sketch-style percentile), d26 one hash
+      exchange feeding BOTH windows (same partition key ⇒ exchange
+      reuse) , d34 two (histogram aggregate + flag-keyed window over
+      the tiny histogram); the only rangepartitioning is the output
+      ORDER BY."""
+    budget = {
+        "d12_percentiles": (1, 0),
+        "d26_weighted_percentile": (1, 1),
+        "d34_trimmed_mean": (2, 1),
+    }
+    for key, (n_hash, n_range) in budget.items():
+        p = _plan(spark, sf_dir, key)
+        assert p.count("FileScan") == 1, (key, p.count("FileScan"))
+        assert "Join" not in p, key
+        assert p.count("Exchange hashpartitioning") == n_hash, key
+        assert p.count("Exchange rangepartitioning") == n_range, key
+        assert p.count("Sort [") <= 2, key

@@ -4508,3 +4508,367 @@ def test_j85_embedding_delta_decisions_consistent_with_pair_table(
             ), vec_id
         else:
             assert (decision, dup_of) == ("keep", None), vec_id
+
+
+# ---------------------------------------------------------------------------
+# round 12: probe-store boundary contract, incremental index maintenance,
+# and the embedding-side online probe store
+# ---------------------------------------------------------------------------
+
+
+def _boundary_pair(salt: int):
+    """An 11-token doc and its last-token swap: shingle sets of size 9
+    sharing 8 members → exact Jaccard 8/10 = 0.8 (the double closest to
+    0.8, so `jac >= 0.8` keeps it — the boundary of j8's contract).
+    Salts 0 and 1 are verified to COLLIDE in ≥1 MinHash band (fixed
+    strings + md5 ⇒ deterministic), so the pair is always a candidate."""
+    dt = [f"w{salt}x{i}" for i in range(10)] + ["enda"]
+    pt = dt[:10] + ["endb"]
+    return " ".join(dt), " ".join(pt)
+
+
+def _below_boundary_pair():
+    """A 22502-token doc and a 22501-token probe sharing a 20001-token
+    prefix: sets 22500/22499 sharing 19999 → J = 19999/25000 = 0.79996,
+    strictly below θ=0.8 but displaying as 0.8 under 4dp rounding — the
+    adversarial fixture for the filter-what-you-emit contract.  Salt 0
+    verified to collide in ≥1 band."""
+    pref = [f"p0q{i}" for i in range(20001)]
+    da = pref + [f"ta0z{i}" for i in range(2501)]
+    pb = pref + [f"tb0z{i}" for i in range(2500)]
+    return " ".join(da), " ".join(pb)
+
+
+def test_probe_dedup_boundary_theta_contract(spark, tmp_path):
+    """probe_dedup's threshold contract at the J=0.8 boundary, both
+    sides: a pair at exactly J=0.8 is KEPT (j8's ≥0.8 semantics) and a
+    pair at J=0.79996 — which 4dp rounding would DISPLAY as 0.8 — is
+    DROPPED, with the emitted jaccard equal to the exact value the cut
+    ran on (filter-what-you-emit: the printed number can never disagree
+    with the theta decision)."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        probe_bands,
+        probe_dedup,
+        probe_shingles,
+    )
+
+    doc_at, probe_at = _boundary_pair(0)
+    doc_below, probe_below = _below_boundary_pair()
+    # fixed-string collision guards: if the fixture strings change,
+    # fail HERE (candidacy lost) rather than with a confusing empty probe
+    assert set(probe_bands(probe_shingles(doc_at))) & set(
+        probe_bands(probe_shingles(probe_at))
+    )
+    assert set(probe_bands(probe_shingles(doc_below))) & set(
+        probe_bands(probe_shingles(probe_below))
+    )
+    docs = spark.createDataFrame(
+        [(1, doc_at), (2, doc_below)], "doc_id long, text string"
+    )
+    try:
+        build_dedup_index(
+            spark, "unused", "t_bdy_idx", str(tmp_path / "bidx"), docs=docs
+        )
+        # exactly AT the boundary: kept, jaccard exactly 8/10
+        got = {
+            r.doc_id: r.jaccard
+            for r in probe_dedup(spark, "t_bdy_idx", probe_at).collect()
+        }
+        assert got.get(1) == 8 / 10, got
+        # just BELOW: dropped at θ=0.8 even though round(J,4) == 0.8 …
+        assert 19999 / 25000 < 0.8 and round(19999 / 25000, 4) == 0.8
+        below = probe_dedup(spark, "t_bdy_idx", probe_below).collect()
+        assert [r.doc_id for r in below] == [], below
+        # … and at a lower θ the same pair is emitted with the EXACT
+        # unrounded value the cut ran on
+        low = {
+            r.doc_id: r.jaccard
+            for r in probe_dedup(
+                spark, "t_bdy_idx", probe_below, theta=0.79
+            ).collect()
+        }
+        assert low.get(2) == 19999 / 25000, low
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bdy_idx")
+        spark.sql("DROP TABLE IF EXISTS t_bdy_idx_sets")
+
+
+def test_append_dedup_index_equals_rebuild(spark, tmp_path):
+    """Index MAINTENANCE: build over a base corpus + append a new batch
+    must serve probes identically to a full rebuild over base ∪ batch —
+    including a probe whose near-dup exists ONLY in the appended batch
+    (the j84 'corpus is never rescanned' claim made true across days).
+    Also pins the physical story: appended band rows land in the same
+    bucket layout, so the probe plan keeps its bucket pruning."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        probe_dedup,
+    )
+
+    base_doc, base_probe = _boundary_pair(1)
+    new_doc, new_probe = _boundary_pair(0)
+    filler = "completely unrelated filler words " * 8
+    base = spark.createDataFrame(
+        [(1, base_doc), (2, filler)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(5, new_doc), (6, filler + " tail")], "doc_id long, text string"
+    )
+    probes = [base_probe, new_probe, base_doc, new_doc, "zz yy xx ww vv uu"]
+    try:
+        build_dedup_index(
+            spark, "unused", "t_app_idx", str(tmp_path / "appidx"),
+            docs=base,
+        )
+        append_dedup_index(spark, "t_app_idx", batch)
+        build_dedup_index(
+            spark, "unused", "t_reb_idx", str(tmp_path / "rebidx"),
+            docs=base.unionByName(batch),
+        )
+        for text in probes:
+            got = [
+                (r.doc_id, r.jaccard)
+                for r in probe_dedup(spark, "t_app_idx", text).collect()
+            ]
+            want = [
+                (r.doc_id, r.jaccard)
+                for r in probe_dedup(spark, "t_reb_idx", text).collect()
+            ]
+            assert got == want, (text[:40], got, want)
+        # the batch-only near-dup is actually served (not vacuous)
+        got_new = dict(
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_app_idx", new_probe).collect()
+        )
+        assert got_new.get(5) == 8 / 10, got_new
+        # physical: appended table still bucket-prunes the probe read
+        plan = (
+            probe_dedup(spark, "t_app_idx", new_probe)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan
+        # state parity: same rows in both stores
+        for suffix in ("", "_sets"):
+            assert (
+                spark.table(f"t_app_idx{suffix}").count()
+                == spark.table(f"t_reb_idx{suffix}").count()
+            ), suffix
+    finally:
+        for t in ("t_app_idx", "t_app_idx_sets", "t_reb_idx",
+                  "t_reb_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embedding_store_probe_contract(spark, sf_dir, tmp_path, capsys):
+    """The persisted embedding index + online probe (embedding_store):
+    a vector probes to ITSELF at cos 1.0; the probe's pure-Python
+    signature fold is bit-identical to the corpus-side Spark banding
+    (EVERY fixture vector, both directions); the band-index read is
+    bucket-pruned (SelectedBucketsCount — never a scan); and the CLI
+    `embedding-probe` prints the same rows from a re-registered
+    catalog."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_embedding_dedup,
+        probe_vector_bands,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_emb_idx", str(tmp_path / "eidx")
+        )
+        emb = {
+            r.vec_id: [float(x) for x in r.embedding]
+            for r in load(spark, sf_dir, "embeddings").collect()
+        }
+        assert len(emb) > 100
+
+        # cross-engine derivation pin, both directions over the corpus
+        spark_bands: dict[int, set] = {}
+        for r in spark.table("t_emb_idx").collect():
+            spark_bands.setdefault(r.vec_id, set()).add((r.g, r.bucket))
+        for vid, vec in emb.items():
+            assert set(probe_vector_bands(vec)) == spark_bands.get(
+                vid, set()
+            ), vid
+
+        probe = probe_embedding_dedup(spark, "t_emb_idx", emb[7])
+        got = [(r.vec_id, r.cos) for r in probe.collect()]
+        assert got and got[0] == (7, 1.0), got
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "embedding-probe", str(tmp_path / "eidx"),
+             "--vec-id", "7", "--table", "t_emb_idx"]
+        )
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        assert [
+            (int(a), float(b)) for a, b in (ln.split("\t") for ln in out)
+        ] == got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_emb_idx")
+        spark.sql("DROP TABLE IF EXISTS t_emb_idx_vecs")
+
+
+def _py_dot(a, b):
+    """Sequential left-to-right double fold — the Spark `dot` twin."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_embedding_probe_decisions_match_j85(spark, sf_dir, tmp_path):
+    """The decision-level pin the text side carries (dedup_store ↔ j84)
+    applied to vectors: per-vector ONLINE probe decisions over a
+    corpus-only index must equal j85's BATCH-delta decisions for the
+    same vectors.  Corpus partners come from Spark probes of the
+    persisted store; within-batch partners from the probe's own
+    pure-Python banding + cosine (both bit-identical to the batch
+    pipeline's derivations) — exactly the 'every decision computable
+    from the vector's own probes' claim in j85's docstring, executed.
+    Equivalence domain: no bucket over _BUCKET_CAP (fixture max 33;
+    guard state observable via j83)."""
+    import hashlib
+    import math
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        _J78_THETA,
+        _NBE_SEED,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_embedding_dedup,
+        probe_vector_bands,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    def is_batch(vid: int) -> bool:
+        h = hashlib.md5(f"{_NBE_SEED}{vid}".encode()).hexdigest()[0]
+        return h in ("0", "1", "2", "3")
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    batch_ids = sorted(v for v in emb if is_batch(v))
+    corpus_ids = [v for v in emb if not is_batch(v)]
+    assert 30 < len(batch_ids) < len(corpus_ids)
+
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_delta_eidx", str(tmp_path / "deidx"),
+            emb=load(spark, sf_dir, "embeddings").filter(
+                ~F.col("vec_id").isin(batch_ids)
+            ),
+        )
+        # within-batch candidate partners via the probe's OWN banding
+        buckets: dict[tuple, list] = {}
+        for vid in batch_ids:
+            for gb in probe_vector_bands(emb[vid]):
+                buckets.setdefault(gb, []).append(vid)
+
+        def pycos(a, b):
+            return _py_dot(a, b) / (
+                math.sqrt(_py_dot(a, a)) * math.sqrt(_py_dot(b, b))
+            )
+
+        batch_dup: dict[int, int] = {}
+        for members in buckets.values():
+            for i, d in enumerate(members):
+                for p in members[:i] + members[i + 1:]:
+                    if p < d and pycos(emb[p], emb[d]) >= _J78_THETA:
+                        batch_dup[d] = min(batch_dup.get(d, p), p)
+
+        decisions = {}
+        for vid in batch_ids:
+            cand = probe_embedding_dedup(
+                spark, "t_delta_eidx", emb[vid]
+            ).collect()
+            if cand:
+                decisions[vid] = (
+                    "drop_corpus_dup", min(r.vec_id for r in cand),
+                )
+            elif vid in batch_dup:
+                decisions[vid] = ("drop_batch_dup", batch_dup[vid])
+            else:
+                decisions[vid] = ("keep", None)
+
+        want = {
+            r.vec_id: (r.decision, r.dup_of)
+            for r in QUERIES["j85_incremental_embedding_dedup"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert decisions == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_delta_eidx")
+        spark.sql("DROP TABLE IF EXISTS t_delta_eidx_vecs")
+
+
+def test_append_embedding_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Vector-side index maintenance: build over 80% of the fixture +
+    append the other 20% must serve probes identically to a full
+    rebuild — including a probe whose only near-dup (itself, cos 1.0)
+    arrives in the appended batch."""
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        probe_embedding_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    emb_df = load(spark, sf_dir, "embeddings")
+    base = emb_df.filter(F.col("vec_id") % 5 != 0)
+    batch = emb_df.filter(F.col("vec_id") % 5 == 0)
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding] for r in emb_df.collect()
+    }
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_eapp_idx", str(tmp_path / "eappidx"),
+            emb=base,
+        )
+        append_embedding_index(spark, "t_eapp_idx", batch)
+        build_embedding_index(
+            spark, sf_dir, "t_ereb_idx", str(tmp_path / "erebidx"),
+            emb=emb_df,
+        )
+        for vid in (0, 5, 7, 42):  # 0/5 appended, 7/42 base
+            got = [
+                (r.vec_id, r.cos)
+                for r in probe_embedding_dedup(
+                    spark, "t_eapp_idx", emb[vid]
+                ).collect()
+            ]
+            want = [
+                (r.vec_id, r.cos)
+                for r in probe_embedding_dedup(
+                    spark, "t_ereb_idx", emb[vid]
+                ).collect()
+            ]
+            assert got == want, (vid, got, want)
+            # self-cos is 1.0 up to the fold's last-ulp rounding
+            assert any(
+                v == vid and abs(c - 1.0) < 1e-12 for v, c in got
+            ), (vid, got)
+        for suffix in ("", "_vecs"):
+            assert (
+                spark.table(f"t_eapp_idx{suffix}").count()
+                == spark.table(f"t_ereb_idx{suffix}").count()
+            ), suffix
+    finally:
+        for t in ("t_eapp_idx", "t_eapp_idx_vecs", "t_ereb_idx",
+                  "t_ereb_idx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -224,6 +224,22 @@ def test_streaming_index_merge_equals_rebuild(spark):
     assert len(merged) > 0
 
 
+def test_streaming_delta_dedup_equals_batch(spark):
+    """j84's 'streamable' claim executed: the new batch's documents
+    arriving as a file-source stream, decided per micro-batch against
+    the PERSISTED dedup index via foreachBatch, must emit exactly the
+    batch j84 decisions (keep / drop_corpus_dup / drop_batch_dup with
+    the same dup_of partners)."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_delta_dedup_smoke,
+    )
+
+    streamed, batch = run_streaming_delta_dedup_smoke(spark, SF_DIR)
+    assert streamed == batch
+    assert len(streamed) > 50
+    assert {d for _, d, _ in streamed} >= {"keep"}
+
+
 def test_json_permissive_corrupt_record_capture(spark):
     """Ingestion robustness: PERMISSIVE mode must load the good rows
     and capture malformed lines in the _corrupt_record column instead
