@@ -268,7 +268,12 @@ def main(argv: list[str] | None = None) -> int:
             print("pass exactly one of --vec-id / --vec", file=sys.stderr)
             return 2
         if args.vec is not None:
-            vec = [float(x) for x in args.vec.split(",")]
+            try:
+                vec = [float(x) for x in args.vec.split(",")]
+            except ValueError:
+                print(f"--vec is not a comma-separated float list: "
+                      f"{args.vec!r}", file=sys.stderr)
+                return 2
         else:
             from .sources import load
 
@@ -288,9 +293,12 @@ def main(argv: list[str] | None = None) -> int:
         ):
             register_external_store(spark, table, path)
         theta = _J78_THETA if args.theta is None else args.theta
-        rows = probe_embedding_dedup(
-            spark, args.table, vec, theta=theta
-        ).collect()
+        try:
+            probe = probe_embedding_dedup(spark, args.table, vec, theta=theta)
+        except ValueError as exc:  # wrong probe dimension
+            print(str(exc), file=sys.stderr)
+            return 2
+        rows = probe.collect()
         for row in rows:
             print(f"{row['vec_id']}\t{row['cos']}")
         return 0

@@ -108,8 +108,17 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
 
     The batch is signed twice (once per table write) — batch-sized
     work, and keeping the two writer plans independent beats a
-    checkpoint for shards that fit the daily-ingest budget."""
+    checkpoint for shards that fit the daily-ingest budget.
+
+    IDEMPOTENT on replayed ids: already-indexed doc_ids are anti-joined
+    out against the shingle sidecar (batch-sized work — the sidecar
+    side is doc_id-bucketed, read in place), so re-ingesting a shard
+    never double-indexes a document (which would duplicate probe
+    result rows — probe_dedup's candidate list is distinct but the
+    sidecar join is not)."""
     nb = _table_buckets(spark, table)
+    existing = spark.table(f"{table}_sets").select("doc_id")
+    docs = docs.join(existing, "doc_id", "left_anti")
     sets = shingle_sets(rebalance(docs))
     band = _text_band_table(sets)
     band.write.mode("append").bucketBy(nb, "bk").sortBy("bk").saveAsTable(

@@ -111,8 +111,15 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     signs ONLY the batch (one zero-shuffle fold pass per write) and the
     corpus tables roll forward without a rebuild.  Probe-equivalence
     with a full rebuild is pinned by
-    test_append_embedding_index_equals_rebuild."""
+    test_append_embedding_index_equals_rebuild.
+
+    IDEMPOTENT on replayed ids: already-indexed vec_ids are anti-joined
+    out against the vector sidecar (batch-sized work — the sidecar side
+    is vec_id-bucketed, read in place), so re-ingesting a shard never
+    double-indexes a vector (which would duplicate probe result rows)."""
     nb = _table_buckets(spark, table)
+    existing = spark.table(f"{table}_vecs").select("vec_id")
+    emb = emb.join(existing, "vec_id", "left_anti")
     band = embedding_band_buckets(emb)
     band.write.mode("append").bucketBy(nb, "bucket").sortBy(
         "bucket"
@@ -135,6 +142,14 @@ def probe_vector_bands(
     sign — and hence every bucket — is bit-identical by construction,
     and pinned against the Spark bucket table over the whole fixture
     corpus in tests/test_properties.py)."""
+    dim = len(_COEFS64[0])
+    if len(vec) != dim:
+        # zip() would silently truncate against the coefficient rows
+        # and produce meaningless buckets — a wrong-dimension probe
+        # must be an explicit error, never a silent "no duplicates"
+        raise ValueError(
+            f"probe vector has {len(vec)} components, index expects {dim}"
+        )
     nbits = bands * bits_per_band
     bits = []
     for b in range(nbits):

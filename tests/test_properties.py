@@ -4623,6 +4623,10 @@ def test_append_dedup_index_equals_rebuild(spark, tmp_path):
             docs=base,
         )
         append_dedup_index(spark, "t_app_idx", batch)
+        # idempotence: replaying the same shard is a no-op (the
+        # anti-join drops already-indexed ids) — without it every probe
+        # row for a re-ingested doc would duplicate
+        append_dedup_index(spark, "t_app_idx", batch)
         build_dedup_index(
             spark, "unused", "t_reb_idx", str(tmp_path / "rebidx"),
             docs=base.unionByName(batch),
@@ -4841,6 +4845,8 @@ def test_append_embedding_index_equals_rebuild(spark, sf_dir, tmp_path):
             emb=base,
         )
         append_embedding_index(spark, "t_eapp_idx", batch)
+        # idempotence: a replayed shard is anti-joined to a no-op
+        append_embedding_index(spark, "t_eapp_idx", batch)
         build_embedding_index(
             spark, sf_dir, "t_ereb_idx", str(tmp_path / "erebidx"),
             emb=emb_df,
@@ -4872,3 +4878,106 @@ def test_append_embedding_index_equals_rebuild(spark, sf_dir, tmp_path):
         for t in ("t_eapp_idx", "t_eapp_idx_vecs", "t_ereb_idx",
                   "t_ereb_idx_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_external_store_restores_bucketing(spark, sf_dir,
+                                                    tmp_path):
+    """The FRESH-PROCESS path of register_external_store — the branch a
+    new CLI process actually takes: drop the builder session's catalog
+    entries, re-register from the _meta.json sidecars, and the probe
+    must return identical rows WITH bucket pruning restored
+    (SelectedBucketsCount — the CLUSTERED BY DDL carried the bucketing
+    spec across the catalog loss).  Also pins the no-sidecar fallback:
+    a plain external table still answers identically, just unpruned."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    path = str(tmp_path / "ridx")
+    try:
+        build_dedup_index(spark, sf_dir, "t_reg_idx", path)
+        doc = (
+            load(spark, sf_dir, "documents").filter("doc_id = 42").collect()
+        )[0]
+        want = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_reg_idx", doc.text).collect()
+        ]
+        assert want
+
+        # simulate the fresh process: catalog loses the tables
+        spark.sql("DROP TABLE t_reg_idx")
+        spark.sql("DROP TABLE t_reg_idx_sets")
+        register_external_store(spark, "t_reg_idx", path)
+        register_external_store(spark, "t_reg_idx_sets", f"{path}_sets")
+        q = probe_dedup(spark, "t_reg_idx", doc.text)
+        got = [(r.doc_id, r.jaccard) for r in q.collect()]
+        assert got == want
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+
+        # no-sidecar fallback: plain external table, same rows
+        import os
+
+        spark.sql("DROP TABLE t_reg_idx")
+        spark.sql("DROP TABLE t_reg_idx_sets")
+        os.rename(f"{path}_meta.json", f"{path}_meta.hidden")
+        try:
+            register_external_store(spark, "t_reg_idx", path)
+            register_external_store(spark, "t_reg_idx_sets", f"{path}_sets")
+            fallback = [
+                (r.doc_id, r.jaccard)
+                for r in probe_dedup(spark, "t_reg_idx", doc.text).collect()
+            ]
+            assert fallback == want
+        finally:
+            os.rename(f"{path}_meta.hidden", f"{path}_meta.json")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_reg_idx")
+        spark.sql("DROP TABLE IF EXISTS t_reg_idx_sets")
+
+
+def test_probe_vector_bands_rejects_wrong_dimension(spark, sf_dir,
+                                                    tmp_path, capsys):
+    """A wrong-dimension probe must be an EXPLICIT error, never a
+    silent empty result: zip() truncation would compute meaningless
+    buckets and the verify's zip_with null-padding would drop every
+    candidate — indistinguishable from 'no duplicates' in a serving
+    decision.  Pins the library raise and both CLI error paths."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_vector_bands,
+    )
+
+    with _pytest.raises(ValueError, match="64"):
+        probe_vector_bands([1.0, 2.0])
+    with _pytest.raises(ValueError, match="64"):
+        probe_vector_bands([0.5] * 128)
+
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_dim_idx", str(tmp_path / "dimidx")
+        )
+        rc = cli.main(
+            ["embedding-probe", str(tmp_path / "dimidx"),
+             "--vec", "1.0,2.0", "--table", "t_dim_idx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2 and "64" in err, (rc, err)
+        rc = cli.main(
+            ["embedding-probe", str(tmp_path / "dimidx"),
+             "--vec", "", "--table", "t_dim_idx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2 and "comma-separated" in err, (rc, err)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dim_idx")
+        spark.sql("DROP TABLE IF EXISTS t_dim_idx_vecs")
