@@ -123,6 +123,29 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--table", default="cli_dedup")
     dp.add_argument("--theta", type=float, default=0.8)
 
+    dc = sub.add_parser(
+        "compact-dedup-index",
+        help="rewrite an append-accumulated dedup store to one file "
+        "per bucket (immutable swap to NEW_PATH; reads persisted rows, "
+        "never re-signs the corpus)",
+    )
+    dc.add_argument("new_path")
+    dc.add_argument("--table", default="cli_dedup")
+    dc.add_argument("--path", default=None,
+                    help="existing store location (required in a fresh "
+                    "process so the catalog can be re-registered)")
+
+    ec = sub.add_parser(
+        "compact-embedding-index",
+        help="rewrite an append-accumulated embedding store to one "
+        "file per bucket (immutable swap to NEW_PATH)",
+    )
+    ec.add_argument("new_path")
+    ec.add_argument("--table", default="cli_ededup")
+    ec.add_argument("--path", default=None,
+                    help="existing store location (required in a fresh "
+                    "process so the catalog can be re-registered)")
+
     eb = sub.add_parser(
         "build-embedding-index",
         help="persist the hyperplane band index + vector sidecar for "
@@ -245,6 +268,34 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['jaccard']}")
+        return 0
+
+    if args.cmd == "compact-dedup-index":
+        from .functions.dedup_store import compact_dedup_index
+        from .functions.index_store import register_external_store
+
+        if args.path:
+            for table, path in (
+                (args.table, args.path),
+                (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
+            ):
+                register_external_store(spark, table, path)
+        compact_dedup_index(spark, args.table, args.new_path)
+        print(f"compacted {args.table} to {args.new_path}")
+        return 0
+
+    if args.cmd == "compact-embedding-index":
+        from .functions.embedding_store import compact_embedding_index
+        from .functions.index_store import register_external_store
+
+        if args.path:
+            for table, path in (
+                (args.table, args.path),
+                (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
+            ):
+                register_external_store(spark, table, path)
+        compact_embedding_index(spark, args.table, args.new_path)
+        print(f"compacted {args.table} to {args.new_path}")
         return 0
 
     if args.cmd == "build-embedding-index":

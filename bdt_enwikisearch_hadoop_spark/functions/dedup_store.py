@@ -32,7 +32,11 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources import rebalance
-from .index_store import write_store_meta
+from .index_store import (
+    compact_store,
+    table_buckets as _table_buckets,
+    write_store_meta,
+)
 from .llm_pipeline import shingle_sets
 from .llm_scale import (
     _N_BANDS,
@@ -85,13 +89,12 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
     write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
 
 
-def _table_buckets(spark, table: str) -> int:
-    """Bucket count of a catalog table (DESCRIBE EXTENDED — works for
-    both builder-session tables and sidecar-registered ones)."""
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if r.col_name == "Num Buckets":
-            return int(r.data_type)
-    raise ValueError(f"{table} is not bucketed")
+def compact_dedup_index(spark, table: str, new_path: str) -> None:
+    """One-file-per-bucket rewrite of an append-accumulated dedup store
+    (immutable swap to ``new_path`` — see index_store.compact_store).
+    Reads the persisted band/shingle rows; the corpus is never
+    re-signed."""
+    compact_store(spark, table, new_path, [("", "bk"), ("_sets", "doc_id")])
 
 
 def append_dedup_index(spark, table: str, docs: DataFrame) -> None:

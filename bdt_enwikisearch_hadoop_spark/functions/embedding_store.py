@@ -51,8 +51,11 @@ from .ann import (
     embedding_band_buckets,
     embedding_bucket_table,
 )
-from .dedup_store import _table_buckets
-from .index_store import write_store_meta
+from .index_store import (
+    compact_store,
+    table_buckets as _table_buckets,
+    write_store_meta,
+)
 from .llm_pipeline import dot, vec_double
 
 
@@ -127,6 +130,16 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     _vec_sidecar(emb).write.mode("append").bucketBy(nb, "vec_id").sortBy(
         "vec_id"
     ).saveAsTable(f"{table}_vecs")
+
+
+def compact_embedding_index(spark, table: str, new_path: str) -> None:
+    """One-file-per-bucket rewrite of an append-accumulated embedding
+    store (immutable swap to ``new_path`` — see
+    index_store.compact_store).  Reads the persisted band/vector rows;
+    nothing is re-signed."""
+    compact_store(
+        spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
+    )
 
 
 def probe_vector_bands(

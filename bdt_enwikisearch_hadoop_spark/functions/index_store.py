@@ -78,6 +78,52 @@ def register_external_store(spark, table: str, path: str) -> None:
         spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
 
 
+def table_buckets(spark, table: str) -> int:
+    """Bucket count of a catalog table (DESCRIBE EXTENDED — works for
+    both builder-session tables and sidecar-registered ones)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not bucketed")
+
+
+def compact_store(spark, table: str, new_path: str,
+                  parts: list[tuple[str, str]]) -> None:
+    """Rewrite a store's accumulated append files into a fresh
+    one-file-per-bucket layout WITHOUT re-deriving anything (reads the
+    persisted rows, never the corpus) — the small-files remedy after
+    many ``append_*_index`` batches: every append adds one file per
+    bucket, and at daily-shard cadence a year of appends turns each
+    probe's bucket read into ~365 file opens.
+
+    Immutable swap, never in place: each table writes to a NEW path
+    under a temp catalog name, then the old entry is dropped and the
+    temp renamed — a probe concurrent with compaction reads either the
+    old complete layout or the new one.  ``parts`` lists the store's
+    (suffix, bucket_col) pairs, e.g. dedup: ``[("", "bk"),
+    ("_sets", "doc_id")]``; embedding: ``[("", "bucket"),
+    ("_vecs", "vec_id")]``; postings: ``[("", "term"),
+    ("_norms", "doc_id")]``.  Bucket counts and meta sidecars carry
+    over, so registered consumers keep their pruned plans."""
+    for suffix, col in parts:
+        t = f"{table}{suffix}"
+        p = f"{new_path.rstrip('/')}{suffix}"
+        nb = table_buckets(spark, t)
+        tmp = f"{t}_compact_tmp"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        df = spark.table(t)
+        (
+            df.write.mode("overwrite")
+            .option("path", p)
+            .bucketBy(nb, col)
+            .sortBy(col)
+            .saveAsTable(tmp)
+        )
+        write_store_meta(df, p, nb, col)
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+
+
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
     """Compute TF-IDF postings from the corpus and persist them as a
     parquet table bucketed+sorted by term, PLUS the per-document

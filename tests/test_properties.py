@@ -4981,3 +4981,108 @@ def test_probe_vector_bands_rejects_wrong_dimension(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dim_idx")
         spark.sql("DROP TABLE IF EXISTS t_dim_idx_vecs")
+
+
+def test_compact_store_one_file_per_bucket_same_probes(spark, sf_dir,
+                                                       tmp_path):
+    """Store COMPACTION: every append adds one file per bucket (a year
+    of daily shards = ~365 file opens per probe bucket), and
+    compact_store rewrites the accumulated layout back to one file per
+    bucket from the PERSISTED rows — probes identical before/after,
+    bucket spec and meta sidecar carried over (SelectedBucketsCount
+    still in the plan, table_buckets unchanged), immutable swap to a
+    new path.  Exercised on both modalities."""
+    import glob
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        compact_embedding_index,
+        probe_embedding_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        table_buckets,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    def nfiles(path):
+        return len(glob.glob(f"{path}/*.parquet"))
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    try:
+        # text store: base + two appended shards
+        build_dedup_index(
+            spark, "unused", "t_cmp_idx", str(tmp_path / "cidx"),
+            docs=docs.filter(F.col("doc_id") % 3 == 0), buckets=4,
+        )
+        for m in (1, 2):
+            append_dedup_index(
+                spark, "t_cmp_idx", docs.filter(F.col("doc_id") % 3 == m)
+            )
+        assert nfiles(str(tmp_path / "cidx")) > 4  # appends accumulated
+        doc = docs.filter("doc_id = 42").collect()[0]
+        want = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_cmp_idx", doc.text).collect()
+        ]
+        compact_dedup_index(spark, "t_cmp_idx", str(tmp_path / "cidx2"))
+        assert nfiles(str(tmp_path / "cidx2")) == 4  # one per bucket
+        assert table_buckets(spark, "t_cmp_idx") == 4
+        q = probe_dedup(spark, "t_cmp_idx", doc.text)
+        assert [(r.doc_id, r.jaccard) for r in q.collect()] == want
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+
+        # embedding store: same loop
+        build_embedding_index(
+            spark, sf_dir, "t_cmp_eidx", str(tmp_path / "ceidx"),
+            emb=emb.filter(F.col("vec_id") % 2 == 0), buckets=4,
+        )
+        append_embedding_index(
+            spark, "t_cmp_eidx", emb.filter(F.col("vec_id") % 2 == 1)
+        )
+        assert nfiles(str(tmp_path / "ceidx")) > 4
+        vec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
+        ewant = [
+            (r.vec_id, r.cos)
+            for r in probe_embedding_dedup(spark, "t_cmp_eidx", vec).collect()
+        ]
+        compact_embedding_index(spark, "t_cmp_eidx", str(tmp_path / "ceidx2"))
+        assert nfiles(str(tmp_path / "ceidx2")) == 4
+        got = [
+            (r.vec_id, r.cos)
+            for r in probe_embedding_dedup(spark, "t_cmp_eidx", vec).collect()
+        ]
+        assert got == ewant and ewant
+
+        # CLI compact, FRESH-PROCESS path: catalog dropped, --path
+        # re-registers from the (compaction-written) sidecar first
+        from bdt_enwikisearch_hadoop_spark import cli
+
+        spark.sql("DROP TABLE t_cmp_eidx")
+        spark.sql("DROP TABLE t_cmp_eidx_vecs")
+        rc = cli.main(
+            ["compact-embedding-index", str(tmp_path / "ceidx3"),
+             "--table", "t_cmp_eidx", "--path", str(tmp_path / "ceidx2")]
+        )
+        assert rc == 0
+        assert nfiles(str(tmp_path / "ceidx3")) == 4
+        got3 = [
+            (r.vec_id, r.cos)
+            for r in probe_embedding_dedup(spark, "t_cmp_eidx", vec).collect()
+        ]
+        assert got3 == ewant
+    finally:
+        for t in ("t_cmp_idx", "t_cmp_idx_sets", "t_cmp_idx_compact_tmp",
+                  "t_cmp_idx_sets_compact_tmp", "t_cmp_eidx",
+                  "t_cmp_eidx_vecs", "t_cmp_eidx_compact_tmp",
+                  "t_cmp_eidx_vecs_compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
