@@ -123,6 +123,18 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--table", default="cli_dedup")
     dp.add_argument("--theta", type=float, default=0.8)
 
+    sr = sub.add_parser(
+        "store-report",
+        help="operational stats of a persisted store (rows, bucket-key "
+        "occupancy, files per bucket — the compaction trigger)",
+    )
+    sr.add_argument("path")
+    sr.add_argument("--table", default="cli_dedup")
+    sr.add_argument(
+        "--bucket-col", default=None,
+        help="bucket column (default: read from the _meta.json sidecar)",
+    )
+
     dc = sub.add_parser(
         "compact-dedup-index",
         help="rewrite an append-accumulated dedup store to one file "
@@ -268,6 +280,31 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         for row in rows:
             print(f"{row['doc_id']}\t{row['jaccard']}")
+        return 0
+
+    if args.cmd == "store-report":
+        import json as _json
+        import os as _os
+
+        from .functions.index_store import (
+            register_external_store,
+            store_report,
+        )
+
+        bucket_col = args.bucket_col
+        mp = f"{args.path.rstrip('/')}_meta.json"
+        if bucket_col is None:
+            if not _os.path.exists(mp):
+                print(f"no {mp}; pass --bucket-col", file=sys.stderr)
+                return 2
+            with open(mp) as fh:
+                bucket_col = _json.load(fh)["bucket_col"]
+        register_external_store(spark, args.table, args.path)
+        rep = store_report(spark, args.table, bucket_col)
+        for k, v in rep.items():
+            print(f"{k}\t{v}")
+        fpb = rep["n_files"] / max(rep["n_buckets"], 1)
+        print(f"files_per_bucket\t{fpb:.1f}")
         return 0
 
     if args.cmd == "compact-dedup-index":

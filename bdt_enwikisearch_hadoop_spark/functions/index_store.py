@@ -124,6 +124,55 @@ def compact_store(spark, table: str, new_path: str,
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
 
 
+def table_location(spark, table: str) -> str:
+    """Filesystem location of a catalog table (DESCRIBE EXTENDED)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r.col_name == "Location":
+            return r.data_type.removeprefix("file:")
+    raise ValueError(f"{table} has no location")
+
+
+def store_report(spark, table: str, bucket_col: str) -> dict:
+    """Operational stats of a persisted store table — the 'when to
+    compact / when to widen buckets' dials an index owner reads:
+
+    * ``n_rows`` / ``n_keys`` / ``max_key_rows`` — logical occupancy of
+      the bucket COLUMN (a max_key_rows far above n_rows/n_keys means a
+      skewed key: the probe path's O(occ) degradation domain);
+    * ``n_buckets`` (the spec) and ``n_files`` — physical layout:
+      files_per_bucket ≈ n_files/n_buckets grows by one per append, and
+      is exactly the per-probe file-open cost, so it is the compaction
+      trigger (compact_store resets it to 1).
+
+    One Spark aggregate over the store (store-sized, never the corpus)
+    plus a filesystem listing."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    agg = (
+        spark.table(table)
+        .groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        .collect()[0]
+    )
+    loc = table_location(spark, table)
+    n_files = len(glob.glob(f"{loc}/*.parquet"))
+    return {
+        "table": table,
+        "n_rows": agg["n_rows"],
+        "n_keys": agg["n_keys"],
+        "max_key_rows": agg["max_key_rows"],
+        "n_buckets": table_buckets(spark, table),
+        "n_files": n_files,
+    }
+
+
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
     """Compute TF-IDF postings from the corpus and persist them as a
     parquet table bucketed+sorted by term, PLUS the per-document

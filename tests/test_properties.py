@@ -5086,3 +5086,64 @@ def test_compact_store_one_file_per_bucket_same_probes(spark, sf_dir,
                   "t_cmp_eidx_vecs", "t_cmp_eidx_compact_tmp",
                   "t_cmp_eidx_vecs_compact_tmp"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_store_report_tracks_append_and_compact(spark, tmp_path, capsys):
+    """store_report's dials move the way the ops story says: files per
+    bucket grows by one per append (the per-probe file-open cost) and
+    compaction resets it to one; row/key occupancy is exact.  The CLI
+    `store-report` resolves the bucket column from the _meta.json
+    sidecar and prints the same numbers."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        store_report,
+    )
+
+    filler = "quite unrelated filler words here " * 6
+    base = spark.createDataFrame(
+        [(1, _boundary_pair(0)[0]), (2, filler)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(5, _boundary_pair(1)[0])], "doc_id long, text string"
+    )
+    try:
+        build_dedup_index(
+            spark, "unused", "t_rep_idx", str(tmp_path / "ridx"),
+            docs=base, buckets=4,
+        )
+        # files exist only for non-empty buckets, so counts are pinned
+        # RELATIVE: append grows the file count, compact shrinks it
+        # back to at most one per (populated) bucket
+        r0 = store_report(spark, "t_rep_idx", "bk")
+        assert r0["n_buckets"] == 4
+        assert r0["n_rows"] == 2 * 4  # 2 docs x 4 bands
+        append_dedup_index(spark, "t_rep_idx", batch)
+        r1 = store_report(spark, "t_rep_idx", "bk")
+        assert r1["n_rows"] == 3 * 4
+        assert r1["n_files"] > r0["n_files"]
+        compact_dedup_index(spark, "t_rep_idx", str(tmp_path / "ridx2"))
+        r2 = store_report(spark, "t_rep_idx", "bk")
+        assert r2["n_rows"] == 3 * 4
+        assert r2["n_files"] < r1["n_files"]
+        assert r2["n_files"] <= r2["n_buckets"]
+        assert r2["n_keys"] == r1["n_keys"]
+
+        rc = cli.main(
+            ["store-report", str(tmp_path / "ridx2"), "--table", "t_rep_idx"]
+        )
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        got = dict(ln.split("\t") for ln in out)
+        assert got["n_rows"] == "12"
+        assert got["n_files"] == str(r2["n_files"])
+        assert got["files_per_bucket"] == f"{r2['n_files'] / 4:.1f}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_rep_idx")
+        spark.sql("DROP TABLE IF EXISTS t_rep_idx_sets")
+        spark.sql("DROP TABLE IF EXISTS t_rep_idx_compact_tmp")
+        spark.sql("DROP TABLE IF EXISTS t_rep_idx_sets_compact_tmp")
