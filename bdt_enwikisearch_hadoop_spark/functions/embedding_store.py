@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources import load, rebalance
+from ..sources import load
 from .ann import (
     _COEFS64,
     _J78_BAND_BITS,
