@@ -816,8 +816,8 @@ def f15_tpch_q20_nested(spark, sf_dir) -> DataFrame:
 @query(
     "f16_tpch_q17_smallqty",
     oracle="""
-    SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
-                      * 100) AS DOUBLE) / 100 AS avg_yearly
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) // 7 AS DOUBLE) / 100 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_type = 'ECONOMY'
@@ -833,8 +833,14 @@ def f16_tpch_q17_smallqty(spark, sf_dir) -> DataFrame:
     below 20% of THAT PART's average quantity, summed into the lost-
     revenue estimate.  Quantities are integer-valued doubles, so each
     part's AVG is sum/count of exact integers — the same double in
-    both engines — and the 0.2× threshold comparison is engine-exact;
-    only the final money sum needs the DECIMAL/FLOOR recipe.
+    both engines — and the 0.2× threshold comparison is engine-exact.
+    The final money statistic is floor(S·100/7)/100 computed as
+    INTEGER division over the exact cent sum (S·100 is an
+    integral DECIMAL → BIGINT): the earlier DECIMAL-by-7.0 spelling
+    left the quotient's scale/rounding to each engine's decimal rules,
+    which disagreed by one cent exactly at a floor boundary at sf0.1
+    (spark 67149477.1 vs duckdb 67149477.09) — integer DIV has one
+    answer everywhere.
 
     Catalyst decorrelates the per-part AVG into an aggregate keyed by
     l_partkey joined back to the fact (one extra partkey-sized
@@ -848,8 +854,8 @@ def f16_tpch_q17_smallqty(spark, sf_dir) -> DataFrame:
         load(spark, sf_dir, tbl).createOrReplaceTempView(name)
     return spark.sql(
         """
-        SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
-                          * 100) AS DOUBLE) / 100 AS avg_yearly
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                         AS BIGINT) DIV 7 AS DOUBLE) / 100 AS avg_yearly
         FROM f16_lineitem
         JOIN f16_part ON p_partkey = l_partkey
         WHERE p_type = 'ECONOMY'
