@@ -69,6 +69,26 @@ def _vec_sidecar(emb: DataFrame) -> DataFrame:
     )
 
 
+def _assert_finite(emb: DataFrame, what: str) -> None:
+    """Ingest hygiene gate: refuse non-finite vector components.  A NaN
+    in a corpus vector is worse than a bad row — its cosine is NaN, and
+    Spark SQL orders NaN ABOVE everything (``NaN >= θ`` is TRUE), so
+    one poisoned vector would "match" every future probe at any
+    threshold.  One in-row EXISTS pass over the batch being ingested
+    (j43's dq-constraint discipline applied to the store boundary)."""
+    nonfinite = F.exists(
+        vec_double(F.col("embedding")),
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    bad = emb.filter(nonfinite).select("vec_id").limit(3).collect()
+    if bad:
+        ids = [r.vec_id for r in bad]
+        raise ValueError(
+            f"{what}: non-finite embedding components (vec_ids {ids}…) — "
+            "a NaN cosine matches every probe under Spark's NaN ordering"
+        )
+
+
 def build_embedding_index(spark, sf_dir: str, table: str, path: str,
                           buckets: int = 16,
                           emb: DataFrame | None = None) -> None:
@@ -83,11 +103,13 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
     re-register the files with the full bucketing spec
     (index_store.register_external_store)."""
     if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
+        _assert_finite(emb, "build_embedding_index")
         band = embedding_bucket_table(spark, sf_dir)
-        vecs = _vec_sidecar(load(spark, sf_dir, "embeddings"))
     else:
+        _assert_finite(emb, "build_embedding_index")
         band = embedding_band_buckets(emb)
-        vecs = _vec_sidecar(emb)
+    vecs = _vec_sidecar(emb)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         band.write.mode("overwrite")
@@ -121,6 +143,7 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     is vec_id-bucketed, read in place), so re-ingesting a shard never
     double-indexes a vector (which would duplicate probe result rows)."""
     nb = _table_buckets(spark, table)
+    _assert_finite(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")
     emb = emb.join(existing, "vec_id", "left_anti")
     band = embedding_band_buckets(emb)
@@ -163,6 +186,12 @@ def probe_vector_bands(
         raise ValueError(
             f"probe vector has {len(vec)} components, index expects {dim}"
         )
+    if any(x != x or x in (float("inf"), float("-inf")) for x in vec):
+        # NaN poisons the fold AND diverges across engines: Python says
+        # NaN >= 0 is False while Spark SQL orders NaN above everything
+        # (NaN >= θ is TRUE — a NaN cosine would "match" every θ cut),
+        # so a non-finite probe must be an explicit error
+        raise ValueError("probe vector has non-finite components")
     nbits = bands * bits_per_band
     bits = []
     for b in range(nbits):

@@ -5147,3 +5147,95 @@ def test_store_report_tracks_append_and_compact(spark, tmp_path, capsys):
         spark.sql("DROP TABLE IF EXISTS t_rep_idx_sets")
         spark.sql("DROP TABLE IF EXISTS t_rep_idx_compact_tmp")
         spark.sql("DROP TABLE IF EXISTS t_rep_idx_sets_compact_tmp")
+
+
+def test_embedding_store_rejects_non_finite_vectors(spark, sf_dir,
+                                                    tmp_path):
+    """NaN hygiene at the store boundary: Spark SQL orders NaN ABOVE
+    everything (NaN >= θ is TRUE), so one poisoned corpus vector would
+    'match' every future probe at any threshold, and a NaN probe's
+    sign fold diverges between Python (NaN >= 0 False) and Spark
+    (True).  Both ingest paths and the probe must therefore REFUSE
+    non-finite components explicitly."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        probe_vector_bands,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        probe_vector_bands([float("nan")] + [0.5] * 63)
+    with _pytest.raises(ValueError, match="non-finite"):
+        probe_vector_bands([float("inf")] + [0.5] * 63)
+
+    emb = load(spark, sf_dir, "embeddings")
+    poisoned = spark.createDataFrame(
+        [(99999, [float("nan")] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(ValueError, match="99999"):
+        build_embedding_index(
+            spark, sf_dir, "t_nan_idx", str(tmp_path / "nanidx"),
+            emb=emb.limit(10).unionByName(poisoned),
+        )
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_nan_idx", str(tmp_path / "nanidx"),
+            emb=emb.limit(10),
+        )
+        with _pytest.raises(ValueError, match="99999"):
+            append_embedding_index(spark, "t_nan_idx", poisoned)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nan_idx")
+        spark.sql("DROP TABLE IF EXISTS t_nan_idx_vecs")
+
+
+def test_probe_banding_parity_on_adversarial_texts(spark):
+    """The probe's pure-Python banding must stay bit-identical to the
+    Spark derivation OFF the fixture distribution too — a probe service
+    receives arbitrary text.  Adversarial cases: unicode case folding
+    (Turkish İ, German ß, Greek Σ — Python str.lower() vs Spark
+    lower()), multi-space runs and tabs (the contract splits on
+    LITERAL single spaces: empty tokens and tab-joined words are
+    tokens), emoji, combining accents, exactly-k tokens, repeated
+    shingles (first-occurrence dedup)."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        probe_bands,
+        probe_shingles,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_pipeline import (
+        shingle_sets,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _text_band_table,
+    )
+
+    texts = [
+        "İstanbul SHOUTED Straße ÄÖÜ words after that one two",
+        "double  space   runs\tand\ttabs mixed in the middle here",
+        "σ Σ ΣΙΓΜΑ ends with sigma Σ plus more words here",
+        "émoji 🦆 and café naïve résumé combining accents",
+        "exactly three tokens",
+        "a b c a b c a b c a b c",  # repeated shingles, dedup order
+        "ONE TWO THREE FOUR",
+        "ß ẞ sharp s both cases ß again tokens",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    spark_bands: dict[int, set] = {}
+    for r in _text_band_table(shingle_sets(docs)).collect():
+        spark_bands.setdefault(r.doc_id, set()).add((r.b, r.bk))
+    spark_sets = {
+        r.doc_id: list(r.s) for r in shingle_sets(docs).collect()
+    }
+    for i, text in enumerate(texts):
+        sh = probe_shingles(text)
+        # shingle SETS agree element-for-element (order-insensitive:
+        # the corpus side materializes a distinct set)
+        assert sorted(sh) == sorted(spark_sets.get(i, [])), (i, text)
+        got_py = set(probe_bands(sh)) if sh else set()
+        assert got_py == spark_bands.get(i, set()), (i, text)
