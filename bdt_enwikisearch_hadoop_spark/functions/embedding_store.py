@@ -69,23 +69,36 @@ def _vec_sidecar(emb: DataFrame) -> DataFrame:
     )
 
 
-def _assert_finite(emb: DataFrame, what: str) -> None:
-    """Ingest hygiene gate: refuse non-finite vector components.  A NaN
-    in a corpus vector is worse than a bad row — its cosine is NaN, and
-    Spark SQL orders NaN ABOVE everything (``NaN >= θ`` is TRUE), so
-    one poisoned vector would "match" every future probe at any
-    threshold.  One in-row EXISTS pass over the batch being ingested
-    (j43's dq-constraint discipline applied to the store boundary)."""
+def _assert_ingestable(emb: DataFrame, what: str) -> None:
+    """Ingest hygiene gate: refuse vectors whose cosine is undefined.
+    Two poison classes: NON-FINITE components (a NaN cosine "matches"
+    every future probe — Spark SQL orders NaN ABOVE everything, so
+    ``NaN >= θ`` is TRUE) and ALL-ZERO vectors (norm 0 makes every
+    colliding probe's cosine a division by zero — a hard
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, so one degenerate
+    row would crash every probe that lands in its buckets).
+
+    Deliberately a SEPARATE validation pass over the batch being
+    ingested rather than a raise_error column riding the writes: the
+    gate must fail BEFORE the first table write (the band table writes
+    first — an in-write error would leave a half-ingested store), and
+    it names the offending vec_ids.  Batch-sized for appends; one
+    corpus-sized read for a full build (j43's dq-constraint discipline
+    applied to the store boundary)."""
+    ve = vec_double(F.col("embedding"))
     nonfinite = F.exists(
-        vec_double(F.col("embedding")),
-        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        ve, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
-    bad = emb.filter(nonfinite).select("vec_id").limit(3).collect()
+    zero = ~F.exists(ve, lambda x: x != 0.0)
+    bad = (
+        emb.filter(nonfinite | zero).select("vec_id").limit(3).collect()
+    )
     if bad:
         ids = [r.vec_id for r in bad]
         raise ValueError(
-            f"{what}: non-finite embedding components (vec_ids {ids}…) — "
-            "a NaN cosine matches every probe under Spark's NaN ordering"
+            f"{what}: non-finite or all-zero embedding (vec_ids {ids}…) — "
+            "NaN matches every probe under Spark's NaN ordering; a zero "
+            "norm divides by zero under ANSI mode"
         )
 
 
@@ -104,10 +117,10 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
     (index_store.register_external_store)."""
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
-        _assert_finite(emb, "build_embedding_index")
+        _assert_ingestable(emb, "build_embedding_index")
         band = embedding_bucket_table(spark, sf_dir)
     else:
-        _assert_finite(emb, "build_embedding_index")
+        _assert_ingestable(emb, "build_embedding_index")
         band = embedding_band_buckets(emb)
     vecs = _vec_sidecar(emb)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -143,7 +156,7 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     is vec_id-bucketed, read in place), so re-ingesting a shard never
     double-indexes a vector (which would duplicate probe result rows)."""
     nb = _table_buckets(spark, table)
-    _assert_finite(emb, "append_embedding_index")
+    _assert_ingestable(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")
     emb = emb.join(existing, "vec_id", "left_anti")
     band = embedding_band_buckets(emb)
@@ -192,6 +205,10 @@ def probe_vector_bands(
         # (NaN >= θ is TRUE — a NaN cosine would "match" every θ cut),
         # so a non-finite probe must be an explicit error
         raise ValueError("probe vector has non-finite components")
+    if all(x == 0.0 for x in vec):
+        # a zero probe's cosine is 0/0 — a hard DIVIDE_BY_ZERO under
+        # ANSI mode on the first candidate row, so reject it up front
+        raise ValueError("probe vector is all-zero (cosine undefined)")
     nbits = bands * bits_per_band
     bits = []
     for b in range(nbits):

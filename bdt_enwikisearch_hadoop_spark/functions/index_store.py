@@ -78,13 +78,21 @@ def register_external_store(spark, table: str, path: str) -> None:
         spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
 
 
+def _describe_meta(spark, table: str) -> dict:
+    """One DESCRIBE EXTENDED collect, shared by every metadata lookup."""
+    return {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+
+
 def table_buckets(spark, table: str) -> int:
     """Bucket count of a catalog table (DESCRIBE EXTENDED — works for
     both builder-session tables and sidecar-registered ones)."""
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if r.col_name == "Num Buckets":
-            return int(r.data_type)
-    raise ValueError(f"{table} is not bucketed")
+    meta = _describe_meta(spark, table)
+    if "Num Buckets" not in meta:
+        raise ValueError(f"{table} is not bucketed")
+    return int(meta["Num Buckets"])
 
 
 def compact_store(spark, table: str, new_path: str,
@@ -97,9 +105,15 @@ def compact_store(spark, table: str, new_path: str,
     probe's bucket read into ~365 file opens.
 
     Immutable swap, never in place: each table writes to a NEW path
-    under a temp catalog name, then the old entry is dropped and the
-    temp renamed — a probe concurrent with compaction reads either the
-    old complete layout or the new one.  ``parts`` lists the store's
+    (same-path compaction is REFUSED — overwriting the directory the
+    lazy source scan reads from would corrupt the only copy) under a
+    temp catalog name, then the old entry is dropped and the temp
+    renamed.  The DATA swap is atomic (the new files are complete
+    before any catalog change); the CATALOG swap has a drop→rename
+    window, so in-session probes between the two statements would miss
+    the table name — fine for the single-session CLI this serves, but
+    a shared-metastore deployment should swap via a view or name
+    indirection instead.  ``parts`` lists the store's
     (suffix, bucket_col) pairs, e.g. dedup: ``[("", "bk"),
     ("_sets", "doc_id")]``; embedding: ``[("", "bucket"),
     ("_vecs", "vec_id")]``; postings: ``[("", "term"),
@@ -109,6 +123,13 @@ def compact_store(spark, table: str, new_path: str,
         t = f"{table}{suffix}"
         p = f"{new_path.rstrip('/')}{suffix}"
         nb = table_buckets(spark, t)
+        cur = table_location(spark, t).rstrip("/")
+        if cur == p.rstrip("/"):
+            raise ValueError(
+                f"compact_store: new_path equals {t}'s current location "
+                f"({cur}) — in-place compaction would overwrite the "
+                "files being read; pass a fresh path"
+            )
         tmp = f"{t}_compact_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         df = spark.table(t)
@@ -126,10 +147,10 @@ def compact_store(spark, table: str, new_path: str,
 
 def table_location(spark, table: str) -> str:
     """Filesystem location of a catalog table (DESCRIBE EXTENDED)."""
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if r.col_name == "Location":
-            return r.data_type.removeprefix("file:")
-    raise ValueError(f"{table} has no location")
+    meta = _describe_meta(spark, table)
+    if "Location" not in meta:
+        raise ValueError(f"{table} has no location")
+    return meta["Location"].removeprefix("file:")
 
 
 def store_report(spark, table: str, bucket_col: str) -> dict:
@@ -139,16 +160,16 @@ def store_report(spark, table: str, bucket_col: str) -> dict:
     * ``n_rows`` / ``n_keys`` / ``max_key_rows`` — logical occupancy of
       the bucket COLUMN (a max_key_rows far above n_rows/n_keys means a
       skewed key: the probe path's O(occ) degradation domain);
-    * ``n_buckets`` (the spec) and ``n_files`` — physical layout:
-      files_per_bucket ≈ n_files/n_buckets grows by one per append, and
-      is exactly the per-probe file-open cost, so it is the compaction
-      trigger (compact_store resets it to 1).
+    * ``n_buckets`` (the spec; 0 for a table registered WITHOUT its
+      bucketing sidecar — the report still serves, flagging that probe
+      reads on this registration are unpruned) and ``n_files`` —
+      physical layout: files_per_bucket ≈ n_files/n_buckets grows by
+      one per append, and is exactly the per-probe file-open cost, so
+      it is the compaction trigger (compact_store resets it to 1).
 
     One Spark aggregate over the store (store-sized, never the corpus)
-    plus a filesystem listing."""
+    plus one DESCRIBE and a filesystem listing."""
     import glob
-
-    from pyspark.sql import functions as F
 
     agg = (
         spark.table(table)
@@ -161,14 +182,17 @@ def store_report(spark, table: str, bucket_col: str) -> dict:
         )
         .collect()[0]
     )
-    loc = table_location(spark, table)
+    meta = _describe_meta(spark, table)
+    if "Location" not in meta:
+        raise ValueError(f"{table} has no location")
+    loc = meta["Location"].removeprefix("file:")
     n_files = len(glob.glob(f"{loc}/*.parquet"))
     return {
         "table": table,
         "n_rows": agg["n_rows"],
         "n_keys": agg["n_keys"],
         "max_key_rows": agg["max_key_rows"],
-        "n_buckets": table_buckets(spark, table),
+        "n_buckets": int(meta.get("Num Buckets", 0)),
         "n_files": n_files,
     }
 

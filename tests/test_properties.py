@@ -5193,6 +5193,144 @@ def test_embedding_store_rejects_non_finite_vectors(spark, sf_dir,
         spark.sql("DROP TABLE IF EXISTS t_nan_idx_vecs")
 
 
+def test_embedding_store_rejects_zero_vectors(spark, sf_dir, tmp_path):
+    """Zero-norm hygiene at the store boundary: an all-zero corpus
+    vector makes every colliding probe's cosine 0/0 — a hard
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, so one degenerate
+    row would CRASH every probe landing in its buckets (worse than a
+    wrong answer: the service goes down).  Both ingest paths must
+    refuse it naming the vec_id, and a zero PROBE must be an explicit
+    client error before any cluster work."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        probe_vector_bands,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    with _pytest.raises(ValueError, match="all-zero"):
+        probe_vector_bands([0.0] * 64)
+
+    emb = load(spark, sf_dir, "embeddings")
+    degenerate = spark.createDataFrame(
+        [(88888, [0.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with _pytest.raises(ValueError, match="88888"):
+        build_embedding_index(
+            spark, sf_dir, "t_zero_idx", str(tmp_path / "zidx"),
+            emb=emb.limit(10).unionByName(degenerate),
+        )
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_zero_idx", str(tmp_path / "zidx"),
+            emb=emb.limit(10),
+        )
+        with _pytest.raises(ValueError, match="88888"):
+            append_embedding_index(spark, "t_zero_idx", degenerate)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_zero_idx")
+        spark.sql("DROP TABLE IF EXISTS t_zero_idx_vecs")
+
+
+def test_compact_store_refuses_same_path(spark, sf_dir, tmp_path):
+    """In-place compaction must be REFUSED, not attempted: the rewrite
+    reads the store lazily while writing, so targeting the directory
+    the scan reads from would overwrite the only copy mid-read.  The
+    guard fires before any write, and the store stays fully intact and
+    probeable afterwards."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    path = str(tmp_path / "sameidx")
+    try:
+        build_dedup_index(spark, sf_dir, "t_same_idx", path)
+        doc = (
+            load(spark, sf_dir, "documents").filter("doc_id = 42").collect()
+        )[0]
+        want = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_same_idx", doc.text).collect()
+        ]
+        assert want
+        with _pytest.raises(ValueError, match="fresh path"):
+            compact_dedup_index(spark, "t_same_idx", path)
+        # the refused compaction left the store untouched and serving
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_same_idx", doc.text).collect()
+        ]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_same_idx")
+        spark.sql("DROP TABLE IF EXISTS t_same_idx_sets")
+        spark.sql("DROP TABLE IF EXISTS t_same_idx_compact_tmp")
+        spark.sql("DROP TABLE IF EXISTS t_same_idx_sets_compact_tmp")
+
+
+def test_store_report_on_unbucketed_registration(spark, sf_dir, tmp_path,
+                                                 capsys):
+    """store_report must still serve a store registered WITHOUT its
+    bucketing sidecar (the plain-external fallback): occupancy numbers
+    identical, n_buckets reported as 0 — the operational flag that
+    probe reads on this registration run unpruned — instead of the
+    raise table_buckets() would give.  The CLI's explicit
+    ``--bucket-col`` escape hatch exists precisely for this sidecar-less
+    case, so it must complete too (previously it registered plain and
+    then died in table_buckets)."""
+    import os
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+        store_report,
+    )
+
+    path = str(tmp_path / "unbidx")
+    try:
+        build_dedup_index(spark, "unused", "t_unb_idx", path,
+                          docs=spark.createDataFrame(
+                              [(1, "some words repeated here four times"),
+                               (2, "other words entirely different ones")],
+                              "doc_id long, text string"),
+                          buckets=4)
+        bucketed = store_report(spark, "t_unb_idx", "bk")
+        spark.sql("DROP TABLE t_unb_idx")
+        os.rename(f"{path}_meta.json", f"{path}_meta.hidden")
+        try:
+            register_external_store(spark, "t_unb_idx", path)
+            plain = store_report(spark, "t_unb_idx", "bk")
+            rc = cli.main(
+                ["store-report", path, "--table", "t_unb_idx",
+                 "--bucket-col", "bk"]
+            )
+            out = capsys.readouterr().out.strip().splitlines()
+            assert rc == 0
+            got = dict(ln.split("\t") for ln in out)
+            assert got["n_buckets"] == "0"
+            assert got["n_rows"] == str(plain["n_rows"])
+        finally:
+            os.rename(f"{path}_meta.hidden", f"{path}_meta.json")
+        assert plain["n_buckets"] == 0
+        assert bucketed["n_buckets"] == 4
+        for k in ("n_rows", "n_keys", "max_key_rows", "n_files"):
+            assert plain[k] == bucketed[k], k
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_unb_idx")
+        spark.sql("DROP TABLE IF EXISTS t_unb_idx_sets")
+
+
 def test_probe_banding_parity_on_adversarial_texts(spark):
     """The probe's pure-Python banding must stay bit-identical to the
     Spark derivation OFF the fixture distribution too — a probe service
