@@ -123,6 +123,28 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--table", default="cli_dedup")
     dp.add_argument("--theta", type=float, default=0.8)
 
+    da = sub.add_parser(
+        "append-dedup-index",
+        help="ingest a parquet batch of (doc_id, text) documents into "
+        "a persisted dedup store (signs only the batch; replayed "
+        "doc_ids skipped)",
+    )
+    da.add_argument("path")
+    da.add_argument("batch", help="parquet path with doc_id, text columns")
+    da.add_argument("--table", default="cli_dedup")
+
+    ea = sub.add_parser(
+        "append-embedding-index",
+        help="ingest a parquet batch of (vec_id, embedding) vectors "
+        "into a persisted embedding store (bands only the batch; "
+        "replayed vec_ids skipped)",
+    )
+    ea.add_argument("path")
+    ea.add_argument(
+        "batch", help="parquet path with vec_id, embedding columns"
+    )
+    ea.add_argument("--table", default="cli_ededup")
+
     sr = sub.add_parser(
         "store-report",
         help="operational stats of a persisted store (rows, bucket-key "
@@ -305,6 +327,70 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{k}\t{v}")
         fpb = rep["n_files"] / max(rep["n_buckets"], 1)
         print(f"files_per_bucket\t{fpb:.1f}")
+        return 0
+
+    if args.cmd == "append-dedup-index":
+        from .functions.dedup_store import append_dedup_index
+        from .functions.index_store import register_external_store
+
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
+        ):
+            register_external_store(spark, table, path)
+        batch = spark.read.parquet(args.batch)
+        missing = {"doc_id", "text"} - set(batch.columns)
+        if missing:
+            print(
+                f"batch parquet lacks column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
+        before = spark.table(f"{args.table}_sets").count()
+        try:
+            append_dedup_index(
+                spark, args.table, batch.select("doc_id", "text")
+            )
+        except ValueError as exc:  # sidecar-less (unbucketed) store
+            print(str(exc), file=sys.stderr)
+            return 2
+        after = spark.table(f"{args.table}_sets").count()
+        print(
+            f"appended {after - before} new docs to {args.table} "
+            f"({before} -> {after})"
+        )
+        return 0
+
+    if args.cmd == "append-embedding-index":
+        from .functions.embedding_store import append_embedding_index
+        from .functions.index_store import register_external_store
+
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
+        ):
+            register_external_store(spark, table, path)
+        batch = spark.read.parquet(args.batch)
+        missing = {"vec_id", "embedding"} - set(batch.columns)
+        if missing:
+            print(
+                f"batch parquet lacks column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
+        before = spark.table(f"{args.table}_vecs").count()
+        try:
+            append_embedding_index(
+                spark, args.table, batch.select("vec_id", "embedding")
+            )
+        except ValueError as exc:  # non-finite / zero / wrong-dim batch
+            print(str(exc), file=sys.stderr)
+            return 2
+        after = spark.table(f"{args.table}_vecs").count()
+        print(
+            f"appended {after - before} new vectors to {args.table} "
+            f"({before} -> {after})"
+        )
         return 0
 
     if args.cmd == "compact-dedup-index":

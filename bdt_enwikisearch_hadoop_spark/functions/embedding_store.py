@@ -70,13 +70,18 @@ def _vec_sidecar(emb: DataFrame) -> DataFrame:
 
 
 def _assert_ingestable(emb: DataFrame, what: str) -> None:
-    """Ingest hygiene gate: refuse vectors whose cosine is undefined.
-    Two poison classes: NON-FINITE components (a NaN cosine "matches"
+    """Ingest hygiene gate: refuse vectors the index cannot serve.
+    Three poison classes: NON-FINITE components (a NaN cosine "matches"
     every future probe — Spark SQL orders NaN ABOVE everything, so
-    ``NaN >= θ`` is TRUE) and ALL-ZERO vectors (norm 0 makes every
+    ``NaN >= θ`` is TRUE), ALL-ZERO vectors (norm 0 makes every
     colliding probe's cosine a division by zero — a hard
     DIVIDE_BY_ZERO under Spark 4's default ANSI mode, so one degenerate
-    row would crash every probe that lands in its buckets).
+    row would crash every probe that lands in its buckets), and
+    WRONG-DIMENSION vectors (``zip_with`` against the 64-component
+    coefficient arrays null-pads, so the banding silently mis-buckets
+    the row and the verify's dot comes back NULL — which ``>= θ``
+    filters out as a silent "no duplicate"; the mirror of the probe's
+    explicit dimension raise).
 
     Deliberately a SEPARATE validation pass over the batch being
     ingested rather than a raise_error column riding the writes: the
@@ -90,15 +95,18 @@ def _assert_ingestable(emb: DataFrame, what: str) -> None:
         ve, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
     zero = ~F.exists(ve, lambda x: x != 0.0)
+    wrongdim = F.size(F.col("embedding")) != len(_COEFS64[0])
     bad = (
-        emb.filter(nonfinite | zero).select("vec_id").limit(3).collect()
+        emb.filter(nonfinite | zero | wrongdim)
+        .select("vec_id").limit(3).collect()
     )
     if bad:
         ids = [r.vec_id for r in bad]
         raise ValueError(
-            f"{what}: non-finite or all-zero embedding (vec_ids {ids}…) — "
-            "NaN matches every probe under Spark's NaN ordering; a zero "
-            "norm divides by zero under ANSI mode"
+            f"{what}: non-finite, all-zero, or wrong-dimension embedding "
+            f"(vec_ids {ids}…) — NaN matches every probe under Spark's "
+            "NaN ordering; a zero norm divides by zero under ANSI mode; "
+            f"the index bands exactly {len(_COEFS64[0])} components"
         )
 
 

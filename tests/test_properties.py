@@ -5331,6 +5331,128 @@ def test_store_report_on_unbucketed_registration(spark, sf_dir, tmp_path,
         spark.sql("DROP TABLE IF EXISTS t_unb_idx_sets")
 
 
+def test_cli_append_lanes_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """The serving loop's APPEND step as CLI lanes, fresh-process
+    discipline (stores re-registered from their sidecars): a parquet
+    shard appended via the CLI is immediately probeable via the CLI,
+    replaying the same shard appends 0 (idempotence), and a shard
+    missing the contract columns — or carrying an unservable vector —
+    is a clean exit-2 error, never a traceback."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    # --- text lane -------------------------------------------------
+    base_doc, _ = _boundary_pair(1)
+    new_doc, new_probe = _boundary_pair(0)
+    dpath = str(tmp_path / "cliap")
+    base = spark.createDataFrame(
+        [(1, base_doc), (2, "completely unrelated filler words " * 8)],
+        "doc_id long, text string",
+    )
+    shard = str(tmp_path / "shard.parquet")
+    spark.createDataFrame(
+        [(5, new_doc)], "doc_id long, text string"
+    ).write.parquet(shard)
+    badshard = str(tmp_path / "badshard.parquet")
+    spark.createDataFrame(
+        [(9, "x")], "doc_id long, body string"
+    ).write.parquet(badshard)
+    try:
+        build_dedup_index(spark, "unused", "t_cliap_idx", dpath, docs=base)
+        # fresh process: catalog loses the builder session's entries
+        spark.sql("DROP TABLE t_cliap_idx")
+        spark.sql("DROP TABLE t_cliap_idx_sets")
+        rc = cli.main(
+            ["append-dedup-index", dpath, shard, "--table", "t_cliap_idx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "appended 1 new docs (2 -> 3)" in out.replace(
+            "to t_cliap_idx ", ""
+        ), out
+        rc = cli.main(
+            ["dedup-probe", dpath, new_probe, "--table", "t_cliap_idx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "5\t0.8" in out, out
+        # replayed shard: idempotent no-op
+        rc = cli.main(
+            ["append-dedup-index", dpath, shard, "--table", "t_cliap_idx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "appended 0 new docs" in out, out
+        # contract-column error path
+        rc = cli.main(
+            ["append-dedup-index", dpath, badshard, "--table", "t_cliap_idx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2 and "text" in err, (rc, err)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cliap_idx")
+        spark.sql("DROP TABLE IF EXISTS t_cliap_idx_sets")
+
+    # --- embedding lane ---------------------------------------------
+    emb = load(spark, sf_dir, "embeddings")
+    epath = str(tmp_path / "cliapemb")
+    vshard = str(tmp_path / "vshard.parquet")
+    newvecs = emb.orderBy("vec_id").limit(15).orderBy(
+        F.col("vec_id").desc()
+    ).limit(5)
+    newvecs.select("vec_id", "embedding").write.parquet(vshard)
+    new_ids = {r.vec_id for r in newvecs.select("vec_id").collect()}
+    dimshard = str(tmp_path / "dimshard.parquet")
+    spark.createDataFrame(
+        [(77777, [1.0] * 8)], "vec_id long, embedding array<float>"
+    ).write.parquet(dimshard)
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_cliap_eidx", epath,
+            emb=emb.orderBy("vec_id").limit(10),
+        )
+        spark.sql("DROP TABLE t_cliap_eidx")
+        spark.sql("DROP TABLE t_cliap_eidx_vecs")
+        rc = cli.main(
+            ["append-embedding-index", epath, vshard,
+             "--table", "t_cliap_eidx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "appended 5 new vectors" in out, out
+        # an appended vector is immediately probeable (matches itself)
+        vid = min(new_ids)
+        rc = cli.main(
+            ["--sf-dir", sf_dir, "embedding-probe", epath,
+             "--vec-id", str(vid), "--table", "t_cliap_eidx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and any(
+            ln.split("\t")[0] == str(vid) for ln in out.splitlines()
+        ), out
+        # replayed shard: idempotent no-op
+        rc = cli.main(
+            ["append-embedding-index", epath, vshard,
+             "--table", "t_cliap_eidx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and "appended 0 new vectors" in out, out
+        # wrong-dimension shard: the ingest gate names the class
+        rc = cli.main(
+            ["append-embedding-index", epath, dimshard,
+             "--table", "t_cliap_eidx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2 and "77777" in err and "64" in err, (rc, err)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cliap_eidx")
+        spark.sql("DROP TABLE IF EXISTS t_cliap_eidx_vecs")
+
+
 def test_probe_banding_parity_on_adversarial_texts(spark):
     """The probe's pure-Python banding must stay bit-identical to the
     Spark derivation OFF the fixture distribution too — a probe service
