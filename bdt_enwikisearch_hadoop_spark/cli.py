@@ -89,6 +89,47 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", default="cli_index")
     v.add_argument("--k", type=int, default=10)
 
+    tb = sub.add_parser(
+        "build-tf-index",
+        help="persist the segmented raw-TF postings index (append-capable; "
+        "weights applied query-time, so appends shift scores correctly)",
+    )
+    tb.add_argument("path")
+    tb.add_argument("--table", default="cli_tfindex")
+    tb.add_argument("--buckets", type=int, default=16)
+
+    ta = sub.add_parser(
+        "append-tf-index",
+        help="ingest a parquet batch of (doc_id, text) documents as a new "
+        "segment of a persisted raw-TF index (writes only the batch; "
+        "replayed doc_ids skipped)",
+    )
+    ta.add_argument("path")
+    ta.add_argument("batch", help="parquet path with doc_id, text columns")
+    ta.add_argument("--table", default="cli_tfindex")
+
+    ts = sub.add_parser(
+        "search-tf",
+        help="ranked retrieval served from a segmented raw-TF index "
+        "(same ranking contract as search-index, current N/df)",
+    )
+    ts.add_argument("path")
+    ts.add_argument("terms", nargs="+")
+    ts.add_argument("--table", default="cli_tfindex")
+    ts.add_argument("--k", type=int, default=10)
+    ts.add_argument("--any", action="store_true")
+
+    tc = sub.add_parser(
+        "compact-tf-index",
+        help="fold accumulated segments back to one row per term and one "
+        "file per bucket (immutable swap to NEW_PATH)",
+    )
+    tc.add_argument("new_path")
+    tc.add_argument("--table", default="cli_tfindex")
+    tc.add_argument("--path", default=None,
+                    help="existing store location (required in a fresh "
+                    "process so the catalog can be re-registered)")
+
     r = sub.add_parser("bench-key", help="run one registered query and print timing")
     r.add_argument("key")
 
@@ -219,6 +260,86 @@ def main(argv: list[str] | None = None) -> int:
         build_index(spark, args.sf_dir, args.table, args.path, args.buckets)
         n = spark.table(args.table).count()
         print(f"built {args.table} at {args.path}: {n} terms")
+        return 0
+
+    if args.cmd == "build-tf-index":
+        from .functions.index_store import build_tf_index
+        from .sources import load
+
+        docs = load(spark, args.sf_dir, "documents").select("doc_id", "text")
+        build_tf_index(spark, docs, args.table, args.path, args.buckets)
+        n = spark.table(args.table).count()
+        nd = spark.table(f"{args.table}_docs").count()
+        print(f"built {args.table} at {args.path}: {n} terms, {nd} docs")
+        return 0
+
+    if args.cmd == "append-tf-index":
+        from .functions.index_store import (
+            append_tf_index,
+            register_external_store,
+        )
+
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
+        ):
+            register_external_store(spark, table, path)
+        batch = spark.read.parquet(args.batch)
+        missing = {"doc_id", "text"} - set(batch.columns)
+        if missing:
+            print(
+                f"batch parquet lacks column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
+        before = spark.table(f"{args.table}_docs").count()
+        try:
+            append_tf_index(
+                spark, args.table, batch.select("doc_id", "text")
+            )
+        except ValueError as exc:  # sidecar-less (unbucketed) store
+            print(str(exc), file=sys.stderr)
+            return 2
+        after = spark.table(f"{args.table}_docs").count()
+        print(
+            f"appended {after - before} new docs to {args.table} "
+            f"({before} -> {after})"
+        )
+        return 0
+
+    if args.cmd == "search-tf":
+        from .functions.index_store import (
+            register_external_store,
+            search_tf_index,
+        )
+
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
+        ):
+            register_external_store(spark, table, path)
+        rows = search_tf_index(
+            spark, args.table, tuple(args.terms), k=args.k,
+            conjunctive=not args.any,
+        ).collect()
+        for row in rows:
+            print(f"{row['doc_id']}\t{row['score']}")
+        return 0
+
+    if args.cmd == "compact-tf-index":
+        from .functions.index_store import (
+            compact_tf_index,
+            register_external_store,
+        )
+
+        if args.path:
+            for table, path in (
+                (args.table, args.path),
+                (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
+            ):
+                register_external_store(spark, table, path)
+        compact_tf_index(spark, args.table, args.new_path)
+        print(f"compacted {args.table} to {args.new_path}")
         return 0
 
     if args.cmd == "search-index":

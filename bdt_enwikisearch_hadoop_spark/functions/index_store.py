@@ -96,7 +96,8 @@ def table_buckets(spark, table: str) -> int:
 
 
 def compact_store(spark, table: str, new_path: str,
-                  parts: list[tuple[str, str]]) -> None:
+                  parts: list[tuple[str, str]],
+                  transforms: dict | None = None) -> None:
     """Rewrite a store's accumulated append files into a fresh
     one-file-per-bucket layout WITHOUT re-deriving anything (reads the
     persisted rows, never the corpus) — the small-files remedy after
@@ -118,7 +119,13 @@ def compact_store(spark, table: str, new_path: str,
     ("_sets", "doc_id")]``; embedding: ``[("", "bucket"),
     ("_vecs", "vec_id")]``; postings: ``[("", "term"),
     ("_norms", "doc_id")]``.  Bucket counts and meta sidecars carry
-    over, so registered consumers keep their pruned plans."""
+    over, so registered consumers keep their pruned plans.
+
+    ``transforms`` optionally maps a suffix to a row-set rewrite
+    applied during the copy — how a SEGMENTED store (the raw-TF
+    search index) folds its per-append segment rows back into one row
+    per key while compacting, LSM-style; plain stores omit it and the
+    copy is row-preserving."""
     for suffix, col in parts:
         t = f"{table}{suffix}"
         p = f"{new_path.rstrip('/')}{suffix}"
@@ -133,6 +140,8 @@ def compact_store(spark, table: str, new_path: str,
         tmp = f"{t}_compact_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         df = spark.table(t)
+        if transforms and suffix in transforms:
+            df = transforms[suffix](df)
         (
             df.write.mode("overwrite")
             .option("path", p)
@@ -299,27 +308,44 @@ def search_index_vsm(
 # index can only be rebuilt.  The incrementally-maintainable artifact is
 # the RAW-TF postings index: tf is doc-local (new documents never change
 # an existing posting), so ingesting a delta corpus touches only the
-# delta's own terms; N and df are derivable (df = postings length, N via
-# a one-row count) and the tf*ln(N/df) weighting is applied query-time
-# against broadcast stats.  At 100 TB: the base index is bucketed by
-# term, so the merge join shuffles ONLY the (small) delta aggregate —
-# the base's buckets are read in place (asserted comparatively in
-# tests: bucketed base ⇒ one fewer hash Exchange than an unbucketed
-# copy of the same merge).
+# delta's own terms; N and df are derivable (df from the postings, N
+# from the _docs sidecar) and the tf*ln(N/df) weighting is applied
+# query-time.  Two roll-forward shapes, both shipped:
+#
+# * merge_tf_delta — delta-sized COMPUTE, full-index WRITE: one
+#   full-outer join on term producing the complete merged index for an
+#   immutable swap.  At 100 TB the base's term buckets are read in
+#   place (asserted comparatively in tests: bucketed base ⇒ one fewer
+#   hash Exchange than an unbucketed copy of the same merge).
+# * append_tf_index + search_tf_index — delta-sized WRITE, LSM-style:
+#   each batch appends segment rows into the same bucket layout and
+#   the server folds segments at query time over just the |Q| looked-up
+#   terms; compact_tf_index folds segments back to one row per term
+#   when the per-lookup row count grows.  This is the ingestion-service
+#   shape (a year of daily shards never rewrites the base).
+
+
+def _tf_segment(docs: DataFrame) -> DataFrame:
+    """(term, df_count, postings[(doc_id, tf)]) rows for ONE batch of
+    documents — the unit both the full build and every append write."""
+    tf = term_freq(tokenize(docs))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+        ).alias("postings"),
+    )
 
 
 def build_tf_index(
     spark, docs: DataFrame, table: str, path: str, buckets: int = 16
 ) -> None:
     """Persist the raw-TF postings index (term, df_count,
-    postings[(doc_id, tf)]) bucketed+sorted by term."""
-    tf = term_freq(tokenize(docs))
-    index = tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df_count"),
-        F.array_sort(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
-        ).alias("postings"),
-    )
+    postings[(doc_id, tf)]) bucketed+sorted by term, PLUS the
+    ``{table}_docs`` sidecar of ingested doc_ids (doc_id-bucketed) —
+    the corpus count N for query-time weighting and the idempotence
+    key for :func:`append_tf_index`."""
+    index = _tf_segment(docs)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         index.write.mode("overwrite")
@@ -329,6 +355,16 @@ def build_tf_index(
         .saveAsTable(table)
     )
     write_store_meta(index, path, buckets, "term")
+    ids = docs.select("doc_id")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_docs")
+    (
+        ids.write.mode("overwrite")
+        .option("path", f"{path.rstrip('/')}_docs")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(f"{table}_docs")
+    )
+    write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
 
 
 def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:
@@ -363,6 +399,126 @@ def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:
     )
 
 
+def append_tf_index(spark, table: str, docs: DataFrame) -> None:
+    """Append a NEW batch as a SEGMENT of the raw-TF index — the
+    search lane's index roll-forward at batch-sized cost, LSM-style: a
+    term that appears in several batches owns several (term, df_count,
+    postings) rows, and the serving path (:func:`search_tf_index`)
+    folds segments at query time over just the |Q| looked-up terms.
+    Nothing rewrites the base; appended files land in the same
+    term-bucket layout so lookups stay bucket-pruned across
+    build ∪ append.
+
+    IDEMPOTENT on replayed ids: already-ingested doc_ids are
+    anti-joined out against the ``_docs`` sidecar (batch-sized work —
+    the sidecar is doc_id-bucketed).  The segment rows write FIRST and
+    the sidecar second (dedup_store's ordering): a crash between the
+    two re-appends the segment on replay, and the serving path
+    collapses such duplicates by construction (per-(term, doc_id)
+    ``max(tf)``; df derived from the deduped postings, never from the
+    stored counters)."""
+    nb = table_buckets(spark, table)
+    existing = spark.table(f"{table}_docs").select("doc_id")
+    docs = docs.join(existing, "doc_id", "left_anti")
+    (
+        _tf_segment(docs).write.mode("append")
+        .bucketBy(nb, "term").sortBy("term").saveAsTable(table)
+    )
+    (
+        docs.select("doc_id").write.mode("append")
+        .bucketBy(nb, "doc_id").sortBy("doc_id")
+        .saveAsTable(f"{table}_docs")
+    )
+
+
+def search_tf_index(
+    spark, table: str, terms: tuple[str, ...], k: int = 10,
+    conjunctive: bool = True,
+) -> DataFrame:
+    """Ranked retrieval served from the SEGMENTED raw-TF index with
+    QUERY-TIME weighting — identical output contract to
+    :func:`search_index` (wt = tf·ln(N/df) summed per doc, 4dp round,
+    score-desc doc_id tiebreak), but the index underneath can roll
+    forward via :func:`append_tf_index`: because weights are applied
+    at query time from the CURRENT N and df, an appended batch
+    correctly shifts every affected score (a weighted store would
+    serve stale global weights until rebuilt; parity with a full
+    weighted rebuild is pinned in tests).
+
+    Reads the |Q| query terms' segment rows (bucket-pruned) + one
+    metadata-only count of the ``_docs`` sidecar for N.  df per term
+    is derived from the DEDUPED postings (count of distinct doc_ids),
+    not by trusting the per-segment ``df_count`` counters — this makes
+    serving immune to the replayed-segment duplicates the append
+    ordering can leave behind.  The per-(doc,term) weight expression
+    is the same op chain as ``_tfidf_from`` (cast-to-double division,
+    log, multiply), so scores match the weighted store bit-for-bit."""
+    n_docs = spark.table(f"{table}_docs").select("doc_id").distinct().count()
+    idx = spark.table(table).filter(F.col("term").isin(*terms))
+    posts = (
+        idx.select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.tf").alias("tf"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+    )
+    dfc = posts.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = (
+        posts.join(F.broadcast(dfc), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.lit(n_docs).cast("double") / F.col("dfc"))
+            ).alias("wt"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("wt"), 4).alias("score"),
+            F.countDistinct("term").alias("nterms"),
+        )
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("nterms") == len(terms))
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def compact_tf_index(spark, table: str, new_path: str) -> None:
+    """Fold the accumulated segments back to ONE row per term (df
+    recounted from the deduped merged postings — replay duplicates
+    disappear here too) and the ``_docs`` sidecar to distinct ids,
+    while rewriting to one file per bucket — compact_store's immutable
+    swap with the segmented store's merge transforms."""
+
+    def _merge_terms(df: DataFrame) -> DataFrame:
+        merged = F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("postings")))
+        )
+        return (
+            df.groupBy("term")
+            .agg(merged.alias("postings"))
+            .select(
+                "term",
+                F.size("postings").cast("bigint").alias("df_count"),
+                "postings",
+            )
+        )
+
+    compact_store(
+        spark, table, new_path,
+        [("", "term"), ("_docs", "doc_id")],
+        transforms={"": _merge_terms, "_docs": lambda df: df.distinct()},
+    )
+
+
 def _merged_index_df(spark, sf_dir: str) -> DataFrame:
     """Session-staged incremental refresh: persist a bucketed base
     index over 90% of the corpus once per (session, sf) — c17's
@@ -389,6 +545,7 @@ def _merged_index_df(spark, sf_dir: str) -> DataFrame:
         import shutil
 
         atexit.register(shutil.rmtree, path, ignore_errors=True)
+        atexit.register(shutil.rmtree, f"{path}_docs", ignore_errors=True)
     return merge_tf_delta(spark, table, delta_docs)
 
 

@@ -1118,8 +1118,9 @@ def run_streaming_index_merge_smoke(spark, sf_dir: str) -> tuple[list, list]:
             )
             rebuilt = canon(spark.table("t_stream_idx_full"))
         finally:
-            spark.sql("DROP TABLE IF EXISTS t_stream_idx")
-            spark.sql("DROP TABLE IF EXISTS t_stream_idx_full")
+            for t in ("t_stream_idx", "t_stream_idx_full",
+                      "t_stream_idx_docs", "t_stream_idx_full_docs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
     return merged, rebuilt
 
 

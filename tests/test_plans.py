@@ -254,8 +254,9 @@ def test_incremental_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
 
         assert canon(merged) == canon(spark.table("t_idx_full"))
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_idx_base")
-        spark.sql("DROP TABLE IF EXISTS t_idx_full")
+        for t in ("t_idx_base", "t_idx_full", "t_idx_base_docs",
+                  "t_idx_full_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.catalog.dropTempView("t_idx_flat")
 
 

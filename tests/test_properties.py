@@ -5453,6 +5453,142 @@ def test_cli_append_lanes_roundtrip(spark, sf_dir, tmp_path, capsys):
         spark.sql("DROP TABLE IF EXISTS t_cliap_eidx_vecs")
 
 
+def test_tf_segment_index_serves_current_weights(spark, sf_dir, tmp_path):
+    """The search lane's incremental SERVING story: a raw-TF index
+    built over 90% of the corpus + the other 10% appended as a segment
+    must serve search_tf_index results IDENTICAL to search_index over
+    a full weighted rebuild — query-time weighting means the appended
+    batch correctly shifts every affected score (N and df move), which
+    a weighted store cannot do without rebuilding.  Also pins: replay
+    idempotence, immunity to the duplicated segment a crash-replay can
+    leave (per-(term,doc) max(tf), df derived from deduped postings),
+    bucket-pruned term lookups, and the compaction fold back to one
+    row per term."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        _tf_segment,
+        append_tf_index,
+        build_index,
+        build_tf_index,
+        compact_tf_index,
+        search_index,
+        search_tf_index,
+        table_buckets,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def rows(df):
+        return [(r.doc_id, r.score) for r in df.collect()]
+
+    try:
+        build_index(spark, sf_dir, "t_seg_w", str(tmp_path / "w"))
+        build_tf_index(spark, base, "t_seg_tf", str(tmp_path / "tf"))
+        append_tf_index(spark, "t_seg_tf", delta)
+        for conj in (True, False):
+            want = rows(search_index(
+                spark, "t_seg_w", QUERY_TERMS, conjunctive=conj))
+            got = rows(search_tf_index(
+                spark, "t_seg_tf", QUERY_TERMS, conjunctive=conj))
+            assert want and got == want, (conj, got, want)
+
+        # replayed shard: idempotent no-op
+        nd = spark.table("t_seg_tf_docs").count()
+        append_tf_index(spark, "t_seg_tf", delta)
+        assert spark.table("t_seg_tf_docs").count() == nd
+        # crash-replay adversary: the segment rows land twice but the
+        # _docs sidecar write never happened — serving must not double
+        # any score (max(tf) + derived df)
+        nb = table_buckets(spark, "t_seg_tf")
+        (
+            _tf_segment(delta).write.mode("append")
+            .bucketBy(nb, "term").sortBy("term").saveAsTable("t_seg_tf")
+        )
+        q = search_tf_index(spark, "t_seg_tf", QUERY_TERMS)
+        assert rows(q) == rows(search_index(spark, "t_seg_w", QUERY_TERMS))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+
+        # compaction folds segments (incl. the duplicate) to ONE row
+        # per term, identical service
+        compact_tf_index(spark, "t_seg_tf", str(tmp_path / "tf2"))
+        idx = spark.table("t_seg_tf")
+        n_rows, n_terms = idx.count(), idx.select("term").distinct().count()
+        assert n_rows == n_terms
+        # counters recounted from merged deduped postings
+        assert idx.filter(
+            F.col("df_count") != F.size("postings")
+        ).count() == 0
+        assert rows(search_tf_index(spark, "t_seg_tf", QUERY_TERMS)) == rows(
+            search_index(spark, "t_seg_w", QUERY_TERMS)
+        )
+    finally:
+        for t in ("t_seg_w", "t_seg_w_norms", "t_seg_tf", "t_seg_tf_docs",
+                  "t_seg_tf_compact_tmp", "t_seg_tf_docs_compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_tf_index_lanes(spark, sf_dir, tmp_path, capsys):
+    """The segmented index's CLI lanes, fresh-process discipline:
+    build-tf-index over the corpus serves search-tf output identical
+    to search-index over the weighted build; an appended shard's doc
+    joins the ranking immediately; compact-tf-index keeps service
+    identical from the new path."""
+    from bdt_enwikisearch_hadoop_spark import cli
+
+    tfp, wp = str(tmp_path / "ctf"), str(tmp_path / "cw")
+
+    def run(args):
+        rc = cli.main(args)
+        out = capsys.readouterr().out.strip().splitlines()
+        return rc, out
+
+    try:
+        rc, _ = run(["--sf-dir", sf_dir, "build-index", wp,
+                     "--table", "t_ctf_w"])
+        assert rc == 0
+        rc, _ = run(["--sf-dir", sf_dir, "build-tf-index", tfp,
+                     "--table", "t_ctf_tf"])
+        assert rc == 0
+        _, want = run(["search-index", wp, "spark", "join",
+                       "--table", "t_ctf_w"])
+        rc, got = run(["search-tf", tfp, "spark", "join",
+                       "--table", "t_ctf_tf"])
+        assert rc == 0 and want and got == want, (got, want)
+
+        # a shard whose doc contains all query terms many times ranks
+        # immediately after append
+        shard = str(tmp_path / "tfshard.parquet")
+        spark.createDataFrame(
+            [(999991, "spark join " * 30)], "doc_id long, text string"
+        ).write.parquet(shard)
+        rc, out = run(["append-tf-index", tfp, shard, "--table", "t_ctf_tf"])
+        assert rc == 0 and any("appended 1 new docs" in ln for ln in out)
+        rc, got2 = run(["search-tf", tfp, "spark", "join",
+                        "--table", "t_ctf_tf"])
+        assert rc == 0 and got2 != want
+        assert any(ln.split("\t")[0] == "999991" for ln in got2), got2
+
+        rc, _ = run(["compact-tf-index", str(tmp_path / "ctf2"),
+                     "--table", "t_ctf_tf", "--path", tfp])
+        assert rc == 0
+        rc, got3 = run(["search-tf", str(tmp_path / "ctf2"), "spark", "join",
+                        "--table", "t_ctf_tf2"])
+        assert rc == 0 and got3 == got2, (got3, got2)
+    finally:
+        for t in ("t_ctf_w", "t_ctf_w_norms", "t_ctf_tf", "t_ctf_tf_docs",
+                  "t_ctf_tf2", "t_ctf_tf2_docs", "t_ctf_tf_compact_tmp",
+                  "t_ctf_tf_docs_compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_probe_banding_parity_on_adversarial_texts(spark):
     """The probe's pure-Python banding must stay bit-identical to the
     Spark derivation OFF the fixture distribution too — a probe service
