@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..sources import rebalance
 from .index_store import (
     compact_store,
+    refresh_store,
     table_buckets as _table_buckets,
     write_store_meta,
 )
@@ -119,6 +120,7 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     never double-indexes a document (which would duplicate probe
     result rows — probe_dedup's candidate list is distinct but the
     sidecar join is not)."""
+    refresh_store(spark, table, ("", "_sets"))
     nb = _table_buckets(spark, table)
     existing = spark.table(f"{table}_sets").select("doc_id")
     docs = docs.join(existing, "doc_id", "left_anti")

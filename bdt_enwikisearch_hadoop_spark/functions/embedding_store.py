@@ -53,6 +53,7 @@ from .ann import (
 )
 from .index_store import (
     compact_store,
+    refresh_store,
     table_buckets as _table_buckets,
     write_store_meta,
 )
@@ -163,6 +164,7 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     out against the vector sidecar (batch-sized work — the sidecar side
     is vec_id-bucketed, read in place), so re-ingesting a shard never
     double-indexes a vector (which would duplicate probe result rows)."""
+    refresh_store(spark, table, ("", "_vecs"))
     nb = _table_buckets(spark, table)
     _assert_ingestable(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")

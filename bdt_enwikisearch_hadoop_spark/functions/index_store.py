@@ -154,6 +154,40 @@ def compact_store(spark, table: str, new_path: str,
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
 
 
+#: (applicationId, table) -> corpus count N, so a serving session pays
+#: the _docs sidecar count ONCE, not per query (at 1e9 docs the count
+#: is a corpus-sized column scan — fine per refresh, wrong per query).
+#: Invalidated by refresh_store (the reader-reopen step) and by
+#: same-session appends/compactions, the only events that change N.
+_N_DOCS_MEMO: dict = {}
+
+
+def _n_docs(spark, table: str) -> int:
+    key = (spark.sparkContext.applicationId, table)
+    if key not in _N_DOCS_MEMO:
+        _N_DOCS_MEMO[key] = (
+            spark.table(f"{table}_docs").select("doc_id").distinct().count()
+        )
+    return _N_DOCS_MEMO[key]
+
+
+def refresh_store(spark, table: str,
+                  suffixes: tuple[str, ...] = ("",)) -> None:
+    """Pick up files appended by ANOTHER session — the Lucene
+    "reopen the reader" step: Spark caches a catalog table's file
+    listing per session, so a long-lived serving session keeps
+    answering from the files it first listed until ``REFRESH TABLE``,
+    no matter how many segments other processes appended (measured:
+    a foreachBatch appender's writes were invisible to the outer
+    session's count until refresh).  Same-session appends invalidate
+    the cache automatically; only cross-session readers need this.
+    Every ``append_*_index`` calls it first so the idempotence
+    anti-join never runs against a stale id list."""
+    for s in suffixes:
+        spark.sql(f"REFRESH TABLE {table}{s}")
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
+
+
 def table_location(spark, table: str) -> str:
     """Filesystem location of a catalog table (DESCRIBE EXTENDED)."""
     meta = _describe_meta(spark, table)
@@ -365,6 +399,7 @@ def build_tf_index(
         .saveAsTable(f"{table}_docs")
     )
     write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:
@@ -417,6 +452,7 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     collapses such duplicates by construction (per-(term, doc_id)
     ``max(tf)``; df derived from the deduped postings, never from the
     stored counters)."""
+    refresh_store(spark, table, ("", "_docs"))
     nb = table_buckets(spark, table)
     existing = spark.table(f"{table}_docs").select("doc_id")
     docs = docs.join(existing, "doc_id", "left_anti")
@@ -429,6 +465,7 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
         .bucketBy(nb, "doc_id").sortBy("doc_id")
         .saveAsTable(f"{table}_docs")
     )
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def search_tf_index(
@@ -445,15 +482,18 @@ def search_tf_index(
     serve stale global weights until rebuilt; parity with a full
     weighted rebuild is pinned in tests).
 
-    Reads the |Q| query terms' segment rows (bucket-pruned) + one
-    metadata-only count of the ``_docs`` sidecar for N.  df per term
+    Reads the |Q| query terms' segment rows (bucket-pruned); the
+    corpus count N comes from the ``_docs`` sidecar, memoized per
+    (session, table) so serving pays the count once per reader-open,
+    not per query (invalidated by refresh_store / append /
+    compaction).  df per term
     is derived from the DEDUPED postings (count of distinct doc_ids),
     not by trusting the per-segment ``df_count`` counters — this makes
     serving immune to the replayed-segment duplicates the append
     ordering can leave behind.  The per-(doc,term) weight expression
     is the same op chain as ``_tfidf_from`` (cast-to-double division,
     log, multiply), so scores match the weighted store bit-for-bit."""
-    n_docs = spark.table(f"{table}_docs").select("doc_id").distinct().count()
+    n_docs = _n_docs(spark, table)
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     posts = (
         idx.select("term", F.explode("postings").alias("p"))
@@ -517,6 +557,7 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
         [("", "term"), ("_docs", "doc_id")],
         transforms={"": _merge_terms, "_docs": lambda df: df.distinct()},
     )
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def _merged_index_df(spark, sf_dir: str) -> DataFrame:

@@ -1124,6 +1124,81 @@ def run_streaming_index_merge_smoke(spark, sf_dir: str) -> tuple[list, list]:
     return merged, rebuilt
 
 
+def run_streaming_tf_append_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """The SEGMENT lane of index maintenance driven from a stream:
+    document shards arrive as a file-source stream (one file per
+    micro-batch via maxFilesPerTrigger, so the index accumulates
+    across several appends) and foreachBatch ingests each as a segment
+    (``append_tf_index`` — delta-sized writes, nothing rewrites the
+    base), after which ``search_tf_index``'s query-time-weighted
+    ranking must equal the same search over a one-shot batch build of
+    the full corpus.  This is the ingestion-service twin of
+    ``run_streaming_index_merge_smoke``'s nightly-merge shape: that
+    one rewrites the whole index per batch (delta-sized compute,
+    full-sized write); this one writes only the shard.  Returns
+    (streamed, batch) ranking row lists, which must be equal."""
+    import tempfile
+
+    from ..functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        refresh_store,
+        search_tf_index,
+    )
+    from ..functions.text_search import QUERY_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def rows(table):
+        return [
+            (r["doc_id"], r["score"])
+            for r in search_tf_index(spark, table, QUERY_TERMS).collect()
+        ]
+
+    with tempfile.TemporaryDirectory() as workdir:
+        try:
+            build_tf_index(
+                spark, base_docs, "t_stf_idx", f"{workdir}/base", buckets=8
+            )
+            src = f"{workdir}/shards"
+            delta_docs.repartition(3).write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def append_batch(batch_df, batch_id):
+                append_tf_index(
+                    spark, "t_stf_idx", batch_df.select("doc_id", "text")
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(append_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            # the appends ran in foreachBatch's cloned sessions, whose
+            # writes this session's cached file listing cannot see —
+            # the serving session "reopens the reader" before querying
+            # (refresh_store's cross-session freshness contract)
+            refresh_store(spark, "t_stf_idx", ("", "_docs"))
+            streamed = rows("t_stf_idx")
+            build_tf_index(
+                spark, docs, "t_stf_idx_full", f"{workdir}/full", buckets=8
+            )
+            batch = rows("t_stf_idx_full")
+        finally:
+            for t in ("t_stf_idx", "t_stf_idx_docs",
+                      "t_stf_idx_full", "t_stf_idx_full_docs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return streamed, batch
+
+
 def run_streaming_delta_dedup_smoke(spark, sf_dir: str) -> tuple[list, list]:
     """j84's delta-dedup decision fold run AS A STREAM — the docstring
     claim 'embarrassingly parallel and streamable' executed rather than

@@ -5491,6 +5491,9 @@ def test_tf_segment_index_serves_current_weights(spark, sf_dir, tmp_path):
     try:
         build_index(spark, sf_dir, "t_seg_w", str(tmp_path / "w"))
         build_tf_index(spark, base, "t_seg_tf", str(tmp_path / "tf"))
+        # a query BEFORE the append primes the per-session N memo; the
+        # append must invalidate it or every later score uses stale N
+        pre = rows(search_tf_index(spark, "t_seg_tf", QUERY_TERMS))
         append_tf_index(spark, "t_seg_tf", delta)
         for conj in (True, False):
             want = rows(search_index(
@@ -5498,6 +5501,9 @@ def test_tf_segment_index_serves_current_weights(spark, sf_dir, tmp_path):
             got = rows(search_tf_index(
                 spark, "t_seg_tf", QUERY_TERMS, conjunctive=conj))
             assert want and got == want, (conj, got, want)
+        assert pre != rows(
+            search_tf_index(spark, "t_seg_tf", QUERY_TERMS)
+        )  # the append moved N/df, so pre-append scores must differ
 
         # replayed shard: idempotent no-op
         nd = spark.table("t_seg_tf_docs").count()

@@ -224,6 +224,20 @@ def test_streaming_index_merge_equals_rebuild(spark):
     assert len(merged) > 0
 
 
+def test_streaming_tf_append_equals_batch_build(spark):
+    """The segment lane under streaming: shards appended one
+    micro-batch at a time (maxFilesPerTrigger=1, so the index rolls
+    forward across several appends) must serve the same query-time-
+    weighted ranking as a one-shot batch build of the full corpus."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_tf_append_smoke,
+    )
+
+    streamed, batch = run_streaming_tf_append_smoke(spark, SF_DIR)
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_streaming_delta_dedup_equals_batch(spark):
     """j84's 'streamable' claim executed: the new batch's documents
     arriving as a file-source stream, decided per micro-batch against
