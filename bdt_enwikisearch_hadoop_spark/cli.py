@@ -58,6 +58,41 @@ def _rank_live(spark, sf_dir: str, terms: list[str], k: int, any_term: bool) -> 
     )
 
 
+def _cli_append(spark, args, append_fn, suffix: str,
+                cols: tuple[str, ...], noun: str) -> int:
+    """Shared body of the three append lanes (dedup / embedding / tf):
+    register the store's parts from their sidecars, validate the
+    shard's contract columns, append, report the sidecar delta.  One
+    place, so a fix (a new error class, a guard) lands in every lane."""
+    from .functions.index_store import register_external_store
+
+    for table, path in (
+        (args.table, args.path),
+        (f"{args.table}{suffix}", f"{args.path.rstrip('/')}{suffix}"),
+    ):
+        register_external_store(spark, table, path)
+    batch = spark.read.parquet(args.batch)
+    missing = set(cols) - set(batch.columns)
+    if missing:
+        print(
+            f"batch parquet lacks column(s) {sorted(missing)}",
+            file=sys.stderr,
+        )
+        return 2
+    before = spark.table(f"{args.table}{suffix}").count()
+    try:
+        append_fn(spark, args.table, batch.select(*cols))
+    except ValueError as exc:  # unservable rows / unbucketed store
+        print(str(exc), file=sys.stderr)
+        return 2
+    after = spark.table(f"{args.table}{suffix}").count()
+    print(
+        f"appended {after - before} new {noun} to {args.table} "
+        f"({before} -> {after})"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bdt-enwikisearch-spark")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -274,38 +309,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "append-tf-index":
-        from .functions.index_store import (
-            append_tf_index,
-            register_external_store,
-        )
+        from .functions.index_store import append_tf_index
 
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
-        ):
-            register_external_store(spark, table, path)
-        batch = spark.read.parquet(args.batch)
-        missing = {"doc_id", "text"} - set(batch.columns)
-        if missing:
-            print(
-                f"batch parquet lacks column(s) {sorted(missing)}",
-                file=sys.stderr,
-            )
-            return 2
-        before = spark.table(f"{args.table}_docs").count()
-        try:
-            append_tf_index(
-                spark, args.table, batch.select("doc_id", "text")
-            )
-        except ValueError as exc:  # sidecar-less (unbucketed) store
-            print(str(exc), file=sys.stderr)
-            return 2
-        after = spark.table(f"{args.table}_docs").count()
-        print(
-            f"appended {after - before} new docs to {args.table} "
-            f"({before} -> {after})"
+        return _cli_append(
+            spark, args, append_tf_index, "_docs", ("doc_id", "text"),
+            "docs",
         )
-        return 0
 
     if args.cmd == "search-tf":
         from .functions.index_store import (
@@ -318,10 +327,14 @@ def main(argv: list[str] | None = None) -> int:
             (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
         ):
             register_external_store(spark, table, path)
-        rows = search_tf_index(
-            spark, args.table, tuple(args.terms), k=args.k,
-            conjunctive=not args.any,
-        ).collect()
+        try:
+            rows = search_tf_index(
+                spark, args.table, tuple(args.terms), k=args.k,
+                conjunctive=not args.any,
+            ).collect()
+        except ValueError as exc:  # missing/empty _docs sidecar
+            print(str(exc), file=sys.stderr)
+            return 2
         for row in rows:
             print(f"{row['doc_id']}\t{row['score']}")
         return 0
@@ -338,7 +351,11 @@ def main(argv: list[str] | None = None) -> int:
                 (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
             ):
                 register_external_store(spark, table, path)
-        compact_tf_index(spark, args.table, args.new_path)
+        try:
+            compact_tf_index(spark, args.table, args.new_path)
+        except ValueError as exc:  # same-path / unbucketed store
+            print(str(exc), file=sys.stderr)
+            return 2
         print(f"compacted {args.table} to {args.new_path}")
         return 0
 
@@ -452,67 +469,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "append-dedup-index":
         from .functions.dedup_store import append_dedup_index
-        from .functions.index_store import register_external_store
 
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
-        ):
-            register_external_store(spark, table, path)
-        batch = spark.read.parquet(args.batch)
-        missing = {"doc_id", "text"} - set(batch.columns)
-        if missing:
-            print(
-                f"batch parquet lacks column(s) {sorted(missing)}",
-                file=sys.stderr,
-            )
-            return 2
-        before = spark.table(f"{args.table}_sets").count()
-        try:
-            append_dedup_index(
-                spark, args.table, batch.select("doc_id", "text")
-            )
-        except ValueError as exc:  # sidecar-less (unbucketed) store
-            print(str(exc), file=sys.stderr)
-            return 2
-        after = spark.table(f"{args.table}_sets").count()
-        print(
-            f"appended {after - before} new docs to {args.table} "
-            f"({before} -> {after})"
+        return _cli_append(
+            spark, args, append_dedup_index, "_sets", ("doc_id", "text"),
+            "docs",
         )
-        return 0
 
     if args.cmd == "append-embedding-index":
         from .functions.embedding_store import append_embedding_index
-        from .functions.index_store import register_external_store
 
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
-        ):
-            register_external_store(spark, table, path)
-        batch = spark.read.parquet(args.batch)
-        missing = {"vec_id", "embedding"} - set(batch.columns)
-        if missing:
-            print(
-                f"batch parquet lacks column(s) {sorted(missing)}",
-                file=sys.stderr,
-            )
-            return 2
-        before = spark.table(f"{args.table}_vecs").count()
-        try:
-            append_embedding_index(
-                spark, args.table, batch.select("vec_id", "embedding")
-            )
-        except ValueError as exc:  # non-finite / zero / wrong-dim batch
-            print(str(exc), file=sys.stderr)
-            return 2
-        after = spark.table(f"{args.table}_vecs").count()
-        print(
-            f"appended {after - before} new vectors to {args.table} "
-            f"({before} -> {after})"
+        return _cli_append(
+            spark, args, append_embedding_index, "_vecs",
+            ("vec_id", "embedding"), "vectors",
         )
-        return 0
 
     if args.cmd == "compact-dedup-index":
         from .functions.dedup_store import compact_dedup_index
@@ -524,7 +493,11 @@ def main(argv: list[str] | None = None) -> int:
                 (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
             ):
                 register_external_store(spark, table, path)
-        compact_dedup_index(spark, args.table, args.new_path)
+        try:
+            compact_dedup_index(spark, args.table, args.new_path)
+        except ValueError as exc:  # same-path / unbucketed store
+            print(str(exc), file=sys.stderr)
+            return 2
         print(f"compacted {args.table} to {args.new_path}")
         return 0
 
@@ -538,7 +511,11 @@ def main(argv: list[str] | None = None) -> int:
                 (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
             ):
                 register_external_store(spark, table, path)
-        compact_embedding_index(spark, args.table, args.new_path)
+        try:
+            compact_embedding_index(spark, args.table, args.new_path)
+        except ValueError as exc:  # same-path / unbucketed store
+            print(str(exc), file=sys.stderr)
+            return 2
         print(f"compacted {args.table} to {args.new_path}")
         return 0
 

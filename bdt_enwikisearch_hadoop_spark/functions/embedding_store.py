@@ -72,7 +72,9 @@ def _vec_sidecar(emb: DataFrame) -> DataFrame:
 
 def _assert_ingestable(emb: DataFrame, what: str) -> None:
     """Ingest hygiene gate: refuse vectors the index cannot serve.
-    Three poison classes: NON-FINITE components (a NaN cosine "matches"
+    Four poison classes: NULL vectors/components (every predicate —
+    banding, verify cosine — goes NULL and null-filters away as a
+    silent "no duplicate"), NON-FINITE components (a NaN cosine "matches"
     every future probe — Spark SQL orders NaN ABOVE everything, so
     ``NaN >= θ`` is TRUE), ALL-ZERO vectors (norm 0 makes every
     colliding probe's cosine a division by zero — a hard
@@ -92,21 +94,31 @@ def _assert_ingestable(emb: DataFrame, what: str) -> None:
     corpus-sized read for a full build (j43's dq-constraint discipline
     applied to the store boundary)."""
     ve = vec_double(F.col("embedding"))
+    # NULL first, explicitly: every other predicate evaluates to NULL
+    # on a NULL array or NULL component (exists with no TRUE element,
+    # size(NULL)), and filter() DROPS null predicates — without this
+    # clause the nullish rows would be exactly the ones that slip
+    # through the gate
+    nullish = F.col("embedding").isNull() | F.exists(
+        ve, lambda x: x.isNull()
+    )
     nonfinite = F.exists(
         ve, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
     zero = ~F.exists(ve, lambda x: x != 0.0)
     wrongdim = F.size(F.col("embedding")) != len(_COEFS64[0])
     bad = (
-        emb.filter(nonfinite | zero | wrongdim)
+        emb.filter(nullish | nonfinite | zero | wrongdim)
         .select("vec_id").limit(3).collect()
     )
     if bad:
         ids = [r.vec_id for r in bad]
         raise ValueError(
-            f"{what}: non-finite, all-zero, or wrong-dimension embedding "
-            f"(vec_ids {ids}…) — NaN matches every probe under Spark's "
-            "NaN ordering; a zero norm divides by zero under ANSI mode; "
+            f"{what}: null, non-finite, all-zero, or wrong-dimension "
+            f"embedding (vec_ids {ids}…) — a NULL or wrong-width vector "
+            "mis-buckets and serves NULL cosines as silent 'no "
+            "duplicate'; NaN matches every probe under Spark's NaN "
+            "ordering; a zero norm divides by zero under ANSI mode; "
             f"the index bands exactly {len(_COEFS64[0])} components"
         )
 
@@ -202,6 +214,10 @@ def probe_vector_bands(
     and pinned against the Spark bucket table over the whole fixture
     corpus in tests/test_properties.py)."""
     dim = len(_COEFS64[0])
+    if any(x is None for x in vec):
+        # a None component would TypeError mid-fold; make it the same
+        # explicit client error the other poison classes get
+        raise ValueError("probe vector has null components")
     if len(vec) != dim:
         # zip() would silently truncate against the coefficient rows
         # and produce meaningless buckets — a wrong-dimension probe

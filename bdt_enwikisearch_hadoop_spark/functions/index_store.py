@@ -64,6 +64,13 @@ def register_external_store(spark, table: str, path: str) -> None:
     exists."""
     if spark.catalog.tableExists(table):
         return
+    # re-pointing a name at (possibly different) files changes N: drop
+    # any corpus count memoized under this name or its base-store name
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
+    if table.endswith("_docs"):
+        _N_DOCS_MEMO.pop(
+            (spark.sparkContext.applicationId, table[: -len("_docs")]), None
+        )
     mp = f"{path.rstrip('/')}_meta.json"
     if os.path.exists(mp):
         with open(mp) as fh:
@@ -129,13 +136,21 @@ def compact_store(spark, table: str, new_path: str,
     for suffix, col in parts:
         t = f"{table}{suffix}"
         p = f"{new_path.rstrip('/')}{suffix}"
-        nb = table_buckets(spark, t)
-        cur = table_location(spark, t).rstrip("/")
-        if cur == p.rstrip("/"):
+        meta = _describe_meta(spark, t)
+        if "Num Buckets" not in meta:
+            raise ValueError(f"{t} is not bucketed")
+        nb = int(meta["Num Buckets"])
+        if "Location" not in meta:
+            raise ValueError(f"{t} has no location")
+        cur = meta["Location"].removeprefix("file:")
+        # realpath BOTH sides: a relative, trailing-slash, dot-segment
+        # or symlinked new_path that RESOLVES to the store's directory
+        # is the same catastrophe spelled differently
+        if os.path.realpath(cur) == os.path.realpath(p):
             raise ValueError(
-                f"compact_store: new_path equals {t}'s current location "
-                f"({cur}) — in-place compaction would overwrite the "
-                "files being read; pass a fresh path"
+                f"compact_store: new_path resolves to {t}'s current "
+                f"location ({cur}) — in-place compaction would overwrite "
+                "the files being read; pass a fresh path"
             )
         tmp = f"{t}_compact_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
@@ -451,10 +466,22 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     two re-appends the segment on replay, and the serving path
     collapses such duplicates by construction (per-(term, doc_id)
     ``max(tf)``; df derived from the deduped postings, never from the
-    stored counters)."""
+    stored counters).  Between the crash and the replay the orphan
+    segment's docs count toward df but not N — scores are mildly
+    deflated until the shard is replayed, never NULL or doubled."""
     refresh_store(spark, table, ("", "_docs"))
     nb = table_buckets(spark, table)
     existing = spark.table(f"{table}_docs").select("doc_id")
+    if existing.isEmpty() and not spark.table(table).isEmpty():
+        # a populated index with an empty _docs sidecar (registered
+        # without it, or a crash between the compaction swaps) would
+        # silently void the idempotence anti-join — replays would
+        # double-index — and serve N=0 weights; refuse loudly
+        raise ValueError(
+            f"{table}_docs is empty while {table} has rows — the _docs "
+            "sidecar is missing or incomplete; re-register it (or "
+            "rebuild) before appending"
+        )
     docs = docs.join(existing, "doc_id", "left_anti")
     (
         _tf_segment(docs).write.mode("append")
@@ -494,6 +521,15 @@ def search_tf_index(
     is the same op chain as ``_tfidf_from`` (cast-to-double division,
     log, multiply), so scores match the weighted store bit-for-bit."""
     n_docs = _n_docs(spark, table)
+    if n_docs <= 0:
+        # ln(0/df) is NULL — every score would go silently NULL; an
+        # empty count means the _docs sidecar is missing (e.g. the
+        # store was registered without it) or the store is empty
+        raise ValueError(
+            f"{table}_docs is empty — a segmented raw-TF store always "
+            "carries its ingested ids; was the store registered "
+            "without its _docs sidecar?"
+        )
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     posts = (
         idx.select("term", F.explode("postings").alias("p"))

@@ -5263,6 +5263,21 @@ def test_compact_store_refuses_same_path(spark, sf_dir, tmp_path):
         assert want
         with _pytest.raises(ValueError, match="fresh path"):
             compact_dedup_index(spark, "t_same_idx", path)
+        # the guard compares RESOLVED paths: dot-segment and
+        # trailing-slash spellings of the same directory are the same
+        # catastrophe
+        dotted = str(tmp_path / "x" / ".." / "sameidx")
+        with _pytest.raises(ValueError, match="fresh path"):
+            compact_dedup_index(spark, "t_same_idx", dotted)
+        with _pytest.raises(ValueError, match="fresh path"):
+            compact_dedup_index(spark, "t_same_idx", path + "/")
+        # the CLI leg is a clean exit 2, never a traceback
+        from bdt_enwikisearch_hadoop_spark import cli
+
+        rc = cli.main(
+            ["compact-dedup-index", path, "--table", "t_same_idx"]
+        )
+        assert rc == 2
         # the refused compaction left the store untouched and serving
         got = [
             (r.doc_id, r.jaccard)
@@ -5592,6 +5607,120 @@ def test_cli_tf_index_lanes(spark, sf_dir, tmp_path, capsys):
         for t in ("t_ctf_w", "t_ctf_w_norms", "t_ctf_tf", "t_ctf_tf_docs",
                   "t_ctf_tf2", "t_ctf_tf2_docs", "t_ctf_tf_compact_tmp",
                   "t_ctf_tf_docs_compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_embedding_store_rejects_null_vectors(spark, sf_dir, tmp_path):
+    """NULL hygiene at the store boundary: a NULL embedding (or a NULL
+    component) makes every gate predicate NULL — and filter() DROPS
+    null predicates, so without an explicit nullish clause these are
+    exactly the rows that would slip through, ingest with NULL
+    band/norm, and serve NULL cosines as a silent 'no duplicate'.
+    Both poison spellings must be refused naming the vec_id, and a
+    probe with a None component is an explicit client error."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_vector_bands,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    with _pytest.raises(ValueError, match="null"):
+        probe_vector_bands([None] + [0.5] * 63)
+
+    emb = load(spark, sf_dir, "embeddings").limit(10)
+    for vid, vec in ((66601, None), (66602, [None] + [0.5] * 63)):
+        poisoned = spark.createDataFrame(
+            [(vid, vec, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with _pytest.raises(ValueError, match=str(vid)):
+            build_embedding_index(
+                spark, sf_dir, "t_null_idx", str(tmp_path / f"n{vid}"),
+                emb=emb.unionByName(poisoned),
+            )
+    spark.sql("DROP TABLE IF EXISTS t_null_idx")
+    spark.sql("DROP TABLE IF EXISTS t_null_idx_vecs")
+
+
+def test_tf_store_missing_docs_sidecar_is_loud(spark, sf_dir, tmp_path,
+                                               capsys):
+    """A segmented store whose _docs sidecar went missing (registered
+    without it, crash between compaction swaps) must REFUSE to serve
+    and to append — N=0 weights would make every score silently NULL,
+    and an empty idempotence anti-join would double-index replays.
+    Both CLI lanes exit 2 with the named cause, never a traceback."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    path = str(tmp_path / "nodocs")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    shard = str(tmp_path / "ndshard.parquet")
+    spark.createDataFrame(
+        [(900001, "spark join words")], "doc_id long, text string"
+    ).write.parquet(shard)
+    try:
+        build_tf_index(spark, docs, "t_nd_idx", path)
+        spark.sql("DROP TABLE t_nd_idx")
+        spark.sql("DROP TABLE t_nd_idx_docs")
+        os.rename(f"{path}_docs", f"{path}_docs_gone")
+        try:
+            rc = cli.main(["search-tf", path, "spark", "--table", "t_nd2"])
+            err = capsys.readouterr().err
+            assert rc == 2 and "_docs" in err, (rc, err)
+            rc = cli.main(
+                ["append-tf-index", path, shard, "--table", "t_nd2"]
+            )
+            err = capsys.readouterr().err
+            assert rc == 2 and "_docs" in err, (rc, err)
+        finally:
+            os.rename(f"{path}_docs_gone", f"{path}_docs")
+    finally:
+        for t in ("t_nd_idx", "t_nd_idx_docs", "t_nd2", "t_nd2_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_n_docs_memo_invalidated_on_reregistration(spark, sf_dir,
+                                                   tmp_path):
+    """Re-pointing a table name at different files in one session must
+    not serve the old store's memoized corpus count N: every score
+    would use the wrong ln(N/df).  register_external_store pops the
+    memo for the name and its base store."""
+    from pyspark.sql import functions as F
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        _n_docs,
+        build_tf_index,
+        register_external_store,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    small = docs.filter(F.col("doc_id") % 5 == 0)
+    big = docs
+    n_small, n_big = small.count(), big.count()
+    assert n_small < n_big
+    p_small = str(tmp_path / "msmall")
+    p_big = str(tmp_path / "mbig")
+    try:
+        build_tf_index(spark, small, "t_memo", p_small)
+        assert _n_docs(spark, "t_memo") == n_small
+        build_tf_index(spark, big, "t_memo_big", p_big)
+        spark.sql("DROP TABLE t_memo")
+        spark.sql("DROP TABLE t_memo_docs")
+        register_external_store(spark, "t_memo", p_big)
+        register_external_store(spark, "t_memo_docs", f"{p_big}_docs")
+        assert _n_docs(spark, "t_memo") == n_big
+    finally:
+        for t in ("t_memo", "t_memo_docs", "t_memo_big", "t_memo_big_docs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
