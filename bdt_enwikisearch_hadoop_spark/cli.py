@@ -93,6 +93,28 @@ def _cli_append(spark, args, append_fn, suffix: str,
     return 0
 
 
+def _cli_compact(spark, args, compact_fn, suffix: str) -> int:
+    """Shared body of the three compaction lanes (dedup / embedding /
+    tf): re-register the store's parts when running in a fresh process,
+    compact to the new path, exit 2 cleanly on refusal (same-path /
+    unbucketed store)."""
+    from .functions.index_store import register_external_store
+
+    if args.path:
+        for table, path in (
+            (args.table, args.path),
+            (f"{args.table}{suffix}", f"{args.path.rstrip('/')}{suffix}"),
+        ):
+            register_external_store(spark, table, path)
+    try:
+        compact_fn(spark, args.table, args.new_path)
+    except ValueError as exc:  # same-path / unbucketed store
+        print(str(exc), file=sys.stderr)
+        return 2
+    print(f"compacted {args.table} to {args.new_path}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bdt-enwikisearch-spark")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -340,24 +362,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact-tf-index":
-        from .functions.index_store import (
-            compact_tf_index,
-            register_external_store,
-        )
+        from .functions.index_store import compact_tf_index
 
-        if args.path:
-            for table, path in (
-                (args.table, args.path),
-                (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
-            ):
-                register_external_store(spark, table, path)
-        try:
-            compact_tf_index(spark, args.table, args.new_path)
-        except ValueError as exc:  # same-path / unbucketed store
-            print(str(exc), file=sys.stderr)
-            return 2
-        print(f"compacted {args.table} to {args.new_path}")
-        return 0
+        return _cli_compact(spark, args, compact_tf_index, "_docs")
 
     if args.cmd == "search-index":
         from .functions.index_store import register_external_store, search_index
@@ -485,39 +492,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "compact-dedup-index":
         from .functions.dedup_store import compact_dedup_index
-        from .functions.index_store import register_external_store
 
-        if args.path:
-            for table, path in (
-                (args.table, args.path),
-                (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
-            ):
-                register_external_store(spark, table, path)
-        try:
-            compact_dedup_index(spark, args.table, args.new_path)
-        except ValueError as exc:  # same-path / unbucketed store
-            print(str(exc), file=sys.stderr)
-            return 2
-        print(f"compacted {args.table} to {args.new_path}")
-        return 0
+        return _cli_compact(spark, args, compact_dedup_index, "_sets")
 
     if args.cmd == "compact-embedding-index":
         from .functions.embedding_store import compact_embedding_index
-        from .functions.index_store import register_external_store
 
-        if args.path:
-            for table, path in (
-                (args.table, args.path),
-                (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
-            ):
-                register_external_store(spark, table, path)
-        try:
-            compact_embedding_index(spark, args.table, args.new_path)
-        except ValueError as exc:  # same-path / unbucketed store
-            print(str(exc), file=sys.stderr)
-            return 2
-        print(f"compacted {args.table} to {args.new_path}")
-        return 0
+        return _cli_compact(spark, args, compact_embedding_index, "_vecs")
 
     if args.cmd == "build-embedding-index":
         from .functions.embedding_store import build_embedding_index

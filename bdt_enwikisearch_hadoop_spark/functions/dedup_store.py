@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..sources import rebalance
 from .index_store import (
+    assert_sidecar_populated,
     compact_store,
     refresh_store,
     table_buckets as _table_buckets,
@@ -122,6 +123,7 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     sidecar join is not)."""
     refresh_store(spark, table, ("", "_sets"))
     nb = _table_buckets(spark, table)
+    assert_sidecar_populated(spark, table, "_sets", "append_dedup_index")
     existing = spark.table(f"{table}_sets").select("doc_id")
     docs = docs.join(existing, "doc_id", "left_anti")
     sets = shingle_sets(rebalance(docs))

@@ -52,6 +52,7 @@ from .ann import (
     embedding_bucket_table,
 )
 from .index_store import (
+    assert_sidecar_populated,
     compact_store,
     refresh_store,
     table_buckets as _table_buckets,
@@ -178,6 +179,7 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     double-indexes a vector (which would duplicate probe result rows)."""
     refresh_store(spark, table, ("", "_vecs"))
     nb = _table_buckets(spark, table)
+    assert_sidecar_populated(spark, table, "_vecs", "append_embedding_index")
     _assert_ingestable(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")
     emb = emb.join(existing, "vec_id", "left_anti")

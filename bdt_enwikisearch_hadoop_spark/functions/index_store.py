@@ -169,6 +169,32 @@ def compact_store(spark, table: str, new_path: str,
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
 
 
+def assert_sidecar_populated(spark, table: str, suffix: str,
+                             what: str) -> None:
+    """Refuse maintenance on a store whose sidecar went missing (a
+    registration without it, or a crash between compaction swaps): the
+    sidecar is both the idempotence key (an empty anti-join would
+    double-index every replayed shard) and the probe/serve verify
+    source (an empty join would answer every probe 'no duplicate' /
+    NULL score, silently).  One isEmpty() probe per table — a LIMIT 1
+    read, maintenance-time only.
+
+    Deliberate corner: if the very FIRST append into an EMPTY base
+    crashed between the two table writes, the orphan segment trips this
+    guard on replay — rebuild instead (the store holds at most that one
+    shard); distinguishing that state from a lost sidecar is not
+    possible from the tables alone, and blocking is the safe side."""
+    if (
+        spark.table(f"{table}{suffix}").isEmpty()
+        and not spark.table(table).isEmpty()
+    ):
+        raise ValueError(
+            f"{what}: {table}{suffix} is empty while {table} has rows — "
+            "the sidecar is missing or incomplete; re-register it (or "
+            "rebuild the store) before appending"
+        )
+
+
 #: (applicationId, table) -> corpus count N, so a serving session pays
 #: the _docs sidecar count ONCE, not per query (at 1e9 docs the count
 #: is a corpus-sized column scan — fine per refresh, wrong per query).
@@ -471,17 +497,8 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     deflated until the shard is replayed, never NULL or doubled."""
     refresh_store(spark, table, ("", "_docs"))
     nb = table_buckets(spark, table)
+    assert_sidecar_populated(spark, table, "_docs", "append_tf_index")
     existing = spark.table(f"{table}_docs").select("doc_id")
-    if existing.isEmpty() and not spark.table(table).isEmpty():
-        # a populated index with an empty _docs sidecar (registered
-        # without it, or a crash between the compaction swaps) would
-        # silently void the idempotence anti-join — replays would
-        # double-index — and serve N=0 weights; refuse loudly
-        raise ValueError(
-            f"{table}_docs is empty while {table} has rows — the _docs "
-            "sidecar is missing or incomplete; re-register it (or "
-            "rebuild) before appending"
-        )
     docs = docs.join(existing, "doc_id", "left_anti")
     (
         _tf_segment(docs).write.mode("append")
@@ -521,14 +538,15 @@ def search_tf_index(
     is the same op chain as ``_tfidf_from`` (cast-to-double division,
     log, multiply), so scores match the weighted store bit-for-bit."""
     n_docs = _n_docs(spark, table)
-    if n_docs <= 0:
-        # ln(0/df) is NULL — every score would go silently NULL; an
-        # empty count means the _docs sidecar is missing (e.g. the
-        # store was registered without it) or the store is empty
+    if n_docs <= 0 and not spark.table(table).isEmpty():
+        # postings with no ingested ids = the _docs sidecar is missing
+        # (a registration without it): ln(0/df) would NULL every score
+        # silently.  A store that is empty on BOTH sides is a
+        # legitimate state (built ahead of the first shard) and serves
+        # the empty result set, never an error.
         raise ValueError(
-            f"{table}_docs is empty — a segmented raw-TF store always "
-            "carries its ingested ids; was the store registered "
-            "without its _docs sidecar?"
+            f"{table}_docs is empty while {table} has postings — was "
+            "the store registered without its _docs sidecar?"
         )
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     posts = (

@@ -5688,6 +5688,110 @@ def test_tf_store_missing_docs_sidecar_is_loud(spark, sf_dir, tmp_path,
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
+                                                    tmp_path):
+    """The sidecar guard generalizes to the PROBE stores: a dedup (or
+    embedding) store whose shingle/vector sidecar went missing must
+    refuse appends — the sidecar is the idempotence key (an empty
+    anti-join double-indexes every replayed shard) and the probe's
+    verify source."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    dpath = str(tmp_path / "gsets")
+    base = spark.createDataFrame(
+        [(1, "one document with several words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "another document entirely different words")],
+        "doc_id long, text string",
+    )
+    try:
+        build_dedup_index(spark, "unused", "t_gs_idx", dpath, docs=base)
+        spark.sql("DROP TABLE t_gs_idx")
+        spark.sql("DROP TABLE t_gs_idx_sets")
+        os.rename(f"{dpath}_sets", f"{dpath}_sets_gone")
+        try:
+            register_external_store(spark, "t_gs_idx", dpath)
+            register_external_store(spark, "t_gs_idx_sets", f"{dpath}_sets")
+            with _pytest.raises(ValueError, match="_sets is empty"):
+                append_dedup_index(spark, "t_gs_idx", batch)
+        finally:
+            os.rename(f"{dpath}_sets_gone", f"{dpath}_sets")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gs_idx")
+        spark.sql("DROP TABLE IF EXISTS t_gs_idx_sets")
+
+    epath = str(tmp_path / "gvecs")
+    emb = load(spark, sf_dir, "embeddings")
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_gv_idx", epath, emb=emb.limit(5)
+        )
+        spark.sql("DROP TABLE t_gv_idx")
+        spark.sql("DROP TABLE t_gv_idx_vecs")
+        os.rename(f"{epath}_vecs", f"{epath}_vecs_gone")
+        try:
+            register_external_store(spark, "t_gv_idx", epath)
+            register_external_store(spark, "t_gv_idx_vecs", f"{epath}_vecs")
+            with _pytest.raises(ValueError, match="_vecs is empty"):
+                append_embedding_index(
+                    spark, "t_gv_idx",
+                    emb.limit(8).select("vec_id", "embedding"),
+                )
+        finally:
+            os.rename(f"{epath}_vecs_gone", f"{epath}_vecs")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gv_idx")
+        spark.sql("DROP TABLE IF EXISTS t_gv_idx_vecs")
+
+
+def test_empty_tf_store_serves_empty_results(spark, tmp_path):
+    """A store built AHEAD of the first shard (empty corpus) is a
+    legitimate ingestion-service state: searches return the empty
+    result set — never an error — and the first append brings it
+    live."""
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        search_tf_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    try:
+        build_tf_index(spark, empty, "t_empty_tf", str(tmp_path / "etf"))
+        assert search_tf_index(
+            spark, "t_empty_tf", ("spark", "join")
+        ).collect() == []
+        append_tf_index(
+            spark, "t_empty_tf",
+            spark.createDataFrame(
+                [(1, "spark join spark join")], "doc_id long, text string"
+            ),
+        )
+        got = search_tf_index(spark, "t_empty_tf", ("spark", "join"))
+        # one doc, so df == N == 1 and ln(1/1) == 0 — present, score 0
+        assert [(r.doc_id, r.score) for r in got.collect()] == [(1, 0.0)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_empty_tf")
+        spark.sql("DROP TABLE IF EXISTS t_empty_tf_docs")
+
+
 def test_n_docs_memo_invalidated_on_reregistration(spark, sf_dir,
                                                    tmp_path):
     """Re-pointing a table name at different files in one session must
