@@ -1440,3 +1440,38 @@ def test_exact_quantile_keys_single_sort_no_rescans(spark, sf_dir):
         assert p.count("Exchange hashpartitioning") == n_hash, key
         assert p.count("Exchange rangepartitioning") == n_range, key
         assert p.count("Sort [") <= 2, key
+
+
+def test_search_tf_index_one_exchange_bucket_pruned(spark, sf_dir,
+                                                    tmp_path):
+    """The segmented raw-TF serve plan is the plan a 100 TB query needs:
+    bucket-pruned term lookups (the |Q|-term filter reaches the
+    bucketed scan), term-keyed aggregates RIDING the bucketing (no
+    corpus-sized exchange — hashpartitioning(term) satisfies the
+    (term, doc_id) clustering), ONE hash exchange total on the
+    query-small hit set's doc_id, the df side broadcast, and the only
+    rangepartitioning the output ORDER BY."""
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        search_tf_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    try:
+        build_tf_index(
+            spark, load(spark, sf_dir, "documents"), "t_plan_stf",
+            str(tmp_path / "stf"),
+        )
+        q = search_tf_index(spark, "t_plan_stf", QUERY_TERMS)
+        assert q.count() > 0
+        p = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in p, p
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert "BroadcastExchange" in p, p
+        assert "CartesianProduct" not in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plan_stf")
+        spark.sql("DROP TABLE IF EXISTS t_plan_stf_docs")
