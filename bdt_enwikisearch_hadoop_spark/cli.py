@@ -58,19 +58,27 @@ def _rank_live(spark, sf_dir: str, terms: list[str], k: int, any_term: bool) -> 
     )
 
 
+def _register_store_parts(spark, table: str, path: str,
+                          suffix: str) -> None:
+    """Register a two-part store (main table + sidecar) in a fresh
+    process's catalog from the _meta.json sidecars — the one
+    registration loop every store lane shares."""
+    from .functions.index_store import register_external_store
+
+    for t, p in (
+        (table, path),
+        (f"{table}{suffix}", f"{path.rstrip('/')}{suffix}"),
+    ):
+        register_external_store(spark, t, p)
+
+
 def _cli_append(spark, args, append_fn, suffix: str,
                 cols: tuple[str, ...], noun: str) -> int:
     """Shared body of the three append lanes (dedup / embedding / tf):
     register the store's parts from their sidecars, validate the
     shard's contract columns, append, report the sidecar delta.  One
     place, so a fix (a new error class, a guard) lands in every lane."""
-    from .functions.index_store import register_external_store
-
-    for table, path in (
-        (args.table, args.path),
-        (f"{args.table}{suffix}", f"{args.path.rstrip('/')}{suffix}"),
-    ):
-        register_external_store(spark, table, path)
+    _register_store_parts(spark, args.table, args.path, suffix)
     batch = spark.read.parquet(args.batch)
     missing = set(cols) - set(batch.columns)
     if missing:
@@ -98,14 +106,8 @@ def _cli_compact(spark, args, compact_fn, suffix: str) -> int:
     tf): re-register the store's parts when running in a fresh process,
     compact to the new path, exit 2 cleanly on refusal (same-path /
     unbucketed store)."""
-    from .functions.index_store import register_external_store
-
     if args.path:
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}{suffix}", f"{args.path.rstrip('/')}{suffix}"),
-        ):
-            register_external_store(spark, table, path)
+        _register_store_parts(spark, args.table, args.path, suffix)
     try:
         compact_fn(spark, args.table, args.new_path)
     except ValueError as exc:  # same-path / unbucketed store
@@ -339,16 +341,9 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.cmd == "search-tf":
-        from .functions.index_store import (
-            register_external_store,
-            search_tf_index,
-        )
+        from .functions.index_store import search_tf_index
 
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_docs", f"{args.path.rstrip('/')}_docs"),
-        ):
-            register_external_store(spark, table, path)
+        _register_store_parts(spark, args.table, args.path, "_docs")
         try:
             rows = search_tf_index(
                 spark, args.table, tuple(args.terms), k=args.k,
@@ -383,16 +378,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search-vsm":
-        from .functions.index_store import (
-            register_external_store,
-            search_index_vsm,
-        )
+        from .functions.index_store import search_index_vsm
 
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_norms", f"{args.path.rstrip('/')}_norms"),
-        ):
-            register_external_store(spark, table, path)
+        _register_store_parts(spark, args.table, args.path, "_norms")
         rows = search_index_vsm(
             spark, args.table, tuple(args.terms), k=args.k
         ).collect()
@@ -432,16 +420,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "dedup-probe":
         from .functions.dedup_store import probe_dedup
-        from .functions.index_store import register_external_store
 
         # a fresh process has an empty in-memory catalog: re-register
         # the store's files with the sidecar's bucketing spec (same
         # discipline as search-index)
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_sets", f"{args.path.rstrip('/')}_sets"),
-        ):
-            register_external_store(spark, table, path)
+        _register_store_parts(spark, args.table, args.path, "_sets")
         rows = probe_dedup(
             spark, args.table, " ".join(args.text), theta=args.theta
         ).collect()
@@ -515,7 +498,6 @@ def main(argv: list[str] | None = None) -> int:
             _J78_THETA,
             probe_embedding_dedup,
         )
-        from .functions.index_store import register_external_store
 
         if (args.vec_id is None) == (args.vec is None):
             print("pass exactly one of --vec-id / --vec", file=sys.stderr)
@@ -540,11 +522,7 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             vec = [float(x) for x in row[0]["embedding"]]
-        for table, path in (
-            (args.table, args.path),
-            (f"{args.table}_vecs", f"{args.path.rstrip('/')}_vecs"),
-        ):
-            register_external_store(spark, table, path)
+        _register_store_parts(spark, args.table, args.path, "_vecs")
         theta = _J78_THETA if args.theta is None else args.theta
         try:
             probe = probe_embedding_dedup(spark, args.table, vec, theta=theta)

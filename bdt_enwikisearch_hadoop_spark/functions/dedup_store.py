@@ -95,7 +95,10 @@ def compact_dedup_index(spark, table: str, new_path: str) -> None:
     """One-file-per-bucket rewrite of an append-accumulated dedup store
     (immutable swap to ``new_path`` — see index_store.compact_store).
     Reads the persisted band/shingle rows; the corpus is never
-    re-signed."""
+    re-signed.  Refuses a store whose sidecar is missing — compaction
+    would otherwise rewrite the corruption into a fresh-looking store
+    with new meta sidecars."""
+    assert_sidecar_populated(spark, table, "_sets", "compact_dedup_index")
     compact_store(spark, table, new_path, [("", "bk"), ("_sets", "doc_id")])
 
 
@@ -188,7 +191,9 @@ def probe_dedup(spark, table: str, text: str,
     shingle-set sidecar; the verify is one in-row array_intersect
     against the probe's shingle-array literal.  A probe that is too
     short to shingle, or whose buckets are all empty, returns an empty
-    DataFrame — never an error.
+    DataFrame — never an error.  A store whose _sets SIDECAR went
+    missing, however, raises: every probe would otherwise answer
+    'no duplicate' silently (assert_sidecar_populated).
 
     Threshold contract: keep/drop applies to the EXACT (unrounded)
     Jaccard — the same ``j >= theta`` cut j8's batch pipeline declares —
@@ -198,6 +203,7 @@ def probe_dedup(spark, table: str, text: str,
     shown as 0.79996, not a rounded 0.8; pinned by the boundary-J
     fixture in tests/test_properties.py)."""
     sh = probe_shingles(text)
+    assert_sidecar_populated(spark, table, "_sets", "probe_dedup")
     idx = spark.table(table)
     if not sh:
         return (

@@ -196,7 +196,12 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
     """One-file-per-bucket rewrite of an append-accumulated embedding
     store (immutable swap to ``new_path`` — see
     index_store.compact_store).  Reads the persisted band/vector rows;
-    nothing is re-signed."""
+    nothing is re-signed.  Refuses a store whose sidecar is missing —
+    compaction would otherwise rewrite the corruption into a
+    fresh-looking store with new meta sidecars."""
+    assert_sidecar_populated(
+        spark, table, "_vecs", "compact_embedding_index"
+    )
     compact_store(
         spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
     )
@@ -275,8 +280,11 @@ def probe_embedding_dedup(spark, table: str, vec: list[float],
     Threshold contract: keep/drop applies to the exact (unrounded)
     cosine and the emitted ``cos`` column is that same value — the
     displayed number can never disagree with the theta cut
-    (dedup_store.probe_dedup's contract, vector side)."""
+    (dedup_store.probe_dedup's contract, vector side).  A store
+    whose _vecs sidecar went missing raises instead of answering
+    'no duplicate' silently (assert_sidecar_populated)."""
     bands = probe_vector_bands(vec)
+    assert_sidecar_populated(spark, table, "_vecs", "probe_embedding_dedup")
     idx = spark.table(table)
     hit = None
     for g, bucket in bands:

@@ -171,13 +171,13 @@ def compact_store(spark, table: str, new_path: str,
 
 def assert_sidecar_populated(spark, table: str, suffix: str,
                              what: str) -> None:
-    """Refuse maintenance on a store whose sidecar went missing (a
-    registration without it, or a crash between compaction swaps): the
-    sidecar is both the idempotence key (an empty anti-join would
-    double-index every replayed shard) and the probe/serve verify
+    """Refuse serving or maintenance on a store whose sidecar went
+    missing (a registration without it, or a crash between compaction
+    swaps): the sidecar is both the idempotence key (an empty anti-join
+    would double-index every replayed shard) and the probe/serve verify
     source (an empty join would answer every probe 'no duplicate' /
-    NULL score, silently).  One isEmpty() probe per table — a LIMIT 1
-    read, maintenance-time only.
+    NULL score, silently).  One isEmpty() check per table — a LIMIT 1
+    read — paid once per append/compact and once per probe call.
 
     Deliberate corner: if the very FIRST append into an EMPTY base
     crashed between the two table writes, the orphan segment trips this
@@ -191,7 +191,7 @@ def assert_sidecar_populated(spark, table: str, suffix: str,
         raise ValueError(
             f"{what}: {table}{suffix} is empty while {table} has rows — "
             "the sidecar is missing or incomplete; re-register it (or "
-            "rebuild the store) before appending"
+            "rebuild the store) first"
         )
 
 
@@ -530,7 +530,12 @@ def search_tf_index(
     corpus count N comes from the ``_docs`` sidecar, memoized per
     (session, table) so serving pays the count once per reader-open,
     not per query (invalidated by refresh_store / append /
-    compaction).  df per term
+    compaction).  A sidecar-less store (postings without ids) raises;
+    a store empty on BOTH sides serves the empty result set — note
+    this makes TOTAL data loss (both directories wiped, meta sidecars
+    surviving) indistinguishable from the legitimate
+    built-ahead-of-first-shard state: ``store_report``'s n_rows is the
+    operational check for that.  df per term
     is derived from the DEDUPED postings (count of distinct doc_ids),
     not by trusting the per-segment ``df_count`` counters — this makes
     serving immune to the replayed-segment duplicates the append
@@ -590,7 +595,10 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
     recounted from the deduped merged postings — replay duplicates
     disappear here too) and the ``_docs`` sidecar to distinct ids,
     while rewriting to one file per bucket — compact_store's immutable
-    swap with the segmented store's merge transforms."""
+    swap with the segmented store's merge transforms.  Refuses a store
+    whose ``_docs`` sidecar is missing — compaction would otherwise
+    rewrite the corruption into a fresh-looking store."""
+    assert_sidecar_populated(spark, table, "_docs", "compact_tf_index")
 
     def _merge_terms(df: DataFrame) -> DataFrame:
         merged = F.array_sort(

@@ -1449,8 +1449,9 @@ def test_search_tf_index_one_exchange_bucket_pruned(spark, sf_dir,
     bucketed scan), term-keyed aggregates RIDING the bucketing (no
     corpus-sized exchange — hashpartitioning(term) satisfies the
     (term, doc_id) clustering), ONE hash exchange total on the
-    query-small hit set's doc_id, the df side broadcast, and the only
-    rangepartitioning the output ORDER BY."""
+    query-small hit set's doc_id, the df side broadcast, and ZERO
+    range exchanges — the ordered top-k folds into
+    TakeOrderedAndProject, never a global sort."""
     from bdt_enwikisearch_hadoop_spark.functions.index_store import (
         build_tf_index,
         search_tf_index,
@@ -1470,6 +1471,8 @@ def test_search_tf_index_one_exchange_bucket_pruned(spark, sf_dir,
         p = q._jdf.queryExecution().executedPlan().toString()
         assert "SelectedBucketsCount" in p, p
         assert p.count("Exchange hashpartitioning") == 1, p
+        assert p.count("Exchange rangepartitioning") == 0, p
+        assert "TakeOrderedAndProject" in p, p
         assert "BroadcastExchange" in p, p
         assert "CartesianProduct" not in p
     finally:

@@ -5692,9 +5692,11 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
                                                     tmp_path):
     """The sidecar guard generalizes to the PROBE stores: a dedup (or
     embedding) store whose shingle/vector sidecar went missing must
-    refuse appends — the sidecar is the idempotence key (an empty
-    anti-join double-indexes every replayed shard) and the probe's
-    verify source."""
+    refuse appends (the sidecar is the idempotence key — an empty
+    anti-join double-indexes every replayed shard), refuse PROBES (an
+    empty verify join would answer every probe 'no duplicate',
+    silently), and refuse COMPACTION (which would rewrite the
+    corruption into a fresh-looking store)."""
     import os
 
     import pytest as _pytest
@@ -5702,10 +5704,14 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
     from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
         append_dedup_index,
         build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
     )
     from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
         append_embedding_index,
         build_embedding_index,
+        compact_embedding_index,
+        probe_embedding_dedup,
     )
     from bdt_enwikisearch_hadoop_spark.functions.index_store import (
         register_external_store,
@@ -5731,6 +5737,12 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
             register_external_store(spark, "t_gs_idx_sets", f"{dpath}_sets")
             with _pytest.raises(ValueError, match="_sets is empty"):
                 append_dedup_index(spark, "t_gs_idx", batch)
+            with _pytest.raises(ValueError, match="_sets is empty"):
+                probe_dedup(spark, "t_gs_idx", "one document with words")
+            with _pytest.raises(ValueError, match="_sets is empty"):
+                compact_dedup_index(
+                    spark, "t_gs_idx", str(tmp_path / "gsets2")
+                )
         finally:
             os.rename(f"{dpath}_sets_gone", f"{dpath}_sets")
     finally:
@@ -5753,6 +5765,14 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
                 append_embedding_index(
                     spark, "t_gv_idx",
                     emb.limit(8).select("vec_id", "embedding"),
+                )
+            probe_vec = [float(x) for x in emb.limit(1).collect()[0][
+                "embedding"]]
+            with _pytest.raises(ValueError, match="_vecs is empty"):
+                probe_embedding_dedup(spark, "t_gv_idx", probe_vec)
+            with _pytest.raises(ValueError, match="_vecs is empty"):
+                compact_embedding_index(
+                    spark, "t_gv_idx", str(tmp_path / "gvecs2")
                 )
         finally:
             os.rename(f"{epath}_vecs_gone", f"{epath}_vecs")
