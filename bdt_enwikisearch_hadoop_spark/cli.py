@@ -381,9 +381,13 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.index_store import search_index_vsm
 
         _register_store_parts(spark, args.table, args.path, "_norms")
-        rows = search_index_vsm(
-            spark, args.table, tuple(args.terms), k=args.k
-        ).collect()
+        try:
+            rows = search_index_vsm(
+                spark, args.table, tuple(args.terms), k=args.k
+            ).collect()
+        except ValueError as exc:  # missing _norms sidecar
+            print(str(exc), file=sys.stderr)
+            return 2
         for row in rows:
             print(f"{row['doc_id']}\t{row['score']}")
         return 0
@@ -425,9 +429,13 @@ def main(argv: list[str] | None = None) -> int:
         # the store's files with the sidecar's bucketing spec (same
         # discipline as search-index)
         _register_store_parts(spark, args.table, args.path, "_sets")
-        rows = probe_dedup(
-            spark, args.table, " ".join(args.text), theta=args.theta
-        ).collect()
+        try:
+            rows = probe_dedup(
+                spark, args.table, " ".join(args.text), theta=args.theta
+            ).collect()
+        except ValueError as exc:  # missing _sets sidecar
+            print(str(exc), file=sys.stderr)
+            return 2
         for row in rows:
             print(f"{row['doc_id']}\t{row['jaccard']}")
         return 0

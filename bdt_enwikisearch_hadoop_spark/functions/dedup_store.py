@@ -203,13 +203,14 @@ def probe_dedup(spark, table: str, text: str,
     shown as 0.79996, not a rounded 0.8; pinned by the boundary-J
     fixture in tests/test_properties.py)."""
     sh = probe_shingles(text)
-    assert_sidecar_populated(spark, table, "_sets", "probe_dedup")
     idx = spark.table(table)
     if not sh:
+        # too short to shingle: empty result, no store access needed
         return (
             idx.select("doc_id").limit(0)
             .withColumn("jaccard", F.lit(0.0))
         )
+    assert_sidecar_populated(spark, table, "_sets", "probe_dedup")
     bands = probe_bands(sh)
     hit = None
     for b, bk in bands:

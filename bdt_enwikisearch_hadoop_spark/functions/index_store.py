@@ -64,13 +64,19 @@ def register_external_store(spark, table: str, path: str) -> None:
     exists."""
     if spark.catalog.tableExists(table):
         return
-    # re-pointing a name at (possibly different) files changes N: drop
-    # any corpus count memoized under this name or its base-store name
-    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
+    # re-pointing a name at (possibly different) files changes N and
+    # the sidecar state: drop anything memoized under this name, its
+    # base-store name, or any of its sidecar suffixes
+    app = spark.sparkContext.applicationId
+    _N_DOCS_MEMO.pop((app, table), None)
     if table.endswith("_docs"):
-        _N_DOCS_MEMO.pop(
-            (spark.sparkContext.applicationId, table[: -len("_docs")]), None
-        )
+        _N_DOCS_MEMO.pop((app, table[: -len("_docs")]), None)
+    _SIDECAR_OK_MEMO.difference_update(
+        {
+            k for k in _SIDECAR_OK_MEMO
+            if k[0] == app and (k[1] == table or f"{k[1]}{k[2]}" == table)
+        }
+    )
     mp = f"{path.rstrip('/')}_meta.json"
     if os.path.exists(mp):
         with open(mp) as fh:
@@ -169,6 +175,14 @@ def compact_store(spark, table: str, new_path: str,
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
 
 
+#: (applicationId, table, suffix) triples that passed the sidecar
+#: check — the check is a LIMIT-1 Spark job per table, so a serving
+#: session pays it once per reader-open, not once per probe call;
+#: invalidated at the same events as _N_DOCS_MEMO (refresh_store,
+#: re-registration).
+_SIDECAR_OK_MEMO: set = set()
+
+
 def assert_sidecar_populated(spark, table: str, suffix: str,
                              what: str) -> None:
     """Refuse serving or maintenance on a store whose sidecar went
@@ -176,14 +190,19 @@ def assert_sidecar_populated(spark, table: str, suffix: str,
     swaps): the sidecar is both the idempotence key (an empty anti-join
     would double-index every replayed shard) and the probe/serve verify
     source (an empty join would answer every probe 'no duplicate' /
-    NULL score, silently).  One isEmpty() check per table — a LIMIT 1
-    read — paid once per append/compact and once per probe call.
+    NULL score, silently).  A pass is memoized per (session, table,
+    suffix) — probes pay the LIMIT-1 check once per reader-open, and
+    refresh_store / re-registration (the events that can change the
+    answer) invalidate it.
 
     Deliberate corner: if the very FIRST append into an EMPTY base
     crashed between the two table writes, the orphan segment trips this
     guard on replay — rebuild instead (the store holds at most that one
     shard); distinguishing that state from a lost sidecar is not
     possible from the tables alone, and blocking is the safe side."""
+    key = (spark.sparkContext.applicationId, table, suffix)
+    if key in _SIDECAR_OK_MEMO:
+        return
     if (
         spark.table(f"{table}{suffix}").isEmpty()
         and not spark.table(table).isEmpty()
@@ -193,6 +212,7 @@ def assert_sidecar_populated(spark, table: str, suffix: str,
             "the sidecar is missing or incomplete; re-register it (or "
             "rebuild the store) first"
         )
+    _SIDECAR_OK_MEMO.add(key)
 
 
 #: (applicationId, table) -> corpus count N, so a serving session pays
@@ -226,7 +246,11 @@ def refresh_store(spark, table: str,
     anti-join never runs against a stale id list."""
     for s in suffixes:
         spark.sql(f"REFRESH TABLE {table}{s}")
-    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
+    app = spark.sparkContext.applicationId
+    _N_DOCS_MEMO.pop((app, table), None)
+    _SIDECAR_OK_MEMO.difference_update(
+        {k for k in _SIDECAR_OK_MEMO if k[0] == app and k[1] == table}
+    )
 
 
 def table_location(spark, table: str) -> str:
@@ -349,7 +373,10 @@ def search_index_vsm(
     contract to the live i17).  The hit set (docs containing all |Q|
     terms) is query-small, so it BROADCASTS onto the norms table scan:
     the corpus-sized norms column is never shuffled — the only
-    exchanges in the plan belong to the |Q|-row postings aggregate."""
+    exchanges in the plan belong to the |Q|-row postings aggregate.
+    A store whose _norms sidecar went missing raises — the empty norms
+    join would serve zero hits silently (assert_sidecar_populated)."""
+    assert_sidecar_populated(spark, table, "_norms", "search_index_vsm")
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     hits = (
         idx.select("term", F.explode("postings").alias("p"))

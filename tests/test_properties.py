@@ -5743,6 +5743,14 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
                 compact_dedup_index(
                     spark, "t_gs_idx", str(tmp_path / "gsets2")
                 )
+            # the CLI probe leg is a clean exit 2, never a traceback
+            from bdt_enwikisearch_hadoop_spark import cli
+
+            rc = cli.main(
+                ["dedup-probe", dpath, "one", "document", "with",
+                 "several", "words", "--table", "t_gs_idx"]
+            )
+            assert rc == 2
         finally:
             os.rename(f"{dpath}_sets_gone", f"{dpath}_sets")
     finally:
@@ -5779,6 +5787,37 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
     finally:
         spark.sql("DROP TABLE IF EXISTS t_gv_idx")
         spark.sql("DROP TABLE IF EXISTS t_gv_idx_vecs")
+
+    # VSM serve lane: a missing _norms sidecar must raise too — the
+    # empty norms join would serve zero hits silently
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_index,
+        search_index_vsm,
+    )
+
+    vpath = str(tmp_path / "gnorms")
+    try:
+        build_index(spark, sf_dir, "t_gn_idx", vpath)
+        spark.sql("DROP TABLE t_gn_idx")
+        spark.sql("DROP TABLE t_gn_idx_norms")
+        os.rename(f"{vpath}_norms", f"{vpath}_norms_gone")
+        try:
+            register_external_store(spark, "t_gn_idx", vpath)
+            register_external_store(spark, "t_gn_idx_norms",
+                                    f"{vpath}_norms")
+            with _pytest.raises(ValueError, match="_norms is empty"):
+                search_index_vsm(spark, "t_gn_idx", ("spark", "join"))
+            rc = cli.main(
+                ["search-vsm", vpath, "spark", "join",
+                 "--table", "t_gn_idx"]
+            )
+            assert rc == 2
+        finally:
+            os.rename(f"{vpath}_norms_gone", f"{vpath}_norms")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_gn_idx")
+        spark.sql("DROP TABLE IF EXISTS t_gn_idx_norms")
 
 
 def test_empty_tf_store_serves_empty_results(spark, tmp_path):
