@@ -117,6 +117,21 @@ def _cli_compact(spark, args, compact_fn, suffix: str) -> int:
     return 0
 
 
+def _cli_serve(rows_fn, line_fn) -> int:
+    """Shared serve-lane contract (search-tf / search-vsm / dedup-probe
+    / embedding-probe): collect, print one line per row, exit 2 with
+    the message on a store refusal (missing sidecar, bad probe) — never
+    a traceback."""
+    try:
+        rows = rows_fn()
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    for row in rows:
+        print(line_fn(row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bdt-enwikisearch-spark")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -344,17 +359,13 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.index_store import search_tf_index
 
         _register_store_parts(spark, args.table, args.path, "_docs")
-        try:
-            rows = search_tf_index(
+        return _cli_serve(
+            lambda: search_tf_index(
                 spark, args.table, tuple(args.terms), k=args.k,
                 conjunctive=not args.any,
-            ).collect()
-        except ValueError as exc:  # missing/empty _docs sidecar
-            print(str(exc), file=sys.stderr)
-            return 2
-        for row in rows:
-            print(f"{row['doc_id']}\t{row['score']}")
-        return 0
+            ).collect(),
+            lambda row: f"{row['doc_id']}\t{row['score']}",
+        )
 
     if args.cmd == "compact-tf-index":
         from .functions.index_store import compact_tf_index
@@ -381,16 +392,12 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.index_store import search_index_vsm
 
         _register_store_parts(spark, args.table, args.path, "_norms")
-        try:
-            rows = search_index_vsm(
+        return _cli_serve(
+            lambda: search_index_vsm(
                 spark, args.table, tuple(args.terms), k=args.k
-            ).collect()
-        except ValueError as exc:  # missing _norms sidecar
-            print(str(exc), file=sys.stderr)
-            return 2
-        for row in rows:
-            print(f"{row['doc_id']}\t{row['score']}")
-        return 0
+            ).collect(),
+            lambda row: f"{row['doc_id']}\t{row['score']}",
+        )
 
     if args.cmd == "card":
         from .registry import QUERIES
@@ -429,16 +436,12 @@ def main(argv: list[str] | None = None) -> int:
         # the store's files with the sidecar's bucketing spec (same
         # discipline as search-index)
         _register_store_parts(spark, args.table, args.path, "_sets")
-        try:
-            rows = probe_dedup(
+        return _cli_serve(
+            lambda: probe_dedup(
                 spark, args.table, " ".join(args.text), theta=args.theta
-            ).collect()
-        except ValueError as exc:  # missing _sets sidecar
-            print(str(exc), file=sys.stderr)
-            return 2
-        for row in rows:
-            print(f"{row['doc_id']}\t{row['jaccard']}")
-        return 0
+            ).collect(),
+            lambda row: f"{row['doc_id']}\t{row['jaccard']}",
+        )
 
     if args.cmd == "store-report":
         import json as _json
@@ -532,15 +535,12 @@ def main(argv: list[str] | None = None) -> int:
             vec = [float(x) for x in row[0]["embedding"]]
         _register_store_parts(spark, args.table, args.path, "_vecs")
         theta = _J78_THETA if args.theta is None else args.theta
-        try:
-            probe = probe_embedding_dedup(spark, args.table, vec, theta=theta)
-        except ValueError as exc:  # wrong probe dimension
-            print(str(exc), file=sys.stderr)
-            return 2
-        rows = probe.collect()
-        for row in rows:
-            print(f"{row['vec_id']}\t{row['cos']}")
-        return 0
+        return _cli_serve(
+            lambda: probe_embedding_dedup(
+                spark, args.table, vec, theta=theta
+            ).collect(),
+            lambda row: f"{row['vec_id']}\t{row['cos']}",
+        )
 
     if args.cmd == "audit":
         from .registry import QUERIES

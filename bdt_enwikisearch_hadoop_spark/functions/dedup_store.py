@@ -98,7 +98,8 @@ def compact_dedup_index(spark, table: str, new_path: str) -> None:
     re-signed.  Refuses a store whose sidecar is missing — compaction
     would otherwise rewrite the corruption into a fresh-looking store
     with new meta sidecars."""
-    assert_sidecar_populated(spark, table, "_sets", "compact_dedup_index")
+    assert_sidecar_populated(spark, table, "_sets",
+                             "compact_dedup_index", use_memo=False)
     compact_store(spark, table, new_path, [("", "bk"), ("_sets", "doc_id")])
 
 
@@ -126,7 +127,8 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     sidecar join is not)."""
     refresh_store(spark, table, ("", "_sets"))
     nb = _table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_sets", "append_dedup_index")
+    assert_sidecar_populated(spark, table, "_sets",
+                             "append_dedup_index", use_memo=False)
     existing = spark.table(f"{table}_sets").select("doc_id")
     docs = docs.join(existing, "doc_id", "left_anti")
     sets = shingle_sets(rebalance(docs))

@@ -179,7 +179,8 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     double-indexes a vector (which would duplicate probe result rows)."""
     refresh_store(spark, table, ("", "_vecs"))
     nb = _table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_vecs", "append_embedding_index")
+    assert_sidecar_populated(spark, table, "_vecs",
+                             "append_embedding_index", use_memo=False)
     _assert_ingestable(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")
     emb = emb.join(existing, "vec_id", "left_anti")
@@ -200,7 +201,7 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
     compaction would otherwise rewrite the corruption into a
     fresh-looking store with new meta sidecars."""
     assert_sidecar_populated(
-        spark, table, "_vecs", "compact_embedding_index"
+        spark, table, "_vecs", "compact_embedding_index", use_memo=False
     )
     compact_store(
         spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]

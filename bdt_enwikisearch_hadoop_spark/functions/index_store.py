@@ -183,17 +183,23 @@ def compact_store(spark, table: str, new_path: str,
 _SIDECAR_OK_MEMO: set = set()
 
 
-def assert_sidecar_populated(spark, table: str, suffix: str,
-                             what: str) -> None:
+def assert_sidecar_populated(spark, table: str, suffix: str, what: str,
+                             use_memo: bool = True) -> None:
     """Refuse serving or maintenance on a store whose sidecar went
     missing (a registration without it, or a crash between compaction
     swaps): the sidecar is both the idempotence key (an empty anti-join
     would double-index every replayed shard) and the probe/serve verify
     source (an empty join would answer every probe 'no duplicate' /
-    NULL score, silently).  A pass is memoized per (session, table,
-    suffix) — probes pay the LIMIT-1 check once per reader-open, and
-    refresh_store / re-registration (the events that can change the
-    answer) invalidate it.
+    NULL score, silently).
+
+    With ``use_memo`` (the PURE-READ serve paths: probes, VSM), a pass
+    is memoized per (session, table, suffix) — probes pay the LIMIT-1
+    check once per reader-open, and refresh_store / re-registration
+    (the events that can change the answer) invalidate it.  WRITE lanes
+    (append/compact) must pass ``use_memo=False``: they are about to
+    CHANGE the store, so their own pre-write pass must not satisfy a
+    later serve call — a mid-append write failure would otherwise hide
+    behind the stale OK — and their rare fresh LIMIT-1 check is cheap.
 
     Deliberate corner: if the very FIRST append into an EMPTY base
     crashed between the two table writes, the orphan segment trips this
@@ -201,7 +207,7 @@ def assert_sidecar_populated(spark, table: str, suffix: str,
     shard); distinguishing that state from a lost sidecar is not
     possible from the tables alone, and blocking is the safe side."""
     key = (spark.sparkContext.applicationId, table, suffix)
-    if key in _SIDECAR_OK_MEMO:
+    if use_memo and key in _SIDECAR_OK_MEMO:
         return
     if (
         spark.table(f"{table}{suffix}").isEmpty()
@@ -212,7 +218,10 @@ def assert_sidecar_populated(spark, table: str, suffix: str,
             "the sidecar is missing or incomplete; re-register it (or "
             "rebuild the store) first"
         )
-    _SIDECAR_OK_MEMO.add(key)
+    if use_memo:
+        _SIDECAR_OK_MEMO.add(key)
+    else:
+        _SIDECAR_OK_MEMO.discard(key)
 
 
 #: (applicationId, table) -> corpus count N, so a serving session pays
@@ -524,7 +533,8 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     deflated until the shard is replayed, never NULL or doubled."""
     refresh_store(spark, table, ("", "_docs"))
     nb = table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_docs", "append_tf_index")
+    assert_sidecar_populated(spark, table, "_docs", "append_tf_index",
+                             use_memo=False)
     existing = spark.table(f"{table}_docs").select("doc_id")
     docs = docs.join(existing, "doc_id", "left_anti")
     (
@@ -625,7 +635,8 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
     swap with the segmented store's merge transforms.  Refuses a store
     whose ``_docs`` sidecar is missing — compaction would otherwise
     rewrite the corruption into a fresh-looking store."""
-    assert_sidecar_populated(spark, table, "_docs", "compact_tf_index")
+    assert_sidecar_populated(spark, table, "_docs", "compact_tf_index",
+                             use_memo=False)
 
     def _merge_terms(df: DataFrame) -> DataFrame:
         merged = F.array_sort(

@@ -5820,6 +5820,47 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
         spark.sql("DROP TABLE IF EXISTS t_gn_idx_norms")
 
 
+def test_sidecar_memo_write_lanes_never_seed(spark, tmp_path):
+    """Write lanes (append/compact) must not leave a memoized sidecar-OK
+    behind: a mid-append write failure would otherwise hide behind the
+    lane's own pre-write pass, and later probes would skip the guard on
+    the exact corruption it exists to catch.  Only the pure-read serve
+    path seeds the memo; append invalidates it (via refresh_store) and
+    leaves it unseeded."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        _SIDECAR_OK_MEMO,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "first document with several distinct words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "second document carrying other words entirely")],
+        "doc_id long, text string",
+    )
+    key = (spark.sparkContext.applicationId, "t_memo_w", "_sets")
+    try:
+        build_dedup_index(
+            spark, "unused", "t_memo_w", str(tmp_path / "memow"), docs=base
+        )
+        _SIDECAR_OK_MEMO.discard(key)
+        probe_dedup(spark, "t_memo_w", "three token probe text here")
+        assert key in _SIDECAR_OK_MEMO  # serve path seeds
+        append_dedup_index(spark, "t_memo_w", batch)
+        assert key not in _SIDECAR_OK_MEMO  # write lane leaves unseeded
+        probe_dedup(spark, "t_memo_w", "three token probe text here")
+        assert key in _SIDECAR_OK_MEMO  # next serve re-checks fresh
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_memo_w")
+        spark.sql("DROP TABLE IF EXISTS t_memo_w_sets")
+
+
 def test_empty_tf_store_serves_empty_results(spark, tmp_path):
     """A store built AHEAD of the first shard (empty corpus) is a
     legitimate ingestion-service state: searches return the empty
