@@ -209,6 +209,10 @@ def assert_sidecar_populated(spark, table: str, suffix: str, what: str,
     key = (spark.sparkContext.applicationId, table, suffix)
     if use_memo and key in _SIDECAR_OK_MEMO:
         return
+    # scrub any earlier pass BEFORE checking: a refusal below must not
+    # leave a stale OK behind (a later memoized serve would skip the
+    # guard on the store this call just proved corrupt)
+    _SIDECAR_OK_MEMO.discard(key)
     if (
         spark.table(f"{table}{suffix}").isEmpty()
         and not spark.table(table).isEmpty()
@@ -220,8 +224,6 @@ def assert_sidecar_populated(spark, table: str, suffix: str, what: str,
         )
     if use_memo:
         _SIDECAR_OK_MEMO.add(key)
-    else:
-        _SIDECAR_OK_MEMO.discard(key)
 
 
 #: (applicationId, table) -> corpus count N, so a serving session pays

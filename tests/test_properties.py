@@ -5743,6 +5743,23 @@ def test_probe_store_missing_sidecar_refuses_append(spark, sf_dir,
                 compact_dedup_index(
                     spark, "t_gs_idx", str(tmp_path / "gsets2")
                 )
+            # a stale memoized pass (seeded before the corruption) must
+            # be SCRUBBED by a refusing check, not survive it — else a
+            # later memoized serve would skip the guard on the store
+            # this lane just proved corrupt
+            from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+                _SIDECAR_OK_MEMO,
+            )
+
+            key = (spark.sparkContext.applicationId, "t_gs_idx", "_sets")
+            _SIDECAR_OK_MEMO.add(key)
+            with _pytest.raises(ValueError, match="_sets is empty"):
+                compact_dedup_index(
+                    spark, "t_gs_idx", str(tmp_path / "gsets3")
+                )
+            assert key not in _SIDECAR_OK_MEMO
+            with _pytest.raises(ValueError, match="_sets is empty"):
+                probe_dedup(spark, "t_gs_idx", "one document with words")
             # the CLI probe leg is a clean exit 2, never a traceback
             from bdt_enwikisearch_hadoop_spark import cli
 
