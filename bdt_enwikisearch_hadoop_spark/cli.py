@@ -28,7 +28,16 @@ from __future__ import annotations
 import argparse
 import sys
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
+
+#: the error classes every store lane converts to a clean exit-2
+#: message (never a traceback): ValueError is the stores' own refusal
+#: contract (missing sidecar, same-path compaction, unservable rows);
+#: AnalysisException is Spark's — an unregistered table (compact
+#: without --path in a fresh process), a missing/schema-less batch
+#: path, a mis-registered location.
+_LANE_ERRORS = (ValueError, AnalysisException)
 
 
 def _spark(app: str):
@@ -77,23 +86,27 @@ def _cli_append(spark, args, append_fn, suffix: str,
     """Shared body of the three append lanes (dedup / embedding / tf):
     register the store's parts from their sidecars, validate the
     shard's contract columns, append, report the sidecar delta.  One
-    place, so a fix (a new error class, a guard) lands in every lane."""
-    _register_store_parts(spark, args.table, args.path, suffix)
-    batch = spark.read.parquet(args.batch)
-    missing = set(cols) - set(batch.columns)
-    if missing:
-        print(
-            f"batch parquet lacks column(s) {sorted(missing)}",
-            file=sys.stderr,
-        )
-        return 2
-    before = spark.table(f"{args.table}{suffix}").count()
+    place, so a fix (a new error class, a guard) lands in every lane.
+    The WHOLE body runs under the lane error contract: a bad batch
+    path or corrupt sidecar (registration), unservable rows or an
+    unbucketed store (append) all print the message and exit 2 —
+    never a traceback."""
     try:
+        _register_store_parts(spark, args.table, args.path, suffix)
+        batch = spark.read.parquet(args.batch)
+        missing = set(cols) - set(batch.columns)
+        if missing:
+            print(
+                f"batch parquet lacks column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
+        before = spark.table(f"{args.table}{suffix}").count()
         append_fn(spark, args.table, batch.select(*cols))
-    except ValueError as exc:  # unservable rows / unbucketed store
+        after = spark.table(f"{args.table}{suffix}").count()
+    except _LANE_ERRORS as exc:
         print(str(exc), file=sys.stderr)
         return 2
-    after = spark.table(f"{args.table}{suffix}").count()
     print(
         f"appended {after - before} new {noun} to {args.table} "
         f"({before} -> {after})"
@@ -105,26 +118,66 @@ def _cli_compact(spark, args, compact_fn, suffix: str) -> int:
     """Shared body of the three compaction lanes (dedup / embedding /
     tf): re-register the store's parts when running in a fresh process,
     compact to the new path, exit 2 cleanly on refusal (same-path /
-    unbucketed store)."""
-    if args.path:
-        _register_store_parts(spark, args.table, args.path, suffix)
+    unbucketed store / unregistered table when --path was omitted in a
+    fresh process / corrupt sidecar) — never a traceback."""
     try:
+        if args.path:
+            _register_store_parts(spark, args.table, args.path, suffix)
         compact_fn(spark, args.table, args.new_path)
-    except ValueError as exc:  # same-path / unbucketed store
+    except _LANE_ERRORS as exc:
         print(str(exc), file=sys.stderr)
         return 2
     print(f"compacted {args.table} to {args.new_path}")
     return 0
 
 
+def _cli_probe_shard(spark, args, fold_fn, suffix: str,
+                     cols: tuple[str, ...], id_col: str) -> int:
+    """Shared body of the two probe-shard lanes (dedup / embedding):
+    register the store's parts, run the shard-sized delta-dedup fold
+    against the persisted index, write the (id, decision, dup_of)
+    decisions parquet to --out, print the decision tally.  Same lane
+    error contract as append/compact: message + exit 2, never a
+    traceback."""
+    try:
+        _register_store_parts(spark, args.table, args.path, suffix)
+        batch = spark.read.parquet(args.batch)
+        missing = set(cols) - set(batch.columns)
+        if missing:
+            print(
+                f"batch parquet lacks column(s) {sorted(missing)}",
+                file=sys.stderr,
+            )
+            return 2
+        kwargs = {} if args.theta is None else {"theta": args.theta}
+        decisions = fold_fn(
+            spark, args.table, batch.select(*cols), **kwargs
+        )
+        decisions.write.mode("overwrite").parquet(args.out)
+        tally = {
+            r["decision"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("decision")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except _LANE_ERRORS as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    for k in ("keep", "drop_corpus_dup", "drop_batch_dup"):
+        print(f"{k}\t{tally.get(k, 0)}")
+    print(f"wrote decisions for {sum(tally.values())} {id_col}s to {args.out}")
+    return 0
+
+
 def _cli_serve(rows_fn, line_fn) -> int:
     """Shared serve-lane contract (search-tf / search-vsm / dedup-probe
-    / embedding-probe): collect, print one line per row, exit 2 with
-    the message on a store refusal (missing sidecar, bad probe) — never
-    a traceback."""
+    / embedding-probe / search-index): collect, print one line per row,
+    exit 2 with the message on a store refusal (missing sidecar, bad
+    probe, unregistered table, corrupt sidecar) — never a traceback."""
     try:
         rows = rows_fn()
-    except ValueError as exc:
+    except _LANE_ERRORS as exc:
         print(str(exc), file=sys.stderr)
         return 2
     for row in rows:
@@ -295,6 +348,48 @@ def main(argv: list[str] | None = None) -> int:
                     help="existing store location (required in a fresh "
                     "process so the catalog can be re-registered)")
 
+    psd = sub.add_parser(
+        "probe-shard-dedup",
+        help="run the delta-dedup decision fold for a WHOLE parquet "
+        "shard of (doc_id, text) documents against a persisted dedup "
+        "store (one distributed job; corpus never rescanned) and write "
+        "the (doc_id, decision, dup_of) decisions parquet",
+    )
+    psd.add_argument("path")
+    psd.add_argument("batch", help="parquet path with doc_id, text columns")
+    psd.add_argument("out", help="output parquet path for the decisions")
+    psd.add_argument("--table", default="cli_dedup")
+    psd.add_argument("--theta", type=float, default=None)
+
+    pse = sub.add_parser(
+        "probe-shard-embedding",
+        help="run the delta-dedup decision fold for a WHOLE parquet "
+        "shard of (vec_id, embedding) vectors against a persisted "
+        "embedding store and write the (vec_id, decision, dup_of) "
+        "decisions parquet",
+    )
+    pse.add_argument("path")
+    pse.add_argument(
+        "batch", help="parquet path with vec_id, embedding columns"
+    )
+    pse.add_argument("out", help="output parquet path for the decisions")
+    pse.add_argument("--table", default="cli_ededup")
+    pse.add_argument("--theta", type=float, default=None)
+
+    vs = sub.add_parser(
+        "vacuum-store",
+        help="delete directories superseded by compactions (from the "
+        "_superseded.json ledger), keeping entries younger than "
+        "--min-age-sec or still registered in the catalog",
+    )
+    vs.add_argument("path", help="the store's CURRENT base location")
+    vs.add_argument("--table", default="cli_dedup")
+    vs.add_argument(
+        "--suffix", default="_sets",
+        help="the store's sidecar suffix (_sets / _vecs / _docs / _norms)",
+    )
+    vs.add_argument("--min-age-sec", type=float, default=86400.0)
+
     eb = sub.add_parser(
         "build-embedding-index",
         help="persist the hyperplane band index + vector sidecar for "
@@ -358,12 +453,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "search-tf":
         from .functions.index_store import search_tf_index
 
-        _register_store_parts(spark, args.table, args.path, "_docs")
-        return _cli_serve(
-            lambda: search_tf_index(
+        def _tf_rows():
+            _register_store_parts(spark, args.table, args.path, "_docs")
+            return search_tf_index(
                 spark, args.table, tuple(args.terms), k=args.k,
                 conjunctive=not args.any,
-            ).collect(),
+            ).collect()
+
+        return _cli_serve(
+            _tf_rows,
             lambda row: f"{row['doc_id']}\t{row['score']}",
         )
 
@@ -375,27 +473,34 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "search-index":
         from .functions.index_store import register_external_store, search_index
 
-        # a fresh process has an empty in-memory catalog: re-register
-        # the store's files, restoring the bucketing spec from the
-        # build-time _meta.json sidecar (plain-external fallback
-        # without one — correct answers, no bucket pruning)
-        register_external_store(spark, args.table, args.path)
-        rows = search_index(
-            spark, args.table, tuple(args.terms), k=args.k,
-            conjunctive=not args.any,
-        ).collect()
-        for row in rows:
-            print(f"{row['doc_id']}\t{row['score']}")
-        return 0
+        def _idx_rows():
+            # a fresh process has an empty in-memory catalog:
+            # re-register the store's files, restoring the bucketing
+            # spec from the build-time _meta.json sidecar
+            # (plain-external fallback without one — correct answers,
+            # no bucket pruning)
+            register_external_store(spark, args.table, args.path)
+            return search_index(
+                spark, args.table, tuple(args.terms), k=args.k,
+                conjunctive=not args.any,
+            ).collect()
+
+        return _cli_serve(
+            _idx_rows,
+            lambda row: f"{row['doc_id']}\t{row['score']}",
+        )
 
     if args.cmd == "search-vsm":
         from .functions.index_store import search_index_vsm
 
-        _register_store_parts(spark, args.table, args.path, "_norms")
-        return _cli_serve(
-            lambda: search_index_vsm(
+        def _vsm_rows():
+            _register_store_parts(spark, args.table, args.path, "_norms")
+            return search_index_vsm(
                 spark, args.table, tuple(args.terms), k=args.k
-            ).collect(),
+            ).collect()
+
+        return _cli_serve(
+            _vsm_rows,
             lambda row: f"{row['doc_id']}\t{row['score']}",
         )
 
@@ -432,14 +537,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "dedup-probe":
         from .functions.dedup_store import probe_dedup
 
-        # a fresh process has an empty in-memory catalog: re-register
-        # the store's files with the sidecar's bucketing spec (same
-        # discipline as search-index)
-        _register_store_parts(spark, args.table, args.path, "_sets")
-        return _cli_serve(
-            lambda: probe_dedup(
+        def _probe_rows():
+            # a fresh process has an empty in-memory catalog:
+            # re-register the store's files with the sidecar's
+            # bucketing spec (same discipline as search-index)
+            _register_store_parts(spark, args.table, args.path, "_sets")
+            return probe_dedup(
                 spark, args.table, " ".join(args.text), theta=args.theta
-            ).collect(),
+            ).collect()
+
+        return _cli_serve(
+            _probe_rows,
             lambda row: f"{row['doc_id']}\t{row['jaccard']}",
         )
 
@@ -454,14 +562,18 @@ def main(argv: list[str] | None = None) -> int:
 
         bucket_col = args.bucket_col
         mp = f"{args.path.rstrip('/')}_meta.json"
-        if bucket_col is None:
-            if not _os.path.exists(mp):
-                print(f"no {mp}; pass --bucket-col", file=sys.stderr)
-                return 2
-            with open(mp) as fh:
-                bucket_col = _json.load(fh)["bucket_col"]
-        register_external_store(spark, args.table, args.path)
-        rep = store_report(spark, args.table, bucket_col)
+        try:
+            if bucket_col is None:
+                if not _os.path.exists(mp):
+                    print(f"no {mp}; pass --bucket-col", file=sys.stderr)
+                    return 2
+                with open(mp) as fh:
+                    bucket_col = _json.load(fh)["bucket_col"]
+            register_external_store(spark, args.table, args.path)
+            rep = store_report(spark, args.table, bucket_col)
+        except _LANE_ERRORS as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
         for k, v in rep.items():
             print(f"{k}\t{v}")
         fpb = rep["n_files"] / max(rep["n_buckets"], 1)
@@ -493,6 +605,43 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.embedding_store import compact_embedding_index
 
         return _cli_compact(spark, args, compact_embedding_index, "_vecs")
+
+    if args.cmd == "probe-shard-dedup":
+        from .functions.dedup_store import shard_dedup_decisions
+
+        return _cli_probe_shard(
+            spark, args, shard_dedup_decisions, "_sets",
+            ("doc_id", "text"), "doc_id",
+        )
+
+    if args.cmd == "probe-shard-embedding":
+        from .functions.embedding_store import shard_embedding_decisions
+
+        return _cli_probe_shard(
+            spark, args, shard_embedding_decisions, "_vecs",
+            ("vec_id", "embedding"), "vec_id",
+        )
+
+    if args.cmd == "vacuum-store":
+        from .functions.index_store import vacuum_store
+
+        try:
+            _register_store_parts(spark, args.table, args.path, args.suffix)
+            res = vacuum_store(
+                spark, args.table, min_age_sec=args.min_age_sec
+            )
+        except _LANE_ERRORS as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        for p in res["removed"]:
+            print(f"removed\t{p}")
+        for p in res["kept"]:
+            print(f"kept\t{p}")
+        print(
+            f"vacuumed {args.table}: {len(res['removed'])} removed, "
+            f"{len(res['kept'])} kept"
+        )
+        return 0
 
     if args.cmd == "build-embedding-index":
         from .functions.embedding_store import build_embedding_index
@@ -533,12 +682,16 @@ def main(argv: list[str] | None = None) -> int:
                       file=sys.stderr)
                 return 2
             vec = [float(x) for x in row[0]["embedding"]]
-        _register_store_parts(spark, args.table, args.path, "_vecs")
         theta = _J78_THETA if args.theta is None else args.theta
-        return _cli_serve(
-            lambda: probe_embedding_dedup(
+
+        def _evec_rows():
+            _register_store_parts(spark, args.table, args.path, "_vecs")
+            return probe_embedding_dedup(
                 spark, args.table, vec, theta=theta
-            ).collect(),
+            ).collect()
+
+        return _cli_serve(
+            _evec_rows,
             lambda row: f"{row['vec_id']}\t{row['cos']}",
         )
 

@@ -69,7 +69,11 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
         band = text_band_table(spark, sf_dir)
         sets = doc_shingle_sets(spark, sf_dir)
     else:
-        sets = shingle_sets(rebalance(docs))
+        # a doc_id occurring twice in the build frame would double its
+        # sidecar/band rows (duplicating every future probe hit):
+        # collapse to one arbitrary representative — same contract as
+        # the append lane
+        sets = shingle_sets(rebalance(docs.dropDuplicates(["doc_id"])))
         band = _text_band_table(sets)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
@@ -119,18 +123,24 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     work, and keeping the two writer plans independent beats a
     checkpoint for shards that fit the daily-ingest budget.
 
-    IDEMPOTENT on replayed ids: already-indexed doc_ids are anti-joined
-    out against the shingle sidecar (batch-sized work — the sidecar
-    side is doc_id-bucketed, read in place), so re-ingesting a shard
-    never double-indexes a document (which would duplicate probe
-    result rows — probe_dedup's candidate list is distinct but the
-    sidecar join is not)."""
+    IDEMPOTENT on replayed ids: intra-batch duplicate doc_ids collapse
+    to one arbitrary representative FIRST (the anti-join only removes
+    ids already IN THE SIDECAR, so a dirty shard carrying the same
+    doc_id twice would otherwise double-index it — two sidecar rows,
+    two probe result rows), then already-indexed doc_ids are
+    anti-joined out against the shingle sidecar (batch-sized work —
+    the sidecar side is doc_id-bucketed, read in place), so
+    re-ingesting a shard never double-indexes a document (which would
+    duplicate probe result rows — probe_dedup's candidate list is
+    distinct but the sidecar join is not)."""
     refresh_store(spark, table, ("", "_sets"))
     nb = _table_buckets(spark, table)
     assert_sidecar_populated(spark, table, "_sets",
                              "append_dedup_index", use_memo=False)
     existing = spark.table(f"{table}_sets").select("doc_id")
-    docs = docs.join(existing, "doc_id", "left_anti")
+    docs = docs.dropDuplicates(["doc_id"]).join(
+        existing, "doc_id", "left_anti"
+    )
     sets = shingle_sets(rebalance(docs))
     band = _text_band_table(sets)
     band.write.mode("append").bucketBy(nb, "bk").sortBy("bk").saveAsTable(
@@ -139,6 +149,99 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     sets.write.mode("append").bucketBy(nb, "doc_id").sortBy(
         "doc_id"
     ).saveAsTable(f"{table}_sets")
+
+
+def shard_dedup_decisions(spark, table: str, docs: DataFrame,
+                          theta: float = 0.8) -> DataFrame:
+    """(doc_id, decision, dup_of) for EVERY document of a shard against
+    the persisted store — j84's greedy-pairwise delta fold
+    (ann.delta_dedup_decisions's rule: drop behind the min corpus
+    near-dup, else the min smaller-id batch near-dup, else keep)
+    served from the store as ONE distributed job, the shape an
+    ingestion service actually runs (``probe-shard-dedup`` in the
+    CLI writes the result as a decisions parquet).  ``probe_dedup``
+    is the one-document interactive twin; decision parity of this
+    fold with j84's batch output is pinned in tests.
+
+    Plan shape: the shard is banded ONCE (batch-sized, the same
+    Spark derivation the store was built with); corpus candidates
+    come from a (b, bk) equi-join into the band table (the store
+    side rides its bk bucketing; the shard side shuffles
+    batch-sized rows); within-shard candidates from a band
+    self-join (batch²-bounded by bucket collisions, not all
+    pairs); both verify via exact shingle Jaccard ≥ theta against
+    the respective shingle sets.  The corpus is never rescanned —
+    only its colliding band rows and the candidates' sidecar rows
+    are read.  A replayed shard (ids already ingested) excludes
+    each document's OWN store row (``p != d``); its decisions are
+    then what the original ingest would have produced."""
+    assert_sidecar_populated(spark, table, "_sets",
+                             "shard_dedup_decisions")
+    docs = docs.dropDuplicates(["doc_id"])
+    sets = shingle_sets(rebalance(docs))
+    band = _text_band_table(sets)
+    nband = band.select(F.col("doc_id").alias("d"), "b", "bk")
+    cand = (
+        nband.join(
+            spark.table(table).select(
+                F.col("doc_id").alias("p"), "b", "bk"
+            ),
+            ["b", "bk"],
+        )
+        .filter(F.col("p") != F.col("d"))
+        .select("d", "p")
+        .distinct()
+    )
+    dsets = sets.select(F.col("doc_id").alias("d"), F.col("s").alias("ds"))
+    psets = spark.table(f"{table}_sets").select(
+        F.col("doc_id").alias("p"), F.col("s").alias("ps")
+    )
+    inter = F.size(F.array_intersect("ds", "ps"))
+    jac = inter / (F.size("ds") + F.size("ps") - inter)
+    corpus_min = (
+        cand.join(dsets, "d")
+        .join(psets, "p")
+        .filter(jac >= theta)
+        .groupBy("d")
+        .agg(F.min("p").alias("corpus_dup"))
+    )
+    bcand = (
+        nband.join(
+            band.select(F.col("doc_id").alias("p"), "b", "bk"),
+            ["b", "bk"],
+        )
+        .filter(F.col("p") < F.col("d"))
+        .select("d", "p")
+        .distinct()
+    )
+    batch_min = (
+        bcand.join(dsets, "d")
+        .join(
+            dsets.select(
+                F.col("d").alias("p"), F.col("ds").alias("ps")
+            ),
+            "p",
+        )
+        .filter(jac >= theta)
+        .groupBy("d")
+        .agg(F.min("p").alias("batch_dup"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(corpus_min, F.col("doc_id") == corpus_min["d"], "left")
+        .drop("d")
+        .join(batch_min, F.col("doc_id") == batch_min["d"], "left")
+        .drop("d")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
+            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def probe_shingles(text: str, k: int = 3) -> list[str]:

@@ -142,6 +142,11 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
         _assert_ingestable(emb, "build_embedding_index")
         band = embedding_bucket_table(spark, sf_dir)
     else:
+        # a vec_id occurring twice in the build frame would double its
+        # sidecar/band rows (duplicating every future probe hit):
+        # collapse to one arbitrary representative — same contract as
+        # the append lane
+        emb = emb.dropDuplicates(["vec_id"])
         _assert_ingestable(emb, "build_embedding_index")
         band = embedding_band_buckets(emb)
     vecs = _vec_sidecar(emb)
@@ -173,17 +178,24 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     with a full rebuild is pinned by
     test_append_embedding_index_equals_rebuild.
 
-    IDEMPOTENT on replayed ids: already-indexed vec_ids are anti-joined
-    out against the vector sidecar (batch-sized work — the sidecar side
-    is vec_id-bucketed, read in place), so re-ingesting a shard never
-    double-indexes a vector (which would duplicate probe result rows)."""
+    IDEMPOTENT on replayed ids: intra-batch duplicate vec_ids collapse
+    to one arbitrary representative FIRST (the anti-join only removes
+    ids already IN THE SIDECAR, so a dirty shard carrying the same
+    vec_id twice would otherwise double-index it — two sidecar rows,
+    two probe result rows), then already-indexed vec_ids are
+    anti-joined out against the vector sidecar (batch-sized work — the
+    sidecar side is vec_id-bucketed, read in place), so re-ingesting a
+    shard never double-indexes a vector (which would duplicate probe
+    result rows)."""
     refresh_store(spark, table, ("", "_vecs"))
     nb = _table_buckets(spark, table)
     assert_sidecar_populated(spark, table, "_vecs",
                              "append_embedding_index", use_memo=False)
     _assert_ingestable(emb, "append_embedding_index")
     existing = spark.table(f"{table}_vecs").select("vec_id")
-    emb = emb.join(existing, "vec_id", "left_anti")
+    emb = emb.dropDuplicates(["vec_id"]).join(
+        existing, "vec_id", "left_anti"
+    )
     band = embedding_band_buckets(emb)
     band.write.mode("append").bucketBy(nb, "bucket").sortBy(
         "bucket"
@@ -205,6 +217,101 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
     )
     compact_store(
         spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
+    )
+
+
+def shard_embedding_decisions(spark, table: str, emb: DataFrame,
+                              theta: float = _J78_THETA) -> DataFrame:
+    """(vec_id, decision, dup_of) for EVERY vector of a shard against
+    the persisted store — dedup_store.shard_dedup_decisions's fold on
+    the VECTOR side (j85's greedy-pairwise rule: drop behind the min
+    corpus near-dup, else the min smaller-id batch near-dup, else
+    keep), one distributed job per shard (``probe-shard-embedding``
+    in the CLI writes it as a decisions parquet).
+    ``probe_embedding_dedup`` is the one-vector interactive twin;
+    decision parity with j85's batch output is pinned in tests.
+
+    Plan shape: the shard is banded ONCE (the same zero-shuffle
+    signature fold the store writes); corpus candidates come from a
+    (g, bucket) equi-join into the band table, within-shard
+    candidates from a band self-join; both verify via the exact
+    cosine against the persisted (v, nrm) sidecar projections — the
+    corpus is never rescanned.  A replayed shard excludes each
+    vector's own store row (``p != d``)."""
+    assert_sidecar_populated(spark, table, "_vecs",
+                             "shard_embedding_decisions")
+    _assert_ingestable(emb, "shard_embedding_decisions")
+    emb = emb.dropDuplicates(["vec_id"])
+    band = embedding_band_buckets(emb)
+    vecs = _vec_sidecar(emb)
+    nband = band.select(F.col("vec_id").alias("d"), "g", "bucket")
+    cand = (
+        nband.join(
+            spark.table(table).select(
+                F.col("vec_id").alias("p"), "g", "bucket"
+            ),
+            ["g", "bucket"],
+        )
+        .filter(F.col("p") != F.col("d"))
+        .select("d", "p")
+        .distinct()
+    )
+    dv = vecs.select(
+        F.col("vec_id").alias("d"),
+        F.col("v").alias("dvec"),
+        F.col("nrm").alias("dn"),
+    )
+    pv = spark.table(f"{table}_vecs").select(
+        F.col("vec_id").alias("p"),
+        F.col("v").alias("pvec"),
+        F.col("nrm").alias("pn"),
+    )
+    cos = dot(F.col("dvec"), F.col("pvec")) / (F.col("dn") * F.col("pn"))
+    corpus_min = (
+        cand.join(dv, "d")
+        .join(pv, "p")
+        .filter(cos >= theta)
+        .groupBy("d")
+        .agg(F.min("p").alias("corpus_dup"))
+    )
+    bcand = (
+        nband.join(
+            band.select(F.col("vec_id").alias("p"), "g", "bucket"),
+            ["g", "bucket"],
+        )
+        .filter(F.col("p") < F.col("d"))
+        .select("d", "p")
+        .distinct()
+    )
+    batch_min = (
+        bcand.join(dv, "d")
+        .join(
+            dv.select(
+                F.col("d").alias("p"),
+                F.col("dvec").alias("pvec"),
+                F.col("dn").alias("pn"),
+            ),
+            "p",
+        )
+        .filter(cos >= theta)
+        .groupBy("d")
+        .agg(F.min("p").alias("batch_dup"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(corpus_min, F.col("vec_id") == corpus_min["d"], "left")
+        .drop("d")
+        .join(batch_min, F.col("vec_id") == batch_min["d"], "left")
+        .drop("d")
+        .select(
+            "vec_id",
+            F.when(F.col("corpus_dup").isNotNull(), "drop_corpus_dup")
+            .when(F.col("batch_dup").isNotNull(), "drop_batch_dup")
+            .otherwise("keep")
+            .alias("decision"),
+            F.coalesce("corpus_dup", "batch_dup").alias("dup_of"),
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -54,6 +55,58 @@ def write_store_meta(df: DataFrame, path: str, buckets: int,
         json.dump(meta, fh)
 
 
+#: SQL-identifier shape every sidecar-sourced name must match before it
+#: is interpolated into DDL — the stores only ever write plain
+#: lowercase names, so anything else is corruption (or an attacker's
+#: sidecar: the _meta.json format is positioned as a cross-process /
+#: object-store artifact, wider trust surface than the local builder).
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _validated_meta(mp: str) -> tuple[str, str, int]:
+    """Parse + validate a ``_meta.json`` sidecar into (schema_ddl,
+    bucket_col, buckets) that are SAFE to interpolate into a CREATE
+    TABLE statement: buckets must be a positive int, the bucket column
+    and every field name must be plain SQL identifiers, and the schema
+    must round-trip through ``StructType.fromDDL`` (a corrupted or
+    malicious sidecar fails the parse instead of becoming arbitrary
+    SQL in the session).  The DDL is re-emitted from the PARSED struct,
+    never from the raw sidecar string."""
+    from pyspark.sql.types import StructType
+
+    with open(mp) as fh:
+        m = json.load(fh)
+    try:
+        buckets = int(m["buckets"])
+        bucket_col = m["bucket_col"]
+        schema = StructType.fromDDL(m["schema"])
+    except (KeyError, TypeError, ValueError) as exc:
+        raise ValueError(f"corrupt store sidecar {mp}: {exc}") from exc
+    except Exception as exc:  # fromDDL parse errors (ParseException)
+        raise ValueError(
+            f"corrupt store sidecar {mp}: unparseable schema "
+            f"{m.get('schema')!r}: {exc}"
+        ) from exc
+    if buckets <= 0:
+        raise ValueError(f"corrupt store sidecar {mp}: buckets={buckets}")
+    names = schema.fieldNames()
+    for name in [bucket_col, *names]:
+        if not isinstance(name, str) or not _IDENT_RE.match(name):
+            raise ValueError(
+                f"corrupt store sidecar {mp}: {name!r} is not a plain "
+                "SQL identifier — refusing to interpolate it into DDL"
+            )
+    if bucket_col not in names:
+        raise ValueError(
+            f"corrupt store sidecar {mp}: bucket_col {bucket_col!r} "
+            f"not in schema fields {names}"
+        )
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+    )
+    return ddl, bucket_col, buckets
+
+
 def register_external_store(spark, table: str, path: str) -> None:
     """Register a persisted store's files in a fresh session's catalog,
     restoring the build-time bucketing spec from the ``_meta.json``
@@ -61,7 +114,9 @@ def register_external_store(spark, table: str, path: str) -> None:
     explicit column list, hence the schema in the sidecar).  Without a
     sidecar this degrades to a plain external table — correct answers,
     but probe reads lose bucket pruning.  No-op if ``table`` already
-    exists."""
+    exists.  Sidecar contents are VALIDATED before they touch DDL
+    (:func:`_validated_meta`) — a corrupted sidecar raises a named
+    ValueError instead of executing as SQL."""
     if spark.catalog.tableExists(table):
         return
     # re-pointing a name at (possibly different) files changes N and
@@ -79,13 +134,12 @@ def register_external_store(spark, table: str, path: str) -> None:
     )
     mp = f"{path.rstrip('/')}_meta.json"
     if os.path.exists(mp):
-        with open(mp) as fh:
-            m = json.load(fh)
+        ddl, bucket_col, buckets = _validated_meta(mp)
         spark.sql(
-            f"CREATE TABLE {table} ({m['schema']}) USING parquet "
-            f"CLUSTERED BY ({m['bucket_col']}) "
-            f"SORTED BY ({m['bucket_col']}) "
-            f"INTO {m['buckets']} BUCKETS LOCATION '{path}'"
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) "
+            f"SORTED BY ({bucket_col}) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'"
         )
     else:
         spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
@@ -121,24 +175,39 @@ def compact_store(spark, table: str, new_path: str,
     Immutable swap, never in place: each table writes to a NEW path
     (same-path compaction is REFUSED — overwriting the directory the
     lazy source scan reads from would corrupt the only copy) under a
-    temp catalog name, then the old entry is dropped and the temp
-    renamed.  The DATA swap is atomic (the new files are complete
-    before any catalog change); the CATALOG swap has a drop→rename
-    window, so in-session probes between the two statements would miss
-    the table name — fine for the single-session CLI this serves, but
-    a shared-metastore deployment should swap via a view or name
-    indirection instead.  ``parts`` lists the store's
-    (suffix, bucket_col) pairs, e.g. dedup: ``[("", "bk"),
-    ("_sets", "doc_id")]``; embedding: ``[("", "bucket"),
-    ("_vecs", "vec_id")]``; postings: ``[("", "term"),
-    ("_norms", "doc_id")]``.  Bucket counts and meta sidecars carry
-    over, so registered consumers keep their pruned plans.
+    temp catalog name, then the SERVING table is repointed with ONE
+    ``ALTER TABLE ... SET LOCATION`` statement.  Both swaps are
+    atomic: the new files are complete before any catalog change, and
+    the repoint is a single catalog statement — a concurrent reader
+    holding the serving name NEVER observes a missing table (the
+    drop→rename window earlier revisions documented is gone; pinned
+    by the concurrent-reader test, which probes continuously through
+    a compaction with zero failures).  A reader session whose file
+    listing predates the repoint keeps reading the OLD directory —
+    which still exists (nothing is deleted here; see
+    :func:`vacuum_store`) — i.e. snapshot isolation, not an error.
+    ``parts`` lists the store's (suffix, bucket_col) pairs, e.g.
+    dedup: ``[("", "bk"), ("_sets", "doc_id")]``; embedding:
+    ``[("", "bucket"), ("_vecs", "vec_id")]``; postings:
+    ``[("", "term"), ("_norms", "doc_id")]``.  Bucket counts and meta
+    sidecars carry over, so registered consumers keep their pruned
+    plans.
+
+    The superseded directories are recorded (with a wall-clock stamp)
+    in a ``{new_path}_superseded.json`` ledger — any ledger next to
+    the old base directory is carried forward first — so
+    :func:`vacuum_store` can later delete exactly the directories no
+    serving table references anymore, after a safety age.
 
     ``transforms`` optionally maps a suffix to a row-set rewrite
     applied during the copy — how a SEGMENTED store (the raw-TF
     search index) folds its per-append segment rows back into one row
     per key while compacting, LSM-style; plain stores omit it and the
     copy is row-preserving."""
+    import time
+
+    superseded: list[dict] = []
+    base_old: str | None = None
     for suffix, col in parts:
         t = f"{table}{suffix}"
         p = f"{new_path.rstrip('/')}{suffix}"
@@ -158,6 +227,8 @@ def compact_store(spark, table: str, new_path: str,
                 f"location ({cur}) — in-place compaction would overwrite "
                 "the files being read; pass a fresh path"
             )
+        if suffix == "":
+            base_old = cur
         tmp = f"{t}_compact_tmp"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         df = spark.table(t)
@@ -171,8 +242,99 @@ def compact_store(spark, table: str, new_path: str,
             .saveAsTable(tmp)
         )
         write_store_meta(df, p, nb, col)
-        spark.sql(f"DROP TABLE {t}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        # the atomic repoint: one catalog statement, serving name never
+        # absent; the tmp entry is external, so dropping it leaves the
+        # new files in place
+        spark.sql(f"ALTER TABLE {t} SET LOCATION '{p}'")
+        spark.sql(f"DROP TABLE {tmp}")
+        spark.sql(f"REFRESH TABLE {t}")
+        superseded.append({"path": os.path.realpath(cur),
+                           "ts": time.time()})
+    ledger = list(superseded)
+    if base_old is not None:
+        prior = f"{base_old.rstrip('/')}_superseded.json"
+        if os.path.exists(prior):
+            with open(prior) as fh:
+                ledger = json.load(fh) + ledger
+            os.remove(prior)
+    with open(f"{new_path.rstrip('/')}_superseded.json", "w") as fh:
+        json.dump(ledger, fh)
+
+
+def _catalog_locations(spark) -> set[str]:
+    """Realpaths of every catalog table's location in the current
+    database — the 'still referenced' set vacuum_store refuses to
+    touch.  One DESCRIBE per table; store catalogs are small (a few
+    tables per store), so this is a metadata-only pass."""
+    live = set()
+    for t in spark.catalog.listTables():
+        if t.tableType == "VIEW":
+            continue
+        name = f"{t.namespace[0]}.{t.name}" if t.namespace else t.name
+        try:
+            meta = _describe_meta(spark, name)
+        except Exception:
+            continue
+        if "Location" in meta:
+            live.add(os.path.realpath(meta["Location"].removeprefix("file:")))
+    return live
+
+
+def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
+    """Garbage-collect the directories :func:`compact_store` superseded
+    — the missing GC half of the immutable-swap discipline (every
+    compaction repoints the serving table and leaves the old
+    directory behind forever; at daily-compaction cadence that is an
+    unbounded 2× storage leak).
+
+    Reads the ``_superseded.json`` ledger next to the CURRENT base
+    directory (compact_store carries it forward across compactions)
+    and deletes exactly the ledger's entries that are (a) older than
+    ``min_age_sec`` — the safety age that protects readers whose file
+    listing still points at the pre-compaction snapshot; size it to
+    the longest reader session you run — and (b) not the current
+    location of ANY catalog table.  A ledger entry that IS still
+    registered somewhere raises (a corrupt ledger, or a reader
+    deliberately serving the old snapshot — deleting under it would
+    fail its every read); entries younger than the safety age are
+    kept for the next vacuum.  Each removed directory's ``_meta.json``
+    / ``_manifest.json`` sidecar files go with it.  Returns
+    ``{"removed": [...], "kept": [...]}``; a store that was never
+    compacted (no ledger) vacuums to an empty result, never an
+    error."""
+    import shutil
+    import time
+
+    base = table_location(spark, table)
+    lp = f"{base.rstrip('/')}_superseded.json"
+    if not os.path.exists(lp):
+        return {"removed": [], "kept": []}
+    with open(lp) as fh:
+        ledger = json.load(fh)
+    live = _catalog_locations(spark)
+    now = time.time()
+    removed: list[str] = []
+    kept: list[dict] = []
+    for entry in ledger:
+        p = os.path.realpath(entry["path"])
+        if p in live:
+            raise ValueError(
+                f"vacuum_store: superseded ledger entry {p} is the "
+                "CURRENT location of a registered table — refusing to "
+                "delete under a live reader; drop that registration "
+                "(or fix the ledger) first"
+            )
+        if now - entry["ts"] < min_age_sec:
+            kept.append(entry)
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        for side in (f"{p}_meta.json", f"{p}_manifest.json"):
+            if os.path.exists(side):
+                os.remove(side)
+        removed.append(p)
+    with open(lp, "w") as fh:
+        json.dump(kept, fh)
+    return {"removed": removed, "kept": [e["path"] for e in kept]}
 
 
 #: (applicationId, table, suffix) triples that passed the sidecar
@@ -185,12 +347,23 @@ _SIDECAR_OK_MEMO: set = set()
 
 def assert_sidecar_populated(spark, table: str, suffix: str, what: str,
                              use_memo: bool = True) -> None:
-    """Refuse serving or maintenance on a store whose sidecar went
-    missing (a registration without it, or a crash between compaction
-    swaps): the sidecar is both the idempotence key (an empty anti-join
-    would double-index every replayed shard) and the probe/serve verify
-    source (an empty join would answer every probe 'no duplicate' /
-    NULL score, silently).
+    """Refuse serving or maintenance on a store ONE of whose tables
+    went missing — the check is BIDIRECTIONAL (emptiness must agree):
+
+    * sidecar empty while the main table has rows (a registration
+      without the sidecar, or a crash between compaction swaps): the
+      sidecar is both the idempotence key (an empty anti-join would
+      double-index every replayed shard) and the probe/serve verify
+      source (an empty join would answer every probe 'no duplicate' /
+      NULL score, silently);
+    * main table empty while the sidecar has rows (the band/postings
+      directory wiped or mis-registered): every probe would draw ZERO
+      candidates and answer 'no duplicate' silently — the exact
+      failure class the guard exists to refuse.  One deliberate
+      casualty: a store built over documents that ALL tokenize/shingle
+      to nothing (ids ingested, zero index rows) is indistinguishable
+      from a wiped main table and is refused too — rebuild over a
+      servable corpus; blocking is the safe side.
 
     With ``use_memo`` (the PURE-READ serve paths: probes, VSM), a pass
     is memoized per (session, table, suffix) — probes pay the LIMIT-1
@@ -213,13 +386,19 @@ def assert_sidecar_populated(spark, table: str, suffix: str, what: str,
     # leave a stale OK behind (a later memoized serve would skip the
     # guard on the store this call just proved corrupt)
     _SIDECAR_OK_MEMO.discard(key)
-    if (
-        spark.table(f"{table}{suffix}").isEmpty()
-        and not spark.table(table).isEmpty()
-    ):
+    side_empty = spark.table(f"{table}{suffix}").isEmpty()
+    main_empty = spark.table(table).isEmpty()
+    if side_empty and not main_empty:
         raise ValueError(
             f"{what}: {table}{suffix} is empty while {table} has rows — "
             "the sidecar is missing or incomplete; re-register it (or "
+            "rebuild the store) first"
+        )
+    if main_empty and not side_empty:
+        raise ValueError(
+            f"{what}: {table} is empty while {table}{suffix} has rows — "
+            "the main table was wiped or mis-registered; every probe "
+            "would silently answer 'no duplicate'; re-register it (or "
             "rebuild the store) first"
         )
     if use_memo:
@@ -457,7 +636,12 @@ def build_tf_index(
     postings[(doc_id, tf)]) bucketed+sorted by term, PLUS the
     ``{table}_docs`` sidecar of ingested doc_ids (doc_id-bucketed) —
     the corpus count N for query-time weighting and the idempotence
-    key for :func:`append_tf_index`."""
+    key for :func:`append_tf_index`.  Intra-batch duplicate doc_ids
+    are collapsed to one arbitrary representative first (a duplicated
+    row would DOUBLE every tf for that document and double-count it in
+    N; a batch carrying conflicting texts for one id is a producer bug
+    this boundary does not adjudicate)."""
+    docs = docs.dropDuplicates(["doc_id"])
     index = _tf_segment(docs)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
@@ -523,7 +707,11 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     term-bucket layout so lookups stay bucket-pruned across
     build ∪ append.
 
-    IDEMPOTENT on replayed ids: already-ingested doc_ids are
+    IDEMPOTENT on replayed ids: intra-batch duplicate doc_ids collapse
+    to one arbitrary representative FIRST (the anti-join only removes
+    ids already in the sidecar, so a doc_id occurring twice in one
+    shard would otherwise double its tf in the segment and land twice
+    in the sidecar), then already-ingested doc_ids are
     anti-joined out against the ``_docs`` sidecar (batch-sized work —
     the sidecar is doc_id-bucketed).  The segment rows write FIRST and
     the sidecar second (dedup_store's ordering): a crash between the
@@ -538,7 +726,9 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     assert_sidecar_populated(spark, table, "_docs", "append_tf_index",
                              use_memo=False)
     existing = spark.table(f"{table}_docs").select("doc_id")
-    docs = docs.join(existing, "doc_id", "left_anti")
+    docs = docs.dropDuplicates(["doc_id"]).join(
+        existing, "doc_id", "left_anti"
+    )
     (
         _tf_segment(docs).write.mode("append")
         .bucketBy(nb, "term").sortBy("term").saveAsTable(table)
@@ -580,7 +770,15 @@ def search_tf_index(
     serving immune to the replayed-segment duplicates the append
     ordering can leave behind.  The per-(doc,term) weight expression
     is the same op chain as ``_tfidf_from`` (cast-to-double division,
-    log, multiply), so scores match the weighted store bit-for-bit."""
+    log, multiply), so scores match the weighted store bit-for-bit.
+
+    Serve-side wipe guard: the memoized bidirectional
+    assert_sidecar_populated refuses a store whose POSTINGS table is
+    empty while ``_docs`` has ids (wiped or mis-registered postings
+    dir — every query would silently return zero hits); the inline
+    n_docs check below covers the opposite registration hole with the
+    weighting-specific message."""
+    assert_sidecar_populated(spark, table, "_docs", "search_tf_index")
     n_docs = _n_docs(spark, table)
     if n_docs <= 0 and not spark.table(table).isEmpty():
         # postings with no ingested ids = the _docs sidecar is missing

@@ -5991,3 +5991,704 @@ def test_probe_banding_parity_on_adversarial_texts(spark):
         assert sorted(sh) == sorted(spark_sets.get(i, [])), (i, text)
         got_py = set(probe_bands(sh)) if sh else set()
         assert got_py == spark_bands.get(i, set()), (i, text)
+
+
+def test_dirty_shard_duplicate_ids_collapse(spark, sf_dir, tmp_path):
+    """Intra-batch duplicate ids must NOT double-index: the idempotence
+    anti-join only removes ids already in the sidecar, so before this
+    fix a shard carrying doc_id 2 twice put two rows in the _sets
+    sidecar and made probe_dedup return two (2, 1.0) rows.  Pins the
+    dropDuplicates-before-anti-join contract on all three stores
+    (dedup / embedding / tf) and on the docs-built build paths."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        probe_embedding_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        search_tf_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    base = spark.createDataFrame(
+        [(1, "one base document with several distinct words")],
+        "doc_id long, text string",
+    )
+    dup_text = "the dirty shard repeats this very document twice over"
+    dirty = spark.createDataFrame(
+        [(2, dup_text), (2, dup_text), (3, "an unrelated third text body")],
+        "doc_id long, text string",
+    )
+    # --- dedup store: append lane ---
+    try:
+        build_dedup_index(
+            spark, "unused", "t_dd_idx", str(tmp_path / "ddidx"), docs=base
+        )
+        append_dedup_index(spark, "t_dd_idx", dirty)
+        sets_rows = (
+            spark.table("t_dd_idx_sets").groupBy("doc_id").count().collect()
+        )
+        assert all(r["count"] == 1 for r in sets_rows), sets_rows
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_dd_idx", dup_text).collect()
+        ]
+        assert got == [(2, 1.0)], got
+    finally:
+        for t in ("t_dd_idx", "t_dd_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- dedup store: docs-built build path ---
+    try:
+        build_dedup_index(
+            spark, "unused", "t_db_idx", str(tmp_path / "dbidx"), docs=dirty
+        )
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_db_idx", dup_text).collect()
+        ]
+        assert got == [(2, 1.0)], got
+    finally:
+        for t in ("t_db_idx", "t_db_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- embedding store: append lane + build path ---
+    emb = load(spark, sf_dir, "embeddings")
+    base_e = emb.filter("vec_id <= 2")
+    dup_rows = emb.filter("vec_id = 7")
+    dirty_e = dup_rows.unionByName(dup_rows).unionByName(
+        emb.filter("vec_id = 9")
+    )
+    probe_vec = [float(x) for x in dup_rows.collect()[0]["embedding"]]
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_de_idx", str(tmp_path / "deidx"), emb=base_e
+        )
+        append_embedding_index(spark, "t_de_idx", dirty_e)
+        vec_rows = (
+            spark.table("t_de_idx_vecs").groupBy("vec_id").count().collect()
+        )
+        assert all(r["count"] == 1 for r in vec_rows), vec_rows
+        got = [
+            r.vec_id
+            for r in probe_embedding_dedup(
+                spark, "t_de_idx", probe_vec, theta=0.999
+            ).collect()
+        ]
+        assert got == [7], got
+        # replaying the dirty shard is still a no-op
+        append_embedding_index(spark, "t_de_idx", dirty_e)
+        assert (
+            spark.table("t_de_idx_vecs").filter("vec_id = 7").count() == 1
+        )
+    finally:
+        for t in ("t_de_idx", "t_de_idx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_eb_idx", str(tmp_path / "ebidx"), emb=dirty_e
+        )
+        assert (
+            spark.table("t_eb_idx_vecs").filter("vec_id = 7").count() == 1
+        )
+    finally:
+        for t in ("t_eb_idx", "t_eb_idx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- tf store: a duplicated doc must not double its tf or N ---
+    clean = dirty.dropDuplicates(["doc_id"])
+    try:
+        build_tf_index(spark, base, "t_dt_idx", str(tmp_path / "dtidx"))
+        append_tf_index(spark, "t_dt_idx", dirty)
+        build_tf_index(spark, clean, "t_ct_idx", str(tmp_path / "ctidx"))
+        append_tf_index(spark, "t_ct_idx", base)
+        ids = (
+            spark.table("t_dt_idx_docs").groupBy("doc_id").count().collect()
+        )
+        assert all(r["count"] == 1 for r in ids), ids
+        for terms in (("dirty", "shard"), ("document",), ("unrelated",)):
+            got = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_dt_idx", terms
+                ).collect()
+            ]
+            want = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_ct_idx", terms
+                ).collect()
+            ]
+            assert got == want, (terms, got, want)
+    finally:
+        for t in ("t_dt_idx", "t_dt_idx_docs", "t_ct_idx", "t_ct_idx_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_wiped_main_table_refuses_serve_and_maintenance(spark, sf_dir,
+                                                        tmp_path):
+    """The INVERSE corruption of the missing-sidecar guard: the main
+    band/postings table wiped or mis-registered while the sidecar
+    survives.  Before this fix every probe silently answered 'no
+    duplicate' (zero candidates drawn from an empty band table) — the
+    exact silent-failure class the guard exists to refuse.  Pins the
+    bidirectional assert_sidecar_populated on probe / append / compact
+    for the dedup store, the embedding probe, and the tf serve path."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_embedding_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        register_external_store,
+        search_tf_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    base = spark.createDataFrame(
+        [(1, "one document with several words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "another document entirely different words")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "wmain")
+    try:
+        build_dedup_index(spark, "unused", "t_wm_idx", dpath, docs=base)
+        spark.sql("DROP TABLE t_wm_idx")
+        spark.sql("DROP TABLE t_wm_idx_sets")
+        os.rename(dpath, f"{dpath}_gone")
+        try:
+            register_external_store(spark, "t_wm_idx", dpath)
+            register_external_store(spark, "t_wm_idx_sets", f"{dpath}_sets")
+            with _pytest.raises(ValueError, match="t_wm_idx is empty"):
+                probe_dedup(spark, "t_wm_idx", "one document with words")
+            with _pytest.raises(ValueError, match="t_wm_idx is empty"):
+                append_dedup_index(spark, "t_wm_idx", batch)
+            with _pytest.raises(ValueError, match="t_wm_idx is empty"):
+                compact_dedup_index(
+                    spark, "t_wm_idx", str(tmp_path / "wmain2")
+                )
+        finally:
+            os.rename(f"{dpath}_gone", dpath)
+    finally:
+        for t in ("t_wm_idx", "t_wm_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # embedding probe twin
+    epath = str(tmp_path / "wemb")
+    emb = load(spark, sf_dir, "embeddings")
+    probe_vec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_we_idx", epath, emb=emb.limit(5)
+        )
+        spark.sql("DROP TABLE t_we_idx")
+        spark.sql("DROP TABLE t_we_idx_vecs")
+        os.rename(epath, f"{epath}_gone")
+        try:
+            register_external_store(spark, "t_we_idx", epath)
+            register_external_store(spark, "t_we_idx_vecs", f"{epath}_vecs")
+            with _pytest.raises(ValueError, match="t_we_idx is empty"):
+                probe_embedding_dedup(spark, "t_we_idx", probe_vec)
+        finally:
+            os.rename(f"{epath}_gone", epath)
+    finally:
+        for t in ("t_we_idx", "t_we_idx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # tf serve twin: wiped postings dir with surviving _docs ids
+    tpath = str(tmp_path / "wtf")
+    try:
+        build_tf_index(spark, base, "t_wt_idx", tpath)
+        spark.sql("DROP TABLE t_wt_idx")
+        spark.sql("DROP TABLE t_wt_idx_docs")
+        os.rename(tpath, f"{tpath}_gone")
+        try:
+            register_external_store(spark, "t_wt_idx", tpath)
+            register_external_store(spark, "t_wt_idx_docs", f"{tpath}_docs")
+            with _pytest.raises(ValueError, match="t_wt_idx is empty"):
+                search_tf_index(spark, "t_wt_idx", ("document",))
+            with _pytest.raises(ValueError, match="t_wt_idx is empty"):
+                append_tf_index(spark, "t_wt_idx", batch)
+        finally:
+            os.rename(f"{tpath}_gone", tpath)
+    finally:
+        for t in ("t_wt_idx", "t_wt_idx_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_external_store_validates_sidecar(spark, tmp_path):
+    """A corrupted (or attacker-written) _meta.json sidecar must raise
+    a named ValueError instead of interpolating into CREATE TABLE as
+    arbitrary SQL: the sidecar is positioned as a cross-process /
+    object-store format, so its trust surface is wider than the local
+    builder.  Pins: non-identifier bucket_col (the SQL-injection
+    vector), non-int buckets, unparseable schema, bucket_col absent
+    from the schema — and that a failed registration leaves NO table
+    behind; the untampered sidecar still registers with bucketing."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        register_external_store,
+        table_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a few words of text")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "valmeta")
+    mp = f"{path}_meta.json"
+    try:
+        build_tf_index(spark, docs, "t_vm_idx", path)
+        spark.sql("DROP TABLE t_vm_idx")
+        spark.sql("DROP TABLE t_vm_idx_docs")
+        good = _json.load(open(mp))
+        evil = [
+            # SQL injection through bucket_col
+            {**good, "bucket_col":
+             "term) INTO 1 BUCKETS LOCATION '/x'; DROP TABLE y; --"},
+            # non-int buckets
+            {**good, "buckets": "16; DROP TABLE y"},
+            # unparseable schema
+            {**good, "schema": "term string) ; DROP TABLE y; --"},
+            # bucket_col not a schema field
+            {**good, "bucket_col": "nope"},
+            # missing key
+            {k: v for k, v in good.items() if k != "buckets"},
+        ]
+        for bad in evil:
+            _json.dump(bad, open(mp, "w"))
+            with _pytest.raises(ValueError, match="corrupt store sidecar"):
+                register_external_store(spark, "t_vm_evil", path)
+            assert not spark.catalog.tableExists("t_vm_evil"), bad
+        # a backtick-quoted field name that parses but is not a plain
+        # identifier must also be refused, not re-interpolated
+        _json.dump(
+            {**good, "schema": "`term x` string, df_count bigint, "
+             "postings array<struct<doc_id:bigint,tf:bigint>>"},
+            open(mp, "w"),
+        )
+        with _pytest.raises(ValueError, match="corrupt store sidecar"):
+            register_external_store(spark, "t_vm_evil", path)
+        _json.dump(good, open(mp, "w"))
+        register_external_store(spark, "t_vm_idx", path)
+        assert table_buckets(spark, "t_vm_idx") == 16
+    finally:
+        for t in ("t_vm_idx", "t_vm_idx_docs", "t_vm_evil"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_lane_errors_exit_2_never_traceback(spark, tmp_path, capsys):
+    """The CLI lane error contract is COMPLETE: an unregistered table
+    (compact with --path omitted in a fresh process), a missing batch
+    path (append), and a corrupt meta sidecar (serve) all print the
+    message to stderr and exit 2 — AnalysisException included, never a
+    traceback."""
+    import json as _json
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+
+    # compact on a table this session never registered (the
+    # fresh-process-without---path hole): AnalysisException -> rc 2
+    rc = cli.main(
+        ["compact-tf-index", str(tmp_path / "cnew"),
+         "--table", "t_cli_never_registered"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "Traceback" not in err
+    assert "t_cli_never_registered" in err
+    # append with a nonexistent batch parquet path: rc 2
+    base = spark.createDataFrame(
+        [(1, "one document with several words here")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "clierr")
+    try:
+        build_dedup_index(spark, "unused", "t_ce_idx", dpath, docs=base)
+        rc = cli.main(
+            ["append-dedup-index", dpath, str(tmp_path / "no_such.parquet"),
+             "--table", "t_ce_idx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2
+        assert "Traceback" not in err
+        # serve through a corrupt sidecar: ValueError from validation
+        # -> rc 2 with the named cause
+        mp = f"{dpath}_meta.json"
+        good = _json.load(open(mp))
+        _json.dump({**good, "buckets": "evil"}, open(mp, "w"))
+        try:
+            spark.sql("DROP TABLE t_ce_idx")
+            spark.sql("DROP TABLE t_ce_idx_sets")
+            rc = cli.main(
+                ["dedup-probe", dpath, "one", "document",
+                 "--table", "t_ce_idx"]
+            )
+            err = capsys.readouterr().err
+            assert rc == 2
+            assert "corrupt store sidecar" in err
+        finally:
+            _json.dump(good, open(mp, "w"))
+    finally:
+        for t in ("t_ce_idx", "t_ce_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_swap_atomic_under_concurrent_reader(spark, tmp_path):
+    """The round-12 verdict's #1 item, made a contract: a reader
+    session holding the SERVING NAME probes continuously while another
+    session compacts the store.  The swap is now one ``ALTER TABLE ...
+    SET LOCATION`` catalog statement (no drop→rename window), so the
+    reader must observe ZERO failed probes and identical results
+    before, during, and after the compaction — a stale file listing
+    legitimately serves the pre-compaction snapshot (the old directory
+    is immutable and still present until vacuum_store)."""
+    import threading
+    import time
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+
+    doc = "the concurrent reader keeps asking about this document body"
+    base = spark.createDataFrame(
+        [(1, doc), (2, "an unrelated second text with other words")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "a third appended document with different content")],
+        "doc_id long, text string",
+    )
+    reader = spark.newSession()
+    try:
+        build_dedup_index(
+            spark, "unused", "t_cc_idx", str(tmp_path / "ccidx"), docs=base
+        )
+        append_dedup_index(spark, "t_cc_idx", batch)
+        want = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(reader, "t_cc_idx", doc).collect()
+        ]
+        assert want and want[0][0] == 1, want
+
+        results, errors, spans = [], [], []
+        stop = threading.Event()
+
+        def probe_loop():
+            while not stop.is_set():
+                t0 = time.time()
+                try:
+                    got = [
+                        (r.doc_id, r.jaccard)
+                        for r in probe_dedup(
+                            reader, "t_cc_idx", doc
+                        ).collect()
+                    ]
+                    results.append(got)
+                except Exception as exc:  # noqa: BLE001 — the assertion
+                    errors.append(repr(exc))
+                    break
+                spans.append((t0, time.time()))
+
+        th = threading.Thread(target=probe_loop)
+        th.start()
+        try:
+            while len(spans) < 2 and not errors:
+                time.sleep(0.05)
+            c0 = time.time()
+            compact_dedup_index(spark, "t_cc_idx", str(tmp_path / "ccidx2"))
+            c1 = time.time()
+            n_after = len(spans)
+            while len(spans) < n_after + 2 and not errors:
+                time.sleep(0.05)
+        finally:
+            stop.set()
+            th.join(timeout=120)
+        assert not errors, errors
+        assert all(got == want for got in results), (want, results[:3])
+        # the probe loop genuinely overlapped the compaction window
+        overlapped = [s for s in spans if s[0] < c1 and s[1] > c0]
+        assert overlapped, (c0, c1, spans)
+    finally:
+        for t in ("t_cc_idx", "t_cc_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_vacuum_store_removes_exactly_superseded(spark, tmp_path, capsys):
+    """vacuum_store is the GC half of the immutable-swap discipline:
+    after a compaction it deletes EXACTLY the superseded directories —
+    (a) nothing younger than the safety age, (b) nothing still
+    registered in the catalog (refused loudly, not skipped), (c) the
+    live store untouched and probes unaffected, (d) the removed dirs'
+    meta sidecars gone with them.  Also pins the CLI lane."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+        vacuum_store,
+    )
+
+    doc = "a document body the vacuum test probes before and after"
+    base = spark.createDataFrame(
+        [(1, doc)], "doc_id long, text string"
+    )
+    p1 = str(tmp_path / "vac1")
+    p2 = str(tmp_path / "vac2")
+    p3 = str(tmp_path / "vac3")
+    try:
+        build_dedup_index(spark, "unused", "t_vac_idx", p1, docs=base)
+        # never compacted: no ledger, vacuums to an empty no-op
+        assert vacuum_store(spark, "t_vac_idx") == {
+            "removed": [], "kept": [],
+        }
+        compact_dedup_index(spark, "t_vac_idx", p2)
+        assert os.path.exists(f"{p2}_superseded.json")
+        # safety age: young entries are KEPT
+        res = vacuum_store(spark, "t_vac_idx", min_age_sec=3600)
+        assert res["removed"] == [] and len(res["kept"]) == 2, res
+        assert os.path.exists(p1) and os.path.exists(f"{p1}_sets")
+        # age 0: removes exactly the two superseded dirs + their metas
+        res = vacuum_store(spark, "t_vac_idx", min_age_sec=0)
+        assert sorted(res["removed"]) == sorted(
+            [os.path.realpath(p1), os.path.realpath(f"{p1}_sets")]
+        ), res
+        assert not os.path.exists(p1)
+        assert not os.path.exists(f"{p1}_sets")
+        assert not os.path.exists(f"{p1}_meta.json")
+        assert not os.path.exists(f"{p1}_sets_meta.json")
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_vac_idx", doc).collect()
+        ]
+        assert got == [(1, 1.0)], got
+        # a superseded path that is STILL REGISTERED is refused
+        compact_dedup_index(spark, "t_vac_idx", p3)
+        register_external_store(spark, "t_vac_pin", p2)
+        with _pytest.raises(ValueError, match="CURRENT location"):
+            vacuum_store(spark, "t_vac_idx", min_age_sec=0)
+        assert os.path.exists(p2)
+        spark.sql("DROP TABLE t_vac_pin")
+        # CLI lane: same vacuum through the fresh-process surface
+        rc = cli.main(
+            ["vacuum-store", p3, "--table", "t_vac_idx",
+             "--suffix", "_sets", "--min-age-sec", "0"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "2 removed" in out, out
+        assert not os.path.exists(p2)
+        got = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(spark, "t_vac_idx", doc).collect()
+        ]
+        assert got == [(1, 1.0)], got
+    finally:
+        for t in ("t_vac_idx", "t_vac_idx_sets", "t_vac_pin"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_shard_decisions_match_j84_and_j85(spark, sf_dir, tmp_path):
+    """The probe-SHARD fold (one distributed job per shard against the
+    persisted store) must emit byte-equal decisions to the registered
+    batch-delta queries for the same batch split: shard_dedup_decisions
+    ↔ j84 (text), shard_embedding_decisions ↔ j85 (vectors).  Store
+    built over the corpus side only; the hash-seed batch plays the
+    shard.  Equivalence domain: no bucket over _BUCKET_CAP (fixture
+    max 33; guard state observable via j83)."""
+    from bdt_enwikisearch_hadoop_spark.functions.ann import _nbe_pred_col
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        shard_dedup_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        shard_embedding_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        _nb_pred_col,
+    )
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+    from bdt_enwikisearch_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(~_nb_pred_col(F.col("doc_id")))
+    batch = docs.filter(_nb_pred_col(F.col("doc_id")))
+    try:
+        build_dedup_index(
+            spark, "unused", "t_sh_idx", str(tmp_path / "shidx"),
+            docs=corpus,
+        )
+        got = [
+            (r.doc_id, r.decision, r.dup_of)
+            for r in shard_dedup_decisions(
+                spark, "t_sh_idx", batch
+            ).collect()
+        ]
+        want = [
+            (r.doc_id, r.decision, r.dup_of)
+            for r in QUERIES["j84_incremental_dedup"](
+                spark, sf_dir
+            ).collect()
+        ]
+        assert got == want
+        assert any(d != "keep" for _, d, _ in got)  # not vacuous
+    finally:
+        for t in ("t_sh_idx", "t_sh_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    emb = load(spark, sf_dir, "embeddings")
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_sh_eidx", str(tmp_path / "sheidx"),
+            emb=emb.filter(~_nbe_pred_col(F.col("vec_id"))),
+        )
+        got = [
+            (r.vec_id, r.decision, r.dup_of)
+            for r in shard_embedding_decisions(
+                spark, "t_sh_eidx",
+                emb.filter(_nbe_pred_col(F.col("vec_id"))),
+            ).collect()
+        ]
+        want = [
+            (r.vec_id, r.decision, r.dup_of)
+            for r in QUERIES["j85_incremental_embedding_dedup"](
+                spark, sf_dir
+            ).collect()
+        ]
+        assert got == want
+    finally:
+        for t in ("t_sh_eidx", "t_sh_eidx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cli_probe_shard_lanes_end_to_end(spark, sf_dir, tmp_path,
+                                          capsys):
+    """The probe-shard CLI lanes end-to-end: build store via CLI-style
+    calls, write a shard parquet, run the lane, and pin the decisions
+    parquet byte-equal to the in-session fold for the same shard
+    (which test_shard_decisions_match_j84_and_j85 pins to j84/j85 in
+    turn).  Also: a missing batch path exits 2 under the lane error
+    contract."""
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        shard_dedup_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        shard_embedding_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    base = spark.createDataFrame(
+        [(1, "a corpus document full of words to collide with"),
+         (2, "a second corpus member with its own body")],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(10, "a corpus document full of words to collide with"),
+         (11, "an entirely fresh shard text nothing matches"),
+         (12, "an entirely fresh shard text nothing matches at all")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "psd")
+    spath = str(tmp_path / "shard.parquet")
+    opath = str(tmp_path / "decisions.parquet")
+    shard.write.parquet(spath)
+    try:
+        build_dedup_index(spark, "unused", "t_psd_idx", dpath, docs=base)
+        rc = cli.main(
+            ["probe-shard-dedup", dpath, spath, opath,
+             "--table", "t_psd_idx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "wrote decisions for 3 doc_ids" in out, out
+        got = sorted(
+            (r.doc_id, r.decision, r.dup_of)
+            for r in spark.read.parquet(opath).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.decision, r.dup_of)
+            for r in shard_dedup_decisions(
+                spark, "t_psd_idx", shard
+            ).collect()
+        )
+        assert got == want
+        assert got[0] == (10, "drop_corpus_dup", 1), got
+        # lane error contract: bad batch path -> rc 2, no traceback
+        rc = cli.main(
+            ["probe-shard-dedup", dpath, str(tmp_path / "nope.parquet"),
+             opath, "--table", "t_psd_idx"]
+        )
+        err = capsys.readouterr().err
+        assert rc == 2 and "Traceback" not in err
+    finally:
+        for t in ("t_psd_idx", "t_psd_idx_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # embedding lane
+    emb = load(spark, sf_dir, "embeddings")
+    epath = str(tmp_path / "pse")
+    espath = str(tmp_path / "eshard.parquet")
+    eopath = str(tmp_path / "edecisions.parquet")
+    eshard = emb.filter("vec_id >= 40").limit(20)
+    eshard.write.parquet(espath)
+    try:
+        build_embedding_index(
+            spark, sf_dir, "t_pse_idx", epath,
+            emb=emb.filter("vec_id < 40"),
+        )
+        rc = cli.main(
+            ["probe-shard-embedding", epath, espath, eopath,
+             "--table", "t_pse_idx"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        got = sorted(
+            (r.vec_id, r.decision, r.dup_of)
+            for r in spark.read.parquet(eopath).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.decision, r.dup_of)
+            for r in shard_embedding_decisions(
+                spark, "t_pse_idx", spark.read.parquet(espath)
+            ).collect()
+        )
+        assert got == want
+        assert len(got) == 20
+    finally:
+        for t in ("t_pse_idx", "t_pse_idx_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
