@@ -19,6 +19,22 @@ from typing import Any
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Key numbers that were SKIPPED during authoring and never registered
+#: in ANY round (verified: ``git log --all -S"<prefix>_"`` over the full
+#: history finds zero commits for each).  They are RESERVED, not free:
+#: every external artifact of this engine — BASELINE.md's per-key
+#: records, the BENCH_r{N}.json history, the judges' coverage tables —
+#: is keyed by name, and a gap number reappearing with brand-new
+#: semantics would read as a historical key resurfacing with different
+#: results.  ``query()`` refuses them at registration time; the ledger
+#: lives in SURVEY.md §8f.  New keys take the next number ABOVE a
+#: family's current maximum.
+RESERVED_KEY_NUMBERS: frozenset[str] = frozenset(
+    {"c28", "e12", "e13", "i24", "i41", "j41", "j75"}
+)
+
+_KEY_NUM_RE = __import__("re").compile(r"([a-z]\d+)_")
+
 
 def query(name: str, oracle: str | None = None):
     """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
@@ -30,6 +46,15 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         if name in QUERIES:
             raise ValueError(f"duplicate query key: {name}")
+        m = _KEY_NUM_RE.match(name)
+        if m and m.group(1) in RESERVED_KEY_NUMBERS:
+            raise ValueError(
+                f"query key {name!r} reuses reserved number {m.group(1)} "
+                "— that number was never registered in any round and is "
+                "held back so historical artifacts keyed by name can "
+                "never be confused with new semantics (SURVEY.md §8f); "
+                "use the next free number above the family maximum"
+            )
 
         def prepared(spark, sf_dir):
             # the driver calls queries() callables on ITS OWN session,

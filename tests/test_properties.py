@@ -6,6 +6,37 @@ from __future__ import annotations
 from bdt_enwikisearch_hadoop_spark.registry import QUERIES
 
 
+def test_no_registered_key_reuses_a_reserved_number():
+    """Key-numbering hygiene (VERDICT r12 item 7): the numbering gaps
+    in the registry (c28, e12/e13, i24, i41, j41, j75) were SKIPPED
+    during authoring — ``git log --all -S`` over full history finds no
+    commit ever registering them — and are now reserved so a future
+    round can never introduce one of those names with fresh semantics
+    (historical artifacts — BASELINE.md records, BENCH_r{N}.json,
+    judge coverage tables — are keyed by name).  Two pins: no current
+    key collides, and the registry decorator itself REFUSES such a
+    registration at import time (the enforcement, not just the
+    ledger; ledger text in SURVEY.md §8f)."""
+    import re
+
+    import pytest
+
+    from bdt_enwikisearch_hadoop_spark.registry import (
+        RESERVED_KEY_NUMBERS,
+        query,
+    )
+
+    pat = re.compile(r"([a-z]\d+)_")
+    for k in QUERIES:
+        m = pat.match(k)
+        assert not (m and m.group(1) in RESERVED_KEY_NUMBERS), (
+            f"registered key {k} collides with reserved number"
+        )
+    with pytest.raises(ValueError, match="reserved number c28"):
+        query("c28_resurrected")(lambda spark, sf_dir: None)
+    assert "c28_resurrected" not in QUERIES
+
+
 def test_union_distinct_subset_of_union_all(spark, sf_dir):
     all_n = QUERIES["g1_union_all"](spark, sf_dir).count()
     dis_n = QUERIES["g2_union_distinct"](spark, sf_dir).count()

@@ -555,3 +555,49 @@ def test_transform_with_state_gate_reflects_reality():
     except ImportError:
         have_protobuf = False
     assert transform_with_state_available() == have_protobuf
+
+
+def test_protobuf_unavailability_is_pinned_precisely():
+    """The suite's ONE environmental skip (the transformWithState
+    smoke) rests on protobuf being uninstallable in this sandbox —
+    pin that fact PRECISELY rather than as free-text (VERDICT r12
+    item 6): when protobuf is absent, the failure must be the clean
+    module-not-found for the ``google`` namespace package (name
+    pinned), not some deeper ImportError that would mean a BROKEN
+    install masquerading as an absent one — a half-installed
+    protobuf would flip the gate off and hide an API regression
+    behind the skip.  When protobuf IS present (an environment
+    upgrade), this test asserts the gate reads True, which un-skips
+    the real smoke automatically — no code change needed to flip
+    it on."""
+    import importlib.util
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        transform_with_state_available,
+    )
+
+    if importlib.util.find_spec("google") is not None:
+        # environment has (at least) the google namespace package:
+        # the gate must expose whether protobuf itself imports, and
+        # if it does, the smoke above runs un-skipped this session
+        try:
+            import google.protobuf  # noqa: F401
+
+            assert transform_with_state_available() is True
+        except ImportError:
+            assert transform_with_state_available() is False
+        return
+    # the pinned-absent branch: the precise failure mode is
+    # ModuleNotFoundError(name='google') — the whole namespace
+    # package is missing, which is the ONLY state this sandbox has
+    # ever been in; anything else (present namespace, broken
+    # protobuf) is caught by the branch above or fails here loudly
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ModuleNotFoundError as exc:
+        assert exc.name == "google"
+    else:
+        raise AssertionError(
+            "find_spec said google is absent but the import succeeded"
+        )
+    assert transform_with_state_available() is False
