@@ -102,7 +102,11 @@ def _cli_append(spark, args, append_fn, suffix: str,
             )
             return 2
         before = spark.table(f"{args.table}{suffix}").count()
-        append_fn(spark, args.table, batch.select(*cols))
+        # the batch path is the natural shard id: the manifest entry
+        # then names WHICH shard a later divergence investigation is
+        # looking at
+        append_fn(spark, args.table, batch.select(*cols),
+                  shard_id=args.batch)
         after = spark.table(f"{args.table}{suffix}").count()
     except _LANE_ERRORS as exc:
         print(str(exc), file=sys.stderr)
@@ -312,6 +316,32 @@ def main(argv: list[str] | None = None) -> int:
         "batch", help="parquet path with vec_id, embedding columns"
     )
     ea.add_argument("--table", default="cli_ededup")
+
+    cs = sub.add_parser(
+        "check-store",
+        help="one-pass health check: meta sidecars, bucketing, "
+        "emptiness agreement, ingest-manifest totals, write lease, "
+        "superseded dirs — every serve-lane guard, reported instead "
+        "of raised; exit 2 if any check fails",
+    )
+    cs.add_argument("path")
+    cs.add_argument("id_suffix", choices=["_sets", "_vecs", "_docs",
+                                          "_norms"])
+    cs.add_argument("--table", default="cli_dedup")
+
+    rm = sub.add_parser(
+        "repair-manifest",
+        help="re-stamp a store's ingest manifest to adopt its CURRENT "
+        "id count — the explicit operator action after a crashed "
+        "append (ids written, manifest stamp lost) or for a "
+        "pre-manifest store; serve lanes refuse, never self-heal",
+    )
+    rm.add_argument("path")
+    rm.add_argument("id_suffix", choices=["_sets", "_vecs", "_docs",
+                                          "_norms"],
+                    help="which sidecar holds the store's one-row-per-"
+                    "ingested-id table")
+    rm.add_argument("--table", default="cli_dedup")
 
     sr = sub.add_parser(
         "store-report",
@@ -578,6 +608,56 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{k}\t{v}")
         fpb = rep["n_files"] / max(rep["n_buckets"], 1)
         print(f"files_per_bucket\t{fpb:.1f}")
+        # ingest-manifest lines: the REPORT never refuses (it is the
+        # diagnostic you run on a store the serve lanes just refused),
+        # it surfaces the manifest totals the serve-side cross-check
+        # enforces
+        manp = f"{args.path.rstrip('/')}_manifest.json"
+        if _os.path.exists(manp):
+            with open(manp) as fh:
+                entries = _json.load(fh)
+            print(f"manifest_shards\t{len(entries)}")
+            print(
+                f"manifest_total\t{sum(e['n_rows'] for e in entries)}"
+            )
+        else:
+            print("manifest_shards\t0")
+            print("manifest_total\tMISSING")
+        return 0
+
+    if args.cmd == "check-store":
+        from .functions.index_store import check_store
+
+        try:
+            _register_store_parts(
+                spark, args.table, args.path, args.id_suffix
+            )
+            checks = check_store(spark, args.table, args.id_suffix)
+        except _LANE_ERRORS as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        bad = 0
+        for name, res in checks.items():
+            mark = "ok" if res["ok"] else "FAIL"
+            print(f"{name}\t{mark}\t{res['detail']}")
+            bad += 0 if res["ok"] else 1
+        return 2 if bad else 0
+
+    if args.cmd == "repair-manifest":
+        from .functions.index_store import repair_manifest
+
+        try:
+            _register_store_parts(
+                spark, args.table, args.path, args.id_suffix
+            )
+            out = repair_manifest(spark, args.table, args.id_suffix)
+        except _LANE_ERRORS as exc:
+            print(str(exc), file=sys.stderr)
+            return 2
+        print(
+            f"manifest of {out['table']} re-stamped: adopted "
+            f"{out['adopted_rows']} ids as the baseline"
+        )
         return 0
 
     if args.cmd == "append-dedup-index":

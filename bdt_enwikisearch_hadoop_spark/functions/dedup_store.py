@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..sources import rebalance
 from .index_store import (
+    assert_manifest_consistent,
     assert_sidecar_populated,
     compact_store,
     refresh_store,
+    reset_manifest,
+    stamp_manifest,
+    store_write_lease,
     table_buckets as _table_buckets,
     write_store_meta,
 )
@@ -93,6 +97,7 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
         .saveAsTable(f"{table}_sets")
     )
     write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
+    reset_manifest(spark, table, spark.table(f"{table}_sets").count())
 
 
 def compact_dedup_index(spark, table: str, new_path: str) -> None:
@@ -101,13 +106,20 @@ def compact_dedup_index(spark, table: str, new_path: str) -> None:
     Reads the persisted band/shingle rows; the corpus is never
     re-signed.  Refuses a store whose sidecar is missing — compaction
     would otherwise rewrite the corruption into a fresh-looking store
-    with new meta sidecars."""
-    assert_sidecar_populated(spark, table, "_sets",
-                             "compact_dedup_index", use_memo=False)
-    compact_store(spark, table, new_path, [("", "bk"), ("_sets", "doc_id")])
+    with new meta sidecars; runs under the single-writer lease (a
+    compactor IS a writer)."""
+    with store_write_lease(spark, table):
+        assert_sidecar_populated(spark, table, "_sets",
+                                 "compact_dedup_index", use_memo=False)
+        assert_manifest_consistent(spark, table, "_sets",
+                                   "compact_dedup_index", use_memo=False)
+        compact_store(spark, table, new_path,
+                      [("", "bk"), ("_sets", "doc_id")])
 
 
-def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
+def append_dedup_index(spark, table: str, docs: DataFrame,
+                       shard_id: str | None = None,
+                       lease_stale_sec: float = 3600.0) -> None:
     """Append a NEW batch's band rows + shingle sets into the persisted
     index tables — the index-maintenance half of the incremental story:
     j84 decides a daily shard against the corpus without rescanning it,
@@ -132,23 +144,39 @@ def append_dedup_index(spark, table: str, docs: DataFrame) -> None:
     the sidecar side is doc_id-bucketed, read in place), so
     re-ingesting a shard never double-indexes a document (which would
     duplicate probe result rows — probe_dedup's candidate list is
-    distinct but the sidecar join is not)."""
-    refresh_store(spark, table, ("", "_sets"))
+    distinct but the sidecar join is not).
+
+    SINGLE-WRITER: the refresh→anti-join→write→stamp sequence runs
+    under :func:`index_store.store_write_lease` (a second live
+    appender refuses by name; crashed holders are taken over after
+    ``lease_stale_sec``), and the ingest manifest is cross-checked
+    before the writes and stamped with the shard's NEW id count after
+    them (:func:`index_store.assert_manifest_consistent`)."""
     nb = _table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_sets",
-                             "append_dedup_index", use_memo=False)
-    existing = spark.table(f"{table}_sets").select("doc_id")
-    docs = docs.dropDuplicates(["doc_id"]).join(
-        existing, "doc_id", "left_anti"
-    )
-    sets = shingle_sets(rebalance(docs))
-    band = _text_band_table(sets)
-    band.write.mode("append").bucketBy(nb, "bk").sortBy("bk").saveAsTable(
-        table
-    )
-    sets.write.mode("append").bucketBy(nb, "doc_id").sortBy(
-        "doc_id"
-    ).saveAsTable(f"{table}_sets")
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_sets"))
+        assert_sidecar_populated(spark, table, "_sets",
+                                 "append_dedup_index", use_memo=False)
+        assert_manifest_consistent(spark, table, "_sets",
+                                   "append_dedup_index", use_memo=False)
+        existing = spark.table(f"{table}_sets").select("doc_id")
+        docs = docs.dropDuplicates(["doc_id"]).join(
+            existing, "doc_id", "left_anti"
+        )
+        sets = shingle_sets(rebalance(docs))
+        band = _text_band_table(sets)
+        band.write.mode("append").bucketBy(nb, "bk").sortBy(
+            "bk"
+        ).saveAsTable(table)
+        sets.write.mode("append").bucketBy(nb, "doc_id").sortBy(
+            "doc_id"
+        ).saveAsTable(f"{table}_sets")
+        # refresh before the stamp count: a foreachBatch clone's writes
+        # are invisible to this session's cached file listing
+        spark.sql(f"REFRESH TABLE {table}_sets")
+        stamp_manifest(
+            spark, table, spark.table(f"{table}_sets").count(), shard_id
+        )
 
 
 def shard_dedup_decisions(spark, table: str, docs: DataFrame,
@@ -177,6 +205,8 @@ def shard_dedup_decisions(spark, table: str, docs: DataFrame,
     then what the original ingest would have produced."""
     assert_sidecar_populated(spark, table, "_sets",
                              "shard_dedup_decisions")
+    assert_manifest_consistent(spark, table, "_sets",
+                               "shard_dedup_decisions")
     docs = docs.dropDuplicates(["doc_id"])
     sets = shingle_sets(rebalance(docs))
     band = _text_band_table(sets)
@@ -316,6 +346,7 @@ def probe_dedup(spark, table: str, text: str,
             .withColumn("jaccard", F.lit(0.0))
         )
     assert_sidecar_populated(spark, table, "_sets", "probe_dedup")
+    assert_manifest_consistent(spark, table, "_sets", "probe_dedup")
     bands = probe_bands(sh)
     hit = None
     for b, bk in bands:

@@ -52,9 +52,13 @@ from .ann import (
     embedding_bucket_table,
 )
 from .index_store import (
+    assert_manifest_consistent,
     assert_sidecar_populated,
     compact_store,
     refresh_store,
+    reset_manifest,
+    stamp_manifest,
+    store_write_lease,
     table_buckets as _table_buckets,
     write_store_meta,
 )
@@ -168,9 +172,12 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
         .saveAsTable(f"{table}_vecs")
     )
     write_store_meta(vecs, f"{path.rstrip('/')}_vecs", buckets, "vec_id")
+    reset_manifest(spark, table, spark.table(f"{table}_vecs").count())
 
 
-def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
+def append_embedding_index(spark, table: str, emb: DataFrame,
+                           shard_id: str | None = None,
+                           lease_stale_sec: float = 3600.0) -> None:
     """Append a NEW batch's band rows + vectors into the persisted
     index — j85's daily-shard lane made true across days: the delta run
     signs ONLY the batch (one zero-shuffle fold pass per write) and the
@@ -186,23 +193,40 @@ def append_embedding_index(spark, table: str, emb: DataFrame) -> None:
     anti-joined out against the vector sidecar (batch-sized work — the
     sidecar side is vec_id-bucketed, read in place), so re-ingesting a
     shard never double-indexes a vector (which would duplicate probe
-    result rows)."""
-    refresh_store(spark, table, ("", "_vecs"))
+    result rows).
+
+    SINGLE-WRITER: the refresh→anti-join→write→stamp sequence runs
+    under :func:`index_store.store_write_lease` (a second live
+    appender refuses by name; crashed holders taken over after
+    ``lease_stale_sec``), and the ingest manifest is cross-checked
+    before the writes and stamped with the shard's NEW id count after
+    them (:func:`index_store.assert_manifest_consistent`)."""
     nb = _table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_vecs",
-                             "append_embedding_index", use_memo=False)
-    _assert_ingestable(emb, "append_embedding_index")
-    existing = spark.table(f"{table}_vecs").select("vec_id")
-    emb = emb.dropDuplicates(["vec_id"]).join(
-        existing, "vec_id", "left_anti"
-    )
-    band = embedding_band_buckets(emb)
-    band.write.mode("append").bucketBy(nb, "bucket").sortBy(
-        "bucket"
-    ).saveAsTable(table)
-    _vec_sidecar(emb).write.mode("append").bucketBy(nb, "vec_id").sortBy(
-        "vec_id"
-    ).saveAsTable(f"{table}_vecs")
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_vecs"))
+        assert_sidecar_populated(spark, table, "_vecs",
+                                 "append_embedding_index", use_memo=False)
+        assert_manifest_consistent(spark, table, "_vecs",
+                                   "append_embedding_index",
+                                   use_memo=False)
+        _assert_ingestable(emb, "append_embedding_index")
+        existing = spark.table(f"{table}_vecs").select("vec_id")
+        emb = emb.dropDuplicates(["vec_id"]).join(
+            existing, "vec_id", "left_anti"
+        )
+        band = embedding_band_buckets(emb)
+        band.write.mode("append").bucketBy(nb, "bucket").sortBy(
+            "bucket"
+        ).saveAsTable(table)
+        _vec_sidecar(emb).write.mode("append").bucketBy(nb, "vec_id").sortBy(
+            "vec_id"
+        ).saveAsTable(f"{table}_vecs")
+        # refresh before the stamp count: a foreachBatch clone's writes
+        # are invisible to this session's cached file listing
+        spark.sql(f"REFRESH TABLE {table}_vecs")
+        stamp_manifest(
+            spark, table, spark.table(f"{table}_vecs").count(), shard_id
+        )
 
 
 def compact_embedding_index(spark, table: str, new_path: str) -> None:
@@ -211,13 +235,20 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
     index_store.compact_store).  Reads the persisted band/vector rows;
     nothing is re-signed.  Refuses a store whose sidecar is missing —
     compaction would otherwise rewrite the corruption into a
-    fresh-looking store with new meta sidecars."""
-    assert_sidecar_populated(
-        spark, table, "_vecs", "compact_embedding_index", use_memo=False
-    )
-    compact_store(
-        spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
-    )
+    fresh-looking store with new meta sidecars; runs under the
+    single-writer lease (a compactor IS a writer)."""
+    with store_write_lease(spark, table):
+        assert_sidecar_populated(
+            spark, table, "_vecs", "compact_embedding_index",
+            use_memo=False
+        )
+        assert_manifest_consistent(
+            spark, table, "_vecs", "compact_embedding_index",
+            use_memo=False
+        )
+        compact_store(
+            spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
+        )
 
 
 def shard_embedding_decisions(spark, table: str, emb: DataFrame,
@@ -240,6 +271,8 @@ def shard_embedding_decisions(spark, table: str, emb: DataFrame,
     vector's own store row (``p != d``)."""
     assert_sidecar_populated(spark, table, "_vecs",
                              "shard_embedding_decisions")
+    assert_manifest_consistent(spark, table, "_vecs",
+                               "shard_embedding_decisions")
     _assert_ingestable(emb, "shard_embedding_decisions")
     emb = emb.dropDuplicates(["vec_id"])
     band = embedding_band_buckets(emb)
@@ -393,6 +426,8 @@ def probe_embedding_dedup(spark, table: str, vec: list[float],
     'no duplicate' silently (assert_sidecar_populated)."""
     bands = probe_vector_bands(vec)
     assert_sidecar_populated(spark, table, "_vecs", "probe_embedding_dedup")
+    assert_manifest_consistent(spark, table, "_vecs",
+                               "probe_embedding_dedup")
     idx = spark.table(table)
     hit = None
     for g, bucket in bands:

@@ -124,8 +124,13 @@ def register_external_store(spark, table: str, path: str) -> None:
     # base-store name, or any of its sidecar suffixes
     app = spark.sparkContext.applicationId
     _N_DOCS_MEMO.pop((app, table), None)
+    _MANIFEST_OK_MEMO.discard((app, table))
     if table.endswith("_docs"):
         _N_DOCS_MEMO.pop((app, table[: -len("_docs")]), None)
+        _MANIFEST_OK_MEMO.discard((app, table[: -len("_docs")]))
+    for suf in ("_sets", "_vecs", "_norms"):
+        if table.endswith(suf):
+            _MANIFEST_OK_MEMO.discard((app, table[: -len(suf)]))
     _SIDECAR_OK_MEMO.difference_update(
         {
             k for k in _SIDECAR_OK_MEMO
@@ -257,6 +262,15 @@ def compact_store(spark, table: str, new_path: str,
             with open(prior) as fh:
                 ledger = json.load(fh) + ledger
             os.remove(prior)
+        # carry the ingest manifest forward (COPY, not move: a reader
+        # whose file listing predates the repoint keeps a consistent
+        # (old dir, old manifest) snapshot; vacuum removes the old copy
+        # with its directory)
+        man = f"{base_old.rstrip('/')}_manifest.json"
+        if os.path.exists(man):
+            import shutil
+
+            shutil.copyfile(man, f"{new_path.rstrip('/')}_manifest.json")
     with open(f"{new_path.rstrip('/')}_superseded.json", "w") as fh:
         json.dump(ledger, fh)
 
@@ -335,6 +349,272 @@ def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
     with open(lp, "w") as fh:
         json.dump(kept, fh)
     return {"removed": removed, "kept": [e["path"] for e in kept]}
+
+
+# ---------------------------------------------------------------------------
+# ingest manifest — the "was data lost?" ground truth
+# ---------------------------------------------------------------------------
+#
+# assert_sidecar_populated refuses a store where ONE table went missing,
+# but TOTAL loss (both directories wiped, meta sidecars surviving) is
+# indistinguishable from the legitimate built-ahead-of-first-shard
+# state — search_tf_index's docstring disclosed exactly that hole.  The
+# manifest closes it: every build/append stamps (shard_id, n_rows, ts)
+# into a ``{base}_manifest.json`` sidecar AFTER its table writes, so the
+# sum of manifest rows is the number of ids the store MUST hold; every
+# serve/append/compact lane cross-checks that sum against the id
+# sidecar's actual count and REFUSES on divergence with a named cause.
+# A legitimately empty store (empty manifest, empty tables) still
+# serves empty.  Write ordering makes the loss direction trustworthy:
+# tables first, manifest last — the manifest never claims rows that
+# were not durably written; the opposite divergence (ids present that
+# no manifest entry accounts for: a crash between the sidecar write
+# and the stamp, or a foreign writer) also refuses, naming
+# :func:`repair_manifest` as the explicit operator action.
+
+#: (applicationId, table) pairs that passed the manifest cross-check —
+#: one count job per reader-open, same memo discipline and
+#: invalidation events as _SIDECAR_OK_MEMO.
+_MANIFEST_OK_MEMO: set = set()
+
+
+def _manifest_path(spark, table: str) -> str:
+    return f"{table_location(spark, table).rstrip('/')}_manifest.json"
+
+
+def read_manifest(spark, table: str) -> list[dict] | None:
+    """The manifest entries of ``table``'s CURRENT base location, or
+    None when the store has no manifest (pre-manifest build, or the
+    sidecar file itself was lost)."""
+    mp = _manifest_path(spark, table)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _write_manifest(spark, table: str, entries: list[dict]) -> None:
+    """Atomic manifest replace (tmp + rename) next to the current base
+    location — a crash mid-write leaves the previous manifest intact,
+    never a torn JSON file."""
+    mp = _manifest_path(spark, table)
+    tmp = f"{mp}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh)
+    os.replace(tmp, mp)
+
+
+def reset_manifest(spark, table: str, n_rows: int,
+                   shard_id: str = "build") -> None:
+    """Fresh single-entry manifest — what every full build stamps after
+    its table writes (overwriting any manifest a previous store at the
+    same path left behind)."""
+    import time
+
+    _write_manifest(
+        spark, table,
+        [{"shard_id": shard_id, "n_rows": int(n_rows), "ts": time.time()}],
+    )
+    _MANIFEST_OK_MEMO.discard(
+        (spark.sparkContext.applicationId, table)
+    )
+
+
+def stamp_manifest(spark, table: str, actual: int,
+                   shard_id: str | None = None) -> None:
+    """Record an append: one entry whose ``n_rows`` is the DELTA between
+    the id sidecar's post-write count and the manifest's prior total —
+    so a replayed shard (anti-joined to zero new ids) stamps an honest
+    ``n_rows: 0`` entry and the running total stays equal to the store,
+    whatever mix of fresh and replayed shards arrived."""
+    import time
+
+    entries = read_manifest(spark, table) or []
+    prior = sum(e["n_rows"] for e in entries)
+    entries.append({
+        "shard_id": shard_id or f"append-{len(entries)}",
+        "n_rows": int(actual) - prior,
+        "ts": time.time(),
+    })
+    _write_manifest(spark, table, entries)
+    _MANIFEST_OK_MEMO.discard(
+        (spark.sparkContext.applicationId, table)
+    )
+
+
+def assert_manifest_consistent(spark, table: str, id_suffix: str,
+                               what: str, actual: int | None = None,
+                               use_memo: bool = True) -> None:
+    """REFUSE a store whose id sidecar count diverges from the ingest
+    manifest's running total — the wiped-vs-empty disambiguation
+    (VERDICT r12 item 2).  Three refusal causes, each named:
+
+    * ``actual < manifest`` — data loss: directories wiped or the
+      table mis-registered while the manifest survived (includes TOTAL
+      loss, which the emptiness-agreement guard cannot see);
+    * ``actual > manifest`` — unaccounted ids: a crash between the id
+      sidecar write and the manifest stamp, or a foreign writer;
+      :func:`repair_manifest` is the explicit operator action;
+    * ``no manifest`` while the store has rows — a pre-manifest store
+      or a lost manifest file; repair_manifest stamps it.
+
+    A legitimately empty store — empty manifest (or none) AND zero
+    rows — passes: built ahead of its first shard, serves empty.
+    ``actual`` lets a caller that already counted the id table (the tf
+    serve path's N) avoid a second count job; otherwise one count of
+    the id sidecar, memoized per (session, table) on the serve paths
+    (``use_memo=True``) with the same invalidation events as the
+    sidecar memo.  Write lanes pass ``use_memo=False`` and never seed
+    the memo."""
+    key = (spark.sparkContext.applicationId, table)
+    if use_memo and key in _MANIFEST_OK_MEMO:
+        return
+    _MANIFEST_OK_MEMO.discard(key)
+    entries = read_manifest(spark, table)
+    if actual is None:
+        actual = spark.table(f"{table}{id_suffix}").count()
+    if entries is None:
+        if actual > 0:
+            raise ValueError(
+                f"{what}: {table} has {actual} ingested ids but NO "
+                "ingest manifest next to its base location — a "
+                "pre-manifest store or a lost manifest sidecar; run "
+                "repair-manifest to stamp the current contents as the "
+                "baseline"
+            )
+        return
+    total = sum(e["n_rows"] for e in entries)
+    if actual < total:
+        raise ValueError(
+            f"{what}: ingest manifest records {total} ids but "
+            f"{table}{id_suffix} holds only {actual} — store data was "
+            "LOST (directories wiped or table mis-registered); a "
+            "legitimately empty store has an empty manifest; rebuild "
+            "the store (or re-register the real files) before serving"
+        )
+    if actual > total:
+        raise ValueError(
+            f"{what}: {table}{id_suffix} holds {actual} ids but the "
+            f"ingest manifest accounts for {total} — a crashed append "
+            "(stamped after the id write) or a foreign writer; run "
+            "repair-manifest to adopt the current contents"
+        )
+    if use_memo:
+        _MANIFEST_OK_MEMO.add(key)
+
+
+def repair_manifest(spark, table: str, id_suffix: str) -> dict:
+    """The explicit operator action after a crashed append or for a
+    pre-manifest store: re-stamp the manifest to a single entry
+    adopting the id sidecar's CURRENT count.  Deliberately an opt-in
+    lane (CLI ``repair-manifest``), never an automatic fallback — the
+    serve paths must refuse, not self-heal, because 'adopt whatever is
+    there' is exactly the wrong reflex against actual data loss."""
+    import time
+
+    actual = spark.table(f"{table}{id_suffix}").count()
+    _write_manifest(
+        spark, table,
+        [{"shard_id": f"repair@{time.time():.0f}", "n_rows": int(actual),
+          "ts": time.time()}],
+    )
+    _MANIFEST_OK_MEMO.discard(
+        (spark.sparkContext.applicationId, table)
+    )
+    return {"table": table, "adopted_rows": int(actual)}
+
+
+# ---------------------------------------------------------------------------
+# single-writer append lease
+# ---------------------------------------------------------------------------
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def store_write_lease(spark, table: str, owner: str | None = None,
+                      stale_sec: float = 3600.0):
+    """SINGLE-WRITER append contract, enforced (VERDICT r12 item 3):
+    every append/compact lane runs inside this lease, so two live
+    appenders interleaving refresh→anti-join→write — whose outcome was
+    previously undefined — can no longer run concurrently: the second
+    acquirer gets a named ValueError identifying the holder and its
+    age, and the store state is always SOME serial order of appends.
+
+    Mechanics: ``os.mkdir`` of a ``{base}_lock`` marker directory is
+    the atomic acquire (POSIX mkdir is atomic on local and NFS
+    filesystems; an object-store deployment swaps this for a
+    conditional put); a ``lease.json`` inside names the holder, its
+    token and acquire time.  A lease older than ``stale_sec`` is taken
+    over by atomically replacing the lease file — takeover among
+    SIMULTANEOUS claimants is last-writer-wins, which is acceptable
+    because takeover is the rare crash-recovery path, not the
+    concurrency control (the mkdir is).  A marker directory whose
+    lease file is missing refuses while the directory is younger than
+    ``stale_sec`` (another appender mid-acquire) and is adopted past
+    it (a claimant that crashed between mkdir and write).  Release
+    deletes the marker only if the lease token is still ours — a
+    holder that was taken over must NOT free the new holder's lease.
+    The lock path is captured at acquire time, so a compaction that
+    repoints the base location mid-lease still releases the marker it
+    actually took."""
+    import json as _json
+    import time
+    import uuid
+
+    base = table_location(spark, table)
+    lock_dir = f"{base.rstrip('/')}_lock"
+    lease_file = os.path.join(lock_dir, "lease.json")
+    token = uuid.uuid4().hex
+    ident = {
+        "owner": owner or f"pid={os.getpid()}",
+        "token": token,
+        "ts": time.time(),
+    }
+    try:
+        os.mkdir(lock_dir)
+    except FileExistsError:
+        holder = None
+        try:
+            with open(lease_file) as fh:
+                holder = _json.load(fh)
+        except (FileNotFoundError, ValueError):
+            holder = None
+        if holder is not None:
+            age = time.time() - holder.get("ts", 0.0)
+            if age < stale_sec:
+                raise ValueError(
+                    f"{table}: write lease held by {holder.get('owner')} "
+                    f"for {age:.0f}s (stale after {stale_sec:.0f}s) — "
+                    "single-writer append contract; wait for it to "
+                    "finish, or take over a crashed holder by raising "
+                    "stale_sec"
+                ) from None
+        else:
+            age = time.time() - os.stat(lock_dir).st_mtime
+            if age < stale_sec:
+                raise ValueError(
+                    f"{table}: write-lease marker present but its lease "
+                    "file is unreadable — another appender mid-acquire "
+                    f"(marker {age:.0f}s old); retry shortly"
+                ) from None
+        # stale lease (or stale empty marker): take it over
+    tmp = os.path.join(lock_dir, f".lease.{token}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(ident, fh)
+    os.replace(tmp, lease_file)
+    try:
+        yield
+    finally:
+        try:
+            with open(lease_file) as fh:
+                cur = _json.load(fh)
+            if cur.get("token") == token:
+                os.remove(lease_file)
+                os.rmdir(lock_dir)
+        except (FileNotFoundError, ValueError, OSError):
+            pass  # taken over, or marker already gone — not ours to free
 
 
 #: (applicationId, table, suffix) triples that passed the sidecar
@@ -438,6 +718,7 @@ def refresh_store(spark, table: str,
         spark.sql(f"REFRESH TABLE {table}{s}")
     app = spark.sparkContext.applicationId
     _N_DOCS_MEMO.pop((app, table), None)
+    _MANIFEST_OK_MEMO.discard((app, table))
     _SIDECAR_OK_MEMO.difference_update(
         {k for k in _SIDECAR_OK_MEMO if k[0] == app and k[1] == table}
     )
@@ -495,6 +776,111 @@ def store_report(spark, table: str, bucket_col: str) -> dict:
     }
 
 
+def check_store(spark, table: str, id_suffix: str) -> dict:
+    """One-pass health check of a persisted store — every guard the
+    serve/append/compact lanes enforce, run together and REPORTED
+    instead of raised (the operator's pre-flight / incident triage
+    surface; CLI ``check-store``).  Returns ``{check: {"ok": bool,
+    "detail": str}}`` for:
+
+    * ``meta_sidecar`` — both parts' ``_meta.json`` present and valid
+      (:func:`_validated_meta` — the corrupt-sidecar refusal);
+    * ``bucketing`` — both parts registered WITH their bucket spec
+      (a plain-external registration serves correct answers but
+      unpruned probes);
+    * ``sidecar_agreement`` — the bidirectional emptiness guard
+      (:func:`assert_sidecar_populated`);
+    * ``manifest`` — ingest-manifest total vs actual id count
+      (:func:`assert_manifest_consistent`, the wiped-vs-empty
+      disambiguation);
+    * ``write_lease`` — free, or held by whom for how long;
+    * ``superseded`` — directories awaiting :func:`vacuum_store`.
+
+    Never raises on a failing check (the whole point is diagnosing a
+    store the serve lanes just refused); unexpected infrastructure
+    errors (unregistered table, dead metastore) do propagate."""
+    import time
+
+    out: dict[str, dict] = {}
+    base = table_location(spark, table)
+    side_loc = table_location(spark, f"{table}{id_suffix}")
+    # meta sidecars
+    details = []
+    ok = True
+    for loc, part in ((base, table), (side_loc, f"{table}{id_suffix}")):
+        mp = f"{loc.rstrip('/')}_meta.json"
+        if not os.path.exists(mp):
+            details.append(f"{part}: no _meta.json")
+            ok = False
+            continue
+        try:
+            _validated_meta(mp)
+            details.append(f"{part}: ok")
+        except ValueError as exc:
+            details.append(f"{part}: {exc}")
+            ok = False
+    out["meta_sidecar"] = {"ok": ok, "detail": "; ".join(details)}
+    # bucketing registered
+    details, ok = [], True
+    for part in (table, f"{table}{id_suffix}"):
+        meta = _describe_meta(spark, part)
+        nb = int(meta.get("Num Buckets", 0))
+        if nb <= 0:
+            details.append(f"{part}: UNBUCKETED registration")
+            ok = False
+        else:
+            details.append(f"{part}: {nb} buckets")
+    out["bucketing"] = {"ok": ok, "detail": "; ".join(details)}
+    # emptiness agreement
+    try:
+        assert_sidecar_populated(spark, table, id_suffix, "check_store",
+                                 use_memo=False)
+        out["sidecar_agreement"] = {"ok": True, "detail": "agree"}
+    except ValueError as exc:
+        out["sidecar_agreement"] = {"ok": False, "detail": str(exc)}
+    # manifest cross-check
+    try:
+        assert_manifest_consistent(spark, table, id_suffix, "check_store",
+                                   use_memo=False)
+        entries = read_manifest(spark, table) or []
+        out["manifest"] = {
+            "ok": True,
+            "detail": f"{len(entries)} shard(s), "
+            f"{sum(e['n_rows'] for e in entries)} ids",
+        }
+    except ValueError as exc:
+        out["manifest"] = {"ok": False, "detail": str(exc)}
+    # write lease
+    lock_dir = f"{base.rstrip('/')}_lock"
+    if not os.path.exists(lock_dir):
+        out["write_lease"] = {"ok": True, "detail": "free"}
+    else:
+        try:
+            with open(os.path.join(lock_dir, "lease.json")) as fh:
+                holder = json.load(fh)
+            age = time.time() - holder.get("ts", 0.0)
+            out["write_lease"] = {
+                "ok": True,
+                "detail": f"held by {holder.get('owner')} for {age:.0f}s",
+            }
+        except (FileNotFoundError, ValueError):
+            out["write_lease"] = {
+                "ok": True, "detail": "marker present, lease mid-acquire"
+            }
+    # superseded directories awaiting vacuum
+    lp = f"{base.rstrip('/')}_superseded.json"
+    if os.path.exists(lp):
+        with open(lp) as fh:
+            ledger = json.load(fh)
+        out["superseded"] = {
+            "ok": True,
+            "detail": f"{len(ledger)} dir(s) awaiting vacuum",
+        }
+    else:
+        out["superseded"] = {"ok": True, "detail": "none"}
+    return out
+
+
 def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) -> None:
     """Compute TF-IDF postings from the corpus and persist them as a
     parquet table bucketed+sorted by term, PLUS the per-document
@@ -530,6 +916,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
         .saveAsTable(f"{table}_norms")
     )
     write_store_meta(norms, f"{path.rstrip('/')}_norms", buckets, "doc_id")
+    reset_manifest(spark, table, spark.table(f"{table}_norms").count())
 
 
 def search_index(
@@ -565,8 +952,12 @@ def search_index_vsm(
     the corpus-sized norms column is never shuffled — the only
     exchanges in the plan belong to the |Q|-row postings aggregate.
     A store whose _norms sidecar went missing raises — the empty norms
-    join would serve zero hits silently (assert_sidecar_populated)."""
+    join would serve zero hits silently (assert_sidecar_populated) —
+    and so does a store whose ingest-manifest total diverges from the
+    norms count (TOTAL wipe with surviving sidecar files:
+    assert_manifest_consistent)."""
     assert_sidecar_populated(spark, table, "_norms", "search_index_vsm")
+    assert_manifest_consistent(spark, table, "_norms", "search_index_vsm")
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     hits = (
         idx.select("term", F.explode("postings").alias("p"))
@@ -662,6 +1053,7 @@ def build_tf_index(
         .saveAsTable(f"{table}_docs")
     )
     write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
+    reset_manifest(spark, table, spark.table(f"{table}_docs").count())
     _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
@@ -697,7 +1089,9 @@ def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:
     )
 
 
-def append_tf_index(spark, table: str, docs: DataFrame) -> None:
+def append_tf_index(spark, table: str, docs: DataFrame,
+                    shard_id: str | None = None,
+                    lease_stale_sec: float = 3600.0) -> None:
     """Append a NEW batch as a SEGMENT of the raw-TF index — the
     search lane's index roll-forward at batch-sized cost, LSM-style: a
     term that appears in several batches owns several (term, df_count,
@@ -720,24 +1114,46 @@ def append_tf_index(spark, table: str, docs: DataFrame) -> None:
     ``max(tf)``; df derived from the deduped postings, never from the
     stored counters).  Between the crash and the replay the orphan
     segment's docs count toward df but not N — scores are mildly
-    deflated until the shard is replayed, never NULL or doubled."""
-    refresh_store(spark, table, ("", "_docs"))
+    deflated until the shard is replayed, never NULL or doubled.
+
+    SINGLE-WRITER: the whole refresh→anti-join→write→stamp sequence
+    runs under :func:`store_write_lease` — a second live appender
+    refuses with the holder's name instead of interleaving (crashed
+    holders are taken over after ``lease_stale_sec``).  The ingest
+    manifest is cross-checked BEFORE the writes (refusing to append
+    into a store that already lost data) and stamped with this
+    shard's NEW id count after them — a crash between the sidecar
+    write and the stamp leaves actual > manifest, which every lane
+    refuses by name until ``repair-manifest`` adopts it."""
     nb = table_buckets(spark, table)
-    assert_sidecar_populated(spark, table, "_docs", "append_tf_index",
-                             use_memo=False)
-    existing = spark.table(f"{table}_docs").select("doc_id")
-    docs = docs.dropDuplicates(["doc_id"]).join(
-        existing, "doc_id", "left_anti"
-    )
-    (
-        _tf_segment(docs).write.mode("append")
-        .bucketBy(nb, "term").sortBy("term").saveAsTable(table)
-    )
-    (
-        docs.select("doc_id").write.mode("append")
-        .bucketBy(nb, "doc_id").sortBy("doc_id")
-        .saveAsTable(f"{table}_docs")
-    )
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_docs"))
+        assert_sidecar_populated(spark, table, "_docs", "append_tf_index",
+                                 use_memo=False)
+        assert_manifest_consistent(spark, table, "_docs",
+                                   "append_tf_index", use_memo=False)
+        existing = spark.table(f"{table}_docs").select("doc_id")
+        docs = docs.dropDuplicates(["doc_id"]).join(
+            existing, "doc_id", "left_anti"
+        )
+        (
+            _tf_segment(docs).write.mode("append")
+            .bucketBy(nb, "term").sortBy("term").saveAsTable(table)
+        )
+        (
+            docs.select("doc_id").write.mode("append")
+            .bucketBy(nb, "doc_id").sortBy("doc_id")
+            .saveAsTable(f"{table}_docs")
+        )
+        # the stamp's count must SEE the writes just made: when the
+        # batch frame belongs to a cloned session (foreachBatch), the
+        # writes land via that clone and this session's cached file
+        # listing is stale — refresh before counting or the manifest
+        # under-records the shard and the NEXT append refuses
+        spark.sql(f"REFRESH TABLE {table}_docs")
+        stamp_manifest(
+            spark, table, spark.table(f"{table}_docs").count(), shard_id
+        )
     _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
@@ -780,6 +1196,13 @@ def search_tf_index(
     weighting-specific message."""
     assert_sidecar_populated(spark, table, "_docs", "search_tf_index")
     n_docs = _n_docs(spark, table)
+    # TOTAL-loss disambiguation: both directories wiped with sidecar
+    # files surviving used to be indistinguishable from the legitimate
+    # built-ahead-of-first-shard state (this docstring's own disclosed
+    # hole) — the ingest manifest now settles it: an empty store with
+    # ingested shards on record REFUSES instead of serving empty
+    assert_manifest_consistent(spark, table, "_docs", "search_tf_index",
+                               actual=n_docs)
     if n_docs <= 0 and not spark.table(table).isEmpty():
         # postings with no ingested ids = the _docs sidecar is missing
         # (a registration without it): ln(0/df) would NULL every score
@@ -833,11 +1256,20 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
     disappear here too) and the ``_docs`` sidecar to distinct ids,
     while rewriting to one file per bucket — compact_store's immutable
     swap with the segmented store's merge transforms.  Refuses a store
-    whose ``_docs`` sidecar is missing — compaction would otherwise
-    rewrite the corruption into a fresh-looking store."""
-    assert_sidecar_populated(spark, table, "_docs", "compact_tf_index",
-                             use_memo=False)
+    whose ``_docs`` sidecar is missing or whose ingest manifest
+    diverges — compaction would otherwise rewrite the corruption into
+    a fresh-looking store; runs under the single-writer lease (a
+    compactor IS a writer)."""
+    with store_write_lease(spark, table):
+        assert_sidecar_populated(spark, table, "_docs",
+                                 "compact_tf_index", use_memo=False)
+        assert_manifest_consistent(spark, table, "_docs",
+                                   "compact_tf_index", use_memo=False)
+        _compact_tf_locked(spark, table, new_path)
+    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
+
+def _compact_tf_locked(spark, table: str, new_path: str) -> None:
     def _merge_terms(df: DataFrame) -> DataFrame:
         merged = F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("postings")))
@@ -857,7 +1289,6 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
         [("", "term"), ("_docs", "doc_id")],
         transforms={"": _merge_terms, "_docs": lambda df: df.distinct()},
     )
-    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def _merged_index_df(spark, sf_dir: str) -> DataFrame:

@@ -6723,3 +6723,398 @@ def test_cli_probe_shard_lanes_end_to_end(spark, sf_dir, tmp_path,
     finally:
         for t in ("t_pse_idx", "t_pse_idx_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# round 13: ingest manifest + single-writer lease (VERDICT r12 items 2 & 3)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_refuses_total_wipe_but_serves_legit_empty(
+        spark, sf_dir, tmp_path):
+    """TOTAL data loss — BOTH store directories wiped while the meta/
+    manifest sidecar FILES survive — used to be indistinguishable from
+    the legitimate built-ahead-of-first-shard state (search_tf_index's
+    own disclosed hole): emptiness agrees on both sides, so the
+    bidirectional sidecar guard passes and every serve answered empty
+    silently.  The ingest manifest settles it: serve/append/compact on
+    a store whose manifest records more ids than the id sidecar holds
+    REFUSE, naming the divergence; a legitimately EMPTY store (empty
+    manifest, empty tables) still serves the empty result set."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        build_embedding_index,
+        probe_embedding_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        compact_tf_index,
+        register_external_store,
+        search_tf_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources import load
+
+    docs = spark.createDataFrame(
+        [(1, "one document with several words here"),
+         (2, "another body of text entirely different")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "a later shard document")], "doc_id long, text string",
+    )
+    # --- tf store: total wipe refuses serve AND maintenance
+    tpath = str(tmp_path / "twipe")
+    try:
+        build_tf_index(spark, docs, "t_mw_tf", tpath)
+        spark.sql("DROP TABLE t_mw_tf")
+        spark.sql("DROP TABLE t_mw_tf_docs")
+        os.rename(tpath, f"{tpath}_gone")
+        os.rename(f"{tpath}_docs", f"{tpath}_docs_gone")
+        register_external_store(spark, "t_mw_tf", tpath)
+        register_external_store(spark, "t_mw_tf_docs", f"{tpath}_docs")
+        with _pytest.raises(ValueError, match="LOST"):
+            search_tf_index(spark, "t_mw_tf", ("document",))
+        with _pytest.raises(ValueError, match="LOST"):
+            append_tf_index(spark, "t_mw_tf", batch)
+        with _pytest.raises(ValueError, match="LOST"):
+            compact_tf_index(spark, "t_mw_tf", str(tmp_path / "twipe2"))
+    finally:
+        for t in ("t_mw_tf", "t_mw_tf_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- dedup store: wiped probe refuses
+    dpath = str(tmp_path / "dwipe")
+    try:
+        build_dedup_index(spark, "unused", "t_mw_dd", dpath, docs=docs)
+        spark.sql("DROP TABLE t_mw_dd")
+        spark.sql("DROP TABLE t_mw_dd_sets")
+        os.rename(dpath, f"{dpath}_gone")
+        os.rename(f"{dpath}_sets", f"{dpath}_sets_gone")
+        register_external_store(spark, "t_mw_dd", dpath)
+        register_external_store(spark, "t_mw_dd_sets", f"{dpath}_sets")
+        with _pytest.raises(ValueError, match="LOST"):
+            probe_dedup(spark, "t_mw_dd", "one document with words here")
+    finally:
+        for t in ("t_mw_dd", "t_mw_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- embedding store: wiped probe refuses
+    epath = str(tmp_path / "ewipe")
+    emb = load(spark, sf_dir, "embeddings").limit(5)
+    probe_vec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    try:
+        build_embedding_index(spark, sf_dir, "t_mw_em", epath, emb=emb)
+        spark.sql("DROP TABLE t_mw_em")
+        spark.sql("DROP TABLE t_mw_em_vecs")
+        os.rename(epath, f"{epath}_gone")
+        os.rename(f"{epath}_vecs", f"{epath}_vecs_gone")
+        register_external_store(spark, "t_mw_em", epath)
+        register_external_store(spark, "t_mw_em_vecs", f"{epath}_vecs")
+        with _pytest.raises(ValueError, match="LOST"):
+            probe_embedding_dedup(spark, "t_mw_em", probe_vec)
+    finally:
+        for t in ("t_mw_em", "t_mw_em_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # --- a legitimately EMPTY store (built ahead of its first shard:
+    # empty manifest total, empty tables) serves empty, never an error
+    zpath = str(tmp_path / "zempty")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    try:
+        build_tf_index(spark, empty, "t_mw_z", zpath)
+        assert search_tf_index(spark, "t_mw_z", ("anything",)).count() == 0
+    finally:
+        for t in ("t_mw_z", "t_mw_z_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_manifest_crash_orphan_refuses_until_repair(spark, tmp_path):
+    """The OPPOSITE divergence: ids present that no manifest entry
+    accounts for (a crash between the id-sidecar write and the
+    manifest stamp, or a foreign writer).  Serving REFUSES with the
+    named cause — never self-heals — until the explicit operator
+    action (repair_manifest / CLI repair-manifest) adopts the current
+    contents; after repair the store serves exactly what it served
+    before the corruption was simulated."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        refresh_store,
+        repair_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document with several words here"),
+         (2, "another body of text entirely different")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "orphan")
+    try:
+        build_dedup_index(spark, "unused", "t_mo_dd", path, docs=docs)
+        before = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(
+                spark, "t_mo_dd", "one document with several words here"
+            ).collect()
+        ]
+        assert before  # the probe text matches doc 1
+        # simulate the crashed append: shrink the manifest below the
+        # sidecar's actual id count
+        mp = f"{path}_manifest.json"
+        with open(mp) as fh:
+            entries = json.load(fh)
+        entries[0]["n_rows"] -= 1
+        with open(mp, "w") as fh:
+            json.dump(entries, fh)
+        # corruption is discovered at reader-open (refresh_store is the
+        # reopen step that drops the serve memo), exactly like a fresh
+        # serving process would
+        refresh_store(spark, "t_mo_dd", ("", "_sets"))
+        with _pytest.raises(ValueError, match="manifest accounts for 1"):
+            probe_dedup(
+                spark, "t_mo_dd", "one document with several words here"
+            )
+        # the CLI repair lane adopts the current contents...
+        rc = cli.main(["repair-manifest", path, "_sets",
+                       "--table", "t_mo_dd"])
+        assert rc == 0
+        # ...after which the store serves exactly as before
+        after = [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(
+                spark, "t_mo_dd", "one document with several words here"
+            ).collect()
+        ]
+        assert after == before
+        with open(mp) as fh:
+            repaired = json.load(fh)
+        assert sum(e["n_rows"] for e in repaired) == 2
+        # a MISSING manifest on a non-empty store also refuses, naming
+        # the repair lane — and the in-session repair fixes it too
+        os.remove(mp)
+        refresh_store(spark, "t_mo_dd", ("", "_sets"))
+        with _pytest.raises(ValueError, match="NO\n?.*ingest manifest|NO "):
+            probe_dedup(
+                spark, "t_mo_dd", "one document with several words here"
+            )
+        repair_manifest(spark, "t_mo_dd", "_sets")
+        assert [
+            (r.doc_id, r.jaccard)
+            for r in probe_dedup(
+                spark, "t_mo_dd", "one document with several words here"
+            ).collect()
+        ] == before
+    finally:
+        for t in ("t_mo_dd", "t_mo_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_store_write_lease_single_writer(spark, tmp_path):
+    """Single-writer append contract, ENFORCED (VERDICT r12 item 3):
+    a second live appender refuses by name while the lease is held;
+    after release the same append succeeds and the final store equals
+    the sequential-append result; a crashed holder's stale lease is
+    taken over (and the taker releases cleanly); a marker directory
+    with no lease file (another appender mid-acquire) refuses while
+    fresh."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        store_write_lease,
+        table_location,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "one document with several words here")],
+        "doc_id long, text string",
+    )
+    s1 = spark.createDataFrame(
+        [(2, "second shard body of words")], "doc_id long, text string",
+    )
+    s2 = spark.createDataFrame(
+        [(3, "third shard body of different words")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lease")
+    try:
+        build_dedup_index(spark, "unused", "t_lw_dd", path, docs=base)
+        lock = f"{table_location(spark, 't_lw_dd').rstrip('/')}_lock"
+        # held: the second appender refuses, naming the holder
+        with store_write_lease(spark, "t_lw_dd", owner="appender-A"):
+            with _pytest.raises(ValueError, match="held by appender-A"):
+                append_dedup_index(spark, "t_lw_dd", s1)
+        # released: the SAME append now succeeds (serial order)
+        append_dedup_index(spark, "t_lw_dd", s1)
+        assert spark.table("t_lw_dd_sets").count() == 2
+        # crashed holder: stale lease (older than stale_sec) is taken
+        # over by the next appender, which then releases cleanly
+        os.mkdir(lock)
+        with open(f"{lock}/lease.json", "w") as fh:
+            json.dump(
+                {"owner": "crashed", "token": "dead",
+                 "ts": time.time() - 7200},
+                fh,
+            )
+        append_dedup_index(spark, "t_lw_dd", s2)
+        assert not os.path.exists(lock)
+        assert spark.table("t_lw_dd_sets").count() == 3
+        # final state = sequential appends: every doc individually
+        # findable (SOME serial order always holds)
+        for text, want in (
+            ("one document with several words here", 1),
+            ("second shard body of words", 2),
+            ("third shard body of different words", 3),
+        ):
+            got = [
+                r.doc_id
+                for r in probe_dedup(spark, "t_lw_dd", text).collect()
+            ]
+            assert want in got, (text, got)
+        # mid-acquire marker (dir exists, lease file not yet written):
+        # refuse while fresh, never adopt another appender's acquire
+        os.mkdir(lock)
+        try:
+            with _pytest.raises(ValueError, match="mid-acquire"):
+                append_dedup_index(spark, "t_lw_dd", s1)
+        finally:
+            os.rmdir(lock)
+    finally:
+        for t in ("t_lw_dd", "t_lw_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_manifest_carried_through_compaction(spark, tmp_path, capsys):
+    """Compaction must carry the ingest manifest to the new base path
+    (COPY, not move — a reader still on the old snapshot keeps a
+    consistent directory+manifest pair), and the compacted store must
+    keep serving under the manifest cross-check.  store-report
+    surfaces the manifest totals without refusing (it is the
+    diagnostic for a store the serve lanes just refused)."""
+    import json
+    import os
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document with several words here"),
+         (2, "another body of text entirely different")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "a later shard document body")], "doc_id long, text string",
+    )
+    old = str(tmp_path / "mc_old")
+    new = str(tmp_path / "mc_new")
+    try:
+        build_dedup_index(spark, "unused", "t_mc_dd", old, docs=docs)
+        append_dedup_index(spark, "t_mc_dd", batch, shard_id="shard-1")
+        compact_dedup_index(spark, "t_mc_dd", new)
+        # manifest copied next to the new base; old copy intact for
+        # snapshot readers until vacuum
+        for p in (f"{new}_manifest.json", f"{old}_manifest.json"):
+            assert os.path.exists(p), p
+        with open(f"{new}_manifest.json") as fh:
+            entries = json.load(fh)
+        assert sum(e["n_rows"] for e in entries) == 3
+        assert entries[1]["shard_id"] == "shard-1"
+        # serving keeps working through the manifest cross-check
+        got = [
+            r.doc_id
+            for r in probe_dedup(
+                spark, "t_mc_dd", "a later shard document body"
+            ).collect()
+        ]
+        assert 3 in got
+        # store-report surfaces the totals (never refuses)
+        rc = cli.main(["store-report", new, "--table", "t_mc_dd"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "manifest_shards\t2" in out, out
+        assert "manifest_total\t3" in out, out
+    finally:
+        for t in ("t_mc_dd", "t_mc_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_check_store_health_lane(spark, tmp_path, capsys):
+    """check-store: every serve-lane guard run together and REPORTED
+    (exit 0 all-ok / exit 2 any-fail) — the operator's triage surface
+    for a store the serve lanes just refused.  Healthy store: all six
+    checks ok.  Wiped store (the total-loss fixture): manifest FAILs
+    with the named LOST cause while the report still completes.  A
+    held write lease is INFO (ok), not a failure."""
+    import os
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        check_store,
+        store_write_lease,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document with several words here"),
+         (2, "another body of text entirely different")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "health")
+    try:
+        build_dedup_index(spark, "unused", "t_hc_dd", path, docs=docs)
+        rc = cli.main(["check-store", path, "_sets", "--table", "t_hc_dd"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        for check in ("meta_sidecar", "bucketing", "sidecar_agreement",
+                      "manifest", "write_lease", "superseded"):
+            assert f"{check}\tok" in out, (check, out)
+        assert "2 ids" in out
+        # a held lease reports the holder but stays ok (a running
+        # append is a normal state, not a fault)
+        with store_write_lease(spark, "t_hc_dd", owner="appender-X"):
+            checks = check_store(spark, "t_hc_dd", "_sets")
+        assert checks["write_lease"]["ok"]
+        assert "appender-X" in checks["write_lease"]["detail"]
+        # total wipe: manifest check FAILs by name, lane exits 2,
+        # the other checks still report
+        spark.sql("DROP TABLE t_hc_dd")
+        spark.sql("DROP TABLE t_hc_dd_sets")
+        os.rename(path, f"{path}_gone")
+        os.rename(f"{path}_sets", f"{path}_sets_gone")
+        rc = cli.main(["check-store", path, "_sets", "--table", "t_hc_dd"])
+        out = capsys.readouterr().out
+        assert rc == 2
+        assert "manifest\tFAIL" in out
+        assert "LOST" in out
+        assert "sidecar_agreement\tok" in out  # both empty: agree
+    finally:
+        for t in ("t_hc_dd", "t_hc_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
