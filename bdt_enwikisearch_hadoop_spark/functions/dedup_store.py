@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..sources import rebalance
 from .index_store import (
     assert_manifest_consistent,
+    assert_no_live_lease,
     assert_sidecar_populated,
     compact_store,
     refresh_store,
@@ -69,6 +70,7 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
     Each table also gets a ``_meta.json`` sidecar so a FRESH process
     (the CLI) can re-register the files with the full bucketing spec
     instead of a plain external table (see register_external_store)."""
+    assert_no_live_lease(path, "build_dedup_index")
     if docs is None:
         band = text_band_table(spark, sf_dir)
         sets = doc_shingle_sets(spark, sf_dir)

@@ -53,6 +53,7 @@ from .ann import (
 )
 from .index_store import (
     assert_manifest_consistent,
+    assert_no_live_lease,
     assert_sidecar_populated,
     compact_store,
     refresh_store,
@@ -141,6 +142,7 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
     Each table gets a ``_meta.json`` sidecar so a fresh process can
     re-register the files with the full bucketing spec
     (index_store.register_external_store)."""
+    assert_no_live_lease(path, "build_embedding_index")
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
         _assert_ingestable(emb, "build_embedding_index")

@@ -116,7 +116,16 @@ def register_external_store(spark, table: str, path: str) -> None:
     but probe reads lose bucket pruning.  No-op if ``table`` already
     exists.  Sidecar contents are VALIDATED before they touch DDL
     (:func:`_validated_meta`) — a corrupted sidecar raises a named
-    ValueError instead of executing as SQL."""
+    ValueError instead of executing as SQL — and so is the table NAME
+    itself (every dot-segment must be a plain SQL identifier: the name
+    arrives from CLI arguments and is interpolated into CREATE TABLE;
+    same refusal discipline, no silent quoting)."""
+    for seg in table.split("."):
+        if not _IDENT_RE.match(seg):
+            raise ValueError(
+                f"store table name {table!r} is not a plain SQL "
+                "identifier — refusing to interpolate it into DDL"
+            )
     if spark.catalog.tableExists(table):
         return
     # re-pointing a name at (possibly different) files changes N and
@@ -617,6 +626,42 @@ def store_write_lease(spark, table: str, owner: str | None = None,
             pass  # taken over, or marker already gone — not ours to free
 
 
+def assert_no_live_lease(path: str, what: str,
+                         stale_sec: float = 3600.0) -> None:
+    """Refuse a REBUILD over a store path whose write lease is live —
+    builds are provisioning actions that run OUTSIDE the lease (the
+    target table may not exist yet, so :func:`store_write_lease`'s
+    table-location anchor cannot apply), but overwriting the
+    directories a live appender is mid-write into is the same
+    interleaving hazard the lease exists to prevent.  A STALE marker
+    (crashed writer) is cleared and the rebuild proceeds — the
+    rebuild re-derives everything, so adopting a crashed append's
+    partial state is not a concern the way it is for appends."""
+    import shutil
+    import time
+
+    lock_dir = f"{path.rstrip('/')}_lock"
+    if not os.path.exists(lock_dir):
+        return
+    holder = None
+    try:
+        with open(os.path.join(lock_dir, "lease.json")) as fh:
+            holder = json.load(fh)
+    except (FileNotFoundError, ValueError):
+        holder = None
+    ts = holder.get("ts", 0.0) if holder else os.stat(lock_dir).st_mtime
+    age = time.time() - ts
+    if age < stale_sec:
+        who = holder.get("owner") if holder else "mid-acquire marker"
+        raise ValueError(
+            f"{what}: a writer holds the lease at {path} ({who}, "
+            f"{age:.0f}s old) — refusing to rebuild under a live "
+            "appender; wait for it to finish or clear a crashed "
+            "holder's marker"
+        )
+    shutil.rmtree(lock_dir, ignore_errors=True)
+
+
 #: (applicationId, table, suffix) triples that passed the sidecar
 #: check — the check is a LIMIT-1 Spark job per table, so a serving
 #: session pays it once per reader-open, not once per probe call;
@@ -888,6 +933,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
     prescribes: norms change only when a document changes, so VSM
     cosine serving reads |Q| postings rows + a doc-keyed norm column
     instead of re-aggregating the corpus-wide weight table per query."""
+    assert_no_live_lease(path, "build_index")
     w = tfidf_w(spark, sf_dir)
     index = w.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_count"),
@@ -1032,6 +1078,7 @@ def build_tf_index(
     row would DOUBLE every tf for that document and double-count it in
     N; a batch carrying conflicting texts for one id is a producer bug
     this boundary does not adjudicate)."""
+    assert_no_live_lease(path, "build_tf_index")
     docs = docs.dropDuplicates(["doc_id"])
     index = _tf_segment(docs)
     spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -7118,3 +7118,56 @@ def test_check_store_health_lane(spark, tmp_path, capsys):
     finally:
         for t in ("t_hc_dd", "t_hc_dd_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_build_refuses_live_lease_and_bad_table_names(spark, tmp_path):
+    """Two follow-on closures of the round-13 hardening: (a) a REBUILD
+    over a store path whose write lease is live refuses (builds run
+    outside the lease, but overwriting the directories a live appender
+    is mid-write into is the same interleaving hazard); a STALE marker
+    is cleared and the rebuild proceeds.  (b) register_external_store
+    validates the table NAME like it validates sidecar contents — a
+    CLI argument is interpolated into CREATE TABLE, so a non-identifier
+    refuses instead of reaching DDL."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one document with several words here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "blease")
+    lock = f"{path}_lock"
+    try:
+        # live lease at the target path: build refuses by holder name
+        os.mkdir(lock)
+        with open(f"{lock}/lease.json", "w") as fh:
+            json.dump({"owner": "live-appender", "token": "t",
+                       "ts": time.time()}, fh)
+        with _pytest.raises(ValueError, match="live-appender"):
+            build_dedup_index(spark, "unused", "t_bl_dd", path, docs=docs)
+        # stale lease: cleared, rebuild proceeds
+        with open(f"{lock}/lease.json", "w") as fh:
+            json.dump({"owner": "crashed", "token": "t",
+                       "ts": time.time() - 7200}, fh)
+        build_dedup_index(spark, "unused", "t_bl_dd", path, docs=docs)
+        assert not os.path.exists(lock)
+        assert spark.table("t_bl_dd_sets").count() == 1
+    finally:
+        for t in ("t_bl_dd", "t_bl_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # table-name validation: never reaches DDL
+    with _pytest.raises(ValueError, match="not a plain SQL identifier"):
+        register_external_store(
+            spark, "x; DROP TABLE y", str(tmp_path / "nope")
+        )
