@@ -14,6 +14,7 @@ query) plus ad-hoc corpus search:
     python -m bdt_enwikisearch_hadoop_spark.cli dedup-probe /tmp/didx some text here
     python -m bdt_enwikisearch_hadoop_spark.cli build-embedding-index /tmp/eidx
     python -m bdt_enwikisearch_hadoop_spark.cli embedding-probe /tmp/eidx --vec-id 7
+    python -m bdt_enwikisearch_hadoop_spark.cli delete-from-dedup-index /tmp/didx 3,17
 
 ``search`` ranks live from the corpus (tokenize → TF-IDF → score);
 ``build-index``/``search-index`` split that into the reference's
@@ -132,6 +133,42 @@ def _cli_compact(spark, args, compact_fn, suffix: str) -> int:
         print(str(exc), file=sys.stderr)
         return 2
     print(f"compacted {args.table} to {args.new_path}")
+    return 0
+
+
+def _cli_delete(spark, args, delete_fn, suffix: str, id_col: str) -> int:
+    """Shared body of the three delete lanes (dedup / embedding / tf):
+    register the store's parts, parse the takedown list (inline
+    comma-separated ids or an --ids-path parquet with the id column),
+    tombstone, print the reconciliation counts.  Same lane error
+    contract as append/compact: message + exit 2, never a
+    traceback."""
+    try:
+        _register_store_parts(spark, args.table, args.path, suffix)
+        if args.ids_path:
+            ids = spark.read.parquet(args.ids_path)
+            if id_col not in ids.columns:
+                print(
+                    f"ids parquet lacks column {id_col!r}",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            try:
+                ids = [int(s) for s in args.ids.split(",") if s.strip()]
+            except (AttributeError, ValueError):
+                print(
+                    "pass ids as a comma-separated integer list or via "
+                    "--ids-path",
+                    file=sys.stderr,
+                )
+                return 2
+        counts = delete_fn(spark, args.table, ids)
+    except _LANE_ERRORS as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    for k in ("requested", "deleted", "already_deleted", "not_indexed"):
+        print(f"{k}\t{counts[k]}")
     return 0
 
 
@@ -405,6 +442,28 @@ def main(argv: list[str] | None = None) -> int:
     pse.add_argument("out", help="output parquet path for the decisions")
     pse.add_argument("--table", default="cli_ededup")
     pse.add_argument("--theta", type=float, default=None)
+
+    def _delete_parser(name: str, noun: str, default_table: str):
+        p = sub.add_parser(
+            name,
+            help=f"tombstone {noun} in a persisted store (takedown / "
+            "contamination removal without a rebuild): serve lanes "
+            "exclude them immediately, appends of a deleted id refuse, "
+            "and the next compaction removes the rows physically",
+        )
+        p.add_argument("path")
+        p.add_argument(
+            "ids", nargs="?", default=None,
+            help="comma-separated integer ids (or use --ids-path)",
+        )
+        p.add_argument("--ids-path", default=None,
+                       help="parquet path holding the id column")
+        p.add_argument("--table", default=default_table)
+        return p
+
+    _delete_parser("delete-from-dedup-index", "documents", "cli_dedup")
+    _delete_parser("delete-from-embedding-index", "vectors", "cli_ededup")
+    _delete_parser("delete-from-tf-index", "documents", "cli_tfindex")
 
     vs = sub.add_parser(
         "vacuum-store",
@@ -700,6 +759,27 @@ def main(argv: list[str] | None = None) -> int:
         return _cli_probe_shard(
             spark, args, shard_embedding_decisions, "_vecs",
             ("vec_id", "embedding"), "vec_id",
+        )
+
+    if args.cmd == "delete-from-dedup-index":
+        from .functions.dedup_store import delete_from_dedup_index
+
+        return _cli_delete(
+            spark, args, delete_from_dedup_index, "_sets", "doc_id"
+        )
+
+    if args.cmd == "delete-from-embedding-index":
+        from .functions.embedding_store import delete_from_embedding_index
+
+        return _cli_delete(
+            spark, args, delete_from_embedding_index, "_vecs", "vec_id"
+        )
+
+    if args.cmd == "delete-from-tf-index":
+        from .functions.index_store import delete_from_tf_index
+
+        return _cli_delete(
+            spark, args, delete_from_tf_index, "_docs", "doc_id"
         )
 
     if args.cmd == "vacuum-store":

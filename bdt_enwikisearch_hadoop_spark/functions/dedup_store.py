@@ -33,15 +33,20 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..sources import rebalance
 from .index_store import (
+    apply_tombstones_in_compaction,
+    assert_batch_not_tombstoned,
     assert_manifest_consistent,
     assert_no_live_lease,
     assert_sidecar_populated,
+    clear_tombstones,
     compact_store,
+    record_tombstones,
     refresh_store,
     reset_manifest,
     stamp_manifest,
     store_write_lease,
     table_buckets as _table_buckets,
+    tombstones_df,
     write_store_meta,
 )
 from .llm_pipeline import shingle_sets
@@ -99,6 +104,7 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
         .saveAsTable(f"{table}_sets")
     )
     write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
+    clear_tombstones(spark, table, path)
     reset_manifest(spark, table, spark.table(f"{table}_sets").count())
 
 
@@ -115,8 +121,22 @@ def compact_dedup_index(spark, table: str, new_path: str) -> None:
                                  "compact_dedup_index", use_memo=False)
         assert_manifest_consistent(spark, table, "_sets",
                                    "compact_dedup_index", use_memo=False)
+        # a deleting compaction: every part anti-joins the tombstoned
+        # doc_ids during its rewrite, then the tombstone table retires
+        # and the manifest records the negative delta
+        tombs = tombstones_df(spark, table)
+        transforms = None
+        if tombs is not None:
+            minus = lambda df: df.join(  # noqa: E731
+                tombs.select("doc_id"), "doc_id", "left_anti"
+            )
+            transforms = {"": minus, "_sets": minus}
         compact_store(spark, table, new_path,
-                      [("", "bk"), ("_sets", "doc_id")])
+                      [("", "bk"), ("_sets", "doc_id")],
+                      transforms=transforms)
+        if tombs is not None:
+            apply_tombstones_in_compaction(spark, table, "_sets",
+                                           new_path)
 
 
 def append_dedup_index(spark, table: str, docs: DataFrame,
@@ -162,9 +182,13 @@ def append_dedup_index(spark, table: str, docs: DataFrame,
         assert_manifest_consistent(spark, table, "_sets",
                                    "append_dedup_index", use_memo=False)
         existing = spark.table(f"{table}_sets").select("doc_id")
-        docs = docs.dropDuplicates(["doc_id"]).join(
-            existing, "doc_id", "left_anti"
-        )
+        docs = docs.dropDuplicates(["doc_id"])
+        # BEFORE the idempotence anti-join: a tombstoned id is still
+        # physically in the sidecar, so the anti-join would silently
+        # swallow it instead of surfacing the refusal
+        assert_batch_not_tombstoned(spark, table, "doc_id", docs,
+                                    "append_dedup_index")
+        docs = docs.join(existing, "doc_id", "left_anti")
         sets = shingle_sets(rebalance(docs))
         band = _text_band_table(sets)
         band.write.mode("append").bucketBy(nb, "bk").sortBy(
@@ -179,6 +203,32 @@ def append_dedup_index(spark, table: str, docs: DataFrame,
         stamp_manifest(
             spark, table, spark.table(f"{table}_sets").count(), shard_id
         )
+
+
+def delete_from_dedup_index(spark, table: str, ids,
+                            lease_stale_sec: float = 3600.0) -> dict:
+    """Tombstone documents in a persisted dedup store (takedown /
+    contamination removal without a rebuild — index_store.py's
+    tombstone section): from the next call on, ``probe_dedup`` and
+    ``shard_dedup_decisions`` never return a deleted doc_id (their
+    candidate sets anti-join the tombstones), appends of a tombstoned
+    id REFUSE (compaction frees it), and the next
+    ``compact_dedup_index`` removes the rows physically and retires
+    the tombstones.  ``ids`` is an iterable of doc_ids or a DataFrame
+    with a ``doc_id`` column; returns the reconciliation counts
+    (requested / deleted / already_deleted / not_indexed).  Runs under
+    the single-writer lease with the store guards — a deleter is a
+    writer."""
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_sets"))
+        assert_sidecar_populated(spark, table, "_sets",
+                                 "delete_from_dedup_index",
+                                 use_memo=False)
+        assert_manifest_consistent(spark, table, "_sets",
+                                   "delete_from_dedup_index",
+                                   use_memo=False)
+        return record_tombstones(spark, table, "_sets", "doc_id", ids,
+                                 "delete_from_dedup_index")
 
 
 def shard_dedup_decisions(spark, table: str, docs: DataFrame,
@@ -224,6 +274,12 @@ def shard_dedup_decisions(spark, table: str, docs: DataFrame,
         .select("d", "p")
         .distinct()
     )
+    tombs = tombstones_df(spark, table)
+    if tombs is not None:
+        # a tombstoned corpus document must not anchor a drop decision
+        cand = cand.join(
+            tombs.select(F.col("doc_id").alias("p")), "p", "left_anti"
+        )
     dsets = sets.select(F.col("doc_id").alias("d"), F.col("s").alias("ds"))
     psets = spark.table(f"{table}_sets").select(
         F.col("doc_id").alias("p"), F.col("s").alias("ps")
@@ -356,6 +412,11 @@ def probe_dedup(spark, table: str, text: str,
         hit = c if hit is None else (hit | c)
     prune = F.col("bk").isin(*[bk for _, bk in bands])
     cand = idx.filter(prune & hit).select("doc_id").distinct()
+    tombs = tombstones_df(spark, table)
+    if tombs is not None:
+        # deleted documents never surface as near-dups (the candidate
+        # set is probe-small, so the anti-join is serve-cheap)
+        cand = cand.join(tombs.select("doc_id"), "doc_id", "left_anti")
     sets = spark.table(f"{table}_sets").join(cand, "doc_id")
     probe_arr = F.array(*[F.lit(s) for s in sh])
     inter = F.size(F.array_intersect(F.col("s"), probe_arr))

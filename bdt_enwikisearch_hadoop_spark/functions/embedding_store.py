@@ -52,15 +52,20 @@ from .ann import (
     embedding_bucket_table,
 )
 from .index_store import (
+    apply_tombstones_in_compaction,
+    assert_batch_not_tombstoned,
     assert_manifest_consistent,
     assert_no_live_lease,
     assert_sidecar_populated,
+    clear_tombstones,
     compact_store,
+    record_tombstones,
     refresh_store,
     reset_manifest,
     stamp_manifest,
     store_write_lease,
     table_buckets as _table_buckets,
+    tombstones_df,
     write_store_meta,
 )
 from .llm_pipeline import dot, vec_double
@@ -174,6 +179,7 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
         .saveAsTable(f"{table}_vecs")
     )
     write_store_meta(vecs, f"{path.rstrip('/')}_vecs", buckets, "vec_id")
+    clear_tombstones(spark, table, path)
     reset_manifest(spark, table, spark.table(f"{table}_vecs").count())
 
 
@@ -213,9 +219,13 @@ def append_embedding_index(spark, table: str, emb: DataFrame,
                                    use_memo=False)
         _assert_ingestable(emb, "append_embedding_index")
         existing = spark.table(f"{table}_vecs").select("vec_id")
-        emb = emb.dropDuplicates(["vec_id"]).join(
-            existing, "vec_id", "left_anti"
-        )
+        emb = emb.dropDuplicates(["vec_id"])
+        # BEFORE the idempotence anti-join: a tombstoned id is still
+        # physically in the sidecar, so the anti-join would silently
+        # swallow it instead of surfacing the refusal
+        assert_batch_not_tombstoned(spark, table, "vec_id", emb,
+                                    "append_embedding_index")
+        emb = emb.join(existing, "vec_id", "left_anti")
         band = embedding_band_buckets(emb)
         band.write.mode("append").bucketBy(nb, "bucket").sortBy(
             "bucket"
@@ -248,9 +258,49 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
             spark, table, "_vecs", "compact_embedding_index",
             use_memo=False
         )
+        # a deleting compaction: every part anti-joins the tombstoned
+        # vec_ids during its rewrite, then the tombstone table retires
+        # and the manifest records the negative delta
+        tombs = tombstones_df(spark, table)
+        transforms = None
+        if tombs is not None:
+            minus = lambda df: df.join(  # noqa: E731
+                tombs.select("vec_id"), "vec_id", "left_anti"
+            )
+            transforms = {"": minus, "_vecs": minus}
         compact_store(
-            spark, table, new_path, [("", "bucket"), ("_vecs", "vec_id")]
+            spark, table, new_path,
+            [("", "bucket"), ("_vecs", "vec_id")],
+            transforms=transforms,
         )
+        if tombs is not None:
+            apply_tombstones_in_compaction(spark, table, "_vecs",
+                                           new_path)
+
+
+def delete_from_embedding_index(spark, table: str, ids,
+                                lease_stale_sec: float = 3600.0) -> dict:
+    """Tombstone vectors in a persisted embedding store (takedown /
+    contamination removal without a rebuild — index_store.py's
+    tombstone section): ``probe_embedding_dedup`` and
+    ``shard_embedding_decisions`` never return a deleted vec_id from
+    the next call on, appends of a tombstoned id REFUSE (compaction
+    frees it), and the next ``compact_embedding_index`` removes the
+    rows physically and retires the tombstones.  ``ids`` is an
+    iterable of vec_ids or a DataFrame with a ``vec_id`` column;
+    returns the reconciliation counts (requested / deleted /
+    already_deleted / not_indexed).  Runs under the single-writer
+    lease with the store guards — a deleter is a writer."""
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_vecs"))
+        assert_sidecar_populated(spark, table, "_vecs",
+                                 "delete_from_embedding_index",
+                                 use_memo=False)
+        assert_manifest_consistent(spark, table, "_vecs",
+                                   "delete_from_embedding_index",
+                                   use_memo=False)
+        return record_tombstones(spark, table, "_vecs", "vec_id", ids,
+                                 "delete_from_embedding_index")
 
 
 def shard_embedding_decisions(spark, table: str, emb: DataFrame,
@@ -291,6 +341,12 @@ def shard_embedding_decisions(spark, table: str, emb: DataFrame,
         .select("d", "p")
         .distinct()
     )
+    tombs = tombstones_df(spark, table)
+    if tombs is not None:
+        # a tombstoned corpus vector must not anchor a drop decision
+        cand = cand.join(
+            tombs.select(F.col("vec_id").alias("p")), "p", "left_anti"
+        )
     dv = vecs.select(
         F.col("vec_id").alias("d"),
         F.col("v").alias("dvec"),
@@ -437,6 +493,11 @@ def probe_embedding_dedup(spark, table: str, vec: list[float],
         hit = c if hit is None else (hit | c)
     prune = F.col("bucket").isin(*[b for _, b in bands])
     cand = idx.filter(prune & hit).select("vec_id").distinct()
+    tombs = tombstones_df(spark, table)
+    if tombs is not None:
+        # deleted vectors never surface as near-dups (the candidate
+        # set is probe-small, so the anti-join is serve-cheap)
+        cand = cand.join(tombs.select("vec_id"), "vec_id", "left_anti")
     vecs = spark.table(f"{table}_vecs").join(cand, "vec_id")
     plit = F.array(*[F.lit(float(x)) for x in vec])
     cos = dot(F.col("v"), plit) / (F.col("nrm") * F.sqrt(dot(plit, plit)))

@@ -140,6 +140,10 @@ def register_external_store(spark, table: str, path: str) -> None:
     for suf in ("_sets", "_vecs", "_norms"):
         if table.endswith(suf):
             _MANIFEST_OK_MEMO.discard((app, table[: -len(suf)]))
+    if table.endswith(_TOMBS_SUFFIX):
+        base = table[: -len(_TOMBS_SUFFIX)]
+        _TOMBS_PRESENT_MEMO.pop((app, base), None)
+        _N_TOMBS_MEMO.pop((app, base), None)
     _SIDECAR_OK_MEMO.difference_update(
         {
             k for k in _SIDECAR_OK_MEMO
@@ -534,6 +538,270 @@ def repair_manifest(spark, table: str, id_suffix: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# tombstones — delete without rebuild
+# ---------------------------------------------------------------------------
+#
+# The operation a 100 TB serving store cannot live without: takedown
+# requests, discovered benchmark contamination, and license revocations
+# all require REMOVING documents, and a full rebuild per takedown is a
+# corpus-sized job for a request-sized change.  The stores' files are
+# immutable (bucketed parquet, append-only segments), so deletion is
+# LOGICAL first, PHYSICAL later — the LSM discipline the append lanes
+# already follow, pointed the other way:
+#
+# * ``delete_from_*`` records the ids in a small ``{table}_tombs``
+#   parquet table next to the store (request-sized write, under the
+#   single-writer lease);
+# * every serve path anti-joins its CANDIDATES against the tombstone
+#   set — probe/shard results never contain a deleted id, and the
+#   segmented raw-TF search stays EXACT (df is already derived from
+#   the looked-up postings at query time, so the anti-join corrects it
+#   per term for free, and N is the physical count minus the tombstone
+#   count) — rebuild parity without touching the other 100 TB;
+# * appends REFUSE a batch carrying a tombstoned id (re-ingesting it
+#   would resurrect the old rows' visibility the moment the tombstone
+#   clears) — compaction frees the id;
+# * compaction applies the tombstones PHYSICALLY (each part anti-joins
+#   the ids during its rewrite), stamps the resulting NEGATIVE delta
+#   into the ingest manifest, and retires the tombstone table into the
+#   superseded ledger for :func:`vacuum_store`.
+#
+# The WEIGHTED stores (build_index's tfidf postings + norms) are
+# deliberately excluded: their weights bake the build-time N and df
+# into every row, so a post-delete serve would score the survivors
+# with stale globals — the exact staleness the segmented raw-TF store
+# exists to avoid.  Deleting from a weighted store = rebuild it; no
+# delete lane is offered there.
+
+_TOMBS_SUFFIX = "_tombs"
+
+#: (applicationId, table) -> bool: does the store have a tombstone
+#: table?  Skips a DESCRIBE per serve call on the (overwhelmingly
+#: common) store that never saw a delete.  Same staleness contract as
+#: the file-listing cache: another session's NEW deletions become
+#: visible at refresh_store (the reader-reopen step).
+_TOMBS_PRESENT_MEMO: dict = {}
+
+#: (applicationId, table) -> tombstone count, for search_tf_index's
+#: N adjustment; invalidated with _TOMBS_PRESENT_MEMO.
+_N_TOMBS_MEMO: dict = {}
+
+
+def tombstones_df(spark, table: str) -> DataFrame | None:
+    """The store's tombstone set as a one-id-column DataFrame, or None
+    when no deletion was ever recorded.  A fresh process serving a
+    store another session deleted from picks the table up from the
+    ``{base}_tombs`` directory automatically (registered via
+    :func:`register_external_store` — tombstone tables are small and
+    unbucketed, so the no-sidecar plain registration is the intended
+    path)."""
+    app = spark.sparkContext.applicationId
+    key = (app, table)
+    if _TOMBS_PRESENT_MEMO.get(key) is False:
+        return None
+    t = f"{table}{_TOMBS_SUFFIX}"
+    if spark.catalog.tableExists(t):
+        _TOMBS_PRESENT_MEMO[key] = True
+        return spark.table(t)
+    d = f"{table_location(spark, table).rstrip('/')}{_TOMBS_SUFFIX}"
+    if os.path.isdir(d):
+        register_external_store(spark, t, d)
+        _TOMBS_PRESENT_MEMO[key] = True
+        return spark.table(t)
+    _TOMBS_PRESENT_MEMO[key] = False
+    return None
+
+
+def n_tombstones(spark, table: str) -> int:
+    """Tombstone count, memoized per (session, table) — serving pays
+    it once per reader-open, not per query."""
+    key = (spark.sparkContext.applicationId, table)
+    if key not in _N_TOMBS_MEMO:
+        t = tombstones_df(spark, table)
+        _N_TOMBS_MEMO[key] = 0 if t is None else t.count()
+    return _N_TOMBS_MEMO[key]
+
+
+def _invalidate_tombs_memo(spark, table: str) -> None:
+    app = spark.sparkContext.applicationId
+    _TOMBS_PRESENT_MEMO.pop((app, table), None)
+    _N_TOMBS_MEMO.pop((app, table), None)
+
+
+def clear_tombstones(spark, table: str, path: str) -> None:
+    """Drop any tombstone state a PREVIOUS store at the same name/path
+    left behind — every full build calls this: a rebuild re-derives
+    the store from its corpus, so inherited tombstones would silently
+    delete documents the new corpus legitimately contains (the
+    phantom-deletion twin of the stale-manifest hole reset_manifest
+    closes)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}{_TOMBS_SUFFIX}")
+    shutil.rmtree(f"{path.rstrip('/')}{_TOMBS_SUFFIX}",
+                  ignore_errors=True)
+    _invalidate_tombs_memo(spark, table)
+
+
+def record_tombstones(spark, table: str, id_suffix: str, id_col: str,
+                      ids, what: str) -> dict:
+    """The shared body of every ``delete_from_*`` lane: normalize the
+    requested ids, intersect with the store's ingested ids (deleting a
+    never-ingested id is a no-op, reported), drop ids already
+    tombstoned (idempotent replay of a takedown list), append the rest
+    to the ``{table}_tombs`` table.  Returns the reconciliation the
+    operator needs: ``{"requested", "deleted", "already_deleted",
+    "not_indexed"}``.
+
+    Caller contract: runs INSIDE the store's write lease with the
+    sidecar/manifest guards already passed (a deleter is a writer —
+    and tombstoning ids against a store that already lost data would
+    mask the loss).  ``ids`` is a Python iterable of ids or a
+    DataFrame with ``id_col``; the ids are cast to long (every store's
+    id column).  The new tombstones are STAGED to a scratch parquet
+    before the append — the newly-deleted frame anti-joins the
+    tombstone table itself, and appending a table into a plan that
+    reads it is exactly the self-overwrite hazard the compaction lane
+    refuses."""
+    import shutil
+    import tempfile
+
+    if isinstance(ids, DataFrame):
+        req = ids.select(F.col(id_col).cast("long").alias(id_col))
+    else:
+        req = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    req = req.filter(F.col(id_col).isNotNull()).dropDuplicates([id_col])
+    n_req = req.count()
+    indexed = req.join(
+        spark.table(f"{table}{id_suffix}").select(id_col),
+        id_col, "semi",
+    )
+    tombs = tombstones_df(spark, table)
+    newly = indexed if tombs is None else indexed.join(
+        tombs.select(id_col), id_col, "left_anti"
+    )
+    n_indexed = indexed.count()
+    t = f"{table}{_TOMBS_SUFFIX}"
+    d = f"{table_location(spark, table).rstrip('/')}{_TOMBS_SUFFIX}"
+    if tombs is None:
+        newly.write.mode("overwrite").option("path", d).saveAsTable(t)
+        spark.sql(f"REFRESH TABLE {t}")
+        n_new = spark.table(t).count()
+    else:
+        staging = tempfile.mkdtemp(prefix="tombs_staging_")
+        try:
+            newly.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            n_new = staged.count()
+            if n_new:
+                staged.write.mode("append").saveAsTable(t)
+                spark.sql(f"REFRESH TABLE {t}")
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    _invalidate_tombs_memo(spark, table)
+    return {
+        "requested": n_req,
+        "deleted": n_new,
+        "already_deleted": n_indexed - n_new,
+        "not_indexed": n_req - n_indexed,
+    }
+
+
+def assert_batch_not_tombstoned(spark, table: str, id_col: str,
+                                batch: DataFrame, what: str) -> None:
+    """Refuse an append whose batch carries a TOMBSTONED id: the old
+    physical rows are still in the store, so re-ingesting the id would
+    double-index it the moment compaction clears the tombstone — and
+    silently resurrect content someone ordered removed.  Compaction
+    (which applies the tombstones physically) frees the id for
+    re-ingest; the refusal names that path."""
+    tombs = tombstones_df(spark, table)
+    if tombs is None:
+        return
+    hit = (
+        batch.select(id_col)
+        .join(tombs.select(id_col), id_col, "semi")
+        .limit(3).collect()
+    )
+    if hit:
+        ids = [r[id_col] for r in hit]
+        raise ValueError(
+            f"{what}: batch carries tombstoned id(s) {ids}… — re-"
+            "ingesting a deleted id would resurrect its old rows when "
+            "the tombstone clears; compact the store (which applies "
+            "deletions physically and frees the ids), then re-append"
+        )
+
+
+def append_superseded(new_path: str, dirs: list[str]) -> None:
+    """Add directories to the ``{new_path}_superseded.json`` vacuum
+    ledger — how a retired tombstone table's directory joins the same
+    GC path as compaction-superseded store directories."""
+    import time
+
+    lp = f"{new_path.rstrip('/')}_superseded.json"
+    ledger = []
+    if os.path.exists(lp):
+        with open(lp) as fh:
+            ledger = json.load(fh)
+    ledger += [
+        {"path": os.path.realpath(p), "ts": time.time()} for p in dirs
+    ]
+    with open(lp, "w") as fh:
+        json.dump(ledger, fh)
+
+
+def apply_tombstones_in_compaction(spark, table: str, id_suffix: str,
+                                   new_path: str) -> None:
+    """The post-swap half of a deleting compaction, shared by the
+    three store wrappers: retire the tombstone table (drop the catalog
+    entry, ledger its directory for :func:`vacuum_store` — other
+    sessions' registrations keep reading it, where the anti-join of
+    already-physically-removed ids is a no-op: snapshot isolation),
+    and stamp the ingest manifest with the NEGATIVE delta the physical
+    delete produced, so the manifest's running total keeps equalling
+    the id sidecar and every serve-lane cross-check stays green.
+    Caller contract: runs inside the compaction's write lease, after
+    ``compact_store`` returned (the rewrite transforms READ the
+    tombstone table — it must outlive them)."""
+    t = f"{table}{_TOMBS_SUFFIX}"
+    tomb_dir = table_location(spark, t)
+    spark.sql(f"DROP TABLE {t}")
+    append_superseded(new_path, [tomb_dir])
+    _invalidate_tombs_memo(spark, table)
+    spark.sql(f"REFRESH TABLE {table}{id_suffix}")
+    stamp_manifest(
+        spark, table, spark.table(f"{table}{id_suffix}").count(),
+        shard_id="deletes-applied",
+    )
+
+
+def delete_from_tf_index(spark, table: str, ids,
+                         lease_stale_sec: float = 3600.0) -> dict:
+    """Tombstone documents in a segmented raw-TF index — serving is
+    EXACT from the next query on (no compaction needed for
+    correctness): :func:`search_tf_index` anti-joins the looked-up
+    postings against the tombstones (which corrects each queried
+    term's df for free, since df is derived from those very rows) and
+    weights with N = ingested − tombstoned, so results equal a fresh
+    rebuild over the surviving corpus — pinned by
+    test_tf_delete_serves_exact_rebuild_parity.  Physical reclamation
+    and freeing the ids for re-ingest happen at the next
+    :func:`compact_tf_index`.  Runs under the single-writer lease with
+    the store guards (a deleter is a writer)."""
+    with store_write_lease(spark, table, stale_sec=lease_stale_sec):
+        refresh_store(spark, table, ("", "_docs"))
+        assert_sidecar_populated(spark, table, "_docs",
+                                 "delete_from_tf_index", use_memo=False)
+        assert_manifest_consistent(spark, table, "_docs",
+                                   "delete_from_tf_index", use_memo=False)
+        return record_tombstones(spark, table, "_docs", "doc_id", ids,
+                                 "delete_from_tf_index")
+
+
+# ---------------------------------------------------------------------------
 # single-writer append lease
 # ---------------------------------------------------------------------------
 
@@ -762,6 +1030,10 @@ def refresh_store(spark, table: str,
     for s in suffixes:
         spark.sql(f"REFRESH TABLE {table}{s}")
     app = spark.sparkContext.applicationId
+    if spark.catalog.tableExists(f"{table}{_TOMBS_SUFFIX}"):
+        spark.sql(f"REFRESH TABLE {table}{_TOMBS_SUFFIX}")
+    _TOMBS_PRESENT_MEMO.pop((app, table), None)
+    _N_TOMBS_MEMO.pop((app, table), None)
     _N_DOCS_MEMO.pop((app, table), None)
     _MANIFEST_OK_MEMO.discard((app, table))
     _SIDECAR_OK_MEMO.difference_update(
@@ -923,6 +1195,16 @@ def check_store(spark, table: str, id_suffix: str) -> dict:
         }
     else:
         out["superseded"] = {"ok": True, "detail": "none"}
+    # tombstones awaiting physical reclamation
+    tombs = tombstones_df(spark, table)
+    if tombs is None:
+        out["tombstones"] = {"ok": True, "detail": "none"}
+    else:
+        n = tombs.count()
+        out["tombstones"] = {
+            "ok": True,
+            "detail": f"{n} deleted id(s) awaiting compaction",
+        }
     return out
 
 
@@ -1100,6 +1382,7 @@ def build_tf_index(
         .saveAsTable(f"{table}_docs")
     )
     write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
+    clear_tombstones(spark, table, path)
     reset_manifest(spark, table, spark.table(f"{table}_docs").count())
     _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
@@ -1180,9 +1463,13 @@ def append_tf_index(spark, table: str, docs: DataFrame,
         assert_manifest_consistent(spark, table, "_docs",
                                    "append_tf_index", use_memo=False)
         existing = spark.table(f"{table}_docs").select("doc_id")
-        docs = docs.dropDuplicates(["doc_id"]).join(
-            existing, "doc_id", "left_anti"
-        )
+        docs = docs.dropDuplicates(["doc_id"])
+        # BEFORE the idempotence anti-join: a tombstoned id is still
+        # physically in _docs, so the anti-join would silently swallow
+        # it instead of surfacing the refusal
+        assert_batch_not_tombstoned(spark, table, "doc_id", docs,
+                                    "append_tf_index")
+        docs = docs.join(existing, "doc_id", "left_anti")
         (
             _tf_segment(docs).write.mode("append")
             .bucketBy(nb, "term").sortBy("term").saveAsTable(table)
@@ -1235,6 +1522,16 @@ def search_tf_index(
     is the same op chain as ``_tfidf_from`` (cast-to-double division,
     log, multiply), so scores match the weighted store bit-for-bit.
 
+    DELETIONS are exact here without compaction: tombstoned doc_ids
+    (:func:`delete_from_tf_index`) are anti-joined out of the
+    looked-up postings — which corrects each queried term's df for
+    free, since df is derived from those very rows — and N is the
+    ingested count minus the tombstone count, so results equal a
+    fresh rebuild over the surviving corpus (pinned by
+    test_tf_delete_serves_exact_rebuild_parity).  This is why the
+    segmented store is the one to use when takedowns are in scope:
+    the weighted store's baked-in N/df can only be rebuilt.
+
     Serve-side wipe guard: the memoized bidirectional
     assert_sidecar_populated refuses a store whose POSTINGS table is
     empty while ``_docs`` has ids (wiped or mis-registered postings
@@ -1271,6 +1568,10 @@ def search_tf_index(
         .groupBy("term", "doc_id")
         .agg(F.max("tf").alias("tf"))
     )
+    tombs = tombstones_df(spark, table)
+    if tombs is not None:
+        posts = posts.join(tombs.select("doc_id"), "doc_id", "left_anti")
+        n_docs -= n_tombstones(spark, table)
     dfc = posts.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     scored = (
         posts.join(F.broadcast(dfc), "term")
@@ -1331,11 +1632,58 @@ def _compact_tf_locked(spark, table: str, new_path: str) -> None:
             )
         )
 
+    tombs = tombstones_df(spark, table)
+
+    def _merge_terms_minus(df: DataFrame) -> DataFrame:
+        # the deleting variant folds via explode → anti-join →
+        # re-collect (an array lambda cannot express "not in that
+        # table"); per-(term, doc_id) max(tf) is the serve path's own
+        # replay-duplicate collapse, and a term whose postings all
+        # died disappears with its group
+        posts = (
+            df.select("term", F.explode("postings").alias("p"))
+            .select(
+                "term",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").alias("tf"),
+            )
+            .join(tombs.select("doc_id"), "doc_id", "left_anti")
+            .groupBy("term", "doc_id")
+            .agg(F.max("tf").alias("tf"))
+        )
+        return (
+            posts.groupBy("term")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "tf"))
+                ).alias("postings")
+            )
+            .select(
+                "term",
+                F.size("postings").cast("bigint").alias("df_count"),
+                "postings",
+            )
+        )
+
+    if tombs is None:
+        transforms = {
+            "": _merge_terms,
+            "_docs": lambda df: df.distinct(),
+        }
+    else:
+        transforms = {
+            "": _merge_terms_minus,
+            "_docs": lambda df: df.distinct().join(
+                tombs.select("doc_id"), "doc_id", "left_anti"
+            ),
+        }
     compact_store(
         spark, table, new_path,
         [("", "term"), ("_docs", "doc_id")],
-        transforms={"": _merge_terms, "_docs": lambda df: df.distinct()},
+        transforms=transforms,
     )
+    if tombs is not None:
+        apply_tombstones_in_compaction(spark, table, "_docs", new_path)
 
 
 def _merged_index_df(spark, sf_dir: str) -> DataFrame:

@@ -1199,6 +1199,79 @@ def run_streaming_tf_append_smoke(spark, sf_dir: str) -> tuple[list, list]:
     return streamed, batch
 
 
+def run_streaming_takedown_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """The DELETE lane of index maintenance driven from a stream — the
+    takedown-service twin of ``run_streaming_tf_append_smoke``:
+    takedown requests (id lists) arrive as a file-source stream (one
+    shard per micro-batch) and foreachBatch tombstones each against
+    the persisted raw-TF store (``delete_from_tf_index`` — request-
+    sized writes under the single-writer lease; the corpus is never
+    rescanned), after which ``search_tf_index``'s ranking must equal
+    the same search over a one-shot batch build of the SURVIVING
+    corpus — exact scores, because the segmented store derives df from
+    the looked-up postings and N from ingested − tombstoned at query
+    time (index_store.py's tombstone section).  Returns (streamed,
+    batch) ranking row lists, which must be equal."""
+    import tempfile
+
+    from ..functions.index_store import (
+        build_tf_index,
+        delete_from_tf_index,
+        refresh_store,
+        search_tf_index,
+    )
+    from ..functions.text_search import QUERY_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 7 != 0)
+
+    def rows(table):
+        return [
+            (r["doc_id"], r["score"])
+            for r in search_tf_index(spark, table, QUERY_TERMS).collect()
+        ]
+
+    with tempfile.TemporaryDirectory() as workdir:
+        try:
+            build_tf_index(
+                spark, docs, "t_take_idx", f"{workdir}/base", buckets=8
+            )
+            src = f"{workdir}/takedowns"
+            doomed.repartition(3).write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(doomed.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+            def delete_batch(batch_df, batch_id):
+                delete_from_tf_index(spark, "t_take_idx", batch_df)
+
+            q = (
+                stream.writeStream.foreachBatch(delete_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+            # the tombstone writes ran via foreachBatch's cloned
+            # sessions — the serving session reopens the reader before
+            # querying (refresh_store's cross-session contract)
+            refresh_store(spark, "t_take_idx", ("", "_docs"))
+            streamed = rows("t_take_idx")
+            build_tf_index(
+                spark, survivors, "t_take_idx_full", f"{workdir}/full",
+                buckets=8,
+            )
+            batch = rows("t_take_idx_full")
+        finally:
+            for t in ("t_take_idx", "t_take_idx_docs", "t_take_idx_tombs",
+                      "t_take_idx_full", "t_take_idx_full_docs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return streamed, batch
+
+
 def run_streaming_delta_dedup_smoke(spark, sf_dir: str) -> tuple[list, list]:
     """j84's delta-dedup decision fold run AS A STREAM — the docstring
     claim 'embarrassingly parallel and streamable' executed rather than

@@ -7171,3 +7171,297 @@ def test_build_refuses_live_lease_and_bad_table_names(spark, tmp_path):
         register_external_store(
             spark, "x; DROP TABLE y", str(tmp_path / "nope")
         )
+
+
+def test_delete_tombstones_dedup_store(spark, tmp_path, capsys):
+    """The tombstone-delete lane on the dedup store — takedown without
+    rebuild (index_store.py's tombstone section):
+
+    (a) after delete_from_dedup_index, probe_dedup never returns the
+        deleted doc and shard_dedup_decisions no longer anchors a drop
+        on it, while other documents' results are untouched;
+    (b) the reconciliation counts are exact and a replayed takedown
+        list is idempotent (already_deleted, never a second tombstone);
+    (c) appending a batch that carries a tombstoned id REFUSES by name
+        (the anti-join must not silently swallow it);
+    (d) compaction applies the tombstones PHYSICALLY: sidecar/band rows
+        gone, tombstone table retired into the vacuum ledger, manifest
+        stamped with the negative delta so every serve guard stays
+        green, and the id is FREED for re-ingest;
+    (e) the CLI lane prints the counts and a fresh registration path
+        serves the exclusion.
+    """
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        probe_dedup,
+        shard_dedup_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        check_store,
+        tombstones_df,
+        vacuum_store,
+    )
+
+    doc, probe = _boundary_pair(3)
+    filler = "completely unrelated filler words " * 8
+    docs = spark.createDataFrame(
+        [(1, doc), (2, filler)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "tdel")
+    try:
+        build_dedup_index(spark, "unused", "t_del_d", path, docs=docs)
+        assert [
+            r.doc_id for r in probe_dedup(spark, "t_del_d", probe).collect()
+        ] == [1]
+        # (a)+(b) delete, with one never-ingested id in the list
+        counts = delete_from_dedup_index(spark, "t_del_d", [1, 99])
+        assert counts == {"requested": 2, "deleted": 1,
+                          "already_deleted": 0, "not_indexed": 1}, counts
+        assert probe_dedup(spark, "t_del_d", probe).collect() == []
+        # the untouched document still serves
+        assert [
+            r.doc_id
+            for r in probe_dedup(spark, "t_del_d", filler).collect()
+        ] == [2]
+        # replayed takedown list: idempotent
+        again = delete_from_dedup_index(spark, "t_del_d", [1])
+        assert again["deleted"] == 0 and again["already_deleted"] == 1
+        # shard decisions: the deleted corpus doc no longer anchors
+        shard = spark.createDataFrame(
+            [(7, probe)], "doc_id long, text string"
+        )
+        dec = {
+            r.doc_id: r.decision
+            for r in shard_dedup_decisions(spark, "t_del_d", shard).collect()
+        }
+        assert dec == {7: "keep"}, dec
+        # (c) appending the tombstoned id refuses by name
+        with _pytest.raises(ValueError, match="tombstoned id"):
+            append_dedup_index(
+                spark, "t_del_d",
+                spark.createDataFrame(
+                    [(1, doc)], "doc_id long, text string"
+                ),
+            )
+        # (e) CLI: counts printed, fresh-registration exclusion served
+        rc = cli.main(
+            ["delete-from-dedup-index", path, "1,99",
+             "--table", "cli_t_del_d"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "already_deleted\t1" in out and "not_indexed\t1" in out, out
+        # the CLI leg registered the same files under its own name;
+        # drop those registrations so the post-compaction vacuum's
+        # live-reader refusal doesn't (correctly) fire on them
+        for t in ("cli_t_del_d", "cli_t_del_d_sets", "cli_t_del_d_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # (d) compaction applies + frees
+        p2 = str(tmp_path / "tdel2")
+        compact_dedup_index(spark, "t_del_d", p2)
+        assert tombstones_df(spark, "t_del_d") is None
+        assert spark.table("t_del_d_sets").count() == 1
+        assert [
+            r.doc_id
+            for r in spark.table("t_del_d_sets").select("doc_id").collect()
+        ] == [2]
+        ck = check_store(spark, "t_del_d", "_sets")
+        assert all(v["ok"] for v in ck.values()), ck
+        # freed: the id re-ingests and serves again
+        append_dedup_index(
+            spark, "t_del_d",
+            spark.createDataFrame([(1, doc)], "doc_id long, text string"),
+        )
+        assert [
+            r.doc_id for r in probe_dedup(spark, "t_del_d", probe).collect()
+        ] == [1]
+        # the retired tombstone dir is in the vacuum ledger and GC'd
+        res = vacuum_store(spark, "t_del_d", min_age_sec=0.0)
+        assert any(p.endswith("_tombs") for p in res["removed"]), res
+    finally:
+        for t in ("t_del_d", "t_del_d_sets", "t_del_d_tombs",
+                  "cli_t_del_d", "cli_t_del_d_sets", "cli_t_del_d_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_delete_tombstones_embedding_store(spark, tmp_path):
+    """The tombstone-delete lane on the VECTOR store: probe exclusion,
+    shard-decision neutralization, append refusal, deleting compaction
+    that frees the id — dedup_store's contract, vec_id side."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.embedding_store import (
+        append_embedding_index,
+        build_embedding_index,
+        compact_embedding_index,
+        delete_from_embedding_index,
+        probe_embedding_dedup,
+        shard_embedding_decisions,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        tombstones_df,
+    )
+
+    dim = 64
+    v1 = [1.0] + [0.0] * (dim - 1)
+    v2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "edel")
+    try:
+        build_embedding_index(spark, "unused", "t_del_e", path, emb=emb)
+        assert [
+            r.vec_id
+            for r in probe_embedding_dedup(spark, "t_del_e", v1).collect()
+        ] == [1]
+        counts = delete_from_embedding_index(spark, "t_del_e", [1])
+        assert counts["deleted"] == 1, counts
+        assert probe_embedding_dedup(spark, "t_del_e", v1).collect() == []
+        # the untouched vector still serves
+        assert [
+            r.vec_id
+            for r in probe_embedding_dedup(spark, "t_del_e", v2).collect()
+        ] == [2]
+        shard = spark.createDataFrame(
+            [(9, v1)], "vec_id long, embedding array<double>"
+        )
+        dec = {
+            r.vec_id: r.decision
+            for r in shard_embedding_decisions(
+                spark, "t_del_e", shard
+            ).collect()
+        }
+        assert dec == {9: "keep"}, dec
+        with _pytest.raises(ValueError, match="tombstoned id"):
+            append_embedding_index(
+                spark, "t_del_e",
+                spark.createDataFrame(
+                    [(1, v1)], "vec_id long, embedding array<double>"
+                ),
+            )
+        compact_embedding_index(spark, "t_del_e", str(tmp_path / "edel2"))
+        assert tombstones_df(spark, "t_del_e") is None
+        assert spark.table("t_del_e_vecs").count() == 1
+        append_embedding_index(
+            spark, "t_del_e",
+            spark.createDataFrame(
+                [(1, v1)], "vec_id long, embedding array<double>"
+            ),
+        )
+        assert [
+            r.vec_id
+            for r in probe_embedding_dedup(spark, "t_del_e", v1).collect()
+        ] == [1]
+    finally:
+        for t in ("t_del_e", "t_del_e_vecs", "t_del_e_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tf_delete_serves_exact_rebuild_parity(spark, tmp_path):
+    """The segmented raw-TF store serves deletions EXACTLY without
+    compaction: tombstoned docs are anti-joined out of the looked-up
+    postings (which corrects each queried term's df, since df is
+    derived from those rows at query time) and N = ingested −
+    tombstoned — so every query equals a fresh rebuild over the
+    surviving corpus, scores included.  This is the capability the
+    weighted store deliberately does NOT offer (its weights bake in
+    build-time N/df; module docstring), and the reason the segmented
+    store is the serving index when takedowns are in scope.  Also
+    pins: the deleting compaction physically drops the rows, keeps
+    parity, keeps every store guard green."""
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        check_store,
+        compact_tf_index,
+        delete_from_tf_index,
+        search_tf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join shuffle"), (2, "spark window"),
+         (3, "join filter spark"), (4, "window agg join")],
+        "doc_id long, text string",
+    )
+    queries = [("spark",), ("join",), ("spark", "join"), ("window",),
+               ("agg", "window")]
+    try:
+        build_tf_index(spark, docs, "t_del_tf", str(tmp_path / "tf"))
+        delete_from_tf_index(spark, "t_del_tf", [2, 4])
+        build_tf_index(
+            spark, docs.filter("doc_id in (1, 3)"), "t_del_tf_ref",
+            str(tmp_path / "tfref"),
+        )
+        for terms in queries:
+            got = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_del_tf", terms, conjunctive=False
+                ).collect()
+            ]
+            want = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_del_tf_ref", terms, conjunctive=False
+                ).collect()
+            ]
+            assert got == want, (terms, got, want)
+        # compaction: physical removal, same parity, guards green
+        compact_tf_index(spark, "t_del_tf", str(tmp_path / "tf2"))
+        assert spark.table("t_del_tf_docs").count() == 2
+        for terms in queries:
+            got = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_del_tf", terms, conjunctive=False
+                ).collect()
+            ]
+            want = [
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, "t_del_tf_ref", terms, conjunctive=False
+                ).collect()
+            ]
+            assert got == want, (terms, got, want)
+        ck = check_store(spark, "t_del_tf", "_docs")
+        assert all(v["ok"] for v in ck.values()), ck
+    finally:
+        for t in ("t_del_tf", "t_del_tf_docs", "t_del_tf_tombs",
+                  "t_del_tf_ref", "t_del_tf_ref_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_clears_inherited_tombstones(spark, tmp_path):
+    """A FULL rebuild at the same name/path must not inherit a previous
+    store's tombstones — otherwise the new corpus's legitimately
+    ingested documents would be phantom-deleted (the tombstone twin of
+    the stale-manifest hole reset_manifest closes).  Pinned on the
+    dedup store; clear_tombstones is called by all three builds."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        probe_dedup,
+    )
+
+    doc, probe = _boundary_pair(4)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    path = str(tmp_path / "reb")
+    try:
+        build_dedup_index(spark, "unused", "t_reb_tomb", path, docs=docs)
+        delete_from_dedup_index(spark, "t_reb_tomb", [1])
+        assert probe_dedup(spark, "t_reb_tomb", probe).collect() == []
+        # rebuild over the same path: doc 1 is a live member again
+        build_dedup_index(spark, "unused", "t_reb_tomb", path, docs=docs)
+        assert [
+            r.doc_id
+            for r in probe_dedup(spark, "t_reb_tomb", probe).collect()
+        ] == [1]
+    finally:
+        for t in ("t_reb_tomb", "t_reb_tomb_sets", "t_reb_tomb_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

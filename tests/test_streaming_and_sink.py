@@ -238,6 +238,21 @@ def test_streaming_tf_append_equals_batch_build(spark):
     assert len(streamed) > 0
 
 
+def test_streaming_takedown_equals_batch_rebuild(spark):
+    """The delete lane under streaming: takedown id shards arriving
+    one micro-batch at a time, tombstoned via foreachBatch against the
+    persisted raw-TF store, must serve EXACTLY the ranking of a batch
+    rebuild over the surviving corpus — scores included (query-time
+    df/N make tombstones exact without compaction)."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_takedown_smoke,
+    )
+
+    streamed, batch = run_streaming_takedown_smoke(spark, SF_DIR)
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_streaming_delta_dedup_equals_batch(spark):
     """j84's 'streamable' claim executed: the new batch's documents
     arriving as a file-source stream, decided per micro-batch against
