@@ -7465,3 +7465,131 @@ def test_rebuild_clears_inherited_tombstones(spark, tmp_path):
     finally:
         for t in ("t_reb_tomb", "t_reb_tomb_sets", "t_reb_tomb_tombs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_tombstone_lifecycle_random_sequence_model(spark, tmp_path):
+    """Model-checked random walk over the tombstone lifecycle on the
+    raw-TF store — the interleavings the directed tests don't reach
+    (delete after append after delete, replayed takedown lists mixed
+    with unknown ids, refusal mid-sequence, compaction mid-history):
+    a seeded RNG drives delete / append / compact ops against the
+    store while a pure-Python model tracks (ingested, tombstoned);
+    after EVERY op the reconciliation counts must match the model
+    exactly and the served ranking must equal a fresh rebuild over the
+    model's live set — the strongest statement of 'tombstones are
+    invisible everywhere except the reconciliation counts'."""
+    import random
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        compact_tf_index,
+        delete_from_tf_index,
+        search_tf_index,
+    )
+
+    rng = random.Random(13)
+    words = ["spark", "join", "window", "agg", "filter", "scan"]
+
+    def text_for(i):
+        r = random.Random(i * 977)
+        return " ".join(r.choice(words) for _ in range(6))
+
+    texts = {i: text_for(i) for i in range(1, 31)}
+    ingested = set(range(1, 13))
+    tombstoned: set[int] = set()
+    next_id = 13
+    ncompact = 0
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in sorted(ids)],
+            "doc_id long, text string",
+        )
+
+    def served(table):
+        out = []
+        for t in words:
+            out.append([
+                (r.doc_id, r.score)
+                for r in search_tf_index(
+                    spark, table, (t,), conjunctive=False
+                ).collect()
+            ])
+        return out
+
+    def check_parity(tag):
+        build_tf_index(
+            spark, df_of(ingested - tombstoned), "t_rng_ref",
+            str(tmp_path / f"ref{tag}"),
+        )
+        assert served("t_rng_tf") == served("t_rng_ref"), tag
+
+    try:
+        build_tf_index(spark, df_of(ingested), "t_rng_tf",
+                       str(tmp_path / "rng0"))
+        for step in range(8):
+            op = rng.choice(["delete", "append", "append_doomed",
+                             "compact", "delete"])
+            mutated = True
+            if op == "delete":
+                req = set(rng.sample(range(1, next_id + 3),
+                                     rng.randint(1, 4)))
+                counts = delete_from_tf_index(spark, "t_rng_tf",
+                                              sorted(req))
+                want_deleted = req & ingested - tombstoned
+                want_already = req & tombstoned
+                want_unknown = req - ingested
+                assert counts == {
+                    "requested": len(req),
+                    "deleted": len(want_deleted),
+                    "already_deleted": len(want_already),
+                    "not_indexed": len(want_unknown),
+                }, (step, counts)
+                tombstoned |= want_deleted
+            elif op == "append":
+                new = {next_id, next_id + 1}
+                next_id += 2
+                for i in new:
+                    texts[i] = text_for(i)
+                from bdt_enwikisearch_hadoop_spark.functions.index_store import (  # noqa: E501
+                    append_tf_index,
+                )
+
+                append_tf_index(spark, "t_rng_tf", df_of(new))
+                ingested |= new
+            elif op == "append_doomed" and tombstoned:
+                # a batch carrying a tombstoned id refuses and leaves
+                # the store (and the model) untouched
+                from bdt_enwikisearch_hadoop_spark.functions.index_store import (  # noqa: E501
+                    append_tf_index,
+                )
+
+                doomed = rng.choice(sorted(tombstoned))
+                fresh = next_id
+                texts[fresh] = text_for(fresh)
+                with _pytest.raises(ValueError, match="tombstoned id"):
+                    append_tf_index(
+                        spark, "t_rng_tf", df_of({doomed, fresh})
+                    )
+                mutated = False  # refusal leaves store + model as-is
+            elif op == "compact":
+                ncompact += 1
+                compact_tf_index(spark, "t_rng_tf",
+                                 str(tmp_path / f"rngc{ncompact}"))
+                # physical state: ids freed, docs sidecar = live set
+                assert (
+                    spark.table("t_rng_tf_docs").count()
+                    == len(ingested - tombstoned)
+                )
+                ingested -= tombstoned
+                tombstoned = set()
+            else:
+                mutated = False  # append_doomed with nothing tombstoned
+            if mutated:
+                check_parity(step)
+    finally:
+        for t in ("t_rng_tf", "t_rng_tf_docs", "t_rng_tf_tombs",
+                  "t_rng_ref", "t_rng_ref_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
