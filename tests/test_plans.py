@@ -1475,6 +1475,22 @@ def test_search_tf_index_one_exchange_bucket_pruned(spark, sf_dir,
         assert "TakeOrderedAndProject" in p, p
         assert "BroadcastExchange" in p, p
         assert "CartesianProduct" not in p
+        # tombstones must not change the serve plan's exchange shape:
+        # the exclusion anti-join BROADCASTS the (request-sized)
+        # tombstone set onto the query-small postings — still exactly
+        # one hash exchange, no shuffle added at serve latency
+        from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+            delete_from_tf_index,
+        )
+
+        delete_from_tf_index(spark, "t_plan_stf", [1, 2, 3])
+        q2 = search_tf_index(spark, "t_plan_stf", QUERY_TERMS)
+        p2 = q2._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti, BuildRight" in p2, p2
+        assert p2.count("Exchange hashpartitioning") == 1, p2
+        assert p2.count("Exchange rangepartitioning") == 0, p2
+        assert "SelectedBucketsCount" in p2, p2
     finally:
         spark.sql("DROP TABLE IF EXISTS t_plan_stf")
         spark.sql("DROP TABLE IF EXISTS t_plan_stf_docs")
+        spark.sql("DROP TABLE IF EXISTS t_plan_stf_tombs")
