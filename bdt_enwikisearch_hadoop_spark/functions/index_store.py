@@ -662,9 +662,13 @@ def record_tombstones(spark, table: str, id_suffix: str, id_col: str,
     before the append — the newly-deleted frame anti-joins the
     tombstone table itself, and appending a table into a plan that
     reads it is exactly the self-overwrite hazard the compaction lane
-    refuses."""
+    refuses.  The staging directory is a SIBLING of the store
+    (``{base}_tombs_staging_<token>``), not a driver-local temp dir:
+    Spark's writers and readers run on executors, so the path must
+    live on the filesystem the store lives on — a local temp path
+    works in local mode and silently breaks on a real cluster."""
     import shutil
-    import tempfile
+    import uuid
 
     if isinstance(ids, DataFrame):
         req = ids.select(F.col(id_col).cast("long").alias(id_col))
@@ -690,7 +694,7 @@ def record_tombstones(spark, table: str, id_suffix: str, id_col: str,
         spark.sql(f"REFRESH TABLE {t}")
         n_new = spark.table(t).count()
     else:
-        staging = tempfile.mkdtemp(prefix="tombs_staging_")
+        staging = f"{d}_staging_{uuid.uuid4().hex}"
         try:
             newly.write.mode("overwrite").parquet(staging)
             staged = spark.read.parquet(staging)
