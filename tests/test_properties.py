@@ -7593,3 +7593,50 @@ def test_tombstone_lifecycle_random_sequence_model(spark, tmp_path):
         for t in ("t_rng_tf", "t_rng_tf_docs", "t_rng_tf_tombs",
                   "t_rng_ref", "t_rng_ref_docs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cross_session_takedown_visibility(spark, tmp_path):
+    """A takedown issued by ANOTHER session becomes visible to a
+    serving session: session B (its own catalog, its own file-listing
+    caches) registers the store from its sidecars and tombstones a
+    doc; the serving session A — which had already probed the store
+    and gotten a hit — must exclude the doc from its next probe.  The
+    tombstone table is discovered from the ``{base}_tombs`` directory
+    (A never registered it), which is what makes a takedown effective
+    across the fleet without every reader being told."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        refresh_store,
+        register_external_store,
+    )
+
+    doc, probe = _boundary_pair(5)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    path = str(tmp_path / "xsess")
+    reader_tables = []
+    try:
+        build_dedup_index(spark, "unused", "t_xs_tomb", path, docs=docs)
+        assert [
+            r.doc_id
+            for r in probe_dedup(spark, "t_xs_tomb", probe).collect()
+        ] == [1]
+        other = spark.newSession()
+        for t, p in (("xs_writer", path),
+                     ("xs_writer_sets", f"{path}_sets")):
+            register_external_store(other, t, p)
+            reader_tables.append(t)
+        counts = delete_from_dedup_index(other, "xs_writer", [1])
+        assert counts["deleted"] == 1, counts
+        # the serving session reopens the reader (the cross-session
+        # freshness contract every long-lived server follows) and the
+        # takedown is in effect
+        refresh_store(spark, "t_xs_tomb", ("", "_sets"))
+        assert probe_dedup(spark, "t_xs_tomb", probe).collect() == []
+    finally:
+        for t in ("t_xs_tomb", "t_xs_tomb_sets", "t_xs_tomb_tombs",
+                  "xs_writer", "xs_writer_sets", "xs_writer_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
