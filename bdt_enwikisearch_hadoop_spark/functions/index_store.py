@@ -769,7 +769,15 @@ def apply_tombstones_in_compaction(spark, table: str, id_suffix: str,
     the id sidecar and every serve-lane cross-check stays green.
     Caller contract: runs inside the compaction's write lease, after
     ``compact_store`` returned (the rewrite transforms READ the
-    tombstone table — it must outlive them)."""
+    tombstone table — it must outlive them).
+
+    Crash windows REFUSE, never serve wrong: a crash after the
+    catalog repoint but before the manifest stamp leaves
+    actual < manifest, which every serve/append/compact lane refuses
+    by name until ``repair-manifest`` adopts the surviving state; the
+    leftover tombstone entries then anti-join ids that are already
+    physically gone (a no-op) until the next compaction retires
+    them."""
     t = f"{table}{_TOMBS_SUFFIX}"
     tomb_dir = table_location(spark, t)
     spark.sql(f"DROP TABLE {t}")
@@ -1218,7 +1226,14 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
     L2 norms as ``{table}_norms`` — the artifact i17's docstring
     prescribes: norms change only when a document changes, so VSM
     cosine serving reads |Q| postings rows + a doc-keyed norm column
-    instead of re-aggregating the corpus-wide weight table per query."""
+    instead of re-aggregating the corpus-wide weight table per query.
+
+    This WEIGHTED store is rebuild-only: no append lane (weights bake
+    in the corpus-global N and df) and no delete lane (post-delete
+    serving would score survivors with stale globals) — when ingest
+    rolls forward or takedowns are in scope, serve from the segmented
+    raw-TF store (:func:`build_tf_index` family), whose query-time
+    weighting makes both exact."""
     assert_no_live_lease(path, "build_index")
     w = tfidf_w(spark, sf_dir)
     index = w.groupBy("term").agg(
