@@ -560,15 +560,16 @@ def main(argv: list[str] | None = None) -> int:
         return _cli_compact(spark, args, compact_tf_index, "_docs")
 
     if args.cmd == "search-index":
-        from .functions.index_store import register_external_store, search_index
+        from .functions.index_store import search_index
 
         def _idx_rows():
             # a fresh process has an empty in-memory catalog:
-            # re-register the store's files, restoring the bucketing
-            # spec from the build-time _meta.json sidecar
-            # (plain-external fallback without one — correct answers,
-            # no bucket pruning)
-            register_external_store(spark, args.table, args.path)
+            # re-register the store's files (both parts — the serve
+            # guard cross-checks the norms sidecar and manifest),
+            # restoring the bucketing spec from the build-time
+            # _meta.json sidecar (plain-external fallback without one
+            # — correct answers, no bucket pruning)
+            _register_store_parts(spark, args.table, args.path, "_norms")
             return search_index(
                 spark, args.table, tuple(args.terms), k=args.k,
                 conjunctive=not args.any,

@@ -37,6 +37,7 @@ from .index_store import (
     assert_batch_not_tombstoned,
     assert_manifest_consistent,
     assert_no_live_lease,
+    assert_no_live_lease_table,
     assert_sidecar_populated,
     clear_tombstones,
     compact_store,
@@ -76,6 +77,7 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
     (the CLI) can re-register the files with the full bucketing spec
     instead of a plain external table (see register_external_store)."""
     assert_no_live_lease(path, "build_dedup_index")
+    assert_no_live_lease_table(spark, table, "build_dedup_index")
     if docs is None:
         band = text_band_table(spark, sf_dir)
         sets = doc_shingle_sets(spark, sf_dir)
@@ -115,8 +117,9 @@ def compact_dedup_index(spark, table: str, new_path: str) -> None:
     re-signed.  Refuses a store whose sidecar is missing — compaction
     would otherwise rewrite the corruption into a fresh-looking store
     with new meta sidecars; runs under the single-writer lease (a
-    compactor IS a writer)."""
-    with store_write_lease(spark, table):
+    compactor IS a writer), anchored at BOTH the current and the new
+    base so the mid-swap repoint can't let a second writer in."""
+    with store_write_lease(spark, table, extra_paths=(new_path,)):
         assert_sidecar_populated(spark, table, "_sets",
                                  "compact_dedup_index", use_memo=False)
         assert_manifest_consistent(spark, table, "_sets",

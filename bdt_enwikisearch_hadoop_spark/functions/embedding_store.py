@@ -56,6 +56,7 @@ from .index_store import (
     assert_batch_not_tombstoned,
     assert_manifest_consistent,
     assert_no_live_lease,
+    assert_no_live_lease_table,
     assert_sidecar_populated,
     clear_tombstones,
     compact_store,
@@ -148,6 +149,7 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
     re-register the files with the full bucketing spec
     (index_store.register_external_store)."""
     assert_no_live_lease(path, "build_embedding_index")
+    assert_no_live_lease_table(spark, table, "build_embedding_index")
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
         _assert_ingestable(emb, "build_embedding_index")
@@ -248,8 +250,10 @@ def compact_embedding_index(spark, table: str, new_path: str) -> None:
     nothing is re-signed.  Refuses a store whose sidecar is missing —
     compaction would otherwise rewrite the corruption into a
     fresh-looking store with new meta sidecars; runs under the
-    single-writer lease (a compactor IS a writer)."""
-    with store_write_lease(spark, table):
+    single-writer lease (a compactor IS a writer), anchored at BOTH
+    the current and the new base so the mid-swap repoint can't let a
+    second writer in."""
+    with store_write_lease(spark, table, extra_paths=(new_path,)):
         assert_sidecar_populated(
             spark, table, "_vecs", "compact_embedding_index",
             use_memo=False

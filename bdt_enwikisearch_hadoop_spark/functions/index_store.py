@@ -63,6 +63,23 @@ def write_store_meta(df: DataFrame, path: str, buckets: int,
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
+def _assert_sql_safe_path(path: str, what: str) -> None:
+    """Refuse a filesystem path that cannot be interpolated into a SQL
+    string literal verbatim — the same no-silent-quoting discipline the
+    table names and sidecar fields get.  Quotes and backslashes are
+    legal POSIX filename bytes but change the meaning of
+    ``LOCATION '{path}'`` / ``SET LOCATION '{path}'``; a store path is
+    operator-chosen, so a named refusal beats an escaping scheme whose
+    output then disagrees with every sidecar path derived by plain
+    f-string concatenation."""
+    if "'" in path or "\\" in path or "\n" in path:
+        raise ValueError(
+            f"{what}: store path {path!r} contains a quote, backslash "
+            "or newline — refusing to interpolate it into SQL; choose "
+            "a plain path"
+        )
+
+
 def _validated_meta(mp: str) -> tuple[str, str, int]:
     """Parse + validate a ``_meta.json`` sidecar into (schema_ddl,
     bucket_col, buckets) that are SAFE to interpolate into a CREATE
@@ -90,7 +107,27 @@ def _validated_meta(mp: str) -> tuple[str, str, int]:
     if buckets <= 0:
         raise ValueError(f"corrupt store sidecar {mp}: buckets={buckets}")
     names = schema.fieldNames()
-    for name in [bucket_col, *names]:
+
+    def _all_field_names(dt):
+        # EVERY field name at EVERY nesting level: simpleString() does
+        # not quote nested names, so a crafted name like 'x:int,y'
+        # inside a struct would re-emit as DIFFERENT schema text than
+        # was parsed — the identifier rule must hold recursively for
+        # the parse→re-emit round-trip to be faithful
+        from pyspark.sql.types import ArrayType, MapType
+        from pyspark.sql.types import StructType as _ST
+
+        if isinstance(dt, _ST):
+            for f in dt.fields:
+                yield f.name
+                yield from _all_field_names(f.dataType)
+        elif isinstance(dt, ArrayType):
+            yield from _all_field_names(dt.elementType)
+        elif isinstance(dt, MapType):
+            yield from _all_field_names(dt.keyType)
+            yield from _all_field_names(dt.valueType)
+
+    for name in [bucket_col, *_all_field_names(schema)]:
         if not isinstance(name, str) or not _IDENT_RE.match(name):
             raise ValueError(
                 f"corrupt store sidecar {mp}: {name!r} is not a plain "
@@ -126,6 +163,7 @@ def register_external_store(spark, table: str, path: str) -> None:
                 f"store table name {table!r} is not a plain SQL "
                 "identifier — refusing to interpolate it into DDL"
             )
+    _assert_sql_safe_path(path, "register_external_store")
     if spark.catalog.tableExists(table):
         return
     # re-pointing a name at (possibly different) files changes N and
@@ -134,6 +172,11 @@ def register_external_store(spark, table: str, path: str) -> None:
     app = spark.sparkContext.applicationId
     _N_DOCS_MEMO.pop((app, table), None)
     _MANIFEST_OK_MEMO.discard((app, table))
+    # re-pointing the BASE table can also change which _tombs
+    # directory sits next to it — a stale "no tombstones" verdict
+    # would skip the takedown anti-join on the new registration
+    _TOMBS_PRESENT_MEMO.pop((app, table), None)
+    _N_TOMBS_MEMO.pop((app, table), None)
     if table.endswith("_docs"):
         _N_DOCS_MEMO.pop((app, table[: -len("_docs")]), None)
         _MANIFEST_OK_MEMO.discard((app, table[: -len("_docs")]))
@@ -224,6 +267,7 @@ def compact_store(spark, table: str, new_path: str,
     copy is row-preserving."""
     import time
 
+    _assert_sql_safe_path(new_path, "compact_store")
     superseded: list[dict] = []
     base_old: str | None = None
     for suffix, col in parts:
@@ -289,21 +333,31 @@ def compact_store(spark, table: str, new_path: str,
 
 
 def _catalog_locations(spark) -> set[str]:
-    """Realpaths of every catalog table's location in the current
+    """Realpaths of every catalog table's location across EVERY
     database — the 'still referenced' set vacuum_store refuses to
-    touch.  One DESCRIBE per table; store catalogs are small (a few
-    tables per store), so this is a metadata-only pass."""
+    touch.  All databases, not just the current one:
+    register_external_store explicitly supports dotted ``db.table``
+    names, so a served old snapshot registered under another database
+    must still block its directory's deletion.  One DESCRIBE per
+    table; store catalogs are small (a few tables per store), so this
+    is a metadata-only pass."""
     live = set()
-    for t in spark.catalog.listTables():
-        if t.tableType == "VIEW":
-            continue
-        name = f"{t.namespace[0]}.{t.name}" if t.namespace else t.name
-        try:
-            meta = _describe_meta(spark, name)
-        except Exception:
-            continue
-        if "Location" in meta:
-            live.add(os.path.realpath(meta["Location"].removeprefix("file:")))
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.tableType == "VIEW":
+                continue
+            name = (
+                f"{t.namespace[0]}.{t.name}" if t.namespace
+                else f"{db.name}.{t.name}"
+            )
+            try:
+                meta = _describe_meta(spark, name)
+            except Exception:
+                continue
+            if "Location" in meta:
+                live.add(
+                    os.path.realpath(meta["Location"].removeprefix("file:"))
+                )
     return live
 
 
@@ -337,7 +391,24 @@ def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
     if not os.path.exists(lp):
         return {"removed": [], "kept": []}
     with open(lp) as fh:
-        ledger = json.load(fh)
+        try:
+            ledger = json.load(fh)
+        except ValueError as exc:
+            raise ValueError(
+                f"vacuum_store: corrupt superseded ledger {lp}: {exc}"
+            ) from exc
+    if not isinstance(ledger, list) or not all(
+        isinstance(e, dict)
+        and isinstance(e.get("path"), str)
+        and isinstance(e.get("ts"), (int, float))
+        for e in ledger
+    ):
+        raise ValueError(
+            f"vacuum_store: corrupt superseded ledger {lp}: expected "
+            "a list of {path, ts} entries — fix or remove the ledger "
+            "before vacuuming (deleting directories from a ledger we "
+            "cannot parse is how a live store gets GC'd)"
+        )
     live = _catalog_locations(spark)
     now = time.time()
     removed: list[str] = []
@@ -355,6 +426,13 @@ def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
             kept.append(entry)
             continue
         shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(p):
+            # deletion FAILED (held handle, permissions, transient FS
+            # error): keep the entry so a future vacuum retries —
+            # reporting it removed while dropping it from the ledger
+            # would leak the directory forever with a clean report
+            kept.append(entry)
+            continue
         for side in (f"{p}_meta.json", f"{p}_manifest.json"):
             if os.path.exists(side):
                 os.remove(side)
@@ -398,12 +476,34 @@ def _manifest_path(spark, table: str) -> str:
 def read_manifest(spark, table: str) -> list[dict] | None:
     """The manifest entries of ``table``'s CURRENT base location, or
     None when the store has no manifest (pre-manifest build, or the
-    sidecar file itself was lost)."""
+    sidecar file itself was lost).  A manifest file that EXISTS but is
+    not a list of shard entries with integer ``n_rows`` (torn by a
+    foreign writer, hand-edited) raises the lane-contract ValueError —
+    treating it as 'no manifest' would silently drop the loss
+    protection, and letting the shape error surface later breaks the
+    CLI's never-a-traceback contract (_validated_meta's discipline,
+    applied to the manifest sidecar)."""
     mp = _manifest_path(spark, table)
     if not os.path.exists(mp):
         return None
     with open(mp) as fh:
-        return json.load(fh)
+        try:
+            entries = json.load(fh)
+        except ValueError as exc:
+            raise ValueError(
+                f"corrupt ingest manifest {mp}: {exc}; repair-manifest "
+                "re-stamps it from the store's current contents"
+            ) from exc
+    if not isinstance(entries, list) or not all(
+        isinstance(e, dict) and isinstance(e.get("n_rows"), int)
+        for e in entries
+    ):
+        raise ValueError(
+            f"corrupt ingest manifest {mp}: expected a list of shard "
+            "entries with integer n_rows; repair-manifest re-stamps it "
+            "from the store's current contents"
+        )
+    return entries
 
 
 def _write_manifest(spark, table: str, entries: list[dict]) -> None:
@@ -671,6 +771,11 @@ def record_tombstones(spark, table: str, id_suffix: str, id_col: str,
     import uuid
 
     if isinstance(ids, DataFrame):
+        if id_col not in ids.columns:
+            raise ValueError(
+                f"{what}: ids frame lacks column {id_col!r} "
+                f"(has {ids.columns})"
+            )
         req = ids.select(F.col(id_col).cast("long").alias(id_col))
     else:
         req = spark.createDataFrame(
@@ -821,46 +926,16 @@ def delete_from_tf_index(spark, table: str, ids,
 import contextlib  # noqa: E402
 
 
-@contextlib.contextmanager
-def store_write_lease(spark, table: str, owner: str | None = None,
-                      stale_sec: float = 3600.0):
-    """SINGLE-WRITER append contract, enforced (VERDICT r12 item 3):
-    every append/compact lane runs inside this lease, so two live
-    appenders interleaving refresh→anti-join→write — whose outcome was
-    previously undefined — can no longer run concurrently: the second
-    acquirer gets a named ValueError identifying the holder and its
-    age, and the store state is always SOME serial order of appends.
-
-    Mechanics: ``os.mkdir`` of a ``{base}_lock`` marker directory is
-    the atomic acquire (POSIX mkdir is atomic on local and NFS
-    filesystems; an object-store deployment swaps this for a
-    conditional put); a ``lease.json`` inside names the holder, its
-    token and acquire time.  A lease older than ``stale_sec`` is taken
-    over by atomically replacing the lease file — takeover among
-    SIMULTANEOUS claimants is last-writer-wins, which is acceptable
-    because takeover is the rare crash-recovery path, not the
-    concurrency control (the mkdir is).  A marker directory whose
-    lease file is missing refuses while the directory is younger than
-    ``stale_sec`` (another appender mid-acquire) and is adopted past
-    it (a claimant that crashed between mkdir and write).  Release
-    deletes the marker only if the lease token is still ours — a
-    holder that was taken over must NOT free the new holder's lease.
-    The lock path is captured at acquire time, so a compaction that
-    repoints the base location mid-lease still releases the marker it
-    actually took."""
+def _acquire_lock(path: str, table: str, ident: dict,
+                  stale_sec: float) -> str:
+    """One marker-directory acquire (the mkdir is the atomic step);
+    returns the lock dir it took.  Shared by :func:`store_write_lease`
+    for each of its anchor paths."""
     import json as _json
     import time
-    import uuid
 
-    base = table_location(spark, table)
-    lock_dir = f"{base.rstrip('/')}_lock"
+    lock_dir = f"{path.rstrip('/')}_lock"
     lease_file = os.path.join(lock_dir, "lease.json")
-    token = uuid.uuid4().hex
-    ident = {
-        "owner": owner or f"pid={os.getpid()}",
-        "token": token,
-        "ts": time.time(),
-    }
     try:
         os.mkdir(lock_dir)
     except FileExistsError:
@@ -889,21 +964,99 @@ def store_write_lease(spark, table: str, owner: str | None = None,
                     f"(marker {age:.0f}s old); retry shortly"
                 ) from None
         # stale lease (or stale empty marker): take it over
-    tmp = os.path.join(lock_dir, f".lease.{token}.tmp")
+    tmp = os.path.join(lock_dir, f".lease.{ident['token']}.tmp")
     with open(tmp, "w") as fh:
         _json.dump(ident, fh)
     os.replace(tmp, lease_file)
+    return lock_dir
+
+
+def _release_lock(lock_dir: str, token: str) -> None:
+    import json as _json
+
+    try:
+        lease_file = os.path.join(lock_dir, "lease.json")
+        with open(lease_file) as fh:
+            cur = _json.load(fh)
+        if cur.get("token") == token:
+            os.remove(lease_file)
+            os.rmdir(lock_dir)
+    except (FileNotFoundError, ValueError, OSError):
+        pass  # taken over, or marker already gone — not ours to free
+
+
+@contextlib.contextmanager
+def store_write_lease(spark, table: str, owner: str | None = None,
+                      stale_sec: float = 3600.0,
+                      extra_paths: tuple = ()):
+    """SINGLE-WRITER append contract, enforced (VERDICT r12 item 3):
+    every append/compact lane runs inside this lease, so two live
+    appenders interleaving refresh→anti-join→write — whose outcome was
+    previously undefined — can no longer run concurrently: the second
+    acquirer gets a named ValueError identifying the holder and its
+    age, and the store state is always SOME serial order of appends.
+
+    Mechanics: ``os.mkdir`` of a ``{base}_lock`` marker directory is
+    the atomic acquire (POSIX mkdir is atomic on local and NFS
+    filesystems; an object-store deployment swaps this for a
+    conditional put); a ``lease.json`` inside names the holder, its
+    token and acquire time.  A lease older than ``stale_sec`` is taken
+    over by atomically replacing the lease file — takeover among
+    SIMULTANEOUS claimants is last-writer-wins, which is acceptable
+    because takeover is the rare crash-recovery path, not the
+    concurrency control (the mkdir is).  A marker directory whose
+    lease file is missing refuses while the directory is younger than
+    ``stale_sec`` (another appender mid-acquire) and is adopted past
+    it (a claimant that crashed between mkdir and write).  Release
+    deletes each marker only if the lease token is still ours — a
+    holder that was taken over must NOT free the new holder's lease.
+    The lock paths are captured at acquire time, so a compaction that
+    repoints the base location mid-lease still releases the markers it
+    actually took.
+
+    ``extra_paths`` anchors the SAME lease at additional locations —
+    how a compaction keeps mutual exclusion across its own repoint:
+    the serving table's location changes to ``new_path`` partway
+    through the swap, so a writer acquiring AFTER the repoint computes
+    its lock dir from the NEW base; without a marker already sitting
+    there it would acquire successfully and interleave with the
+    still-running compaction.  Compaction lanes therefore pass
+    ``extra_paths=(new_path,)``, holding both anchors for the lease's
+    whole extent (pinned by
+    test_lease_spans_compaction_repoint).  Acquisition is base-first;
+    a failure on a later anchor releases every marker already taken,
+    so a refused acquire never leaves partial state."""
+    import time
+    import uuid
+
+    base = table_location(spark, table)
+    token = uuid.uuid4().hex
+    ident = {
+        "owner": owner or f"pid={os.getpid()}",
+        "token": token,
+        "ts": time.time(),
+    }
+    taken: list[str] = []
+    seen: set[str] = set()
+    try:
+        for p in (base, *extra_paths):
+            # dedupe by resolved lock path: an extra anchor that IS the
+            # base (same-path compaction — refused downstream with its
+            # own named error) must not collide with our own fresh lease
+            rp = os.path.realpath(f"{p.rstrip('/')}_lock")
+            if rp in seen:
+                continue
+            seen.add(rp)
+            taken.append(_acquire_lock(p, table, ident, stale_sec))
+    except ValueError:
+        for d in taken:
+            _release_lock(d, token)
+        raise
     try:
         yield
     finally:
-        try:
-            with open(lease_file) as fh:
-                cur = _json.load(fh)
-            if cur.get("token") == token:
-                os.remove(lease_file)
-                os.rmdir(lock_dir)
-        except (FileNotFoundError, ValueError, OSError):
-            pass  # taken over, or marker already gone — not ours to free
+        for d in taken:
+            _release_lock(d, token)
 
 
 def assert_no_live_lease(path: str, what: str,
@@ -940,6 +1093,25 @@ def assert_no_live_lease(path: str, what: str,
             "holder's marker"
         )
     shutil.rmtree(lock_dir, ignore_errors=True)
+
+
+def assert_no_live_lease_table(spark, table: str, what: str,
+                               stale_sec: float = 3600.0) -> None:
+    """The current-location half of the rebuild guard: a rebuild DROPs
+    and recreates the serving TABLE, so a live appender working at the
+    table's CURRENT location — which can differ from the rebuild's
+    target path (rebuild-to-a-fresh-path is the repo's own immutable-
+    swap discipline) — would have the registration pulled out from
+    under its refresh→anti-join→write sequence.  Builds check the
+    target path (:func:`assert_no_live_lease`) AND, when the table
+    already exists, its current location, via this guard."""
+    if not spark.catalog.tableExists(table):
+        return
+    try:
+        cur = table_location(spark, table)
+    except ValueError:
+        return
+    assert_no_live_lease(cur, what, stale_sec)
 
 
 #: (applicationId, table, suffix) triples that passed the sidecar
@@ -1235,6 +1407,7 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
     raw-TF store (:func:`build_tf_index` family), whose query-time
     weighting makes both exact."""
     assert_no_live_lease(path, "build_index")
+    assert_no_live_lease_table(spark, table, "build_index")
     w = tfidf_w(spark, sf_dir)
     index = w.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_count"),
@@ -1271,7 +1444,13 @@ def search_index(
 ) -> DataFrame:
     """Ranked retrieval served from the persisted index: look up the
     query terms' postings rows, explode, score, top-k.  Reads k index
-    rows — never the corpus."""
+    rows — never the corpus.  Same serve-lane guards as the VSM path:
+    a store whose postings or norms table was wiped/mis-registered, or
+    whose ingest-manifest total diverges from the norms count (TOTAL
+    wipe with surviving sidecar files), refuses instead of serving
+    zero hits silently."""
+    assert_sidecar_populated(spark, table, "_norms", "search_index")
+    assert_manifest_consistent(spark, table, "_norms", "search_index")
     idx = spark.table(table).filter(F.col("term").isin(*terms))
     hits = idx.select(
         "term", F.explode("postings").alias("p")
@@ -1380,6 +1559,7 @@ def build_tf_index(
     N; a batch carrying conflicting texts for one id is a producer bug
     this boundary does not adjudicate)."""
     assert_no_live_lease(path, "build_tf_index")
+    assert_no_live_lease_table(spark, table, "build_tf_index")
     docs = docs.dropDuplicates(["doc_id"])
     index = _tf_segment(docs)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -1626,8 +1806,9 @@ def compact_tf_index(spark, table: str, new_path: str) -> None:
     whose ``_docs`` sidecar is missing or whose ingest manifest
     diverges — compaction would otherwise rewrite the corruption into
     a fresh-looking store; runs under the single-writer lease (a
-    compactor IS a writer)."""
-    with store_write_lease(spark, table):
+    compactor IS a writer), anchored at BOTH the current and the new
+    base so the mid-swap repoint can't let a second writer in."""
+    with store_write_lease(spark, table, extra_paths=(new_path,)):
         assert_sidecar_populated(spark, table, "_docs",
                                  "compact_tf_index", use_memo=False)
         assert_manifest_consistent(spark, table, "_docs",

@@ -7640,3 +7640,393 @@ def test_cross_session_takedown_visibility(spark, tmp_path):
         for t in ("t_xs_tomb", "t_xs_tomb_sets", "t_xs_tomb_tombs",
                   "xs_writer", "xs_writer_sets", "xs_writer_tombs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lease_spans_compaction_repoint(spark, tmp_path):
+    """Review fix: the write lease anchors at the table's CURRENT
+    location, which compact_store repoints mid-lease — so compaction
+    lanes hold the lease at BOTH the old and the new base
+    (extra_paths), and a writer computing its lock dir from either
+    location refuses for the compaction's whole extent.  Pins the
+    multi-anchor acquire/release: both markers exist while held, a
+    second acquire at either path refuses by holder name, a failed
+    later acquire releases the earlier marker, and release frees
+    both."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        store_write_lease,
+    )
+
+    doc, probe = _boundary_pair(6)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "span1")
+    p2 = str(tmp_path / "span2")
+    try:
+        build_dedup_index(spark, "unused", "t_span_l", p1, docs=docs)
+        with store_write_lease(spark, "t_span_l", owner="compactor",
+                               extra_paths=(p2,)):
+            assert os.path.isdir(f"{p1}_lock")
+            assert os.path.isdir(f"{p2}_lock")
+            # a writer anchored at EITHER location refuses
+            for p in (p1, p2):
+                with _pytest.raises(ValueError, match="compactor"):
+                    with store_write_lease(spark, "t_span_l"):
+                        pass
+            # the append lane itself (which computes the lock from the
+            # current location) refuses too
+            with _pytest.raises(ValueError, match="compactor"):
+                append_dedup_index(spark, "t_span_l", docs)
+        # release freed both markers
+        assert not os.path.exists(f"{p1}_lock")
+        assert not os.path.exists(f"{p2}_lock")
+        # a failed LATER acquire releases the earlier marker: hold p2
+        # externally, acquire with extra_paths=(p2,) must refuse AND
+        # leave no marker at p1
+        os.mkdir(f"{p2}_lock")
+        import json as _json
+        import time as _time
+
+        with open(f"{p2}_lock/lease.json", "w") as fh:
+            _json.dump({"owner": "other", "token": "t",
+                        "ts": _time.time()}, fh)
+        with _pytest.raises(ValueError, match="other"):
+            with store_write_lease(spark, "t_span_l",
+                                   extra_paths=(p2,)):
+                pass
+        assert not os.path.exists(f"{p1}_lock")
+        os.remove(f"{p2}_lock/lease.json")
+        os.rmdir(f"{p2}_lock")
+        # a real compaction still works end-to-end and leaves no locks
+        compact_dedup_index(spark, "t_span_l", p2)
+        assert not os.path.exists(f"{p1}_lock")
+        assert not os.path.exists(f"{p2}_lock")
+        assert [
+            r.doc_id
+            for r in probe_dedup(spark, "t_span_l", probe).collect()
+        ] == [1]
+    finally:
+        for t in ("t_span_l", "t_span_l_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_build_refuses_live_lease_at_current_location(spark, tmp_path):
+    """Review fix: a rebuild to a FRESH path still DROPs the serving
+    table, so a live appender working at the table's CURRENT location
+    must refuse the rebuild — checking only the target path missed
+    exactly the rebuild-to-a-fresh-path discipline the repo itself
+    promotes."""
+    import json as _json
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+
+    doc, _ = _boundary_pair(7)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "cur1")
+    p2 = str(tmp_path / "cur2")
+    try:
+        build_dedup_index(spark, "unused", "t_bll_cur", p1, docs=docs)
+        os.mkdir(f"{p1}_lock")
+        with open(f"{p1}_lock/lease.json", "w") as fh:
+            _json.dump({"owner": "live-appender", "token": "t",
+                        "ts": _time.time()}, fh)
+        with _pytest.raises(ValueError, match="live-appender"):
+            build_dedup_index(spark, "unused", "t_bll_cur", p2,
+                              docs=docs)
+        # stale lease at the current location: cleared, rebuild runs
+        with open(f"{p1}_lock/lease.json", "w") as fh:
+            _json.dump({"owner": "crashed", "token": "t",
+                        "ts": _time.time() - 7200}, fh)
+        build_dedup_index(spark, "unused", "t_bll_cur", p2, docs=docs)
+        assert spark.table("t_bll_cur_sets").count() == 1
+    finally:
+        for t in ("t_bll_cur", "t_bll_cur_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reregistration_invalidates_tombstone_memo(spark, tmp_path):
+    """Review fix: re-pointing a store NAME at different files must
+    drop the memoized 'no tombstones' verdict — otherwise a serving
+    session that had probed a deletion-free store would skip the
+    takedown anti-join after re-registering the name at a path whose
+    _tombs directory records deletions."""
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        probe_dedup,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+
+    doc, probe = _boundary_pair(8)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "rr1")
+    p2 = str(tmp_path / "rr2")
+    try:
+        # store A (no deletions): probe memoizes 'no tombstones'
+        build_dedup_index(spark, "unused", "t_rr_tomb", p1, docs=docs)
+        assert [
+            r.doc_id
+            for r in probe_dedup(spark, "t_rr_tomb", probe).collect()
+        ] == [1]
+        # store B at p2 with doc 1 tombstoned
+        build_dedup_index(spark, "unused", "t_rr_other", p2, docs=docs)
+        delete_from_dedup_index(spark, "t_rr_other", [1])
+        for t in ("t_rr_tomb", "t_rr_tomb_sets", "t_rr_tomb_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # re-point the SAME name at p2's files: the takedown applies
+        register_external_store(spark, "t_rr_tomb", p2)
+        register_external_store(spark, "t_rr_tomb_sets", f"{p2}_sets")
+        assert probe_dedup(spark, "t_rr_tomb", probe).collect() == []
+    finally:
+        for t in ("t_rr_tomb", "t_rr_tomb_sets", "t_rr_tomb_tombs",
+                  "t_rr_other", "t_rr_other_sets", "t_rr_other_tombs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sidecar_nested_field_names_validated(spark, tmp_path):
+    """Review fix: _validated_meta must hold the identifier rule at
+    EVERY nesting level — simpleString() does not quote nested field
+    names, so a crafted name inside a struct would re-emit as
+    DIFFERENT schema text than was parsed (two int fields where one
+    crafted field went in), defeating the 'safe to interpolate'
+    contract while the top-level check passed."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+
+    p = str(tmp_path / "nested")
+    os.makedirs(p, exist_ok=True)
+    with open(f"{p}_meta.json", "w") as fh:
+        _json.dump({
+            "buckets": 4,
+            "bucket_col": "a",
+            "schema": "a int, b struct<`x:int,y`:int>",
+        }, fh)
+    with _pytest.raises(ValueError, match="not a plain SQL identifier"):
+        register_external_store(spark, "t_nested_meta", p)
+    assert not spark.catalog.tableExists("t_nested_meta")
+
+
+def test_search_index_refuses_wiped_weighted_store(spark, sf_dir,
+                                                   tmp_path):
+    """Review fix: search_index (the non-VSM weighted serve lane) gets
+    the same wipe guard + manifest cross-check as search_index_vsm — a
+    wiped postings directory used to serve zero hits with exit 0,
+    the silent-total-loss class every other serve lane refuses."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_index,
+        search_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.text_search import (
+        QUERY_TERMS,
+    )
+
+    path = str(tmp_path / "widx")
+    try:
+        build_index(spark, sf_dir, "t_wipe_w", path)
+        assert search_index(spark, "t_wipe_w", QUERY_TERMS).count() > 0
+        # wipe the postings directory, keep norms + manifest sidecars
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            (shutil.rmtree if os.path.isdir(fp) else os.remove)(fp)
+        from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+            refresh_store,
+        )
+
+        refresh_store(spark, "t_wipe_w", ("", "_norms"))
+        with _pytest.raises(ValueError, match="wiped or mis-registered"):
+            search_index(spark, "t_wipe_w", QUERY_TERMS).collect()
+    finally:
+        for t in ("t_wipe_w", "t_wipe_w_norms"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corrupt_manifest_and_ledger_are_lane_errors(spark, tmp_path):
+    """Review fix: a manifest or superseded-ledger file that exists
+    but is not the expected JSON shape must raise the lane-contract
+    ValueError (named, CLI exit 2), not a TypeError traceback — and a
+    ledger we cannot parse must REFUSE the vacuum rather than risk
+    deleting from garbage."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        search_tf_index,
+        table_location,
+        vacuum_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "cman")
+    try:
+        build_tf_index(spark, docs, "t_cman_tf", path)
+        base = table_location(spark, "t_cman_tf")
+        # not-a-list manifest
+        with open(f"{base.rstrip('/')}_manifest.json", "w") as fh:
+            _json.dump({}, fh)
+        with _pytest.raises(ValueError, match="corrupt ingest manifest"):
+            search_tf_index(spark, "t_cman_tf", ("spark",)).collect()
+        # torn JSON manifest
+        with open(f"{base.rstrip('/')}_manifest.json", "w") as fh:
+            fh.write('[{"shard_id": "x", "n_ro')
+        with _pytest.raises(ValueError, match="corrupt ingest manifest"):
+            search_tf_index(spark, "t_cman_tf", ("spark",)).collect()
+        # corrupt superseded ledger refuses the vacuum by name
+        with open(f"{base.rstrip('/')}_superseded.json", "w") as fh:
+            _json.dump([1, 2], fh)
+        with _pytest.raises(ValueError,
+                            match="corrupt superseded ledger"):
+            vacuum_store(spark, "t_cman_tf", min_age_sec=0.0)
+    finally:
+        for t in ("t_cman_tf", "t_cman_tf_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_vacuum_failed_removal_stays_in_ledger(spark, tmp_path,
+                                               monkeypatch):
+    """Review fix: a directory whose deletion FAILS (held handle,
+    permissions, transient FS error) must stay in the ledger for a
+    future vacuum to retry — dropping it while reporting 'removed'
+    leaks the directory forever with a clean report."""
+    import os
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        vacuum_store,
+    )
+
+    doc, _ = _boundary_pair(9)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "vfl1")
+    p2 = str(tmp_path / "vfl2")
+    try:
+        build_dedup_index(spark, "unused", "t_vfl_d", p1, docs=docs)
+        compact_dedup_index(spark, "t_vfl_d", p2)
+        import shutil as _shutil
+
+        monkeypatch.setattr(_shutil, "rmtree",
+                            lambda *a, **k: None)
+        res = vacuum_store(spark, "t_vfl_d", min_age_sec=0.0)
+        monkeypatch.undo()
+        # nothing actually deleted: everything reported kept, ledger
+        # intact, directories still on disk
+        assert res["removed"] == [], res
+        assert os.path.isdir(p1)
+        assert any(p.rstrip("/").endswith("vfl1") for p in res["kept"]), res
+        # the retry (real rmtree) succeeds and empties the ledger
+        res2 = vacuum_store(spark, "t_vfl_d", min_age_sec=0.0)
+        assert any(p.rstrip("/").endswith("vfl1") for p in res2["removed"])
+        assert not os.path.exists(p1)
+    finally:
+        for t in ("t_vfl_d", "t_vfl_d_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_vacuum_respects_other_database_registration(spark, tmp_path):
+    """Review fix: the 'still referenced' set spans EVERY database —
+    register_external_store supports dotted db.table names, so an old
+    snapshot served under another database must block its directory's
+    deletion just like a default-database registration."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+        vacuum_store,
+    )
+
+    doc, _ = _boundary_pair(10)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "vdb1")
+    p2 = str(tmp_path / "vdb2")
+    try:
+        build_dedup_index(spark, "unused", "t_vdb_d", p1, docs=docs)
+        compact_dedup_index(spark, "t_vdb_d", p2)
+        spark.sql("CREATE DATABASE IF NOT EXISTS vac_other_db")
+        register_external_store(spark, "vac_other_db.old_snap", p1)
+        with _pytest.raises(ValueError, match="CURRENT location"):
+            vacuum_store(spark, "t_vdb_d", min_age_sec=0.0)
+        spark.sql("DROP TABLE vac_other_db.old_snap")
+        res = vacuum_store(spark, "t_vdb_d", min_age_sec=0.0)
+        assert any(p.rstrip("/").endswith("vdb1") for p in res["removed"])
+    finally:
+        for t in ("t_vdb_d", "t_vdb_d_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql("DROP TABLE IF EXISTS vac_other_db.old_snap")
+        spark.sql("DROP DATABASE IF EXISTS vac_other_db")
+
+
+def test_sql_unsafe_path_and_missing_id_column_refused(spark, tmp_path):
+    """Review fixes: (a) a store path that cannot sit inside a SQL
+    string literal verbatim (quote/backslash/newline) refuses by name
+    before any DDL — the no-silent-quoting discipline applied to the
+    paths in CREATE/ALTER LOCATION statements, not just the names;
+    (b) a takedown ids frame lacking the id column refuses naming the
+    lane, instead of a raw AnalysisException downstream."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+    )
+
+    with _pytest.raises(ValueError, match="refusing to interpolate"):
+        register_external_store(
+            spark, "t_q_path", str(tmp_path / "o'brien")
+        )
+    doc, _ = _boundary_pair(11)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    path = str(tmp_path / "qdel")
+    try:
+        build_dedup_index(spark, "unused", "t_q_del", path, docs=docs)
+        with _pytest.raises(ValueError, match="refusing to interpolate"):
+            compact_dedup_index(spark, "t_q_del",
+                                str(tmp_path / "new'path"))
+        bad = spark.createDataFrame([(1,)], "wrong_col long")
+        with _pytest.raises(
+            ValueError, match="delete_from_dedup_index.*doc_id"
+        ):
+            delete_from_dedup_index(spark, "t_q_del", bad)
+    finally:
+        for t in ("t_q_del", "t_q_del_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
