@@ -671,15 +671,19 @@ def main(argv: list[str] | None = None) -> int:
         # ingest-manifest lines: the REPORT never refuses (it is the
         # diagnostic you run on a store the serve lanes just refused),
         # it surfaces the manifest totals the serve-side cross-check
-        # enforces
+        # enforces — including a CORRUPT manifest, reported as such
+        # instead of crashing the one tool meant for the triage
         manp = f"{args.path.rstrip('/')}_manifest.json"
         if _os.path.exists(manp):
-            with open(manp) as fh:
-                entries = _json.load(fh)
-            print(f"manifest_shards\t{len(entries)}")
-            print(
-                f"manifest_total\t{sum(e['n_rows'] for e in entries)}"
-            )
+            try:
+                with open(manp) as fh:
+                    entries = _json.load(fh)
+                total = sum(e["n_rows"] for e in entries)
+                print(f"manifest_shards\t{len(entries)}")
+                print(f"manifest_total\t{total}")
+            except (ValueError, TypeError, KeyError) as exc:
+                print(f"manifest_shards\tCORRUPT ({exc})")
+                print("manifest_total\tCORRUPT")
         else:
             print("manifest_shards\t0")
             print("manifest_total\tMISSING")

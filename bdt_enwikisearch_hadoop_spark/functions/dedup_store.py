@@ -36,9 +36,8 @@ from .index_store import (
     apply_tombstones_in_compaction,
     assert_batch_not_tombstoned,
     assert_manifest_consistent,
-    assert_no_live_lease,
-    assert_no_live_lease_table,
     assert_sidecar_populated,
+    build_write_lease,
     clear_tombstones,
     compact_store,
     record_tombstones,
@@ -76,38 +75,37 @@ def build_dedup_index(spark, sf_dir: str, table: str, path: str,
     Each table also gets a ``_meta.json`` sidecar so a FRESH process
     (the CLI) can re-register the files with the full bucketing spec
     instead of a plain external table (see register_external_store)."""
-    assert_no_live_lease(path, "build_dedup_index")
-    assert_no_live_lease_table(spark, table, "build_dedup_index")
-    if docs is None:
-        band = text_band_table(spark, sf_dir)
-        sets = doc_shingle_sets(spark, sf_dir)
-    else:
-        # a doc_id occurring twice in the build frame would double its
-        # sidecar/band rows (duplicating every future probe hit):
-        # collapse to one arbitrary representative — same contract as
-        # the append lane
-        sets = shingle_sets(rebalance(docs.dropDuplicates(["doc_id"])))
-        band = _text_band_table(sets)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        band.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, "bk")
-        .sortBy("bk")
-        .saveAsTable(table)
-    )
-    write_store_meta(band, path, buckets, "bk")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
-    (
-        sets.write.mode("overwrite")
-        .option("path", f"{path.rstrip('/')}_sets")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(f"{table}_sets")
-    )
-    write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
-    clear_tombstones(spark, table, path)
-    reset_manifest(spark, table, spark.table(f"{table}_sets").count())
+    with build_write_lease(spark, table, path, "build_dedup_index"):
+        if docs is None:
+            band = text_band_table(spark, sf_dir)
+            sets = doc_shingle_sets(spark, sf_dir)
+        else:
+            # a doc_id occurring twice in the build frame would double its
+            # sidecar/band rows (duplicating every future probe hit):
+            # collapse to one arbitrary representative — same contract as
+            # the append lane
+            sets = shingle_sets(rebalance(docs.dropDuplicates(["doc_id"])))
+            band = _text_band_table(sets)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            band.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, "bk")
+            .sortBy("bk")
+            .saveAsTable(table)
+        )
+        write_store_meta(band, path, buckets, "bk")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_sets")
+        (
+            sets.write.mode("overwrite")
+            .option("path", f"{path.rstrip('/')}_sets")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{table}_sets")
+        )
+        write_store_meta(sets, f"{path.rstrip('/')}_sets", buckets, "doc_id")
+        clear_tombstones(spark, table, path)
+        reset_manifest(spark, table, spark.table(f"{table}_sets").count())
 
 
 def compact_dedup_index(spark, table: str, new_path: str) -> None:

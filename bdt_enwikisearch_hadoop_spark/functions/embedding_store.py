@@ -55,9 +55,8 @@ from .index_store import (
     apply_tombstones_in_compaction,
     assert_batch_not_tombstoned,
     assert_manifest_consistent,
-    assert_no_live_lease,
-    assert_no_live_lease_table,
     assert_sidecar_populated,
+    build_write_lease,
     clear_tombstones,
     compact_store,
     record_tombstones,
@@ -148,41 +147,40 @@ def build_embedding_index(spark, sf_dir: str, table: str, path: str,
     Each table gets a ``_meta.json`` sidecar so a fresh process can
     re-register the files with the full bucketing spec
     (index_store.register_external_store)."""
-    assert_no_live_lease(path, "build_embedding_index")
-    assert_no_live_lease_table(spark, table, "build_embedding_index")
-    if emb is None:
-        emb = load(spark, sf_dir, "embeddings")
-        _assert_ingestable(emb, "build_embedding_index")
-        band = embedding_bucket_table(spark, sf_dir)
-    else:
-        # a vec_id occurring twice in the build frame would double its
-        # sidecar/band rows (duplicating every future probe hit):
-        # collapse to one arbitrary representative — same contract as
-        # the append lane
-        emb = emb.dropDuplicates(["vec_id"])
-        _assert_ingestable(emb, "build_embedding_index")
-        band = embedding_band_buckets(emb)
-    vecs = _vec_sidecar(emb)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        band.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, "bucket")
-        .sortBy("bucket")
-        .saveAsTable(table)
-    )
-    write_store_meta(band, path, buckets, "bucket")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
-    (
-        vecs.write.mode("overwrite")
-        .option("path", f"{path.rstrip('/')}_vecs")
-        .bucketBy(buckets, "vec_id")
-        .sortBy("vec_id")
-        .saveAsTable(f"{table}_vecs")
-    )
-    write_store_meta(vecs, f"{path.rstrip('/')}_vecs", buckets, "vec_id")
-    clear_tombstones(spark, table, path)
-    reset_manifest(spark, table, spark.table(f"{table}_vecs").count())
+    with build_write_lease(spark, table, path, "build_embedding_index"):
+        if emb is None:
+            emb = load(spark, sf_dir, "embeddings")
+            _assert_ingestable(emb, "build_embedding_index")
+            band = embedding_bucket_table(spark, sf_dir)
+        else:
+            # a vec_id occurring twice in the build frame would double its
+            # sidecar/band rows (duplicating every future probe hit):
+            # collapse to one arbitrary representative — same contract as
+            # the append lane
+            emb = emb.dropDuplicates(["vec_id"])
+            _assert_ingestable(emb, "build_embedding_index")
+            band = embedding_band_buckets(emb)
+        vecs = _vec_sidecar(emb)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            band.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, "bucket")
+            .sortBy("bucket")
+            .saveAsTable(table)
+        )
+        write_store_meta(band, path, buckets, "bucket")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_vecs")
+        (
+            vecs.write.mode("overwrite")
+            .option("path", f"{path.rstrip('/')}_vecs")
+            .bucketBy(buckets, "vec_id")
+            .sortBy("vec_id")
+            .saveAsTable(f"{table}_vecs")
+        )
+        write_store_meta(vecs, f"{path.rstrip('/')}_vecs", buckets, "vec_id")
+        clear_tombstones(spark, table, path)
+        reset_manifest(spark, table, spark.table(f"{table}_vecs").count())
 
 
 def append_embedding_index(spark, table: str, emb: DataFrame,

@@ -344,7 +344,7 @@ def _catalog_locations(spark) -> set[str]:
     live = set()
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
-            if t.tableType == "VIEW":
+            if t.tableType in ("VIEW", "TEMPORARY"):
                 continue
             name = (
                 f"{t.namespace[0]}.{t.name}" if t.namespace
@@ -352,8 +352,19 @@ def _catalog_locations(spark) -> set[str]:
             )
             try:
                 meta = _describe_meta(spark, name)
-            except Exception:
-                continue
+            except Exception as exc:
+                # FAIL CLOSED: this set is the only thing standing
+                # between vacuum_store and rmtree'ing a directory a
+                # registered table still serves — a DESCRIBE failure
+                # (transient metastore error, exotic table) must
+                # refuse the vacuum, not silently shrink the
+                # protected set
+                raise ValueError(
+                    f"vacuum_store: cannot resolve the location of "
+                    f"catalog table {name} ({exc}) — refusing to "
+                    "vacuum with an incomplete live set; retry when "
+                    "the catalog answers"
+                ) from exc
             if "Location" in meta:
                 live.add(
                     os.path.realpath(meta["Location"].removeprefix("file:"))
@@ -411,8 +422,11 @@ def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
         )
     live = _catalog_locations(spark)
     now = time.time()
-    removed: list[str] = []
-    kept: list[dict] = []
+    # phase 1: validate EVERY entry against the live set BEFORE any
+    # deletion — raising halfway through a deleting loop would leave
+    # already-deleted paths in a ledger that then never gets
+    # rewritten, and a later vacuum would rmtree a path a NEW store
+    # may have reused since
     for entry in ledger:
         p = os.path.realpath(entry["path"])
         if p in live:
@@ -422,23 +436,44 @@ def vacuum_store(spark, table: str, min_age_sec: float = 86400.0) -> dict:
                 "delete under a live reader; drop that registration "
                 "(or fix the ledger) first"
             )
-        if now - entry["ts"] < min_age_sec:
-            kept.append(entry)
-            continue
-        shutil.rmtree(p, ignore_errors=True)
-        if os.path.exists(p):
-            # deletion FAILED (held handle, permissions, transient FS
-            # error): keep the entry so a future vacuum retries —
-            # reporting it removed while dropping it from the ledger
-            # would leak the directory forever with a clean report
-            kept.append(entry)
-            continue
-        for side in (f"{p}_meta.json", f"{p}_manifest.json"):
-            if os.path.exists(side):
-                os.remove(side)
-        removed.append(p)
-    with open(lp, "w") as fh:
-        json.dump(kept, fh)
+    # phase 2: delete aged entries; the ledger is persisted in a
+    # finally, so even an unexpected mid-loop failure records exactly
+    # the entries that were NOT removed (a removed path must never
+    # survive in the ledger — path reuse would make the next vacuum
+    # delete a live store's directory)
+    removed: list[str] = []
+    kept: list[dict] = []
+    try:
+        for entry in ledger:
+            p = os.path.realpath(entry["path"])
+            if now - entry["ts"] < min_age_sec:
+                kept.append(entry)
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.exists(p):
+                # deletion FAILED (held handle, permissions, transient
+                # FS error): keep the entry so a future vacuum retries
+                # — reporting it removed while dropping it from the
+                # ledger would leak the directory forever
+                kept.append(entry)
+                continue
+            for side in (f"{p}_meta.json", f"{p}_manifest.json"):
+                if os.path.exists(side):
+                    try:
+                        os.remove(side)
+                    except OSError:
+                        pass
+            removed.append(p)
+    finally:
+        decided = {id(e) for e in kept}
+        gone = set(removed)
+        residual = [
+            e for e in ledger
+            if id(e) not in decided
+            and os.path.realpath(e["path"]) not in gone
+        ]
+        with open(lp, "w") as fh:
+            json.dump(kept + residual, fh)
     return {"removed": removed, "kept": [e["path"] for e in kept]}
 
 
@@ -930,48 +965,77 @@ def _acquire_lock(path: str, table: str, ident: dict,
                   stale_sec: float) -> str:
     """One marker-directory acquire (the mkdir is the atomic step);
     returns the lock dir it took.  Shared by :func:`store_write_lease`
-    for each of its anchor paths."""
+    for each of its anchor paths.  Every infrastructure failure (a
+    missing parent directory for a yet-to-be-created target path,
+    permissions, the marker vanishing between the EEXIST and the stat
+    because its holder just released) surfaces as the lane-contract
+    ValueError or a clean retry — never a raw OSError, which would
+    both escape the CLI's never-a-traceback contract and, in
+    :func:`store_write_lease`'s multi-anchor loop, skip the release
+    of markers already taken."""
     import json as _json
     import time
 
     lock_dir = f"{path.rstrip('/')}_lock"
     lease_file = os.path.join(lock_dir, "lease.json")
-    try:
-        os.mkdir(lock_dir)
-    except FileExistsError:
-        holder = None
+    for _attempt in range(3):
         try:
-            with open(lease_file) as fh:
-                holder = _json.load(fh)
-        except (FileNotFoundError, ValueError):
+            os.mkdir(lock_dir)
+            break
+        except FileExistsError:
             holder = None
-        if holder is not None:
-            age = time.time() - holder.get("ts", 0.0)
-            if age < stale_sec:
-                raise ValueError(
-                    f"{table}: write lease held by {holder.get('owner')} "
-                    f"for {age:.0f}s (stale after {stale_sec:.0f}s) — "
-                    "single-writer append contract; wait for it to "
-                    "finish, or take over a crashed holder by raising "
-                    "stale_sec"
-                ) from None
-        else:
-            age = time.time() - os.stat(lock_dir).st_mtime
+            try:
+                with open(lease_file) as fh:
+                    holder = _json.load(fh)
+            except (FileNotFoundError, ValueError):
+                holder = None
+            if holder is not None:
+                age = time.time() - holder.get("ts", 0.0)
+                if age < stale_sec:
+                    raise ValueError(
+                        f"{table}: write lease held by "
+                        f"{holder.get('owner')} "
+                        f"for {age:.0f}s (stale after {stale_sec:.0f}s) — "
+                        "single-writer append contract; wait for it to "
+                        "finish, or take over a crashed holder by raising "
+                        "stale_sec"
+                    ) from None
+                break  # stale lease: take it over
+            try:
+                age = time.time() - os.stat(lock_dir).st_mtime
+            except FileNotFoundError:
+                continue  # holder released between EEXIST and stat
             if age < stale_sec:
                 raise ValueError(
                     f"{table}: write-lease marker present but its lease "
                     "file is unreadable — another appender mid-acquire "
                     f"(marker {age:.0f}s old); retry shortly"
                 ) from None
-        # stale lease (or stale empty marker): take it over
+            break  # stale empty marker: take it over
+        except OSError as exc:
+            raise ValueError(
+                f"{table}: cannot create write-lease marker {lock_dir}: "
+                f"{exc} — does the target's parent directory exist and "
+                "allow writes?"
+            ) from exc
     tmp = os.path.join(lock_dir, f".lease.{ident['token']}.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(ident, fh)
-    os.replace(tmp, lease_file)
+    try:
+        with open(tmp, "w") as fh:
+            _json.dump(ident, fh)
+        os.replace(tmp, lease_file)
+    except OSError as exc:
+        # marker vanished under us (released/GC'd) or became unwritable:
+        # we hold nothing — fail clean, leave nothing behind
+        _release_lock(lock_dir, ident["token"])
+        raise ValueError(
+            f"{table}: could not write the lease file in {lock_dir}: "
+            f"{exc}; retry shortly"
+        ) from exc
     return lock_dir
 
 
 def _release_lock(lock_dir: str, token: str) -> None:
+    import glob as _glob
     import json as _json
 
     try:
@@ -980,6 +1044,15 @@ def _release_lock(lock_dir: str, token: str) -> None:
             cur = _json.load(fh)
         if cur.get("token") == token:
             os.remove(lease_file)
+            # a claimant that crashed between its tmp write and the
+            # replace leaves a .lease.*.tmp behind; without this sweep
+            # the rmdir fails ENOTEMPTY and the lease-less marker
+            # refuses every acquire as 'mid-acquire' for stale_sec
+            for stray in _glob.glob(os.path.join(lock_dir, ".lease.*.tmp")):
+                try:
+                    os.remove(stray)
+                except OSError:
+                    pass
             os.rmdir(lock_dir)
     except (FileNotFoundError, ValueError, OSError):
         pass  # taken over, or marker already gone — not ours to free
@@ -1048,7 +1121,10 @@ def store_write_lease(spark, table: str, owner: str | None = None,
                 continue
             seen.add(rp)
             taken.append(_acquire_lock(p, table, ident, stale_sec))
-    except ValueError:
+    except BaseException:
+        # ANY failure on a later anchor (refusal, infrastructure
+        # error, KeyboardInterrupt) must free the markers already
+        # taken — a leaked lease write-blocks the store for stale_sec
         for d in taken:
             _release_lock(d, token)
         raise
@@ -1059,59 +1135,57 @@ def store_write_lease(spark, table: str, owner: str | None = None,
             _release_lock(d, token)
 
 
-def assert_no_live_lease(path: str, what: str,
-                         stale_sec: float = 3600.0) -> None:
-    """Refuse a REBUILD over a store path whose write lease is live —
-    builds are provisioning actions that run OUTSIDE the lease (the
-    target table may not exist yet, so :func:`store_write_lease`'s
-    table-location anchor cannot apply), but overwriting the
-    directories a live appender is mid-write into is the same
-    interleaving hazard the lease exists to prevent.  A STALE marker
-    (crashed writer) is cleared and the rebuild proceeds — the
-    rebuild re-derives everything, so adopting a crashed append's
-    partial state is not a concern the way it is for appends."""
-    import shutil
+@contextlib.contextmanager
+def build_write_lease(spark, table: str, path: str, what: str,
+                      stale_sec: float = 3600.0):
+    """Builds HOLD the write lease for their whole duration — the
+    earlier check-then-act guard (assert marker absence at t0, then
+    run a corpus-sized derivation for minutes) let an appender acquire
+    AFTER the check and interleave its refresh→anti-join→write→stamp
+    with the rebuild's DROP TABLE + overwrite writes.  Two anchors,
+    deduped by resolved lock path: the rebuild's TARGET path, and the
+    serving table's CURRENT location when the table already exists —
+    a rebuild to a fresh path (the repo's own immutable-swap
+    discipline) still drops the registration out from under a live
+    appender anchored at the old base.  A STALE marker is taken over
+    rather than refused: the rebuild re-derives everything, so
+    adopting a crashed writer's partial state is not a concern the
+    way it is for appends.  Refusals and releases follow
+    :func:`store_write_lease`'s contract (all-or-nothing acquire,
+    every failure frees the markers already taken)."""
     import time
+    import uuid
 
-    lock_dir = f"{path.rstrip('/')}_lock"
-    if not os.path.exists(lock_dir):
-        return
-    holder = None
+    token = uuid.uuid4().hex
+    ident = {
+        "owner": f"{what} pid={os.getpid()}",
+        "token": token,
+        "ts": time.time(),
+    }
+    anchors = [path]
+    if spark.catalog.tableExists(table):
+        try:
+            anchors.append(table_location(spark, table))
+        except ValueError:
+            pass
+    taken: list[str] = []
+    seen: set[str] = set()
     try:
-        with open(os.path.join(lock_dir, "lease.json")) as fh:
-            holder = json.load(fh)
-    except (FileNotFoundError, ValueError):
-        holder = None
-    ts = holder.get("ts", 0.0) if holder else os.stat(lock_dir).st_mtime
-    age = time.time() - ts
-    if age < stale_sec:
-        who = holder.get("owner") if holder else "mid-acquire marker"
-        raise ValueError(
-            f"{what}: a writer holds the lease at {path} ({who}, "
-            f"{age:.0f}s old) — refusing to rebuild under a live "
-            "appender; wait for it to finish or clear a crashed "
-            "holder's marker"
-        )
-    shutil.rmtree(lock_dir, ignore_errors=True)
-
-
-def assert_no_live_lease_table(spark, table: str, what: str,
-                               stale_sec: float = 3600.0) -> None:
-    """The current-location half of the rebuild guard: a rebuild DROPs
-    and recreates the serving TABLE, so a live appender working at the
-    table's CURRENT location — which can differ from the rebuild's
-    target path (rebuild-to-a-fresh-path is the repo's own immutable-
-    swap discipline) — would have the registration pulled out from
-    under its refresh→anti-join→write sequence.  Builds check the
-    target path (:func:`assert_no_live_lease`) AND, when the table
-    already exists, its current location, via this guard."""
-    if not spark.catalog.tableExists(table):
-        return
+        for p in anchors:
+            rp = os.path.realpath(f"{p.rstrip('/')}_lock")
+            if rp in seen:
+                continue
+            seen.add(rp)
+            taken.append(_acquire_lock(p, table, ident, stale_sec))
+    except BaseException:
+        for d in taken:
+            _release_lock(d, token)
+        raise
     try:
-        cur = table_location(spark, table)
-    except ValueError:
-        return
-    assert_no_live_lease(cur, what, stale_sec)
+        yield
+    finally:
+        for d in taken:
+            _release_lock(d, token)
 
 
 #: (applicationId, table, suffix) triples that passed the sidecar
@@ -1368,15 +1442,25 @@ def check_store(spark, table: str, id_suffix: str) -> dict:
             out["write_lease"] = {
                 "ok": True, "detail": "marker present, lease mid-acquire"
             }
-    # superseded directories awaiting vacuum
+    # superseded directories awaiting vacuum — a corrupt ledger is
+    # REPORTED, never raised: aborting the health report on the exact
+    # corruption it exists to triage would defeat its contract
     lp = f"{base.rstrip('/')}_superseded.json"
     if os.path.exists(lp):
-        with open(lp) as fh:
-            ledger = json.load(fh)
-        out["superseded"] = {
-            "ok": True,
-            "detail": f"{len(ledger)} dir(s) awaiting vacuum",
-        }
+        try:
+            with open(lp) as fh:
+                ledger = json.load(fh)
+            if not isinstance(ledger, list):
+                raise ValueError("not a list of entries")
+            out["superseded"] = {
+                "ok": True,
+                "detail": f"{len(ledger)} dir(s) awaiting vacuum",
+            }
+        except ValueError as exc:
+            out["superseded"] = {
+                "ok": False,
+                "detail": f"corrupt superseded ledger {lp}: {exc}",
+            }
     else:
         out["superseded"] = {"ok": True, "detail": "none"}
     # tombstones awaiting physical reclamation
@@ -1406,37 +1490,36 @@ def build_index(spark, sf_dir: str, table: str, path: str, buckets: int = 16) ->
     rolls forward or takedowns are in scope, serve from the segmented
     raw-TF store (:func:`build_tf_index` family), whose query-time
     weighting makes both exact."""
-    assert_no_live_lease(path, "build_index")
-    assert_no_live_lease_table(spark, table, "build_index")
-    w = tfidf_w(spark, sf_dir)
-    index = w.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df_count"),
-        F.array_sort(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("wt")))
-        ).alias("postings"),
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        index.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, "term")
-        .sortBy("term")
-        .saveAsTable(table)
-    )
-    write_store_meta(index, path, buckets, "term")
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}_norms")
-    (
-        norms.write.mode("overwrite")
-        .option("path", f"{path.rstrip('/')}_norms")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(f"{table}_norms")
-    )
-    write_store_meta(norms, f"{path.rstrip('/')}_norms", buckets, "doc_id")
-    reset_manifest(spark, table, spark.table(f"{table}_norms").count())
+    with build_write_lease(spark, table, path, "build_index"):
+        w = tfidf_w(spark, sf_dir)
+        index = w.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("wt")))
+            ).alias("postings"),
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            index.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .saveAsTable(table)
+        )
+        write_store_meta(index, path, buckets, "term")
+        norms = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {table}_norms")
+        (
+            norms.write.mode("overwrite")
+            .option("path", f"{path.rstrip('/')}_norms")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{table}_norms")
+        )
+        write_store_meta(norms, f"{path.rstrip('/')}_norms", buckets, "doc_id")
+        reset_manifest(spark, table, spark.table(f"{table}_norms").count())
 
 
 def search_index(
@@ -1558,32 +1641,31 @@ def build_tf_index(
     row would DOUBLE every tf for that document and double-count it in
     N; a batch carrying conflicting texts for one id is a producer bug
     this boundary does not adjudicate)."""
-    assert_no_live_lease(path, "build_tf_index")
-    assert_no_live_lease_table(spark, table, "build_tf_index")
-    docs = docs.dropDuplicates(["doc_id"])
-    index = _tf_segment(docs)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        index.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, "term")
-        .sortBy("term")
-        .saveAsTable(table)
-    )
-    write_store_meta(index, path, buckets, "term")
-    ids = docs.select("doc_id")
-    spark.sql(f"DROP TABLE IF EXISTS {table}_docs")
-    (
-        ids.write.mode("overwrite")
-        .option("path", f"{path.rstrip('/')}_docs")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(f"{table}_docs")
-    )
-    write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
-    clear_tombstones(spark, table, path)
-    reset_manifest(spark, table, spark.table(f"{table}_docs").count())
-    _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
+    with build_write_lease(spark, table, path, "build_tf_index"):
+        docs = docs.dropDuplicates(["doc_id"])
+        index = _tf_segment(docs)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            index.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(buckets, "term")
+            .sortBy("term")
+            .saveAsTable(table)
+        )
+        write_store_meta(index, path, buckets, "term")
+        ids = docs.select("doc_id")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_docs")
+        (
+            ids.write.mode("overwrite")
+            .option("path", f"{path.rstrip('/')}_docs")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(f"{table}_docs")
+        )
+        write_store_meta(ids, f"{path.rstrip('/')}_docs", buckets, "doc_id")
+        clear_tombstones(spark, table, path)
+        reset_manifest(spark, table, spark.table(f"{table}_docs").count())
+        _N_DOCS_MEMO.pop((spark.sparkContext.applicationId, table), None)
 
 
 def merge_tf_delta(spark, base_table: str, delta_docs: DataFrame) -> DataFrame:

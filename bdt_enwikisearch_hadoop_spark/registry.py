@@ -33,7 +33,10 @@ RESERVED_KEY_NUMBERS: frozenset[str] = frozenset(
     {"c28", "e12", "e13", "i24", "i41", "j41", "j75"}
 )
 
-_KEY_NUM_RE = __import__("re").compile(r"([a-z]\d+)_")
+#: the number prefix with or without a trailing description — a key
+#: registered as the BARE reserved number (``c28``) must trip the
+#: refusal exactly like ``c28_anything``
+_KEY_NUM_RE = __import__("re").compile(r"([a-z]\d+)(?:_|$)")
 
 
 def query(name: str, oracle: str | None = None):

@@ -8030,3 +8030,205 @@ def test_sql_unsafe_path_and_missing_id_column_refused(spark, tmp_path):
     finally:
         for t in ("t_q_del", "t_q_del_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lease_infrastructure_failures_are_clean(spark, tmp_path):
+    """Second-review fixes on the lease mechanics: (a) an
+    infrastructure failure acquiring a LATER anchor (missing parent
+    directory for a yet-to-be-created target) surfaces as the
+    lane-contract ValueError AND releases the base marker already
+    taken — a leaked lease write-blocks the store for an hour; (b) a
+    stray .lease.*.tmp from a crashed claimant no longer wedges
+    release into leaving a lease-less marker that refuses every
+    acquire as 'mid-acquire'."""
+    import json as _json
+    import os
+    import time as _time
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        store_write_lease,
+    )
+
+    doc, _ = _boundary_pair(12)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "infra1")
+    try:
+        build_dedup_index(spark, "unused", "t_infra_l", p1, docs=docs)
+        missing_parent = str(tmp_path / "no" / "such" / "dir" / "t2")
+        with _pytest.raises(ValueError,
+                            match="cannot create write-lease marker"):
+            with store_write_lease(spark, "t_infra_l",
+                                   extra_paths=(missing_parent,)):
+                pass
+        # the base marker was released, store not write-blocked
+        assert not os.path.exists(f"{p1}_lock")
+        with store_write_lease(spark, "t_infra_l"):
+            pass
+        # (b) stray tmp file from a crashed claimant: release sweeps it
+        with store_write_lease(spark, "t_infra_l"):
+            with open(f"{p1}_lock/.lease.deadbeef.tmp", "w") as fh:
+                _json.dump({"owner": "crashed", "token": "x",
+                            "ts": _time.time()}, fh)
+        assert not os.path.exists(f"{p1}_lock")
+    finally:
+        for t in ("t_infra_l", "t_infra_l_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_build_holds_lease_for_duration(spark, tmp_path):
+    """Second-review fix: builds HOLD the write lease (check-then-act
+    asserted absence at t0 and then ran minutes of unguarded work).
+    Pinned via the mechanism: while a build's lease is held, the
+    append lane's acquire refuses by the build's name; after the
+    build, the marker is gone and appends proceed."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_write_lease,
+    )
+
+    doc, _ = _boundary_pair(13)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(2, doc + " tail")], "doc_id long, text string"
+    )
+    p1 = str(tmp_path / "bhold")
+    try:
+        build_dedup_index(spark, "unused", "t_bhold", p1, docs=docs)
+        with build_write_lease(spark, "t_bhold", p1, "build_dedup_index"):
+            assert os.path.isdir(f"{p1}_lock")
+            with _pytest.raises(ValueError, match="build_dedup_index"):
+                append_dedup_index(spark, "t_bhold", batch)
+        assert not os.path.exists(f"{p1}_lock")
+        append_dedup_index(spark, "t_bhold", batch)
+        assert spark.table("t_bhold_sets").count() == 2
+    finally:
+        for t in ("t_bhold", "t_bhold_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_vacuum_two_phase_and_fail_closed(spark, tmp_path, monkeypatch):
+    """Second-review fixes on vacuum: (a) the live-set validation runs
+    over EVERY ledger entry BEFORE any deletion — a live entry later
+    in the ledger used to abort the loop after earlier entries were
+    already rmtree'd, leaving their stale records in a never-rewritten
+    ledger (path reuse would then get a live store GC'd); (b) a
+    DESCRIBE failure while building the live set REFUSES the vacuum
+    (fail closed) instead of silently shrinking the protected set."""
+    import os
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions.dedup_store import (
+        build_dedup_index,
+        compact_dedup_index,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions import index_store
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        register_external_store,
+        vacuum_store,
+    )
+
+    doc, _ = _boundary_pair(14)
+    docs = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    p1 = str(tmp_path / "v2p1")
+    p2 = str(tmp_path / "v2p2")
+    p3 = str(tmp_path / "v2p3")
+    try:
+        build_dedup_index(spark, "unused", "t_v2p", p1, docs=docs)
+        compact_dedup_index(spark, "t_v2p", p2)
+        compact_dedup_index(spark, "t_v2p", p3)
+        # ledger now [p1, p2] (oldest first); register p2 as a live
+        # snapshot so it trips the guard AFTER p1 would have been
+        # deleted under the old one-pass loop
+        register_external_store(spark, "t_v2p_snap", p2)
+        with _pytest.raises(ValueError, match="CURRENT location"):
+            vacuum_store(spark, "t_v2p", min_age_sec=0.0)
+        # phase-1 discipline: NOTHING was deleted
+        assert os.path.isdir(p1) and os.path.isdir(p2)
+        spark.sql("DROP TABLE t_v2p_snap")
+        # (b) fail closed on a DESCRIBE failure
+        real = index_store._describe_meta
+
+        def boom(spark_, name):
+            if name.endswith("t_v2p_sets"):
+                raise RuntimeError("metastore hiccup")
+            return real(spark_, name)
+
+        monkeypatch.setattr(index_store, "_describe_meta", boom)
+        with _pytest.raises(ValueError, match="incomplete live set"):
+            vacuum_store(spark, "t_v2p", min_age_sec=0.0)
+        monkeypatch.undo()
+        assert os.path.isdir(p1)
+        res = vacuum_store(spark, "t_v2p", min_age_sec=0.0)
+        assert not os.path.exists(p1) and not os.path.exists(p2)
+        assert len(res["removed"]) >= 2
+    finally:
+        for t in ("t_v2p", "t_v2p_sets", "t_v2p_snap"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_report_lanes_survive_corrupt_sidecars(spark, tmp_path, capsys):
+    """Second-review fixes on the diagnostic lanes: store-report and
+    check-store are the tools you run on a store the serve lanes just
+    refused — a corrupt manifest or superseded ledger must be
+    REPORTED (CORRUPT / ok=False) there, never crash the report with
+    a traceback or abort the remaining checks."""
+    import json as _json
+
+    from bdt_enwikisearch_hadoop_spark import cli
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        build_tf_index,
+        check_store,
+        table_location,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark join")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "crpt")
+    try:
+        build_tf_index(spark, docs, "t_crpt_tf", path)
+        base = table_location(spark, "t_crpt_tf")
+        with open(f"{base.rstrip('/')}_manifest.json", "w") as fh:
+            fh.write("{not json")
+        with open(f"{base.rstrip('/')}_superseded.json", "w") as fh:
+            _json.dump({"not": "a list"}, fh)
+        rc = cli.main(["store-report", path, "--table", "t_crpt_tf"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "manifest_shards\tCORRUPT" in out, out
+        checks = check_store(spark, "t_crpt_tf", "_docs")
+        assert checks["superseded"]["ok"] is False
+        assert "corrupt superseded ledger" in checks["superseded"]["detail"]
+        # the OTHER checks still reported (the report was not aborted)
+        assert "meta_sidecar" in checks and "bucketing" in checks
+        assert checks["manifest"]["ok"] is False
+    finally:
+        for t in ("t_crpt_tf", "t_crpt_tf_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reserved_bare_number_refused():
+    """Second-review fix: the reserved-number guard's regex demanded a
+    trailing underscore, so registering the BARE number ('c28')
+    bypassed the refusal."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.registry import query
+
+    with _pytest.raises(ValueError, match="reserved"):
+        query("c28")(lambda spark, sf_dir: None)
+    with _pytest.raises(ValueError, match="reserved"):
+        query("j41_new_semantics")(lambda spark, sf_dir: None)
