@@ -1345,12 +1345,15 @@ def j66_oov_rate(spark, sf_dir) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     )
-    wv = Window.orderBy(F.col("c").desc(), "term")
+    # top-K membership needs no rank column: ORDER BY + LIMIT plans a
+    # TakeOrderedAndProject heap (f2's shape) — a rank WINDOW here
+    # would single-partition the vocabulary table, which at web scale
+    # is billions of raw tokens
     vocab = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= _OOV_VOCAB)
+        .orderBy(F.col("c").desc(), "term")
+        .limit(_OOV_VOCAB)
         .select("term", F.lit(1).alias("in_v"))
     )
     return (

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..operators.prefix_scan import global_row_number, prefix_agg
 from ..registry import query
 from ..sources import load, materialized, rebalance
 from .llm_pipeline import (
@@ -3175,19 +3176,17 @@ def j65_systematic_resample(spark, sf_dir) -> DataFrame:
     variant with the identical plan.
 
     Plan / 100 TB shape: one global running sum over doc_id order —
-    declared here as a single window (the e10 shape); at corpus scale
-    the standard two-pass distributed prefix sum replaces it
-    (per-partition subtotals, broadcast scan of the partition offsets,
-    then a map pass) with no change to the arithmetic — then one map
+    computed as the standard two-phase distributed prefix sum
+    (operators/prefix_scan.py: order-aligned buckets, a PARTITIONED
+    local scan over one parallel narrow exchange, the bucket-count-
+    sized offset closure broadcast back) with no change to the
+    arithmetic — no Exchange SinglePartition anywhere; then one map
     pass computes both f() values per row.  Output is the ≤K selected
     docs."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
     )
-    cum_w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    t = d.withColumn("cum", F.sum("w").over(cum_w))
+    t = prefix_agg(d, ["doc_id"], "w", "cum", agg="sum")
     tot = F.broadcast(d.agg(F.sum("w").alias("wt")))
     k = _RESAMPLE_K
     f = t.crossJoin(tot).select(
@@ -3936,27 +3935,37 @@ def j71_epoch_shuffle(spark, sf_dir) -> DataFrame:
     epochs get independent permutations from the epoch salt; the
     doc_id tiebreak covers the astronomically-unlikely hash tie.
 
-    Plan / 100 TB shape: the rank-over-hash is a sort, and THE honest
-    cost accounting is: one global sort per epoch — exactly what a
-    real loader pays once per epoch to write its index file, amortized
-    over the whole epoch's reads.  At 100 TB the sort is range-
-    partitioned (Spark's exchange does this); production often skips
-    the materialized rank entirely and just ORDERS BY the hash on
-    read, which is this same plan minus the window.  Emitted wide
+    Plan / 100 TB shape: the rank-over-hash is the two-phase
+    distributed rank (operators/prefix_scan.py), not a ``row_number``
+    over an unpartitioned window (which would drag the corpus through
+    Exchange SinglePartition — one task per epoch holding every row).
+    The bucket is the md5 value's own leading 32 bits: the hash is
+    uniform BY CONSTRUCTION, so equal-width prefix ranges are
+    load-balanced with no boundary sketch, and — md5 being fixed-width
+    lowercase hex — lexicographic order equals prefix-value order, so
+    the bucket is order-aligned exactly.  One parallel narrow exchange
+    per epoch + the bucket-count offset closure; production often
+    skips the materialized rank and just ORDERS BY the hash on read,
+    which is this same exchange minus the rank columns.  Emitted wide
     (one column per epoch) to keep the driver-hash schema scalar."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_b = 64
     out = None
     for ep in range(_SHUFFLE_EPOCHS):
-        w = Window.orderBy(
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(str(ep)), F.col("doc_id").cast("string")
-                )
-            ),
-            "doc_id",
+        h = F.md5(
+            F.concat_ws(":", F.lit(str(ep)), F.col("doc_id").cast("string"))
         )
-        col = (F.row_number().over(w) - 1).cast("long").alias(f"pos_e{ep}")
-        ranked = docs.select("doc_id", col)
+        hdf = docs.select("doc_id", h.alias("_h"))
+        bucket = (
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+            * n_b
+            / F.lit(2**32)
+        ).cast("int")
+        ranked = global_row_number(
+            hdf, ["_h", "doc_id"], "_rn", bucket=bucket
+        ).select(
+            "doc_id", (F.col("_rn") - 1).cast("long").alias(f"pos_e{ep}")
+        )
         out = ranked if out is None else out.join(ranked, "doc_id")
     return out.orderBy("doc_id")
 

@@ -461,16 +461,18 @@ def m6_interleave_schedule(spark, sf_dir) -> DataFrame:
         F.row_number().over(wr).alias("r"),
         F.count(F.lit(1)).over(wc).alias("n_m"),
     )
+    # heap FIRST (TakeOrderedAndProject over the corpus — the shape the
+    # docstring promises), THEN number the 50 survivors: a row_number
+    # before the limit would single-partition the whole corpus
     ws = Window.orderBy(
         (F.col("r") * 1.0 / F.col("n_m")), "modality", "doc_id"
     )
-    return (
-        ranked.select(
-            F.row_number().over(ws).alias("pos"), "doc_id", "modality"
-        )
-        .orderBy("pos")
-        .limit(50)
-    )
+    head = ranked.orderBy(
+        (F.col("r") * 1.0 / F.col("n_m")), "modality", "doc_id"
+    ).limit(50)
+    return head.select(
+        F.row_number().over(ws).alias("pos"), "doc_id", "modality"
+    ).orderBy("pos")
 
 
 # ---------------------------------------------------------------------------

@@ -2378,17 +2378,21 @@ def i43_zipf_fit(spark, sf_dir) -> DataFrame:
     quantization scale cancels out of the slope exactly.
 
     Plan / 100 TB shape: the term-frequency aggregate is i9's pass;
-    the rank is a top-{_ZIPF_TOP} window over the vocabulary table
-    (vocabulary-sized, one partition of metadata); the fit touches
-    {_ZIPF_TOP} rows.  Another free index-build telemetry column
-    family (i39/i42's discipline)."""
+    the top-{_ZIPF_TOP} cut is a ``TakeOrderedAndProject`` heap over
+    the vocabulary table (per-task k-row heaps, driver merge — f2's
+    shape; a rank WINDOW here would drag the whole vocabulary, which
+    at web scale is billions of raw tokens, through one partition);
+    the rank numbering then runs over the {_ZIPF_TOP} surviving rows
+    and the fit touches the same {_ZIPF_TOP}.  Another free
+    index-build telemetry column family (i39/i42's discipline)."""
     tok = tokenize(load(spark, sf_dir, "documents"))
     wr = Window.orderBy(F.col("cf").desc(), "term")
     cf = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), "term")
+        .limit(_ZIPF_TOP)
         .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _ZIPF_TOP)
     )
     pts = cf.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1000000)

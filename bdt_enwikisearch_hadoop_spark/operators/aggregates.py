@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
+from .prefix_scan import global_ntile
 
 
 def _money_sum(col, alias: str):
@@ -682,18 +683,26 @@ def d22_equi_depth_histogram(spark, sf_dir) -> DataFrame:
     is identical in Spark and DuckDB, and the ORDER BY carries the
     (orderkey, linenumber) pk so equal prices split deterministically.
 
-    100 TB shape: the honest caveat first — NTILE needs a TOTAL order,
-    so this exact form range-shuffles the measure column (the sort is
-    the product, same as f1; ~1 numeric column, not the wide row).  At
-    petabyte row counts swap in approx_percentile's 8-quantile sketch
-    (single-pass, mergeable, no global sort) and derive counts by one
-    bucketed aggregate against the broadcast boundaries — same output
-    contract, sketch-exactness tradeoff; shipped exact because the
-    boundary values themselves are what the oracle can verify."""
+    100 TB shape: NTILE needs a TOTAL order, but not a single
+    partition — the built-in ``ntile`` window plans Exchange
+    SinglePartition (one task holds the fact table), so this computes
+    the identical SQL remainder rule from the two-phase distributed
+    rank (operators/prefix_scan.py): an order-aligned bucket from an
+    approx_percentile boundary sketch, a PARTITIONED local rank (one
+    parallel exchange of the 3 narrow columns), the bucket-count-sized
+    offset closure broadcast back, then ``(rank, total) → tile`` as a
+    map expression.  Exact — the sketch only places bucket boundaries,
+    never tile boundaries — so the oracle check is unchanged; at
+    petabyte row counts the sketch-only variant (approx boundaries AS
+    the answer) remains the documented cheaper fallback."""
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     return (
-        li.select("l_extendedprice", F.ntile(8).over(w).alias("bucket"))
+        global_ntile(
+            li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            8,
+            "bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..registry import query
 from ..sources import load
+from .prefix_scan import prefix_agg
 
 
 @query(
@@ -1619,10 +1620,13 @@ def pareto_frontier(df: DataFrame, price_col: str, size_col: str) -> DataFrame:
     Property-tested against a brute-force dominance scan on random
     points (tests/test_properties.py)."""
     per_price = df.groupBy(price_col).agg(F.max(size_col).alias("mx"))
-    w = Window.orderBy(price_col).rowsBetween(
-        Window.unboundedPreceding, -1
+    # exclusive prefix-max via the two-phase scan: the per-price table
+    # is price-DOMAIN-sized, but a domain can grow with the data — the
+    # partitioned form costs the same one exchange and never
+    # single-partitions (operators/prefix_scan.py)
+    lvl = prefix_agg(
+        per_price, [price_col], "mx", "m_lt", agg="max", inclusive=False
     )
-    lvl = per_price.withColumn("m_lt", F.max("mx").over(w))
     return (
         df.join(F.broadcast(lvl), price_col)
         .filter(

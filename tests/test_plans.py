@@ -5,6 +5,8 @@ silent 100 TB regression the oracle can't catch."""
 
 from __future__ import annotations
 
+import re
+
 from bdt_enwikisearch_hadoop_spark.registry import QUERIES
 
 
@@ -1313,6 +1315,7 @@ _BNLJ_OK = {
     "j29_kmeans_step", "j30_unigram_logprob", "j33_bigram_logprob",
     "j34_semdedup", "j35_ann_ivfpq", "j38_dsir_score", "j3_sim_topk",
     "j42_dsir_select", "j4_knn_self", "j51_knn_triangles", "j54_lsh_eval",
+    "d22_equi_depth_histogram",  # global_ntile's 1-row total broadcast
     "j59_negative_sampling", "j65_systematic_resample",
     "j72_lsh_eval_sampled", "j80_embedding_lsh_recall_sampled",
     "j82_dup_cluster_sizes",  # singleton count = two scalar aggregates
@@ -1323,6 +1326,17 @@ _BNLJ_OK = {
 #: worst-case baseline (its docstring exists to measure it), l4 is a
 #: Python UDTF (row-wise evaluation is the operator's definition).
 _ROW_PYTHON_OK = {"l1_python_udf", "l4_python_udtf"}
+
+# lint rule 4: the only things allowed to feed Exchange SinglePartition
+# (skipping pure row-wise wrappers on the way down) — each is
+# metadata-sized by construction: an aggregate's output or a top-k heap
+_SP_REDUCED = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|TakeOrderedAndProject"
+)
+_SP_WRAP = re.compile(
+    r"^\W*[*()\d\s]*(Sort |Project |Filter |ColumnarToRow|InputAdapter"
+    r"|WholeStageCodegen)"
+)
 
 #: materialized-tag BUILD plans allowed a BroadcastNestedLoopJoin —
 #: same rule as _BNLJ_OK (build side provably bounded), argued per tag:
@@ -1350,7 +1364,13 @@ def test_registry_wide_plan_lint(spark, sf_dir):
        corpus-independent (_BNLJ_OK, each entry documented);
     3. row-at-a-time Python (BatchEvalPython) only in the two keys
        whose purpose IS row-wise Python — everything else stays
-       JVM-side or Arrow-batched (ArrowEvalPython / *InPandas).
+       JVM-side or Arrow-batched (ArrowEvalPython / *InPandas);
+    4. Exchange SinglePartition only directly above an
+       aggregate-reduced or top-k subtree (metadata-sized by
+       construction) — an unpartitioned window/sort over anything
+       else drags a corpus-sized input through ONE task, the silent
+       serialization the two-phase prefix scan
+       (operators/prefix_scan.py) exists to avoid.
 
     Keys that serve a materialized() artifact show a checkpoint scan
     here, so the serving loop does NOT see the builder plans
@@ -1376,6 +1396,22 @@ def test_registry_wide_plan_lint(spark, sf_dir):
             bad.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan and name not in row_py_ok:
             bad.append("BatchEvalPython")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            j = i + 1
+            while (
+                j < len(lines)
+                and _SP_WRAP.search(lines[j])
+                and not _SP_REDUCED.search(lines[j])
+            ):
+                j += 1
+            if j >= len(lines) or not _SP_REDUCED.search(lines[j]):
+                bad.append(
+                    "SinglePartition over non-aggregate: "
+                    + lines[min(j, len(lines) - 1)].strip()[:80]
+                )
         if bad:
             offenders[name] = bad
 
@@ -1494,3 +1530,39 @@ def test_search_tf_index_one_exchange_bucket_pruned(spark, sf_dir,
         spark.sql("DROP TABLE IF EXISTS t_plan_stf")
         spark.sql("DROP TABLE IF EXISTS t_plan_stf_docs")
         spark.sql("DROP TABLE IF EXISTS t_plan_stf_tombs")
+
+
+def test_prefix_scan_keys_partition_the_corpus_window(spark, sf_dir):
+    """The three keys rebuilt on operators/prefix_scan.py (d22 NTILE,
+    j65 running weight, j71 per-epoch rank) must keep the two-phase
+    shape: every corpus-touching window is PARTITIONED by the
+    order-aligned bucket, the offset closure is broadcast back, and
+    the old single-partition forms (ntile / unpartitioned row_number
+    over the fact table) never reappear.  Lint rule 4 already bans a
+    corpus-sized SinglePartition globally; this pins the positive
+    shape so a rewrite can't satisfy the lint by, say, collecting to
+    the driver."""
+    for key, n_scans in (
+        ("d22_equi_depth_histogram", 1),
+        ("j65_systematic_resample", 1),
+        ("j71_epoch_shuffle", 2),
+    ):
+        p = _plan(spark, sf_dir, key)
+        assert "windowspecdefinition(_ps_bkt" in p, key
+        assert "ntile" not in p, key
+        assert "BroadcastHashJoin" in p, key
+        # the only unpartitioned windows left run over the bucket-count
+        # aggregate (metadata-sized) — rule 4 checks their feed; here
+        # pin their NUMBER so one can't sneak in over a corpus input
+        assert p.count("Exchange SinglePartition") <= 2 * n_scans, key
+
+
+def test_topk_rewrites_plan_heaps_not_rank_windows(spark, sf_dir):
+    """i43 (Zipf rank), j66 (OOV vocab) and m6 (interleave head) cut
+    their top-K with TakeOrderedAndProject heaps; the rank window —
+    where one survives at all — runs over the ≤K surviving rows, so no
+    SinglePartition exchange feeds from anything vocabulary- or
+    corpus-sized (rule 4 enforces the feed; this pins the heap)."""
+    for key in ("i43_zipf_fit", "j66_oov_rate", "m6_interleave_schedule"):
+        p = _plan(spark, sf_dir, key)
+        assert "TakeOrderedAndProject" in p, key

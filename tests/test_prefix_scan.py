@@ -1,0 +1,150 @@
+"""operators/prefix_scan.py: the two-phase distributed scans must be
+BIT-IDENTICAL to the ``Window.orderBy`` single-partition forms they
+replace, for every aggregate, frame, and degenerate input — and the
+order-aligned bucketing contract (non-decreasing along the sort) must
+hold for the explicit buckets the call sites pass."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from bdt_enwikisearch_hadoop_spark.operators.prefix_scan import (
+    aligned_bucket,
+    global_ntile,
+    global_row_number,
+    prefix_agg,
+)
+
+ORDER = ["k", "id"]  # duplicate-heavy key + pk tiebreaker = total order
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    random.seed(13)
+    # negative values on purpose: the scan must not assume monotone
+    # running sums; duplicate k values straddle bucket boundaries
+    rows = [(i % 97, i, random.randint(-50, 50)) for i in range(701)]
+    return spark.createDataFrame(rows, "k long, id long, v long").repartition(7)
+
+
+def _window(df, inclusive):
+    end = Window.currentRow if inclusive else -1
+    return (
+        Window.orderBy(*ORDER)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+
+
+@pytest.mark.parametrize("agg", ["sum", "max", "min", "count"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_prefix_agg_matches_single_window(spark, df, agg, inclusive):
+    aggf = {
+        "sum": F.sum("v"),
+        "max": F.max("v"),
+        "min": F.min("v"),
+        "count": F.count(F.lit(1)),
+    }[agg]
+    exp = df.withColumn("e", aggf.over(_window(df, inclusive)))
+    got = prefix_agg(
+        df, ORDER, "v", "g", agg=agg, inclusive=inclusive, n_buckets=11
+    )
+    joined = exp.join(got, ORDER + ["v"])
+    assert joined.count() == df.count()
+    # eqNullSafe: the exclusive frame's first row is NULL on both sides
+    assert joined.filter(~F.col("e").eqNullSafe(F.col("g"))).count() == 0
+
+
+def test_global_row_number_matches_window(spark, df):
+    exp = df.withColumn(
+        "e", F.row_number().over(Window.orderBy(*ORDER)).cast("long")
+    )
+    got = global_row_number(df, ORDER, "g", n_buckets=11)
+    j = exp.join(got, ORDER + ["v"])
+    assert j.filter(F.col("e") != F.col("g")).count() == 0
+
+
+@pytest.mark.parametrize("n", [1, 7, 8, 701, 1000])
+def test_global_ntile_matches_window(spark, df, n):
+    """Covers every remainder-rule regime: n | rows, n ∤ rows, n = rows
+    (each row its own tile) and n > rows (base = 0)."""
+    exp = df.withColumn("e", F.ntile(n).over(Window.orderBy(*ORDER)))
+    got = global_ntile(df, ORDER, n, "g", n_buckets=11)
+    j = exp.join(got, ORDER + ["v"])
+    assert j.filter(F.col("e") != F.col("g")).count() == 0
+    assert dict(got.dtypes)["g"] == "int"  # NTILE's type, schema-pinned
+
+
+def test_explicit_hash_prefix_bucket_is_order_aligned(spark):
+    """j71's bucket contract: md5 is fixed-width lowercase hex, so
+    lexicographic order equals leading-32-bit value order — the bucket
+    must be NON-DECREASING along the sort, and the ranks must match
+    the window form exactly."""
+    docs = spark.range(500).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    bucket = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+        * 16
+        / F.lit(2**32)
+    ).cast("int")
+    got = global_row_number(docs, ["h", "id"], "g", bucket=bucket)
+    exp = docs.withColumn(
+        "e", F.row_number().over(Window.orderBy("h", "id")).cast("long")
+    )
+    assert (
+        exp.join(got, ["h", "id"]).filter(F.col("e") != F.col("g")).count()
+        == 0
+    )
+    # alignment property, directly: bucket never decreases in h-order
+    b = docs.select(bucket.alias("b"), "h", "id")
+    w = Window.orderBy("h", "id")
+    assert (
+        b.withColumn("prev", F.lag("b").over(w))
+        .filter(F.col("b") < F.col("prev"))
+        .count()
+        == 0
+    )
+
+
+def test_degenerate_inputs(spark):
+    # empty frame: no rows out, no errors (sketch returns no bounds)
+    empty = spark.createDataFrame([], "k long, id long, v long")
+    assert prefix_agg(empty, ORDER, "v", "g").count() == 0
+    assert global_ntile(empty, ORDER, 4, "g").count() == 0
+    # constant key: one bucket (any range partitioner's behavior),
+    # still exact
+    const = spark.createDataFrame(
+        [(5, i, i * 2) for i in range(40)], "k long, id long, v long"
+    )
+    got = prefix_agg(const, ORDER, "v", "cum", agg="sum", n_buckets=8)
+    exp = const.withColumn(
+        "e", F.sum("v").over(_window(const, True))
+    )
+    assert (
+        exp.join(got, ORDER + ["v"])
+        .filter(F.col("e") != F.col("cum"))
+        .count()
+        == 0
+    )
+    # single row
+    one = spark.createDataFrame([(1, 1, 9)], "k long, id long, v long")
+    assert global_row_number(one, ORDER, "rn").first()["rn"] == 1
+
+
+def test_sketch_bucket_is_reasonably_balanced(spark):
+    """The approx_percentile boundaries exist ONLY for load balance —
+    correctness never depends on them — but a sketch that dumps
+    everything in one bucket would quietly rebuild the serialization
+    this module removes.  Uniform input over 16 requested buckets must
+    use a healthy number of them."""
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("k"),
+        F.col("id").alias("id"),
+        F.lit(1).alias("v"),
+    )
+    b = aligned_bucket(df, "k", 16)
+    n_used = df.select(b.alias("b")).distinct().count()
+    assert n_used >= 8, n_used
