@@ -30,6 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..operators.prefix_scan import (
+    global_row_number,
+    hex_prefix_bucket,
+    prefix_agg,
+)
 from ..registry import query
 from ..sources import load, materialized
 
@@ -213,14 +218,18 @@ def j45_winsorize(spark, sf_dir) -> DataFrame:
     corpus BROADCASTS.  Net: one wide pass + one map-side join, no
     corpus re-sort."""
     d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
+    # sources are LOW-cardinality: a plain (source)-partitioned rank
+    # window rides each whole source through one task — the grouped
+    # two-phase rank spreads every source across the bucket range and
+    # carries the per-source count in the same closure
+    # (operators/prefix_scan.py)
     thresh = (
-        d.select(
-            "source",
-            "n_chars",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("n"),
+        global_row_number(
+            d.select("source", "n_chars", "doc_id"),
+            ["n_chars", "doc_id"],
+            "rn",
+            partition_cols=["source"],
+            total_col="n",
         )
         .filter(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")))
         .select("source", F.col("n_chars").alias("p95"))
@@ -502,27 +511,32 @@ def j48_token_budget_select(spark, sf_dir) -> DataFrame:
     truncates), chosen because it keeps selection a pure prefix
     predicate instead of a knapsack.
 
-    100 TB shape: j23's physics — one shuffle on the source key, one
-    in-partition running sum over the hash order, integer arithmetic
-    only.  The hash order is a pure function of doc_id (md5 rank, j15/
-    j24 discipline): re-runs, engine swaps and repartitions all pick
-    the identical document set.  Sources are independent; for a
-    source too large for one task's sort, pre-filter by j15's hash
-    prefix to a superset (budget/avg_tok × safety docs), then rank —
-    same answer, bounded state."""
+    100 TB shape: j23's physics — one shuffle on (source, md5-prefix
+    bucket), the grouped two-phase running sum over the hash order
+    (operators/prefix_scan.py), integer arithmetic only.  The hash
+    order is a pure function of doc_id (md5 rank, j15/j24 discipline):
+    re-runs, engine swaps and repartitions all pick the identical
+    document set.  No source ever rides one task — each spreads across
+    the bucket range with a |sources|·|buckets|-row closure; the
+    j15-style hash-prefix pre-filter to a superset remains the cheaper
+    probabilistic shortcut when only the kept set is needed."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    h = t.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
     return (
-        t.withColumn("cum", F.sum("n_tok").over(w))
+        prefix_agg(
+            h,
+            ["_h", "doc_id"],
+            "n_tok",
+            "cum",
+            agg="sum",
+            bucket=hex_prefix_bucket(F.col("_h")),
+            partition_cols=["source"],
+        )
         .filter(F.col("cum") - F.col("n_tok") < _BUDGET_TOK)
         .groupBy("source")
         .agg(

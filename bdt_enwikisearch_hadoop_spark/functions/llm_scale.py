@@ -29,7 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..operators.prefix_scan import global_row_number, prefix_agg
+from ..operators.prefix_scan import (
+    global_row_number,
+    hex_prefix_bucket,
+    prefix_agg,
+)
 from ..registry import query
 from ..sources import load, materialized, rebalance
 from .llm_pipeline import (
@@ -877,22 +881,25 @@ def j23_sequence_pack(spark, sf_dir) -> DataFrame:
     (overflow docs straddle a boundary; the consumer splits them, which
     keeps assignment a pure prefix-sum instead of NP-hard bin packing).
 
-    100 TB shape: one shuffle on the shard key (lang), then an
-    in-partition running sum — all integer arithmetic, exact in both
-    engines.  Shards are independent, so parallelism = shard count; a
-    production run uses hash(doc_id)%k shards for balance, same plan."""
+    100 TB shape: one shuffle on (lang, order-aligned bucket), then an
+    in-partition running sum closed by the |langs|·|buckets|-row offset
+    table (the grouped two-phase scan) — all integer arithmetic, exact
+    in both engines.  Parallelism = |langs|·|buckets|, NOT |langs|: a
+    language is never serialized through one task."""
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # per-lang running sum WITHOUT riding each language through one
+    # task: languages are low-cardinality, so the plain window form
+    # serializes corpus/|langs| per task — the grouped two-phase scan
+    # (operators/prefix_scan.py) splits every language across the
+    # bucket range and its closure is |langs|·|buckets| rows
+    c = prefix_agg(
+        t, ["doc_id"], "n_tok", "cum", agg="sum", partition_cols=["lang"]
     )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
     start = F.col("cum") - F.col("n_tok")
     return c.select(
         "doc_id",
@@ -931,17 +938,27 @@ def j24_stratified_sample(spark, sf_dir) -> DataFrame:
     sets, per-source quotas).  Reproducible across engines, runs and
     partitionings: the hash rank is a pure function of doc_id.
 
-    100 TB shape: e7's top-k-per-group pattern — one shuffle on the
-    stratum key, per-partition rank, early filter; no global sort and
-    no driver-side sampling state."""
+    100 TB shape: strata are LOW-cardinality, so e7's plain
+    rank-window would ride each whole language through one task — the
+    grouped two-phase rank (operators/prefix_scan.py, md5-prefix
+    buckets: uniform by construction, no sketch pass) spreads every
+    stratum across the bucket range, closes ranks with the
+    |langs|·|buckets|-row offset table, and filters the quota early;
+    no global sort and no driver-side sampling state."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    h = docs.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
     )
     return (
-        docs.select("doc_id", "lang")
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        global_row_number(
+            h,
+            ["_h", "doc_id"],
+            "rk",
+            bucket=hex_prefix_bucket(F.col("_h")),
+            partition_cols=["lang"],
+        )
         .filter(F.col("rk") <= _STRATUM_QUOTA)
+        .select("doc_id", "lang", "rk")
     )
 
 
@@ -2348,24 +2365,35 @@ def j42_dsir_select(spark, sf_dir) -> DataFrame:
     a last-ulp float difference between engines.
 
     Plan: j38's scoring (vocab table broadcast onto one tf shuffle) +
-    one doc-keyed join to recover source + ONE window over
-    (source)-partitioned scores — both window functions (rank, count)
-    share the exchange.  At 100 TB the selection is a per-source
-    top-p: rank windows over high-cardinality strata stay bounded,
-    and the quartile threshold needs no global sort — exactly how the
-    published pipeline resamples."""
+    one doc-keyed join to recover source + the grouped two-phase rank
+    (operators/prefix_scan.py): sources are LOW-cardinality, so a
+    plain (source)-partitioned window would ride each whole source
+    through one task — here every source spreads across the bucket
+    range (the rank's DESC order becomes ASC on the negated 4dp-floored
+    score, so the numeric boundary sketch applies unchanged) and the
+    per-source count rides the same closure for free.  At 100 TB the
+    selection is a per-source top-p with no serialized stratum and no
+    global sort — exactly how the published pipeline resamples."""
     docs = load(spark, sf_dir, "documents")
     scored = dsir_scores(docs, _DSIR_TARGET).select("doc_id", "logw")
-    w = Window.partitionBy("source").orderBy(
-        F.col("logw").desc(), F.col("doc_id")
-    )
-    wc = Window.partitionBy("source")
-    return (
+    j = (
         scored.join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("n_src", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rnk") <= F.ceil(F.col("n_src") / 4.0).cast("long"))
-        .select("source", "doc_id", "logw", "rnk")
+        .withColumn("_neg", -F.col("logw"))
+    )
+    return (
+        global_row_number(
+            j,
+            ["_neg", "doc_id"],
+            "rnk",
+            partition_cols=["source"],
+            total_col="n_src",
+        )
+        .filter(
+            F.col("rnk") <= F.ceil(F.col("n_src") / 4.0).cast("long")
+        )
+        .select(
+            "source", "doc_id", "logw", F.col("rnk").cast("int").alias("rnk")
+        )
     )
 
 
@@ -3949,20 +3977,14 @@ def j71_epoch_shuffle(spark, sf_dir) -> DataFrame:
     which is this same exchange minus the rank columns.  Emitted wide
     (one column per epoch) to keep the driver-hash schema scalar."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    n_b = 64
     out = None
     for ep in range(_SHUFFLE_EPOCHS):
         h = F.md5(
             F.concat_ws(":", F.lit(str(ep)), F.col("doc_id").cast("string"))
         )
         hdf = docs.select("doc_id", h.alias("_h"))
-        bucket = (
-            F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
-            * n_b
-            / F.lit(2**32)
-        ).cast("int")
         ranked = global_row_number(
-            hdf, ["_h", "doc_id"], "_rn", bucket=bucket
+            hdf, ["_h", "doc_id"], "_rn", bucket=hex_prefix_bucket(F.col("_h"))
         ).select(
             "doc_id", (F.col("_rn") - 1).cast("long").alias(f"pos_e{ep}")
         )

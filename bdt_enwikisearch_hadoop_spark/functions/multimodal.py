@@ -40,6 +40,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..operators.prefix_scan import global_row_number, hex_prefix_bucket
 from ..registry import query
 from ..sources import load
 
@@ -451,16 +452,22 @@ def m6_interleave_schedule(spark, sf_dir) -> DataFrame:
         .otherwise("video")
         .alias("modality"),
     )
-    wr = Window.partitionBy("modality").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    # modalities are a HANDFUL of groups: a plain modality-partitioned
+    # rank window would ride corpus/4 through one task — the grouped
+    # two-phase rank (operators/prefix_scan.py, md5-prefix buckets)
+    # spreads each modality across the bucket range and carries n_m in
+    # the same closure
+    hh = tagged.withColumn(
+        "_h", F.md5(F.col("doc_id").cast("string"))
     )
-    wc = Window.partitionBy("modality")
-    ranked = tagged.select(
-        "doc_id",
-        "modality",
-        F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wc).alias("n_m"),
-    )
+    ranked = global_row_number(
+        hh,
+        ["_h", "doc_id"],
+        "r",
+        bucket=hex_prefix_bucket(F.col("_h")),
+        partition_cols=["modality"],
+        total_col="n_m",
+    ).select("doc_id", "modality", "r", "n_m")
     # heap FIRST (TakeOrderedAndProject over the corpus — the shape the
     # docstring promises), THEN number the 50 survivors: a row_number
     # before the limit would single-partition the whole corpus

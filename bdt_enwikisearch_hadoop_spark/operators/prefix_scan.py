@@ -102,6 +102,19 @@ def aligned_bucket(
     ).cast("int")
 
 
+def hex_prefix_bucket(col: Column, n_buckets: int = 64) -> Column:
+    """Order-aligned bucket for a fixed-width lowercase-hex sort key
+    (md5/sha...): lexicographic order of equal-length hex strings IS
+    numeric order of their values, so equal-width ranges of the leading
+    32 bits are exactly aligned — and the key being uniform by
+    construction, they are load-balanced with no sketch pass at all."""
+    return (
+        F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+        * n_buckets
+        / F.lit(2**32)
+    ).cast("int")
+
+
 def _scanned(
     df: DataFrame,
     order_cols: list[str],
@@ -110,26 +123,36 @@ def _scanned(
     agg: str,
     bucket: Column | None,
     n_buckets: int,
+    partition_cols: list[str] = (),
 ) -> DataFrame:
     """The shared two-phase frame: df + bucket id + the partition-local
     window column + broadcast (_OFF exclusive-prefix, _TOT grand total)
-    per bucket.  One parallel corpus exchange; the totals pass reduces
-    map-side to ≤ |buckets| rows before ITS exchange; the closure
-    window runs over the bucket-count-sized aggregate only."""
+    per (partition, bucket).  One parallel corpus exchange; the totals
+    pass reduces map-side to ≤ |groups|·|buckets| rows before ITS
+    exchange; the closure window runs over that metadata-sized
+    aggregate only — and with ``partition_cols`` it is itself
+    PARTITIONED (parallel across groups), so no SinglePartition
+    exchange exists anywhere in the grouped form."""
     b = bucket if bucket is not None else aligned_bucket(
         df, order_cols[0], n_buckets
     )
+    pc = list(partition_cols)
     t = df.withColumn(_BKT, b)
     loc = t.withColumn(_LOC, local)
-    w = Window.orderBy(_BKT)
+    w = (
+        Window.partitionBy(*pc).orderBy(_BKT)
+        if pc
+        else Window.orderBy(_BKT)
+    )
     comb = F.sum if agg in ("sum", "count") else _AGGS[agg]
     full = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offs = (
-        t.groupBy(_BKT)
+        t.groupBy(*pc, _BKT)
         .agg(_AGGS[agg](value_col).alias("_t"))
         .select(
+            *pc,
             _BKT,
             comb("_t")
             .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -137,7 +160,7 @@ def _scanned(
             comb("_t").over(full).alias(_TOT),
         )
     )
-    return loc.join(F.broadcast(offs), _BKT, "left")
+    return loc.join(F.broadcast(offs), pc + [_BKT], "left")
 
 
 def prefix_agg(
@@ -149,31 +172,43 @@ def prefix_agg(
     inclusive: bool = True,
     bucket: Column | None = None,
     n_buckets: int = 64,
+    partition_cols: list[str] = (),
 ) -> DataFrame:
-    """``aggf(value_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
-    PRECEDING [AND CURRENT ROW | AND -1])`` — exact, with one PARALLEL
-    corpus exchange instead of Exchange SinglePartition.
+    """``aggf(value_col) OVER ([PARTITION BY partition_cols] ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING [AND CURRENT ROW | AND -1])``
+    — exact, with one PARALLEL corpus exchange instead of Exchange
+    SinglePartition.
 
-    ``order_cols`` must be a total order for a deterministic result
-    (the same contract the window form carries).  ``bucket`` overrides
-    the numeric-leading-column sketch with any expression that is
-    non-decreasing along the sort order (e.g. a uniform hash prefix).
-    ``agg='count'`` ignores ``value_col``.  Empty frames yield NULL
-    (sum/max/min/count alike) exactly as the window form does for the
-    exclusive first row — callers wanting COUNT(*)'s 0 coalesce at the
-    call site.
+    ``partition_cols`` is for LOW-cardinality groups (language, source,
+    modality): the plain window form is just as serialized there — the
+    whole group rides one task — while this form splits every group
+    across |buckets| tasks and its closure stays |groups|·|buckets|
+    rows.  High-cardinality partitions (per-document, per-query) don't
+    need any of this; use the plain window.
+
+    ``(partition_cols, order_cols)`` must be a total order for a
+    deterministic result (the same contract the window form carries).
+    ``bucket`` overrides the numeric-leading-column sketch with any
+    expression that is non-decreasing along the sort order WITHIN each
+    group (e.g. a uniform hash prefix).  ``agg='count'`` ignores
+    ``value_col``.  Empty frames yield NULL (sum/max/min/count alike)
+    exactly as the window form does for the exclusive first row —
+    callers wanting COUNT(*)'s 0 coalesce at the call site.
     """
     if agg not in _AGGS:
         raise ValueError(f"prefix_agg: unknown agg {agg!r}")
     end = Window.currentRow if inclusive else -1
     wloc = (
-        Window.partitionBy(_BKT)
+        Window.partitionBy(*partition_cols, _BKT)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, end)
     )
     local = _AGGS[agg](value_col).over(wloc)
     return (
-        _scanned(df, order_cols, local, value_col, agg, bucket, n_buckets)
+        _scanned(
+            df, order_cols, local, value_col, agg, bucket, n_buckets,
+            partition_cols,
+        )
         .withColumn(out_col, _COMBINE[agg](F.col(_LOC), F.col(_OFF)))
         .drop(_BKT, _LOC, _OFF, _TOT)
     )
@@ -185,20 +220,29 @@ def global_row_number(
     out_col: str,
     bucket: Column | None = None,
     n_buckets: int = 64,
+    partition_cols: list[str] = (),
+    total_col: str | None = None,
 ) -> DataFrame:
-    """``ROW_NUMBER() OVER (ORDER BY order_cols)`` (1-based, LONG),
-    exact and parallel: partition-local row_number + the exclusive
-    prefix of bucket row counts."""
+    """``ROW_NUMBER() OVER ([PARTITION BY partition_cols] ORDER BY
+    order_cols)`` (1-based, LONG), exact and parallel: partition-local
+    row_number + the exclusive prefix of bucket row counts.  See
+    ``prefix_agg`` for the low-cardinality-groups contract.
+    ``total_col`` additionally emits each group's TOTAL row count (the
+    ``COUNT(*) OVER (PARTITION BY partition_cols)`` companion) for free
+    from the same closure — rank-vs-quota selections need both and
+    should not pay a second pass."""
     local = F.row_number().over(
-        Window.partitionBy(_BKT).orderBy(*order_cols)
+        Window.partitionBy(*partition_cols, _BKT).orderBy(*order_cols)
     ).cast("long")
-    return (
-        _scanned(df, order_cols, local, None, "count", bucket, n_buckets)
-        .withColumn(
-            out_col, F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0))
-        )
-        .drop(_BKT, _LOC, _OFF, _TOT)
+    out = _scanned(
+        df, order_cols, local, None, "count", bucket, n_buckets,
+        partition_cols,
+    ).withColumn(
+        out_col, F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0))
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOT))
+    return out.drop(_BKT, _LOC, _OFF, _TOT)
 
 
 def global_ntile(
@@ -208,8 +252,10 @@ def global_ntile(
     out_col: str,
     bucket: Column | None = None,
     n_buckets: int = 64,
+    partition_cols: list[str] = (),
 ) -> DataFrame:
-    """``NTILE(n) OVER (ORDER BY order_cols)`` (INT, SQL remainder rule:
+    """``NTILE(n) OVER ([PARTITION BY partition_cols] ORDER BY
+    order_cols)`` (INT, SQL remainder rule:
     the first ``total % n`` tiles carry one extra row), computed from
     the distributed global rank plus the grand total the bucket closure
     already carries (no extra corpus pass) — the closed form NTILE
@@ -217,9 +263,12 @@ def global_ntile(
     up to ``rem*(base+1)`` land in tile ``(rank-1) DIV (base+1) + 1``
     and the rest in ``rem + (rank - rem*(base+1) - 1) DIV base + 1``."""
     local = F.row_number().over(
-        Window.partitionBy(_BKT).orderBy(*order_cols)
+        Window.partitionBy(*partition_cols, _BKT).orderBy(*order_cols)
     ).cast("long")
-    t = _scanned(df, order_cols, local, None, "count", bucket, n_buckets)
+    t = _scanned(
+        df, order_cols, local, None, "count", bucket, n_buckets,
+        partition_cols,
+    )
     rk = F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0))
     base = F.floor(F.col(_TOT) / n).cast("long")
     rem = F.col(_TOT) % n

@@ -809,12 +809,34 @@ def test_j47_weights_broadcast_onto_token_stream(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
-def test_j48_budget_fill_is_one_shuffle(spark, sf_dir):
-    """Greedy prefix fill = one hash exchange on the source key feeding
-    the in-partition running sum; the final per-source aggregate must
-    reuse that partitioning, not add a second corpus shuffle."""
+def _corpus_sized_hash_exchanges(plan: str) -> int:
+    """Hash exchanges whose input is NOT aggregate-reduced (i.e. that
+    carry data-sized rows, not a map-side-partial'd metadata table)."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" not in line:
+            continue
+        j = i + 1
+        while (
+            j < len(lines)
+            and _SP_WRAP.search(lines[j])
+            and not _SP_REDUCED.search(lines[j])
+        ):
+            j += 1
+        if j >= len(lines) or not _SP_REDUCED.search(lines[j]):
+            n += 1
+    return n
+
+
+def test_j48_budget_fill_shuffles_the_corpus_once(spark, sf_dir):
+    """Greedy prefix fill via the grouped two-phase scan: the corpus
+    crosses exactly ONE hash exchange — (source, order-aligned bucket)
+    feeding the in-partition running sum.  Every other exchange in the
+    plan is post-partial-aggregation (the bucket-totals closure and the
+    final per-source rollup), i.e. metadata-sized."""
     p = _plan(spark, sf_dir, "j48_token_budget_select")
-    assert p.count("Exchange hashpartitioning") == 1
+    assert _corpus_sized_hash_exchanges(p) == 1, p
 
 
 def test_d22_histogram_scans_three_columns(spark, sf_dir):
@@ -1566,3 +1588,29 @@ def test_topk_rewrites_plan_heaps_not_rank_windows(spark, sf_dir):
     for key in ("i43_zipf_fit", "j66_oov_rate", "m6_interleave_schedule"):
         p = _plan(spark, sf_dir, key)
         assert "TakeOrderedAndProject" in p, key
+
+
+def test_grouped_prefix_scan_keys_never_serialize_a_stratum(spark, sf_dir):
+    """The low-cardinality-group keys rebuilt on the grouped two-phase
+    scan (j23 per-lang packing, j24 per-lang quota rank, j42 per-source
+    quartile rank, j45 per-source p95 rank, j48 per-source budget fill,
+    m6 per-modality interleave ranks) must keep its shape: the corpus
+    window partitions by (group, _ps_bkt), the scan itself introduces
+    NO SinglePartition exchange (its closure is group-partitioned;
+    j42's remaining ones are dsir_scores' scalar vocabulary totals,
+    aggregate-fed and checked by lint rule 4), and at most two hash
+    exchanges carry corpus-sized rows."""
+    zero_single_partition = {
+        "j23_sequence_pack",
+        "j24_stratified_sample",
+        "j45_winsorize",
+        "j48_token_budget_select",
+        "m6_interleave_schedule",
+    }
+    for key in sorted(zero_single_partition | {"j42_dsir_select"}):
+        p = _plan(spark, sf_dir, key)
+        assert "windowspecdefinition(" in p, key
+        assert "_ps_bkt" in p, key
+        if key in zero_single_partition:
+            assert "Exchange SinglePartition" not in p, key
+        assert _corpus_sized_hash_exchanges(p) <= 2, key

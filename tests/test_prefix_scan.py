@@ -148,3 +148,69 @@ def test_sketch_bucket_is_reasonably_balanced(spark):
     b = aligned_bucket(df, "k", 16)
     n_used = df.select(b.alias("b")).distinct().count()
     assert n_used >= 8, n_used
+
+
+@pytest.mark.parametrize("agg,inclusive", [("sum", True), ("max", False)])
+def test_grouped_prefix_agg_matches_partitioned_window(
+    spark, df, agg, inclusive
+):
+    """partition_cols: low-cardinality groups (here k%3) must be
+    bit-identical to PARTITION BY g ORDER BY ... — including groups
+    whose rows straddle bucket boundaries."""
+    g = df.withColumn("g", (F.col("k") % 3).cast("string"))
+    end = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("g")
+        .orderBy(*ORDER)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    aggf = {"sum": F.sum("v"), "max": F.max("v")}[agg]
+    exp = g.withColumn("e", aggf.over(w))
+    got = prefix_agg(
+        g,
+        ORDER,
+        "v",
+        "o",
+        agg=agg,
+        inclusive=inclusive,
+        partition_cols=["g"],
+        n_buckets=11,
+    )
+    j = exp.join(got, ["g"] + ORDER + ["v"])
+    assert j.count() == g.count()
+    assert j.filter(~F.col("e").eqNullSafe(F.col("o"))).count() == 0
+
+
+def test_grouped_row_number_with_total_matches_windows(spark, df):
+    """total_col must equal COUNT(*) OVER (PARTITION BY g) and the rank
+    must equal ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...) — both
+    from one scan."""
+    g = df.withColumn("g", (F.col("k") % 3).cast("string"))
+    w = Window.partitionBy("g").orderBy(*ORDER)
+    exp = g.select(
+        "g",
+        *ORDER,
+        F.row_number().over(w).cast("long").alias("e_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("e_n"),
+    )
+    got = global_row_number(
+        g, ORDER, "rn", partition_cols=["g"], total_col="n", n_buckets=11
+    )
+    j = exp.join(got, ["g"] + ORDER)
+    assert (
+        j.filter(
+            (F.col("e_rn") != F.col("rn")) | (F.col("e_n") != F.col("n"))
+        ).count()
+        == 0
+    )
+
+
+def test_grouped_ntile_matches_partitioned_window(spark, df):
+    g = df.withColumn("g", (F.col("k") % 3).cast("string"))
+    w = Window.partitionBy("g").orderBy(*ORDER)
+    exp = g.withColumn("e", F.ntile(7).over(w))
+    got = global_ntile(
+        g, ORDER, 7, "o", partition_cols=["g"], n_buckets=11
+    )
+    j = exp.join(got, ["g"] + ORDER + ["v"])
+    assert j.filter(F.col("e") != F.col("o")).count() == 0
