@@ -2,13 +2,20 @@
 top-k-per-group query pattern).
 
 Scale notes (100 TB): a window spec = one shuffle on partitionBy keys +
-an in-partition sort.  Partition keys here (custkey, user_id, brand)
-are high-cardinality, so partitions stay small and spill never
-triggers; a window WITHOUT partitionBy would serialize the whole
-dataset through one task and is deliberately absent (global top-k uses
-orderBy+limit → TakeOrderedAndProject, see sorts.py).  Every orderBy
-carries a unique tiebreaker (§2.0 rule 4) so rank/lag results are
-deterministic on both engines.
+an in-partition sort.  Partition keys here are mostly high-cardinality
+(custkey, user_id), so partitions stay small and spill never triggers;
+a window WITHOUT partitionBy would serialize the whole dataset through
+one task and is deliberately absent (global top-k uses orderBy+limit →
+TakeOrderedAndProject, see sorts.py; exact global scans use
+operators/prefix_scan.py).  The handful of LOW-cardinality partition
+keys in this family (orderstatus, brand, returnflag) are kept on the
+NATIVE operator on purpose — §2.E's contract is the window-function
+surface itself — and each such stratum riding one task is the declared
+cost; the production swap when a stratum outgrows a task is the
+grouped two-phase scan (prefix_scan's ``partition_cols``), which the
+semantic-stratum keys (j23/j24/j42/j45/j48/m6) already use.  Every
+orderBy carries a unique tiebreaker (§2.0 rule 4) so rank/lag results
+are deterministic on both engines.
 """
 
 from __future__ import annotations
