@@ -107,7 +107,10 @@ def hex_prefix_bucket(col: Column, n_buckets: int = 64) -> Column:
     (md5/sha...): lexicographic order of equal-length hex strings IS
     numeric order of their values, so equal-width ranges of the leading
     32 bits are exactly aligned — and the key being uniform by
-    construction, they are load-balanced with no sketch pass at all."""
+    construction, they are load-balanced with no sketch pass at all.
+    The key must be NON-NULL (hash a pk, as every call site does):
+    a NULL key would yield a NULL bucket, which the closure's equi-join
+    cannot close over — see ``prefix_agg``'s bucket contract."""
     return (
         F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
         * n_buckets
@@ -133,6 +136,12 @@ def _scanned(
     aggregate only — and with ``partition_cols`` it is itself
     PARTITIONED (parallel across groups), so no SinglePartition
     exchange exists anywhere in the grouped form."""
+    clash = {_BKT, _LOC, _OFF, _TOT} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"prefix_scan: input already has reserved column(s) "
+            f"{sorted(clash)} — rename them before the scan"
+        )
     b = bucket if bucket is not None else aligned_bucket(
         df, order_cols[0], n_buckets
     )
@@ -190,7 +199,10 @@ def prefix_agg(
     deterministic result (the same contract the window form carries).
     ``bucket`` overrides the numeric-leading-column sketch with any
     expression that is non-decreasing along the sort order WITHIN each
-    group (e.g. a uniform hash prefix).  ``agg='count'`` ignores
+    group (e.g. a uniform hash prefix) and NEVER NULL — a NULL bucket
+    would fall out of the equi-join closure and silently keep only its
+    local running value (``aligned_bucket`` cannot produce one; a
+    custom expression over a nullable key can).  ``agg='count'`` ignores
     ``value_col``.  Empty frames yield NULL (sum/max/min/count alike)
     exactly as the window form does for the exclusive first row —
     callers wanting COUNT(*)'s 0 coalesce at the call site.

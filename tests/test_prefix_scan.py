@@ -214,3 +214,11 @@ def test_grouped_ntile_matches_partitioned_window(spark, df):
     )
     j = exp.join(got, ["g"] + ORDER + ["v"])
     assert j.filter(F.col("e") != F.col("o")).count() == 0
+
+
+def test_reserved_column_names_refuse(spark, df):
+    """An input already carrying a _ps_* internal name must refuse by
+    name, not get silently overwritten and dropped."""
+    poisoned = df.withColumn("_ps_bkt", F.lit(1))
+    with pytest.raises(ValueError, match="_ps_bkt"):
+        prefix_agg(poisoned, ORDER, "v", "g")
