@@ -3263,3 +3263,124 @@ def k27_peak_detection(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("n").desc(), "event_type", "h_s")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: incremental sequence packing (j23 without a re-pack)
+# ---------------------------------------------------------------------------
+
+
+def _packing_fold(
+    state: dict, out: list, shard_rows: list, budget: int
+) -> None:
+    """The per-shard packing fold: given a shard's rows carrying their
+    SHARD-LOCAL per-lang running sums (``cum``), close them against the
+    per-lang corpus totals accumulated so far and emit (doc_id, lang,
+    bin_id, bin_offset) — exactly j23's arithmetic continued across
+    shards.  ``state`` maps lang → [tokens_so_far, max_doc_id_seen].
+
+    Packing is ORDER-SENSITIVE (bin ids are positions in the per-lang
+    doc_id order), so the append contract is append-only in doc_id: a
+    shard overlapping an already-packed doc_id range REFUSES by name
+    instead of silently emitting bins that no batch re-pack would ever
+    produce — the same refuse-don't-heal posture as the store lanes."""
+    per_lang: dict = {}
+    for r in shard_rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in sorted(per_lang.items()):
+        rows.sort(key=lambda r: r["doc_id"])
+        tokens_so_far, max_seen = state.get(lang, (0, -1))
+        if rows[0]["doc_id"] <= max_seen:
+            raise ValueError(
+                f"incremental packing: out-of-order shard for lang "
+                f"{lang!r} (doc_id {rows[0]['doc_id']} <= already-packed "
+                f"max {max_seen}) — packing is append-only in doc_id; "
+                f"re-pack from a batch j23 run instead"
+            )
+        for r in rows:
+            start = tokens_so_far + r["cum"] - r["n_tok"]
+            out.append(
+                (r["doc_id"], lang, start // budget, start % budget)
+            )
+        state[lang] = (
+            tokens_so_far + rows[-1]["cum"],
+            rows[-1]["doc_id"],
+        )
+
+
+def run_streaming_packing_smoke(spark, sf_dir: str) -> tuple[list, list]:
+    """j23's sequence packing as an INCREMENTAL service: document
+    shards arrive as a file-source stream in doc_id order (the shape an
+    epoch manifest delivers) and each micro-batch is packed by
+    CONTINUING the per-lang running token totals — the corpus is never
+    re-packed, each shard's cost is shard-sized.  The emitted
+    (doc_id, lang, bin_id, bin_offset) rows must equal batch
+    j23_sequence_pack over the full corpus exactly: the prefix sum is
+    associative, so per-shard local scans (the same grouped two-phase
+    prefix_agg the batch key uses) + a per-lang carry close it with no
+    approximation.  Returns (streamed, batch) row lists."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..functions.llm_scale import _PACK_BUDGET, j23_sequence_pack
+    from ..operators.prefix_scan import prefix_agg
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    batch = sorted(
+        (r["doc_id"], r["lang"], r["bin_id"], r["bin_offset"])
+        for r in j23_sequence_pack(spark, sf_dir).collect()
+    )
+
+    state: dict = {}
+    out: list = []
+
+    def pack_batch(bdf, batch_id):
+        local = prefix_agg(
+            bdf, ["doc_id"], "n_tok", "cum", agg="sum",
+            partition_cols=["lang"],
+        )
+        # shard-sized collect: the fold's carry is per-lang scalars and
+        # this is the smoke's assertion surface (store-lane discipline:
+        # the production fold would keep the carry in an operator state
+        # store and write the packed rows straight back out)
+        _packing_fold(state, out, local.collect(), _PACK_BUDGET)
+
+    hi = t.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    span = hi // 3 + 1
+    with tempfile.TemporaryDirectory() as workdir:
+        src = f"{workdir}/shards"
+        os.makedirs(src)
+        # one file per doc_id range, written in order with distinct
+        # mtimes so the file source replays them append-only
+        for k in range(3):
+            shard = t.filter(
+                (F.col("doc_id") >= k * span)
+                & (F.col("doc_id") < (k + 1) * span)
+            )
+            shard.coalesce(1).write.mode("overwrite").parquet(
+                f"{workdir}/stage_{k}"
+            )
+            part = glob.glob(f"{workdir}/stage_{k}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/shard_{k}.parquet")
+            time.sleep(1.1)  # distinct mtime seconds → stable order
+        stream = (
+            spark.readStream.schema(t.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(pack_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return sorted(out), batch

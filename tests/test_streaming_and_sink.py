@@ -616,3 +616,48 @@ def test_protobuf_unavailability_is_pinned_precisely():
             "find_spec said google is absent but the import succeeded"
         )
     assert transform_with_state_available() is False
+
+
+def test_streaming_packing_equals_batch_j23(spark):
+    """Incremental sequence packing: doc_id-ordered shards packed one
+    micro-batch at a time by continuing the per-lang token carry must
+    emit exactly batch j23's (doc_id, lang, bin_id, bin_offset) rows —
+    the prefix sum is associative, so shard-local scans + a per-lang
+    carry close it with zero approximation and shard-sized cost."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_packing_smoke,
+    )
+
+    streamed, batch = run_streaming_packing_smoke(spark, SF_DIR)
+    assert streamed == batch
+    assert len(streamed) > 100
+
+
+def test_streaming_packing_refuses_out_of_order_shard(spark):
+    """Packing is append-only in doc_id per lang: a shard overlapping
+    an already-packed range must refuse by name (bins are positions —
+    silently emitting them would diverge from every batch re-pack)."""
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.streaming.events import _packing_fold
+
+    state, out = {}, []
+    _packing_fold(
+        state, out,
+        [{"doc_id": 5, "lang": "en", "n_tok": 10, "cum": 10}],
+        budget=64,
+    )
+    with _pytest.raises(ValueError, match="out-of-order shard"):
+        _packing_fold(
+            state, out,
+            [{"doc_id": 3, "lang": "en", "n_tok": 4, "cum": 4}],
+            budget=64,
+        )
+    # a replay BELOW the watermark is the same refusal (idempotence is
+    # the manifest's job upstream, not silent re-packing)
+    with _pytest.raises(ValueError, match="append-only"):
+        _packing_fold(
+            state, out,
+            [{"doc_id": 5, "lang": "en", "n_tok": 10, "cum": 10}],
+            budget=64,
+        )
