@@ -3214,10 +3214,11 @@ def j65_systematic_resample(spark, sf_dir) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("w")
     )
-    t = prefix_agg(d, ["doc_id"], "w", "cum", agg="sum")
-    tot = F.broadcast(d.agg(F.sum("w").alias("wt")))
+    # the closure already holds the grand total — total_col reuses it,
+    # so no separate corpus aggregate (and no crossJoin) for W
+    t = prefix_agg(d, ["doc_id"], "w", "cum", agg="sum", total_col="wt")
     k = _RESAMPLE_K
-    f = t.crossJoin(tot).select(
+    f = t.select(
         "doc_id",
         "w",
         (

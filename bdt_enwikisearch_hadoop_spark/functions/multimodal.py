@@ -470,15 +470,21 @@ def m6_interleave_schedule(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "modality", "r", "n_m")
     # heap FIRST (TakeOrderedAndProject over the corpus — the shape the
     # docstring promises), THEN number the 50 survivors: a row_number
-    # before the limit would single-partition the whole corpus
-    ws = Window.orderBy(
-        (F.col("r") * 1.0 / F.col("n_m")), "modality", "doc_id"
-    )
-    head = ranked.orderBy(
-        (F.col("r") * 1.0 / F.col("n_m")), "modality", "doc_id"
-    ).limit(50)
+    # before the limit would single-partition the whole corpus.  ONE
+    # ordering expression feeds both the heap and the numbering so the
+    # two can never drift apart
+    schedule_order = [
+        (F.col("r") * 1.0 / F.col("n_m")),
+        F.col("modality"),
+        F.col("doc_id"),
+    ]
+    head = ranked.orderBy(*schedule_order).limit(50)
     return head.select(
-        F.row_number().over(ws).alias("pos"), "doc_id", "modality"
+        F.row_number()
+        .over(Window.orderBy(*schedule_order))
+        .alias("pos"),
+        "doc_id",
+        "modality",
     ).orderBy("pos")
 
 

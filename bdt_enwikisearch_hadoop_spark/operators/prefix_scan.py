@@ -27,20 +27,31 @@ same EXACT results with the classic two-phase scan:
    window — bounded by the bucket COUNT, never by the data — and
    broadcast-joined back.
 
-Cost accounting, honestly: two column-pruned scans of the input (the
-window pass and the totals pass) plus the sampled sketch, versus the
-single-partition form's one scan — measured ~2× wall at sf0.1 on
-local[n], where a 600k-row one-task sort is nearly free.  The
-difference is that THIS shape's critical path is a 1/|buckets| slice
-of the corpus and stays flat as executors are added; the one-task form
-is the whole corpus through one JVM thread — minutes-to-hours and an
-OOM risk at 100 TB.  We buy scale-out with local milliseconds.
+Cost accounting, honestly: the INPUT IS EVALUATED TWICE (the window
+pass and the totals pass) — three times when the sketch runs, and the
+sketch is an EAGER sample-sized job at plan-CONSTRUCTION time (the
+price of literal boundaries; ``hex_prefix_bucket`` or any explicit
+bucket skips it).  Over a raw table that is two column-pruned scans —
+measured ~2× wall at sf0.1 on local[n], where a 600k-row one-task
+sort is nearly free.  Over an EXPENSIVE DERIVED input the upstream
+pipeline recomputes per pass: pass a materialized/checkpointed frame
+(j31's discipline) when the input itself cost a shuffle to build.
+The buy: THIS shape's critical path is a 1/|buckets| slice of the
+corpus and stays flat as executors are added; the one-task form is
+the whole corpus through one JVM thread — minutes-to-hours and an OOM
+risk at 100 TB.  We buy scale-out with local milliseconds.
 
 The arithmetic is the window's own (no monotonicity assumption: sums
 may go negative, ``max`` may stall), so results are bit-identical to
 the ``Window.orderBy`` form whenever ``order_cols`` is a TOTAL order —
 the same determinism contract every ordered operator here already
-carries (§2.0 rule 4: always include a pk tiebreaker).
+carries (§2.0 rule 4: always include a pk tiebreaker) — for EXACT
+value types (integer/long/decimal; count/rank/ntile always).  A
+floating-point SUM is reassociated (per-bucket totals + offset vs the
+window's strict left-to-right fold) and can differ in the last ulp;
+every call site here sums longs, and a float-summing caller owns the
+4dp-floor (or equivalent) that this repo's float-sensitive operators
+already apply before comparison.
 
 NULL order keys sort first (Spark/DuckDB ASC default); a NULL leading
 key comparing ``> boundary`` as NULL lands in bucket 0, which is
@@ -136,11 +147,12 @@ def _scanned(
     aggregate only — and with ``partition_cols`` it is itself
     PARTITIONED (parallel across groups), so no SinglePartition
     exchange exists anywhere in the grouped form."""
-    clash = {_BKT, _LOC, _OFF, _TOT} & set(df.columns)
+    clash = sorted(c for c in df.columns if c.startswith("_ps_"))
     if clash:
         raise ValueError(
             f"prefix_scan: input already has reserved column(s) "
-            f"{sorted(clash)} — rename them before the scan"
+            f"{clash} (the _ps_ prefix is internal) — rename them "
+            f"before the scan"
         )
     b = bucket if bucket is not None else aligned_bucket(
         df, order_cols[0], n_buckets
@@ -161,15 +173,28 @@ def _scanned(
         t.groupBy(*pc, _BKT)
         .agg(_AGGS[agg](value_col).alias("_t"))
         .select(
-            *pc,
-            _BKT,
+            *[F.col(c).alias(f"_ps_r_{c}") for c in pc],
+            F.col(_BKT).alias("_ps_r_bkt"),
             comb("_t")
             .over(w.rowsBetween(Window.unboundedPreceding, -1))
             .alias(_OFF),
             comb("_t").over(full).alias(_TOT),
         )
     )
-    return loc.join(F.broadcast(offs), pc + [_BKT], "left")
+    # NULL-SAFE closure join: the window form treats a NULL group key
+    # as one ordinary partition, so the closure must too — a plain
+    # equi-join would never match it, silently restarting every
+    # NULL-group scan at its bucket boundary (the right side is
+    # renamed, not self-referenced, so the condition binds cleanly)
+    conds = [F.col(c).eqNullSafe(F.col(f"_ps_r_{c}")) for c in pc]
+    conds.append(F.col(_BKT).eqNullSafe(F.col("_ps_r_bkt")))
+    cond = conds[0]
+    for extra in conds[1:]:
+        cond = cond & extra
+    return (
+        loc.join(F.broadcast(offs), cond, "left")
+        .drop(*[f"_ps_r_{c}" for c in pc], "_ps_r_bkt")
+    )
 
 
 def prefix_agg(
@@ -182,11 +207,15 @@ def prefix_agg(
     bucket: Column | None = None,
     n_buckets: int = 64,
     partition_cols: list[str] = (),
+    total_col: str | None = None,
 ) -> DataFrame:
     """``aggf(value_col) OVER ([PARTITION BY partition_cols] ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING [AND CURRENT ROW | AND -1])``
     — exact, with one PARALLEL corpus exchange instead of Exchange
-    SinglePartition.
+    SinglePartition.  ``total_col`` additionally emits the [group]
+    GRAND total of ``value_col`` — the closure already computed it, so
+    callers needing "running + total" (resamplers, quota fills) must
+    not pay a second aggregate pass for it.
 
     ``partition_cols`` is for LOW-cardinality groups (language, source,
     modality): the plain window form is just as serialized there — the
@@ -216,14 +245,13 @@ def prefix_agg(
         .rowsBetween(Window.unboundedPreceding, end)
     )
     local = _AGGS[agg](value_col).over(wloc)
-    return (
-        _scanned(
-            df, order_cols, local, value_col, agg, bucket, n_buckets,
-            partition_cols,
-        )
-        .withColumn(out_col, _COMBINE[agg](F.col(_LOC), F.col(_OFF)))
-        .drop(_BKT, _LOC, _OFF, _TOT)
-    )
+    out = _scanned(
+        df, order_cols, local, value_col, agg, bucket, n_buckets,
+        partition_cols,
+    ).withColumn(out_col, _COMBINE[agg](F.col(_LOC), F.col(_OFF)))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOT))
+    return out.drop(_BKT, _LOC, _OFF, _TOT)
 
 
 def global_row_number(

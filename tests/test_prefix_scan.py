@@ -222,3 +222,75 @@ def test_reserved_column_names_refuse(spark, df):
     poisoned = df.withColumn("_ps_bkt", F.lit(1))
     with pytest.raises(ValueError, match="_ps_bkt"):
         prefix_agg(poisoned, ORDER, "v", "g")
+
+
+def test_null_group_key_matches_window_form(spark, df):
+    """A NULL partition key is ONE ordinary partition in the window
+    form — the closure join must be null-safe so the NULL group's scan
+    carries across buckets instead of silently restarting (and its
+    total must not come back NULL)."""
+    g = df.withColumn(
+        "g",
+        F.when(F.col("k") % 3 == 0, F.lit(None)).otherwise(
+            (F.col("k") % 3).cast("string")
+        ),
+    )
+    w = Window.partitionBy("g").orderBy(*ORDER)
+    exp = g.select(
+        "g",
+        *ORDER,
+        F.row_number().over(w).cast("long").alias("e_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("e_n"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("e_cum"),
+    )
+    got_rn = global_row_number(
+        g, ORDER, "rn", partition_cols=["g"], total_col="n", n_buckets=11
+    )
+    got_cum = prefix_agg(
+        g, ORDER, "v", "cum", partition_cols=["g"], n_buckets=11
+    )
+    joined = (
+        exp.join(got_rn, ["g"] + ORDER)
+        .join(got_cum.select("g", *ORDER, "cum"), ["g"] + ORDER)
+    )
+    # the join above drops NULL-g rows (plain equi-join) — compare the
+    # NULL group explicitly via null-safe filters
+    null_exp = {
+        (r["k"], r["id"]): (r["e_rn"], r["e_n"], r["e_cum"])
+        for r in exp.filter(F.col("g").isNull()).collect()
+    }
+    null_got_rn = {
+        (r["k"], r["id"]): (r["rn"], r["n"])
+        for r in got_rn.filter(F.col("g").isNull()).collect()
+    }
+    null_got_cum = {
+        (r["k"], r["id"]): r["cum"]
+        for r in got_cum.filter(F.col("g").isNull()).collect()
+    }
+    assert null_exp, "fixture must produce a NULL group"
+    for key, (ern, en, ecum) in null_exp.items():
+        assert null_got_rn[key] == (ern, en), key
+        assert null_got_cum[key] == ecum, key
+    assert (
+        joined.filter(
+            (F.col("e_rn") != F.col("rn"))
+            | (F.col("e_n") != F.col("n"))
+            | (F.col("e_cum") != F.col("cum"))
+        ).count()
+        == 0
+    )
+
+
+def test_prefix_agg_total_col_matches_group_sum(spark, df):
+    g = df.withColumn("g", (F.col("k") % 3).cast("string"))
+    got = prefix_agg(
+        g, ORDER, "v", "cum", partition_cols=["g"], total_col="tot",
+        n_buckets=11,
+    )
+    exp = g.withColumn(
+        "e_tot", F.sum("v").over(Window.partitionBy("g"))
+    )
+    j = exp.join(got.select("g", *ORDER, "tot"), ["g"] + ORDER)
+    assert j.filter(~F.col("e_tot").eqNullSafe(F.col("tot"))).count() == 0
