@@ -1674,14 +1674,24 @@ def j33_bigram_logprob(spark, sf_dir) -> DataFrame:
         WHERE rn = 1
     ),
     pairs AS (
+        -- native list_dot_product cosine: the former 64-row unnest
+        -- (CROSS JOIN range + SUM) multiplied the within-cell pair set
+        -- by 64 and took 1828 s at sf0.1 / intractable at sf1; the
+        -- native form is the same double arithmetic rounded at the
+        -- same 4dp (verified row-identical at sf0.01 and sf0.1) in
+        -- under a second
         SELECT ca.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_duck_cos('a.embedding', 'b.embedding')} AS cos
+               list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))
+                   AS cos
         FROM embeddings a
         JOIN assign ca ON ca.vec_id = a.vec_id
         JOIN assign cb ON cb.cluster = ca.cluster
         JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
-        CROSS JOIN range(1, 65) t(i)
-        GROUP BY ca.cluster, a.vec_id, b.vec_id
     )
     SELECT cluster, vec_a, vec_b, ROUND(cos, 4) AS cos_sim
     FROM pairs
@@ -2371,14 +2381,22 @@ def j42_dsir_select(spark, sf_dir) -> DataFrame:
     through one task — here every source spreads across the bucket
     range (the rank's DESC order becomes ASC on the negated 4dp-floored
     score, so the numeric boundary sketch applies unchanged) and the
-    per-source count rides the same closure for free.  At 100 TB the
-    selection is a per-source top-p with no serialized stratum and no
-    global sort — exactly how the published pipeline resamples."""
+    per-source count rides the same closure for free.  The scored+
+    source join is MATERIALIZED first (j31's discipline, exactly the
+    'expensive derived input' case prefix_scan's docstring names): the
+    two-phase scan evaluates its input twice (window pass + totals
+    pass) plus the boundary sketch, and without the checkpoint each
+    pass re-ran the whole DSIR scoring pipeline.  At 100 TB the
+    selection is a per-source top-p reading the persisted score table,
+    with no serialized stratum and no global sort — exactly how the
+    published pipeline resamples."""
     docs = load(spark, sf_dir, "documents")
-    scored = dsir_scores(docs, _DSIR_TARGET).select("doc_id", "logw")
-    j = (
-        scored.join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("_neg", -F.col("logw"))
+    j = materialized(
+        spark, sf_dir, "j42_scored_by_source",
+        lambda: dsir_scores(docs, _DSIR_TARGET)
+        .select("doc_id", "logw")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("_neg", -F.col("logw")),
     )
     return (
         global_row_number(

@@ -31,7 +31,11 @@ Cost accounting, honestly: the INPUT IS EVALUATED TWICE (the window
 pass and the totals pass) — three times when the sketch runs, and the
 sketch is an EAGER sample-sized job at plan-CONSTRUCTION time (the
 price of literal boundaries; ``hex_prefix_bucket`` or any explicit
-bucket skips it).  Over a raw table that is two column-pruned scans —
+bucket skips it).  The sketch is memoized per (application,
+input-identity, column, geometry) — the ``_PQ_META`` discipline from
+ann.py — so repeated plan construction over the same input pays the
+sample job ONCE per session.  Over a raw table that is two
+column-pruned scans —
 measured ~2× wall at sf0.1 on local[n], where a 600k-row one-task
 sort is nearly free.  Over an EXPENSIVE DERIVED input the upstream
 pipeline recomputes per pass: pass a materialized/checkpointed frame
@@ -60,6 +64,8 @@ exactly where nulls-first ordering needs it.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _LOC = "_ps_loc"  # partition-local running value
@@ -74,14 +80,66 @@ _AGGS = {
     "count": lambda c: F.count(F.lit(1)),
 }
 # how a bucket's local value combines with the prior buckets' total;
-# coalesce(a+b, a, b) is null-correct for sum/count (empty frame stays
-# NULL, a lone side passes through); greatest/least skip NULLs natively
+# coalesce(a+b, a, b) is null-correct (a lone side passes through);
+# sum's local is NULL over an empty frame, count's is 0 (COUNT never
+# yields NULL), so the combined first-row exclusive value is NULL for
+# sum and 0 for count — both matching the window form exactly;
+# greatest/least skip NULLs natively
 _COMBINE = {
     "sum": lambda loc, off: F.coalesce(loc + off, loc, off),
     "count": lambda loc, off: F.coalesce(loc + off, loc, off),
     "max": F.greatest,
     "min": F.least,
 }
+
+
+#: boundary-sketch memo: (applicationId, df.semanticHash(), order_col,
+#: n_buckets, sample_fraction) -> bounds list.  Same discipline as
+#: ann.py's _PQ_META: keyed by applicationId so a new session can never
+#: inherit another session's sketch; entries are a handful of floats,
+#: one per distinct (input, column, geometry) per application, so no
+#: eviction is needed.  The fixture tables are immutable within a
+#: session, so identical analyzed plans imply identical data.
+_SKETCH_CACHE: dict = {}
+
+
+def _sketch_bounds(
+    df: DataFrame, order_col: str, n_buckets: int, sample_fraction: float
+) -> list:
+    """One sketch job: distinct approx-percentile boundaries over a
+    seeded sample, retried over the FULL input when the sample comes
+    back degenerate, with a visible warning when the full input itself
+    collapses to a single bucket (constant or all-NULL leading key) —
+    the scan is still CORRECT then, but it runs as the one-task form
+    this module exists to remove, and the caller should hear about it
+    (supply an explicit bucket or a higher-cardinality leading
+    column)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def one(frame):
+        row = frame.agg(
+            F.percentile_approx(order_col, qs, 1_000).alias("b"),
+            F.count(order_col).alias("n"),
+            F.min(order_col).alias("lo"),
+            F.max(order_col).alias("hi"),
+        ).first()
+        return sorted(set(row["b"] or [])), row["n"], row["lo"], row["hi"]
+
+    bounds, n, lo, hi = one(df.sample(fraction=sample_fraction, seed=13))
+    if (not bounds or lo == hi) and sample_fraction < 1.0:
+        # degenerate SAMPLE (empty, or constant within the sample) —
+        # retry over the full input before concluding anything
+        bounds, n, lo, hi = one(df)
+    if n and lo == hi:
+        warnings.warn(
+            f"prefix_scan: leading sort column {order_col!r} is constant"
+            f" over the input — every row lands in ONE bucket and the"
+            f" scan degenerates to the single-task form; supply an"
+            f" explicit order-aligned bucket or a higher-cardinality"
+            f" leading column",
+            stacklevel=3,
+        )
+    return bounds
 
 
 def aligned_bucket(
@@ -97,14 +155,23 @@ def aligned_bucket(
     scan results; the sketch only balances bucket sizes, so neither its
     accuracy knob nor the sampling error is a correctness input.
     Constant keys degenerate to one bucket — exactly what any range
-    partitioner does with them."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    row = (
-        df.sample(fraction=sample_fraction, seed=13)
-        .agg(F.percentile_approx(order_col, qs, 1_000).alias("b"))
-        .first()
+    partitioner does with them — with a ``warnings.warn`` so the
+    degradation is visible.  The sketch job runs ONCE per
+    (application, input-identity, column, geometry): repeated plan
+    construction over the same frame serves the memoized boundaries
+    (``_SKETCH_CACHE``) with zero extra Spark jobs."""
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        order_col,
+        n_buckets,
+        sample_fraction,
     )
-    bounds = sorted(set(row["b"] or []))
+    bounds = _SKETCH_CACHE.get(key)
+    if bounds is None:
+        bounds = _SKETCH_CACHE[key] = _sketch_bounds(
+            df, order_col, n_buckets, sample_fraction
+        )
     if not bounds:
         return F.lit(0)
     arr = F.array(*[F.lit(b) for b in bounds])
@@ -120,8 +187,11 @@ def hex_prefix_bucket(col: Column, n_buckets: int = 64) -> Column:
     32 bits are exactly aligned — and the key being uniform by
     construction, they are load-balanced with no sketch pass at all.
     The key must be NON-NULL (hash a pk, as every call site does):
-    a NULL key would yield a NULL bucket, which the closure's equi-join
-    cannot close over — see ``prefix_agg``'s bucket contract."""
+    a NULL key yields a NULL bucket, which the scan REJECTS at runtime
+    — the null-safe closure join would otherwise close it as its own
+    bucket that sorts FIRST, silently misordering the scan whenever the
+    NULL-bucket rows are not first in sort order.  See ``prefix_agg``'s
+    bucket contract."""
     return (
         F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
         * n_buckets
@@ -154,9 +224,27 @@ def _scanned(
             f"{clash} (the _ps_ prefix is internal) — rename them "
             f"before the scan"
         )
-    b = bucket if bucket is not None else aligned_bucket(
-        df, order_cols[0], n_buckets
-    )
+    if bucket is not None:
+        # REJECT a NULL caller-supplied bucket at runtime: the
+        # null-safe closure join would close it as its own bucket
+        # sorted FIRST (NULLS FIRST in the closure's orderBy), silently
+        # misordering the scan — a data-dependent hazard no test of the
+        # caller's happy path would catch.  assert_true is data-
+        # dependent, so Catalyst cannot fold the branch away; the cost
+        # is one null-check per row, JVM-side.
+        b = F.when(
+            bucket.isNull(),
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    "prefix_scan: caller-supplied bucket expression "
+                    "produced NULL — buckets must be NON-NULL and "
+                    "order-aligned (see prefix_agg's bucket contract)"
+                ),
+            ),
+        ).otherwise(bucket)
+    else:
+        b = aligned_bucket(df, order_cols[0], n_buckets)
     pc = list(partition_cols)
     t = df.withColumn(_BKT, b)
     loc = t.withColumn(_LOC, local)
@@ -229,12 +317,14 @@ def prefix_agg(
     ``bucket`` overrides the numeric-leading-column sketch with any
     expression that is non-decreasing along the sort order WITHIN each
     group (e.g. a uniform hash prefix) and NEVER NULL — a NULL bucket
-    would fall out of the equi-join closure and silently keep only its
-    local running value (``aligned_bucket`` cannot produce one; a
-    custom expression over a nullable key can).  ``agg='count'`` ignores
-    ``value_col``.  Empty frames yield NULL (sum/max/min/count alike)
-    exactly as the window form does for the exclusive first row —
-    callers wanting COUNT(*)'s 0 coalesce at the call site.
+    would close as its own bucket that sorts FIRST in the closure,
+    silently misordering the scan, so the scan REJECTS it at runtime
+    (``aligned_bucket`` cannot produce one; a custom expression over a
+    nullable key can).  ``agg='count'`` ignores ``value_col``.  For the
+    exclusive first row (empty frame) sum/max/min yield NULL exactly as
+    the window form does; COUNT yields 0, also matching the window form
+    (COUNT over an empty frame is 0, never NULL) — no coalesce needed
+    at count call sites.
     """
     if agg not in _AGGS:
         raise ValueError(f"prefix_agg: unknown agg {agg!r}")

@@ -1571,7 +1571,10 @@ def test_prefix_scan_keys_partition_the_corpus_window(spark, sf_dir):
     ):
         p = _plan(spark, sf_dir, key)
         assert "windowspecdefinition(_ps_bkt" in p, key
-        assert "ntile" not in p, key
+        # word-bounded: a bare `"ntile" not in p` also matches the
+        # substring inside "percentile", so a lazy percentile_approx
+        # expression appearing in these plans would misfire the pin
+        assert not re.search(r"\bntile\(", p), key
         assert "BroadcastHashJoin" in p, key
         # the only unpartitioned windows left run over the bucket-count
         # aggregate (metadata-sized) — rule 4 checks their feed; here

@@ -294,3 +294,72 @@ def test_prefix_agg_total_col_matches_group_sum(spark, df):
     )
     j = exp.join(got.select("g", *ORDER, "tot"), ["g"] + ORDER)
     assert j.filter(~F.col("e_tot").eqNullSafe(F.col("tot"))).count() == 0
+
+
+def test_count_exclusive_first_row_is_zero_not_null(spark, df):
+    """COUNT over the exclusive first-row (empty) frame is 0 — never
+    NULL — matching COUNT(*) window semantics exactly (the local count
+    is 0 and the coalesce passes it through); sum stays NULL there.
+    Pins the documented contract so no caller needs a coalesce."""
+    got = prefix_agg(df, ORDER, None, "c", agg="count", inclusive=False)
+    exp = df.withColumn(
+        "e", F.count(F.lit(1)).over(_window(df, False))
+    )
+    j = exp.join(got.select(*ORDER, "c"), ORDER)
+    assert j.filter(~F.col("e").eqNullSafe(F.col("c"))).count() == 0
+    first = (
+        got.orderBy(*ORDER).select("c").first()["c"]
+    )
+    assert first == 0 and first is not None
+
+
+def test_caller_supplied_null_bucket_refused_at_runtime(spark):
+    """A NULL caller-supplied bucket would close as its OWN bucket that
+    sorts FIRST in the closure (null-safe join + NULLS FIRST), silently
+    misordering the scan — so the scan must refuse it by name at
+    runtime instead."""
+    rows = [(None if i % 7 == 0 else i % 5, i, 1) for i in range(50)]
+    t = spark.createDataFrame(rows, "k int, id long, v long")
+    bad = prefix_agg(
+        t, ["k", "id"], "v", "cum", bucket=F.col("k").cast("int")
+    )
+    with pytest.raises(Exception, match="bucket expression produced NULL"):
+        bad.collect()
+    # the same expression made non-null passes untouched
+    ok = prefix_agg(
+        t, ["k", "id"], "v", "cum",
+        bucket=F.coalesce(F.col("k"), F.lit(-1)).cast("int"),
+    )
+    assert ok.count() == 50
+
+
+def test_constant_leading_key_warns_single_bucket(spark):
+    """A constant leading sort key collapses the sketch to one bucket —
+    still correct, but it silently reinstates the one-task scan this
+    module removes, so the degradation must be VISIBLE (ADVICE r13)."""
+    const = spark.createDataFrame(
+        [(7, i, i * 3) for i in range(30)], "k long, id long, v long"
+    )
+    with pytest.warns(UserWarning, match="constant"):
+        aligned_bucket(const, "k", 8)
+
+
+def test_sketch_memoized_second_construction_adds_zero_jobs(spark, sf_dir):
+    """aligned_bucket's boundary sketch is an EAGER sample job at plan
+    construction; it must run ONCE per (application, input, column,
+    geometry) — constructing the same prefix-scan query twice must add
+    ZERO Spark jobs the second time (the _PQ_META discipline), and the
+    memoized plan must be the same plan."""
+    from bdt_enwikisearch_hadoop_spark.registry import QUERIES
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs() -> int:
+        return len(tracker.getJobIdsForGroup())
+
+    for key in ("d22_equi_depth_histogram", "j42_dsir_select"):
+        first = QUERIES[key](spark, sf_dir)  # may run sketch jobs
+        before = n_jobs()
+        second = QUERIES[key](spark, sf_dir)
+        assert n_jobs() == before, key
+        assert first.schema == second.schema, key
