@@ -14,6 +14,14 @@ cold execution bills whole-stage-codegen JIT compilation (measured
 query happens to run first — min-of-2 compares steady-state plan cost,
 which is what matters at 100 TB where compilation amortizes to zero.
 
+PER-KEY CPU: each key also records its executor CPU time (a
+SparkListener summing ``taskMetrics.executorCpuTime`` over completed
+stages, drained via ``listenerBus().waitUntilEmpty()`` after each
+run; min across the two runs, like wall).  Wall alone cannot separate
+host noise from plan cost — round 13's driver pass flagged 8 keys >2×
+wall that all re-measured as ambient load; a flat CPU next to an
+inflated wall settles that mechanically.
+
 OUTPUT SIZE is load-bearing: the driver records only the LAST ~2000
 chars of stdout, and a registry-sized {"key": sec} map is ~9 KB — round
 10's externally-recorded artifact carried a truncated tail and a null
@@ -22,11 +30,21 @@ as ``queries_ms``: integer-millisecond timings comma-joined in
 sorted(registry-key) order ("x" marks a failed key), ~4 B per key,
 with ``qn`` (= len(registry)) and ``qk_sha1`` (hash of the joined key
 list) so a decoder can verify alignment against the commit's registry.
-Decode:  dict(zip(sorted(QUERIES), queries_ms.split(","))).  The
-human-readable {key: sec} map plus the per-tag materialize ledger is
-persisted to bench_full.json next to this file, and a >1900-char
-fallback drops the (elastic) error map so the line can never overflow
-the capture on a failure round.
+Decode:  dict(zip(sorted(QUERIES), queries_ms.split(","))).
+
+Two ms-precision CSVs (wall + cpu) for 318 keys do NOT both fit in
+2000 chars, so when the line overflows it re-encodes BOTH series as
+FIXED-WIDTH base36 centiseconds (alphabet 0-9a-z, no separators):
+``qw36cs`` = wall, 2 chars/key (clamp 'zz' = ≥12.95 s, '~~' = failed
+key); ``qc36cs`` = executor CPU, 3 chars/key (clamp 'zzz' = ≥466 s,
+'~~~' = failed/unmeasured).  Decode key i (sorted registry order):
+``int(qw36cs[2*i:2*i+2], 36)`` centiseconds, analogous with width 3
+for cpu.  10 ms granularity is ample for the 2× regression gate; the
+exact values live in bench_full.json.  The human-readable {key: sec}
+maps plus the per-tag materialize ledger are persisted to
+bench_full.json next to this file, and the error map is dropped first
+(elastic) so the line can never overflow the capture on a failure
+round.
 """
 
 from __future__ import annotations
@@ -50,27 +68,96 @@ def main() -> int:
     from bdt_enwikisearch_hadoop_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+
+    # Executor-CPU listener: callback-server py4j proxy summing
+    # taskMetrics.executorCpuTime over completed stages.  Gated — a
+    # listener failure must never void a bench round (cpu reads as
+    # unmeasured, wall is unaffected).
+    cpu_counter = None
+    drain = lambda: None  # noqa: E731
+    try:
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        ensure_callback_server_started(spark.sparkContext._gateway)
+
+        class _CpuListener:
+            def __init__(self):
+                self.cpu_ns = 0
+
+            def onStageCompleted(self, ev):
+                try:
+                    self.cpu_ns += (
+                        ev.stageInfo().taskMetrics().executorCpuTime()
+                    )
+                except Exception:
+                    pass
+
+            def toString(self):
+                return "bench-cpu-listener"
+
+            def equals(self, other):
+                return False
+
+            def hashCode(self):
+                return id(self) & 0x7FFFFFFF
+
+            def __getattr__(self, name):
+                # every other SparkListenerInterface event is a no-op
+                return lambda *a, **k: None
+
+            class Java:
+                implements = [
+                    "org.apache.spark.scheduler.SparkListenerInterface"
+                ]
+
+        cpu_counter = _CpuListener()
+        _jsc_sc = spark.sparkContext._jsc.sc()
+        _jsc_sc.addSparkListener(cpu_counter)
+        _bus = _jsc_sc.listenerBus()
+
+        def drain():  # noqa: F811
+            # stage-completed events are async; settle before reading
+            try:
+                _bus.waitUntilEmpty()
+            except TypeError:
+                _bus.waitUntilEmpty(10_000)
+    except Exception:
+        cpu_counter = None
+
     # warm-up: JVM, codegen, parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
     wasted = 0.0  # time burned by failing queries — still billed to total
     for key in sorted(QUERIES):
         best = None
+        best_cpu = None
         for _run in range(2):  # min-of-2: see module docstring
+            if cpu_counter is not None:
+                drain()
+                c0 = cpu_counter.cpu_ns
             t0 = time.perf_counter()
             try:
                 df = QUERIES[key](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                if cpu_counter is not None:
+                    drain()
+                    dc = (cpu_counter.cpu_ns - c0) / 1e9
+                    best_cpu = (
+                        dc if best_cpu is None else min(best_cpu, dc)
+                    )
             except Exception as exc:  # one broken query must not void the round
                 wasted += time.perf_counter() - t0
                 errors[key] = f"{type(exc).__name__}: {exc}"[:200]
                 break
         if best is not None and key not in errors:
             timings[key] = round(best, 3)
+            if best_cpu is not None:
+                cpu_secs[key] = round(best_cpu, 3)
 
     # a failed query may not understate the headline total: bill its
     # elapsed time AND flag the run so a partially-failed round can't
@@ -89,13 +176,34 @@ def main() -> int:
 
     all_keys = sorted(QUERIES)
 
-    def keyed_csv(divisor: int) -> str:
+    def keyed_csv(divisor: int, series: dict = timings) -> str:
         return ",".join(
-            str(int(round(timings[k] * 1000 / divisor)))
-            if k in timings
+            str(int(round(series[k] * 1000 / divisor)))
+            if k in series
             else "x"
             for k in all_keys
         )
+
+    _B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def b36_fixed(series: dict, width: int) -> str:
+        """Fixed-width base36 CENTIseconds per key, sorted-key order,
+        no separators; all-'z' = clamped at the width's max, all-'~' =
+        failed/unmeasured key (not a base36 digit, so decoders cannot
+        misread it).  See module docstring for the decode recipe."""
+        out = []
+        cap = 36**width - 1
+        for k in all_keys:
+            if k not in series:
+                out.append("~" * width)
+                continue
+            v = min(int(round(series[k] * 100)), cap)
+            s = ""
+            for _ in range(width):
+                s = _B36[v % 36] + s
+                v //= 36
+            out.append(s)
+        return "".join(out)
 
     qk_sha1 = hashlib.sha1(",".join(all_keys).encode()).hexdigest()[:12]
     result: dict = {
@@ -103,6 +211,8 @@ def main() -> int:
         "qn": len(all_keys),
         "qk_sha1": qk_sha1,
     }
+    if cpu_secs:
+        result["queries_cpu_ms"] = keyed_csv(1, cpu_secs)
     if errors:
         # Kept SHORT by construction (60-char messages, ≤2 keys each):
         # the whole printed line must stay under the ~2000-char capture
@@ -131,6 +241,7 @@ def main() -> int:
     # artifact without decoding the compact queries_ms line.
     full = dict(result)
     full["queries"] = timings
+    full["queries_cpu"] = cpu_secs
     if errors:
         full["errors"] = errors
     # SUM per tag: the ledger is keyed (applicationId, sf_dir, tag) so a
@@ -151,14 +262,31 @@ def main() -> int:
     # capture (an overflow truncates the line's HEAD — the exact
     # round-10 null-parse failure).  Elastic parts, dropped in order
     # of least information lost: (1) the error map (failed_count
-    # stays; failures remain as 'x' in the CSV and in full detail in
-    # bench_full.json); (2) per-key precision — re-encode the CSV in
-    # centi- then deci-seconds (renamed key says which), which bounds
-    # the line even if every key ran tens of seconds.
+    # stays; failures remain as 'x'/'~' in the series and in full
+    # detail in bench_full.json); (2) both series re-encode as
+    # FIXED-WIDTH base36 centiseconds (qw36cs wall 2 ch/key, qc36cs
+    # cpu 3 ch/key — ~1.6 KB for 318 keys vs ~2.5 KB as ms CSVs; see
+    # module docstring for the decode); (3) the cpu series drops
+    # entirely; (4) the wall CSV re-encodes in centi- then
+    # deci-seconds (renamed key says which), which bounds the line
+    # even if every key ran tens of seconds.
     line = json.dumps(result)
     if len(line) > 1900 and "errors" in result:
         del result["errors"]
         line = json.dumps(result)
+    if len(line) > 1900 and cpu_secs:
+        del result["queries_ms"], result["queries_cpu_ms"]
+        result = {
+            "qw36cs": b36_fixed(timings, 2),
+            "qc36cs": b36_fixed(cpu_secs, 3),
+            **result,
+        }
+        line = json.dumps(result)
+        if len(line) > 1900:
+            del result["qc36cs"]
+            result = {"queries_ms": keyed_csv(1), **result}
+            result.pop("qw36cs")
+            line = json.dumps(result)
     for unit_key, divisor in (("queries_cs", 10), ("queries_ds", 100)):
         if len(line) <= 1900:
             break
