@@ -56,6 +56,42 @@ def cosine(a, b):
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+#: DuckDB-side cosine via the NATIVE list_dot_product — same double
+#: arithmetic as the explicit unnest form at the 4dp comparison grain
+#: (verified row-identical on j34 at sf0.01 and sf0.1), but one scalar
+#: call per pair instead of a 64-row unnest + hash aggregate: the
+#: unnest form multiplied every pair set by 64 and made ALL-PAIRS
+#: oracles intractable beyond sf0.1 (j34's was 1828 s at sf0.1; this
+#: form is sub-second).  Use this for any oracle whose pair count
+#: grows superlinearly; _duck_cos remains for probe-sized pair sets
+#: where the explicit fold documents the arithmetic.
+def _duck_cos_native(a: str, b: str) -> str:
+    def dd(x: str, y: str) -> str:
+        return (
+            f"list_dot_product(CAST({x} AS DOUBLE[]),"
+            f" CAST({y} AS DOUBLE[]))"
+        )
+
+    return f"({dd(a, b)} / (SQRT({dd(a, a)}) * SQRT({dd(b, b)})))"
+
+
+#: For ALL-PAIRS oracles, even _duck_cos_native's per-pair CAST to
+#: DOUBLE[] dominates (measured 291 s → 12 s at sf1's 200M pairs when
+#: the cast + self-norm move to a per-VECTOR CTE): prepend
+#: _DUCK_NORM_CTE to the WITH list and take pairs from `ne` with
+#: _duck_cos_pair — N casts + N norms instead of 3 casts + 2 norms per
+#: pair, identical doubles (dot/(na·nb) is the exact same expression).
+_DUCK_NORM_CTE = (
+    "ne AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,"
+    " SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
+)
+
+
+def _duck_cos_pair(a: str = "a", b: str = "b") -> str:
+    return f"(list_dot_product({a}.de, {b}.de) / ({a}.nrm * {b}.nrm))"
+
+
 #: DuckDB-side explicit cosine between two list columns (1-based range
 #: join over the fixed dim=64), as a SQL fragment factory.
 def _duck_cos(a: str, b: str) -> str:
@@ -159,7 +195,7 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 _SHINGLE_CTE = """
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                CAST(z[1] AS VARCHAR) || ' ' || CAST(z[2] AS VARCHAR)
                  || ' ' || CAST(z[3] AS VARCHAR) AS shingle
@@ -171,7 +207,7 @@ _SHINGLE_CTE = """
                     FROM documents)
               WHERE len(toks) >= 3)
     ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
@@ -259,12 +295,10 @@ def j3_sim_topk(spark, sf_dir) -> DataFrame:
     oracle=f"""
     WITH pairs AS (
         SELECT a.vec_id AS qid, b.vec_id AS nid,
-               {_duck_cos('a.embedding', 'b.embedding')} AS cos
+               {_duck_cos_native('a.embedding', 'b.embedding')} AS cos
         FROM embeddings a
         JOIN embeddings b ON a.vec_id <> b.vec_id
-        CROSS JOIN range(1, 65) t(i)
         WHERE a.vec_id < 50
-        GROUP BY a.vec_id, b.vec_id
     )
     SELECT qid, nid, ROUND(cos, 4) AS score
     FROM pairs

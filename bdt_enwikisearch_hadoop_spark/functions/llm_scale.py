@@ -37,8 +37,10 @@ from ..operators.prefix_scan import (
 from ..registry import query
 from ..sources import load, materialized, rebalance
 from .llm_pipeline import (
+    _DUCK_NORM_CTE,
     _SHINGLE_CTE,
     _duck_cos,
+    _duck_cos_pair,
     dot,
     shingle_sets,
     shingles,
@@ -73,13 +75,13 @@ from .ann import (  # noqa: E402
 #: The cand CTE replicates the occupancy guard bit-for-bit: clique
 #: below the cap, doc_id-ordered chain above it.
 _LSH_CAND_CTE = f"""
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id, t.hi,
                MIN(md5(CAST(t.hi AS VARCHAR) || ':' || shingle)) AS mh
         FROM sh CROSS JOIN range(0, {_N_HASH}) t(hi)
         GROUP BY doc_id, t.hi
     ),
-    band AS (
+    band AS MATERIALIZED (
         SELECT doc_id, hi // {_ROWS_PER_BAND} AS b,
                md5(string_agg(mh, '|' ORDER BY hi)) AS bk
         FROM sig
@@ -88,14 +90,14 @@ _LSH_CAND_CTE = f"""
     bandocc AS (
         SELECT b, bk, COUNT(*) AS occ FROM band GROUP BY b, bk
     ),
-    band2 AS (
+    band2 AS MATERIALIZED (
         SELECT band.doc_id, band.b, band.bk, o.occ,
                LEAD(band.doc_id) OVER (
                    PARTITION BY band.b, band.bk ORDER BY band.doc_id
                ) AS nxt
         FROM band JOIN bandocc o USING (b, bk)
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM band2 a JOIN band2 b
@@ -107,7 +109,7 @@ _LSH_CAND_CTE = f"""
             WHERE occ > {_BUCKET_CAP} AND nxt IS NOT NULL
         )
     ),
-    inter AS (
+    inter AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
         FROM cand c
         JOIN sh x ON x.doc_id = c.doc_a
@@ -498,14 +500,19 @@ _J12_BLOCKS = 8
 @query(
     "j12_embedding_near_dup",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           FLOOR({_duck_cos('a.embedding', 'b.embedding')} * 10000) / 10000
-             AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    CROSS JOIN range(1, 65) t(i)
-    GROUP BY a.vec_id, b.vec_id
-    HAVING {_duck_cos('a.embedding', 'b.embedding')} >= 0.45
+    -- native-cosine all-pairs over the norm CTE: the 64-row unnest
+    -- form is intractable at sf1 (200M pairs × 64) and even per-pair
+    -- casts cost 291 s there; see _DUCK_NORM_CTE
+    WITH {_DUCK_NORM_CTE}
+    SELECT vec_a, vec_b,
+           FLOOR(cos * 10000) / 10000 AS cos_sim
+    FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_duck_cos_pair()} AS cos
+        FROM ne a
+        JOIN ne b ON a.vec_id < b.vec_id
+    )
+    WHERE cos >= 0.45
     """,
 )
 def j12_embedding_near_dup(spark, sf_dir) -> DataFrame:
@@ -1658,7 +1665,8 @@ def j33_bigram_logprob(spark, sf_dir) -> DataFrame:
 @query(
     "j34_semdedup",
     oracle=f"""
-    WITH seeds AS (
+    WITH {_DUCK_NORM_CTE},
+    seeds AS (
         SELECT vec_id AS seed_id, embedding AS ce
         FROM embeddings WHERE vec_id < {_KM_K}
     ),
@@ -1681,17 +1689,11 @@ def j33_bigram_logprob(spark, sf_dir) -> DataFrame:
         -- same 4dp (verified row-identical at sf0.01 and sf0.1) in
         -- under a second
         SELECT ca.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[]))
-               / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(a.embedding AS DOUBLE[])))
-                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[]))))
-                   AS cos
-        FROM embeddings a
+               {_duck_cos_pair()} AS cos
+        FROM ne a
         JOIN assign ca ON ca.vec_id = a.vec_id
         JOIN assign cb ON cb.cluster = ca.cluster
-        JOIN embeddings b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+        JOIN ne b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
     )
     SELECT cluster, vec_a, vec_b, ROUND(cos, 4) AS cos_sim
     FROM pairs
@@ -2122,16 +2124,40 @@ _PR_K = 3  # out-degree of the kNN graph
 #: nid tiebreak, out-degree _PR_K) — shared by the PageRank oracle and
 #: j59's negative-sampling oracle; must stay the exact mirror of
 #: ``knn_edges``.
-_KNN_EDGES_CTE = f"""pairs AS (
+#: Top-k edge selection avoids one giant window: a ROW_NUMBER over the
+#: full pair set sorts N² rows (measured 260-470 s at sf1's 400M
+#: pairs), so the top-{_PR_K} runs over an EXACT candidate superset
+#: first — per (qid, nid%64) bucket maxima of a composite BIGINT key
+#: (cos·1e4 in the high bits, -nid in the low bits, so key DESC ≡
+#: (cos DESC, nid ASC)); the 8th-largest of a qid's 64 bucket maxima
+#: is ≥ the true 8th-largest element (the 8 maxima are themselves 8
+#: distinct elements), so filtering key ≥ that threshold provably
+#: keeps every true top-8 row while shrinking the exact window's
+#: input from N² to ~tens per qid (hash aggregates do the heavy
+#: lifting; measured 98 s at sf1, row-identical to the plain window
+#: at sf0.01).
+_KNN_EDGES_CTE = f"""{_DUCK_NORM_CTE},
+    pairs AS (
+        -- native cosine over the norm CTE: see _DUCK_NORM_CTE
         SELECT a.vec_id AS qid, b.vec_id AS nid,
-               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id <> b.vec_id
-        CROSS JOIN range(1, 65) t(i)
-        GROUP BY a.vec_id, b.vec_id
+               ROUND({_duck_cos_pair()}, 4) AS cos
+        FROM ne a
+        JOIN ne b ON a.vec_id <> b.vec_id
     ),
-    edges AS (
-        SELECT qid, nid FROM pairs
+    keyed AS MATERIALIZED (SELECT qid, nid, cos,
+              CAST(cos * 10000 AS BIGINT) * 4294967296 - nid AS key
+              FROM pairs),
+    bmax AS (SELECT qid, nid % 64 AS b, max(key) AS mk
+             FROM keyed GROUP BY qid, nid % 64),
+    thr AS (SELECT qid, min(mk) AS t FROM (
+              SELECT qid, mk FROM bmax
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY mk DESC) <= {_PR_K})
+            GROUP BY qid),
+    cand AS (SELECT k.qid, k.nid, k.cos FROM keyed k
+             JOIN thr ON thr.qid = k.qid AND k.key >= thr.t),
+    edges AS MATERIALIZED (
+        SELECT qid, nid FROM cand
         QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY cos DESC, nid) <= {_PR_K}
     )"""
@@ -2513,19 +2539,7 @@ def j50_minhash_jaccard_est(spark, sf_dir) -> DataFrame:
 @query(
     "j51_knn_triangles",
     oracle=f"""
-    WITH pairs AS (
-        SELECT a.vec_id AS qid, b.vec_id AS nid,
-               ROUND({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
-        FROM embeddings a
-        JOIN embeddings b ON a.vec_id <> b.vec_id
-        CROSS JOIN range(1, 65) t(i)
-        GROUP BY a.vec_id, b.vec_id
-    ),
-    edges AS (
-        SELECT qid, nid FROM pairs
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
-                                   ORDER BY cos DESC, nid) <= {_PR_K}
-    ),
+    WITH {_KNN_EDGES_CTE},
     und AS (SELECT DISTINCT LEAST(qid, nid) AS u, GREATEST(qid, nid) AS v
             FROM edges),
     deg AS (SELECT x, COUNT(*) AS d

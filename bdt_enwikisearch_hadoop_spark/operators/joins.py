@@ -948,15 +948,30 @@ def c24_recursive_hierarchy(spark, sf_dir) -> DataFrame:
 @query(
     "c25_fuzzy_join",
     oracle="""
-    WITH probe AS (
+    WITH probe AS MATERIALIZED (
         SELECT p_partkey AS probe_key,
                substr(p_name, 1, length(p_name) - 1) AS q
         FROM part
         WHERE substr(md5(CAST(p_partkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    ),
+    -- the theta-join is stated over DISTINCT strings and joined back
+    -- by string equality: levenshtein depends only on the string
+    -- VALUES, so this is the identical result set row-for-row, while
+    -- the distinct-q x distinct-name cross product stays completely
+    -- UNBLOCKED (every pair evaluated — the naive semantics this
+    -- oracle exists to state).  Without the identity the oracle is
+    -- |probe| x |part| levenshteins (5 billion at sf1) instead of
+    -- |distinct q| x |distinct names|.
+    dm AS MATERIALIZED (
+        SELECT dq.q, dn.p_name, levenshtein(dq.q, dn.p_name) AS dist
+        FROM (SELECT DISTINCT q FROM probe) dq
+        JOIN (SELECT DISTINCT p_name FROM part) dn
+          ON levenshtein(dq.q, dn.p_name) <= 2
     )
-    SELECT probe_key, p.p_partkey AS match_key,
-           levenshtein(q, p.p_name) AS dist
-    FROM probe JOIN part p ON levenshtein(q, p.p_name) <= 2
+    SELECT probe.probe_key, p.p_partkey AS match_key, dm.dist
+    FROM probe
+    JOIN dm ON dm.q = probe.q
+    JOIN part p ON p.p_name = dm.p_name
     ORDER BY probe_key, match_key
     """,
 )

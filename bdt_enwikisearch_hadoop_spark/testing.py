@@ -146,11 +146,38 @@ def lint_rows_only_schema(sdf) -> list[str]:
     ]
 
 
+#: Keys whose RESULT SET grows superlinearly with the corpus (join
+#: fan-out is part of their semantics): above HUGE_RESULT_ROWS rows
+#: the full value comparison degrades to EXACT row-count parity
+#: (Spark count vs DuckDB COUNT(*) over the same oracle SQL).  This
+#: only ever triggers at rehearsal scales the driver never runs — at
+#: sf0.01/sf0.1 these keys stay full-value-compared (c25 is 1.2M rows
+#: at sf0.1, full-compared; 118M at sf1, where each of the 64 distinct
+#: names repeats ~3k times and a pandas canonicalization is neither
+#: feasible nor informative once value parity is pinned at two
+#: smaller scales).  Scoped to named keys so no other key pays the
+#: extra count() execution.
+HUGE_RESULT_KEYS = {"c25_fuzzy_join"}
+HUGE_RESULT_ROWS = 20_000_000
+
+
 def check_query(spark, con, key: str, sf_dir: str) -> list[str]:
     """Run one registered query both ways; [] means parity holds."""
     from .registry import ORACLES, QUERIES
 
     sdf = QUERIES[key](spark, sf_dir)
+    if key in ORACLES and key in HUGE_RESULT_KEYS:
+        n_spark = sdf.count()
+        if n_spark > HUGE_RESULT_ROWS:
+            n_oracle = con.execute(
+                f"SELECT COUNT(*) FROM ({ORACLES[key]})"
+            ).fetchone()[0]
+            if n_spark != n_oracle:
+                return [
+                    f"row count differs (huge-result count-only mode):"
+                    f" spark={n_spark} oracle={n_oracle}"
+                ]
+            return []
     if key not in ORACLES:
         problems = lint_rows_only_schema(sdf)
         if problems:
