@@ -3384,3 +3384,170 @@ def run_streaming_packing_smoke(spark, sf_dir: str) -> tuple[list, list]:
         q.awaitTermination(120)
         q.stop()
     return sorted(out), batch
+
+
+def run_streaming_recovery_smoke(spark, sf_dir: str) -> tuple[tuple, tuple]:
+    """CHECKPOINT-RECOVERY exactly-once (the streaming failure mode a
+    production ingest hits first): a foreachBatch shard-ingest stream
+    with a DURABLE ``checkpointLocation`` is killed mid-run by an
+    injected crash that fires AFTER the store append completed but
+    BEFORE Spark commits the micro-batch — the worst-case interleaving
+    (the work is done, the offset log doesn't know) — and the dying
+    writer also leaves a crashed-holder write-lease marker behind.
+
+    The stream is then RESTARTED from the same checkpoint.  Three
+    things must compose for exactly-once:
+
+    * Spark replays the uncommitted batch from the checkpoint's offset
+      log (at-least-once delivery);
+    * ``append_dedup_index``'s sidecar anti-join absorbs the replayed
+      doc_ids — no double-indexing — and ``stamp_manifest`` records an
+      honest ``n_rows: 0`` delta for the replay, so at-least-once
+      delivery × idempotent apply = exactly-once store state;
+    * the restarted clone TAKES OVER the crashed holder's stale lease
+      (age > stale_sec) instead of refusing its own restart — the
+      manifest/lease interaction VERDICT r13 item 3 names.
+
+    Returns (recovered, twin) canonical store states — sorted band
+    rows, sorted sidecar ids, manifest running total — which must be
+    EQUAL to an uninterrupted build+append twin over the same shards.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..functions.dedup_store import (
+        append_dedup_index,
+        build_dedup_index,
+    )
+    from ..functions.index_store import (
+        read_manifest,
+        refresh_store,
+        table_location,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 < 7)
+    shards = [
+        docs.filter(F.col("doc_id") % 10 == 7 + i) for i in range(3)
+    ]
+
+    def canon(table):
+        band = sorted(
+            (r["b"], r["bk"], r["doc_id"])
+            for r in spark.table(table).collect()
+        )
+        ids = sorted(
+            r["doc_id"] for r in spark.table(f"{table}_sets").collect()
+        )
+        man = sum(e["n_rows"] for e in (read_manifest(spark, table) or []))
+        return (band, ids, man)
+
+    with tempfile.TemporaryDirectory() as workdir:
+        try:
+            # ---- uninterrupted twin: build + 3 plain appends --------
+            build_dedup_index(
+                spark, sf_dir, "t_rec_twin", f"{workdir}/twin",
+                docs=corpus,
+            )
+            for i, sh in enumerate(shards):
+                append_dedup_index(spark, "t_rec_twin", sh,
+                                   shard_id=f"s{i}")
+
+            # ---- the store under test ------------------------------
+            build_dedup_index(
+                spark, sf_dir, "t_rec", f"{workdir}/rec", docs=corpus,
+            )
+            src = f"{workdir}/shards"
+            os.makedirs(src)
+            for i, sh in enumerate(shards):
+                stage = f"{workdir}/stage_{i}"
+                sh.coalesce(1).write.mode("overwrite").parquet(stage)
+                part = glob.glob(f"{stage}/part-*.parquet")[0]
+                shutil.copy(part, f"{src}/shard_{i}.parquet")
+                _time.sleep(1.1)  # distinct mtime seconds → stable order
+
+            ckpt = f"{workdir}/ckpt"
+            crash_marker = f"{workdir}/crashed"
+            lock_dir = (
+                table_location(spark, "t_rec").rstrip("/") + "_lock"
+            )
+
+            def ingest(bdf, batch_id):
+                append_dedup_index(
+                    spark, "t_rec", bdf.select("doc_id", "text"),
+                    shard_id=f"b{int(batch_id)}",
+                )
+                if int(batch_id) == 1 and not os.path.exists(crash_marker):
+                    with open(crash_marker, "w") as fh:
+                        fh.write("crashed after append, before commit")
+                    # the crashed holder's leftover lease: a marker
+                    # whose lease.json is PAST the stale threshold —
+                    # the restart must take it over, not refuse
+                    os.makedirs(lock_dir, exist_ok=True)
+                    with open(f"{lock_dir}/lease.json", "w") as fh:
+                        json.dump(
+                            {"owner": "crashed-ingester",
+                             "token": "dead",
+                             "ts": _time.time() - 7200.0},
+                            fh,
+                        )
+                    raise RuntimeError(
+                        "injected crash: batch appended but uncommitted"
+                    )
+
+            def start():
+                return (
+                    spark.readStream.schema(docs.schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .writeStream.option("checkpointLocation", ckpt)
+                    .foreachBatch(ingest)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            q = start()
+            crashed = False
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                crashed = True
+            finally:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            assert crashed, "injected crash did not surface"
+            assert os.path.isdir(lock_dir), (
+                "crashed-holder lease marker missing — the takeover "
+                "path would not be exercised"
+            )
+
+            # ---- restart from the SAME checkpoint ------------------
+            q2 = start()
+            q2.awaitTermination(180)
+            q2.stop()
+
+            refresh_store(spark, "t_rec", ("", "_sets"))
+            refresh_store(spark, "t_rec_twin", ("", "_sets"))
+            recovered = canon("t_rec")
+            twin = canon("t_rec_twin")
+            # the replay must be VISIBLE in the manifest: batch 1 was
+            # appended, crashed uncommitted, and appended again on
+            # restart — two b1 stamps, the second an honest 0-delta
+            # (proves Spark actually replayed and the anti-join
+            # actually absorbed it, not that the crash never happened)
+            b1 = [e["n_rows"] for e in read_manifest(spark, "t_rec")
+                  if e["shard_id"] == "b1"]
+            assert len(b1) == 2 and b1[1] == 0, (
+                f"expected a replayed b1 stamp with 0 delta, got {b1}"
+            )
+        finally:
+            for t in ("t_rec", "t_rec_sets",
+                      "t_rec_twin", "t_rec_twin_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return recovered, twin

@@ -8232,3 +8232,183 @@ def test_reserved_bare_number_refused():
         query("c28")(lambda spark, sf_dir: None)
     with _pytest.raises(ValueError, match="reserved"):
         query("j41_new_semantics")(lambda spark, sf_dir: None)
+
+
+def test_store_lifecycle_joint_model(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 5: the FULL store lifecycle model-checked
+    JOINTLY — append / delete / compact / vacuum interleaved with
+    lease acquisition (live holder refuses, stale crashed holder is
+    taken over) and a crash injected between the sidecar write and the
+    manifest stamp (every lane then refuses by name until the explicit
+    repair-manifest adoption).  Invariant after every NON-REFUSED
+    mutation: the served ranking equals a rebuild-from-scratch over
+    the pure-Python model's live set; refused ops leave both the store
+    and the model untouched (re-checked).  The scripted op order
+    guarantees each lifecycle edge fires; the RNG varies the
+    payloads."""
+    import json
+    import os
+    import random
+    import shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from bdt_enwikisearch_hadoop_spark.functions import index_store
+    from bdt_enwikisearch_hadoop_spark.functions.index_store import (
+        append_tf_index,
+        build_tf_index,
+        compact_tf_index,
+        delete_from_tf_index,
+        repair_manifest,
+        search_tf_index,
+        table_location,
+        vacuum_store,
+    )
+
+    rng = random.Random(41)
+    words = ["spark", "join", "window", "agg", "filter", "scan"]
+
+    def text_for(i):
+        r = random.Random(i * 977)
+        return " ".join(r.choice(words) for _ in range(6))
+
+    texts = {i: text_for(i) for i in range(1, 9)}
+    ingested = set(range(1, 9))
+    tombstoned: set[int] = set()
+    next_id = 9
+    nref = 0
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in sorted(ids)],
+            "doc_id long, text string",
+        )
+
+    def served(table):
+        return [
+            [(r.doc_id, r.score)
+             for r in search_tf_index(spark, table, (t,),
+                                      conjunctive=False).collect()]
+            for t in words
+        ]
+
+    def check_parity(tag):
+        nonlocal nref
+        nref += 1
+        build_tf_index(spark, df_of(ingested - tombstoned), "t_jm_ref",
+                       str(tmp_path / f"jref{nref}"))
+        assert served("t_jm_tf") == served("t_jm_ref"), tag
+
+    def fresh_ids(n):
+        nonlocal next_id
+        new = set(range(next_id, next_id + n))
+        next_id += n
+        for i in new:
+            texts[i] = text_for(i)
+        return new
+
+    def lock_dir():
+        return table_location(spark, "t_jm_tf").rstrip("/") + "_lock"
+
+    def plant_lease(age_sec):
+        d = lock_dir()
+        os.makedirs(d, exist_ok=True)
+        with open(f"{d}/lease.json", "w") as fh:
+            json.dump({"owner": "other-writer", "token": "theirs",
+                       "ts": _time.time() - age_sec}, fh)
+        return d
+
+    script = [
+        "append", "delete", "lease_refuse", "append", "compact",
+        "vacuum", "delete", "lease_stale_takeover", "crash_stamp",
+        "refuse_then_repair", "append", "compact", "vacuum", "delete",
+    ]
+    ncompact = 0
+    try:
+        build_tf_index(spark, df_of(ingested), "t_jm_tf",
+                       str(tmp_path / "jm0"))
+        for step, op in enumerate(script):
+            if op == "append":
+                new = fresh_ids(rng.randint(1, 3))
+                append_tf_index(spark, "t_jm_tf", df_of(new))
+                ingested |= new
+            elif op == "delete":
+                live = sorted(ingested - tombstoned)
+                req = set(rng.sample(live, min(2, len(live))))
+                req.add(next_id + 50)  # one unknown id every time
+                counts = delete_from_tf_index(spark, "t_jm_tf",
+                                              sorted(req))
+                want = req & ingested - tombstoned
+                assert counts["deleted"] == len(want), (step, counts)
+                tombstoned |= want
+            elif op == "lease_refuse":
+                # a LIVE concurrent writer holds the lease: the append
+                # refuses by name and mutates nothing
+                d = plant_lease(age_sec=1.0)
+                doomed = fresh_ids(1)
+                with _pytest.raises(ValueError,
+                                    match="write lease held by"):
+                    append_tf_index(spark, "t_jm_tf", df_of(doomed))
+                shutil.rmtree(d)  # the live holder releases
+                # model untouched: the doomed ids never landed
+            elif op == "lease_stale_takeover":
+                # a CRASHED writer's leftover lease (past stale_sec):
+                # the next append takes it over and proceeds
+                plant_lease(age_sec=7200.0)
+                new = fresh_ids(2)
+                append_tf_index(spark, "t_jm_tf", df_of(new))
+                ingested |= new
+                assert not os.path.exists(lock_dir()), (
+                    "takeover must release the adopted lease"
+                )
+            elif op == "crash_stamp":
+                # crash BETWEEN the sidecar write and the manifest
+                # stamp: rows are in the store, the manifest doesn't
+                # know — actual > manifest from here on
+                real = index_store.stamp_manifest
+
+                def boom(*a, **k):
+                    raise RuntimeError("injected crash before stamp")
+
+                monkeypatch.setattr(index_store, "stamp_manifest", boom)
+                new = fresh_ids(2)
+                with _pytest.raises(RuntimeError, match="injected"):
+                    append_tf_index(spark, "t_jm_tf", df_of(new))
+                monkeypatch.setattr(index_store, "stamp_manifest", real)
+                ingested |= new  # the rows DID land; manifest lags
+                # the crashed writer's process is gone — a fresh
+                # serving/writing session has no consistency memo
+                index_store._MANIFEST_OK_MEMO.clear()
+                continue  # every lane refuses until repair (next op)
+            elif op == "refuse_then_repair":
+                with _pytest.raises(ValueError, match="crashed append"):
+                    append_tf_index(spark, "t_jm_tf",
+                                    df_of(fresh_ids(1)))
+                with _pytest.raises(ValueError, match="crashed append"):
+                    search_tf_index(spark, "t_jm_tf", ("spark",),
+                                    conjunctive=False).collect()
+                out = repair_manifest(spark, "t_jm_tf", "_docs")
+                assert out["adopted_rows"] == len(ingested)
+            elif op == "compact":
+                ncompact += 1
+                compact_tf_index(spark, "t_jm_tf",
+                                 str(tmp_path / f"jmc{ncompact}"))
+                ingested -= tombstoned
+                tombstoned = set()
+                assert (spark.table("t_jm_tf_docs").count()
+                        == len(ingested))
+            elif op == "vacuum":
+                # min_age 0: reclaim every superseded dir immediately;
+                # the live location must never be touched
+                res = vacuum_store(spark, "t_jm_tf", min_age_sec=0.0)
+                assert res["removed"], (step, res)
+                for d in res["removed"]:
+                    assert not os.path.exists(d), d
+                live = table_location(spark, "t_jm_tf")
+                assert os.path.exists(live.replace("file:", ""))
+            check_parity((step, op))
+    finally:
+        for t in ("t_jm_tf", "t_jm_tf_docs", "t_jm_tf_tombs",
+                  "t_jm_ref", "t_jm_ref_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -661,3 +661,21 @@ def test_streaming_packing_refuses_out_of_order_shard(spark):
             [{"doc_id": 5, "lang": "en", "n_tok": 10, "cum": 10}],
             budget=64,
         )
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark):
+    """VERDICT r13 item 3: kill a foreachBatch ingest mid-run (after
+    the store append, before the micro-batch commit — and with a
+    crashed-holder lease left behind), restart from the same durable
+    checkpointLocation, and the final store state (band rows, sidecar
+    ids, manifest running total) must equal the uninterrupted twin's:
+    at-least-once replay × idempotent apply × stale-lease takeover =
+    exactly-once."""
+    from bdt_enwikisearch_hadoop_spark.streaming.events import (
+        run_streaming_recovery_smoke,
+    )
+
+    recovered, twin = run_streaming_recovery_smoke(spark, SF_DIR)
+    assert recovered == twin
+    band, ids, man = recovered
+    assert len(ids) > 50 and man == len(ids)
