@@ -1372,6 +1372,11 @@ _SP_WRAP = re.compile(
 _BUILDER_BNLJ_OK = {
     "builder:tfidf_w",
     "builder:stratum_embedding_exact",
+    # dsir_scores crossJoins the 1-row (r, t, v) vocabulary totals onto
+    # the per-doc scores — a broadcast SCALAR, corpus-independent by
+    # construction (same shape j42's own serving plan was already
+    # allowed for before the scored join moved into this builder)
+    "builder:j42_scored_by_source",
 }
 
 
