@@ -51,6 +51,14 @@ _RUNTIME_CONFS = {
     # this engine writes is an index store whose bucket count is sized
     # to the consumer parallelism (index_store module docstring).
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
+    # scale: Spark 4's recursive-CTE safety valve defaults to 1M
+    # CUMULATIVE rows — a toy ceiling that c24's frontier walk crossed
+    # at the sf1 rehearsal (6M lineitem) while the recursion itself was
+    # healthy (shrinking frontier, level limit untouched).  100M keeps
+    # the runaway-recursion protection (the LEVEL limit of 100 is the
+    # real cycle guard) without capping legitimate hierarchy sizes a
+    # decade or two above the driver's test scale.
+    "spark.sql.cteRecursionRowLimit": "100000000",
 }
 
 
@@ -85,7 +93,16 @@ def get_spark(app_name: str = "bdt-enwikisearch-spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all 32 executor threads in the DRIVER JVM, so
+        # this is the whole engine's execution+storage pool.  8g was a
+        # toy default: 32 concurrent hash-agg tasks get ~150 MB each,
+        # and the sf1 rehearsal's shared-shingle pair aggregate (j17 —
+        # the declared quadratic anchor) died acquiring its FIRST page.
+        # 24g on this 128 GiB box gives ~450 MB/task headroom; spill
+        # handles the rest (j17 completes in 373 s at sf1).  On a real
+        # cluster spark-submit owns this and the builder conf is inert.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
