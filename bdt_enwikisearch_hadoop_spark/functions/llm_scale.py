@@ -2126,16 +2126,16 @@ _PR_K = 3  # out-degree of the kNN graph
 #: ``knn_edges``.
 #: Top-k edge selection avoids one giant window: a ROW_NUMBER over the
 #: full pair set sorts N² rows (measured 260-470 s at sf1's 400M
-#: pairs), so the top-{_PR_K} runs over an EXACT candidate superset
-#: first — per (qid, nid%64) bucket maxima of a composite BIGINT key
-#: (cos·1e4 in the high bits, -nid in the low bits, so key DESC ≡
-#: (cos DESC, nid ASC)); the 8th-largest of a qid's 64 bucket maxima
-#: is ≥ the true 8th-largest element (the 8 maxima are themselves 8
-#: distinct elements), so filtering key ≥ that threshold provably
-#: keeps every true top-8 row while shrinking the exact window's
-#: input from N² to ~tens per qid (hash aggregates do the heavy
-#: lifting; measured 98 s at sf1, row-identical to the plain window
-#: at sf0.01).
+#: pairs), so the top-k (k = _PR_K) runs over an EXACT candidate
+#: superset first — per (qid, nid%64) bucket maxima of a composite
+#: BIGINT key (cos·1e4 in the high bits, -nid in the low bits, so key
+#: DESC ≡ (cos DESC, nid ASC)); the kth-largest of a qid's 64 bucket
+#: maxima is ≤ the true kth-largest element of the qid's full key set
+#: (the k largest maxima are themselves k distinct elements), so
+#: filtering key ≥ that threshold provably keeps every true top-k row
+#: while shrinking the exact window's input from N² to ~tens per qid
+#: (hash aggregates do the heavy lifting; measured 98 s at sf1,
+#: row-identical to the plain window at sf0.01).
 _KNN_EDGES_CTE = f"""{_DUCK_NORM_CTE},
     pairs AS (
         -- native cosine over the norm CTE: see _DUCK_NORM_CTE

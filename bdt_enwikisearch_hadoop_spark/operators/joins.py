@@ -927,6 +927,18 @@ def c24_recursive_hierarchy(spark, sf_dir) -> DataFrame:
     rather than re-scanning from storage each round; locally the OS
     page cache already serves the single-file scan, so no explicit pin
     is taken (a checkpoint copy measured inside run noise)."""
+    # Spark 4's recursive-CTE valve defaults to 1M CUMULATIVE rows — a
+    # toy ceiling this healthy walk crossed at the sf1 rehearsal (every
+    # customer emits one row per ancestor level, ~N·log2 N total while
+    # the frontier itself shrinks; level limit untouched).  Raise it
+    # HERE, not engine-wide (session.py keeps the conservative
+    # default): the conf is session-scoped so it persists once this
+    # builder runs, but it is only ever raised when a recursive query
+    # is actually in play, and the level limit of 100 (untouched)
+    # remains the cycle guard.  Runaway-cost bound at 100M: worst case
+    # one extra ~0.1 TB spill-backed materialization before refusal,
+    # vs. silently refusing legitimate ≥1M-row hierarchies at scale.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     load(spark, sf_dir, "customer").createOrReplaceTempView("c24_customer")
     return spark.sql(
         """

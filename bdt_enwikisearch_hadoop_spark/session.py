@@ -51,14 +51,14 @@ _RUNTIME_CONFS = {
     # this engine writes is an index store whose bucket count is sized
     # to the consumer parallelism (index_store module docstring).
     "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
-    # scale: Spark 4's recursive-CTE safety valve defaults to 1M
-    # CUMULATIVE rows — a toy ceiling that c24's frontier walk crossed
-    # at the sf1 rehearsal (6M lineitem) while the recursion itself was
-    # healthy (shrinking frontier, level limit untouched).  100M keeps
-    # the runaway-recursion protection (the LEVEL limit of 100 is the
-    # real cycle guard) without capping legitimate hierarchy sizes a
-    # decade or two above the driver's test scale.
-    "spark.sql.cteRecursionRowLimit": "100000000",
+    # NOTE: spark.sql.cteRecursionRowLimit is deliberately NOT raised
+    # here.  Spark 4's 1M cumulative-row valve is a toy ceiling for a
+    # legitimate hierarchy walk (c24 crossed it at the sf1 rehearsal),
+    # but raising it engine-wide lets ANY accidental runaway recursion
+    # materialize 100× more rows before refusing — so the only query
+    # that needs it (c24_recursive_hierarchy, the sole Spark-side
+    # recursive CTE in the engine) sets it in its own builder
+    # (operators/joins.py), keeping the engine default conservative.
 }
 
 
@@ -72,6 +72,35 @@ def prepare(spark: SparkSession) -> SparkSession:
             # events fixture encodings, so nothing is session-fatal
             pass
     return spark
+
+
+def _default_driver_memory() -> str:
+    """Size the local-mode driver heap from what the host can spare.
+
+    local[N] puts all executor threads in the driver JVM, so this is
+    the engine's whole execution+storage pool — but a flat "24g"
+    (round 14) assumed this 128 GiB box and would fail JVM startup or
+    OOM-thrash a 16 GiB dev host.  Take ~40% of MemAvailable (leaving
+    the rest for the OS page cache, Python workers, and the DuckDB
+    oracle that parity runs host alongside), clamped to [2g, 24g]:
+    128 GiB box → 24g (the sf1-rehearsal floor that lets j17's 32
+    concurrent hash-agg tasks acquire pages), 16 GiB host → ~5g.
+    SPARK_DRIVER_MEMORY overrides; on a real cluster spark-submit owns
+    the setting and the builder conf is inert.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            mem_kb = {
+                line.split(":")[0]: int(line.split()[1])
+                for line in fh
+                if line[:1].isalpha() and line.split()[1:2]
+            }
+        avail_g = mem_kb.get("MemAvailable", mem_kb.get("MemTotal", 0)) / (
+            1024 * 1024
+        )
+    except Exception:
+        return "8g"  # unknown host: the pre-round-14 conservative default
+    return f"{max(2, min(24, int(avail_g * 2 // 5)))}g"
 
 
 def get_spark(app_name: str = "bdt-enwikisearch-spark",
@@ -93,16 +122,14 @@ def get_spark(app_name: str = "bdt-enwikisearch-spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        # local[32] puts all 32 executor threads in the DRIVER JVM, so
-        # this is the whole engine's execution+storage pool.  8g was a
-        # toy default: 32 concurrent hash-agg tasks get ~150 MB each,
-        # and the sf1 rehearsal's shared-shingle pair aggregate (j17 —
-        # the declared quadratic anchor) died acquiring its FIRST page.
-        # 24g on this 128 GiB box gives ~450 MB/task headroom; spill
-        # handles the rest (j17 completes in 373 s at sf1).  On a real
-        # cluster spark-submit owns this and the builder conf is inert.
+        # heap sized from host MemAvailable, clamped [2g, 24g] — see
+        # _default_driver_memory (8g was a toy default: the sf1
+        # rehearsal's j17 quadratic anchor died acquiring its FIRST
+        # page at 32 concurrent hash-agg tasks × ~150 MB; 24g on this
+        # 128 GiB box gives ~450 MB/task and j17 completes in 373 s)
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+                os.environ.get("SPARK_DRIVER_MEMORY",
+                               _default_driver_memory()))
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

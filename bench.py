@@ -20,7 +20,26 @@ stages, drained via ``listenerBus().waitUntilEmpty()`` after each
 run; min across the two runs, like wall).  Wall alone cannot separate
 host noise from plan cost — round 13's driver pass flagged 8 keys >2×
 wall that all re-measured as ambient load; a flat CPU next to an
-inflated wall settles that mechanically.
+inflated wall settles that mechanically.  CAVEAT (measured, round
+14): ``executorCpuTime`` itself INFLATES under co-scheduled load on a
+shared host (c11 read 1.34 s CPU on the loaded driver pass vs 0.44 s
+quiet-host wall) — the counter bills involuntary context-switch and
+cache-thrash cycles to the task.  CPU therefore separates
+*idle-host* wall noise (flat CPU, inflated wall) but cannot
+adjudicate a *co-scheduled* window on its own; compare against the
+quiet-host CPU floors recorded in BASELINE.md, not across loaded
+runs.
+
+SHUTDOWN ORDER IS LOAD-BEARING: the listener is a py4j
+callback-server proxy, and if the process exits while it is still
+registered, the JVM listener bus keeps posting to the dead Python
+callback client and dumps multi-KB ConnectException traces AFTER the
+result line — which is exactly what voided the round-14 driver
+artifact (BENCH_r14.json ``parsed: null``).  So after the timing
+loop this module (1) drains and ``removeSparkListener``s the
+counter, (2) ``spark.stop()``s, and only THEN (3) prints the JSON
+line as the absolute last stdout.  ``tests/test_bench_harness.py``
+pins the line to the final 2000 chars of combined subprocess output.
 
 OUTPUT SIZE is load-bearing: the driver records only the LAST ~2000
 chars of stdout, and a registry-sized {"key": sec} map is ~9 KB — round
@@ -116,22 +135,39 @@ def main() -> int:
         _bus = _jsc_sc.listenerBus()
 
         def drain():  # noqa: F811
-            # stage-completed events are async; settle before reading
+            # stage-completed events are async; settle before reading.
+            # Py4j raises Py4JError (NOT TypeError) when an overload is
+            # absent, and a listener-bus failure must degrade to
+            # unmeasured CPU, never void the round — so the fallback
+            # and the fallback's fallback both catch broadly.
             try:
                 _bus.waitUntilEmpty()
-            except TypeError:
-                _bus.waitUntilEmpty(10_000)
+            except Exception:
+                try:
+                    _bus.waitUntilEmpty(10_000)
+                except Exception:
+                    pass
     except Exception:
         cpu_counter = None
 
     # warm-up: JVM, codegen, parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # SPARK_GRAFT_KEYS=a1_scan_full,b1_project_expr restricts the run to
+    # a comma-separated key subset (qn/qk_sha1 describe the SUBSET so
+    # decoders stay aligned).  The driver never sets it; it exists for
+    # the shutdown-contract subprocess test and local iteration.
+    bench_keys = sorted(QUERIES)
+    _only = os.environ.get("SPARK_GRAFT_KEYS")
+    if _only:
+        _want = {k.strip() for k in _only.split(",") if k.strip()}
+        bench_keys = [k for k in bench_keys if k in _want]
+
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
     errors: dict[str, str] = {}
     wasted = 0.0  # time burned by failing queries — still billed to total
-    for key in sorted(QUERIES):
+    for key in bench_keys:
         best = None
         best_cpu = None
         for _run in range(2):  # min-of-2: see module docstring
@@ -167,6 +203,24 @@ def main() -> int:
     # it (run 1 builds, run 2 serves from the checkpoint).
     from bdt_enwikisearch_hadoop_spark.sources.io import MATERIALIZE_SECONDS
 
+    # --- SHUTDOWN BEFORE PRINT (see module docstring: this ordering is
+    # what keeps the printed line the absolute last output).  Detach the
+    # CPU listener while the JVM is alive, drain the bus so no event is
+    # in flight toward the Python callback server, then stop Spark so
+    # nothing JVM-side can write after the line.  All best-effort: a
+    # shutdown hiccup must not void the measured round.
+    if cpu_counter is not None:
+        try:
+            drain()
+            _jsc_sc.removeSparkListener(cpu_counter)
+            drain()
+        except Exception:
+            pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
     materialize_sec = round(sum(MATERIALIZE_SECONDS.values()), 3)
     total = round(sum(timings.values()) + wasted + materialize_sec, 3)
     # Complete per-key record, compact enough to survive the driver's
@@ -174,7 +228,7 @@ def main() -> int:
     # sorted-key order, "x" for failed keys.
     import hashlib
 
-    all_keys = sorted(QUERIES)
+    all_keys = bench_keys
 
     def keyed_csv(divisor: int, series: dict = timings) -> str:
         return ",".join(
@@ -252,12 +306,15 @@ def main() -> int:
     for (_app, _sf, tag), sec in MATERIALIZE_SECONDS.items():
         by_tag[tag] = round(by_tag.get(tag, 0.0) + sec, 3)
     full["materialize_by_tag"] = dict(sorted(by_tag.items()))
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_full.json"),
-        "w",
-    ) as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    if not _only:
+        # a SPARK_GRAFT_KEYS-filtered run (tests, local iteration) must
+        # not clobber the full-registry record the driver's round reads
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
     # HARD guarantee the printed line survives the ~2000-char tail
     # capture (an overflow truncates the line's HEAD — the exact
     # round-10 null-parse failure).  Elastic parts, dropped in order
@@ -293,7 +350,7 @@ def main() -> int:
         del result[next(k for k in result if k.startswith("queries_"))]
         result = {unit_key: keyed_csv(divisor), **result}
         line = json.dumps(result)
-    print(line)
+    print(line, flush=True)
     return 0
 
 

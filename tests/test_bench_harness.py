@@ -1,0 +1,81 @@
+"""Shutdown contract for bench.py (round-15, VERDICT r14 finding #1).
+
+The driver records only the LAST ~2000 chars of the bench process's
+output.  Round 14 added a py4j callback-server CPU listener and left it
+registered at exit, so the JVM listener bus dumped ConnectException
+traces AFTER the result line and the round's BENCH artifact recorded
+``parsed: null``.  bench.py now deregisters the listener, drains the
+bus, and ``spark.stop()``s BEFORE printing — this test pins that
+contract by running bench.py as a real subprocess and asserting the
+JSON line parses out of the final 2000 chars of COMBINED stdout+stderr
+(strictly harder than the driver's stdout-only tail).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_KEYS = ["a1_scan_full", "b2_filter_compound", "d1_groupby_basic"]
+
+
+def test_bench_line_survives_tail_capture():
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_CPUS": "8",
+            "SPARK_GRAFT_KEYS": ",".join(BENCH_KEYS),
+            # keep the subprocess JVM light; the contract under test is
+            # output ordering, not memory sizing
+            "SPARK_DRIVER_MEMORY": "2g",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        timeout=600,
+        text=True,
+        errors="replace",
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:]
+
+    tail = proc.stdout[-2000:]  # the driver's capture window
+    # the result line must live entirely inside the tail: find the last
+    # '{'-opening line and parse it
+    lines = [ln for ln in tail.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON line in final 2000 chars; tail:\n{tail}"
+    rec = json.loads(lines[-1])
+
+    assert rec["qn"] == len(BENCH_KEYS)
+    assert rec["unit"] == "sec" and rec["value"] > 0
+    wall = rec["queries_ms"].split(",")
+    assert len(wall) == len(BENCH_KEYS) and "x" not in wall
+    # CPU series is best-effort (gated listener) but on this pinned
+    # Spark 4.1.2 build it must be measured — a silent loss of the CPU
+    # column is exactly the kind of degradation this test exists to see
+    cpu = rec["queries_cpu_ms"].split(",")
+    assert len(cpu) == len(BENCH_KEYS) and "x" not in cpu
+
+    # and nothing after the line: the line IS the last non-blank output
+    nonblank = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert nonblank[-1] == lines[-1], (
+        "output printed after the result line:\n" + "\n".join(nonblank[-5:])
+    )
+
+
+def test_bench_filtered_run_does_not_touch_full_record():
+    """SPARK_GRAFT_KEYS runs must never overwrite bench_full.json (the
+    committed full-registry record a round's regression check reads)."""
+    path = os.path.join(REPO, "bench_full.json")
+    with open(path) as fh:
+        before = fh.read()
+    # the subprocess in the test above already ran with the filter; a
+    # second cheap check here keeps this test independent of ordering
+    rec = json.loads(before)
+    assert rec["qn"] > len(BENCH_KEYS), "bench_full.json lost the full registry"
