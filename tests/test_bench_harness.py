@@ -71,11 +71,15 @@ def test_bench_line_survives_tail_capture():
 
 def test_bench_filtered_run_does_not_touch_full_record():
     """SPARK_GRAFT_KEYS runs must never overwrite bench_full.json (the
-    committed full-registry record a round's regression check reads)."""
+    full-registry record a round's regression check reads — gitignored,
+    so it only exists on hosts where a full bench has run)."""
+    import pytest
+
     path = os.path.join(REPO, "bench_full.json")
+    if not os.path.exists(path):
+        pytest.skip("no full-registry bench has run on this host")
     with open(path) as fh:
-        before = fh.read()
-    # the subprocess in the test above already ran with the filter; a
-    # second cheap check here keeps this test independent of ordering
-    rec = json.loads(before)
+        rec = json.load(fh)
+    # the subprocess in the test above already ran with the filter; the
+    # record on disk must still describe the full registry
     assert rec["qn"] > len(BENCH_KEYS), "bench_full.json lost the full registry"
