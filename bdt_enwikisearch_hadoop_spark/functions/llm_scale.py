@@ -191,16 +191,17 @@ def doc_shingle_sets(spark, sf_dir: str) -> DataFrame:
 
 def text_band_table(spark, sf_dir: str) -> DataFrame:
     """MATERIALIZED (doc_id, b, bk) MinHash band-bucket table — the
-    16-md5-mins-per-doc signature pass runs ONCE per session and both
-    consumers read the result: the pair builder (its candidate
-    self-join) and the j83 occupancy audit.  At 100 TB this is the
-    persisted signature sidecar a dedup stage writes before its
-    bucket join."""
+    bucket keys are a MAP PASS over the materialized signature table
+    (:func:`doc_minhash_sigs`), so the 16-md5-mins-per-doc aggregate
+    runs ONCE per session and both consumers read the result: the
+    pair builder (its candidate self-join) and the j83 occupancy
+    audit.  At 100 TB this is the persisted signature sidecar a dedup
+    stage writes before its bucket join."""
     return materialized(
         spark,
         sf_dir,
         "text_band_table",
-        lambda: _text_band_table(doc_shingle_sets(spark, sf_dir)),
+        lambda: _band_from_sig(doc_minhash_sigs(spark, sf_dir)),
     )
 
 
@@ -273,13 +274,17 @@ def _exact_stats_from(per_doc: DataFrame) -> DataFrame:
     )
 
 
-def _text_band_table(per_doc: DataFrame) -> DataFrame:
-    """Long-form (doc_id, b, bk) MinHash band-bucket table — the input
-    shape :func:`guarded_band_pairs` consumes and the occupancy the
-    guard report (j83) audits; extracted from the pair builder so the
-    report measures exactly the bucket table the candidates run on."""
+def _minhash_sig_table(per_doc: DataFrame) -> DataFrame:
+    """Wide (doc_id, mh0..mh15) MinHash signature table: one groupBy
+    over the exploded shingle stream with 16 map-side ``min(md5(..))``
+    aggregates (the j8-documented codegen-friendly form).  Extracted
+    from the band builder so the EXPENSIVE pass — 16 md5s per shingle
+    plus a sort-based aggregate (min(string) has no hash-agg buffer) —
+    has exactly one definition that :func:`doc_minhash_sigs` can
+    materialize and every signature consumer (band derive, j50's
+    estimator) reads instead of re-deriving."""
     sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         *[
             F.min(
                 F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
@@ -287,6 +292,30 @@ def _text_band_table(per_doc: DataFrame) -> DataFrame:
             for i in range(_N_HASH)
         ]
     )
+
+
+def doc_minhash_sigs(spark, sf_dir: str) -> DataFrame:
+    """MATERIALIZED per-doc MinHash signature table (doc_id,
+    mh0..mh15) over the fixture corpus — the 16-md5-mins-per-doc pass
+    runs ONCE per session; the band table derives its bucket keys from
+    it as a map pass and j50's sketch-accuracy estimator reads the
+    identical signatures instead of re-running the aggregate (round-15
+    measurement: j50 recomputed this subtree TWICE per execution —
+    ~4.7 s executor CPU at sf0.1 for a 0.77 s wall floor).  At 100 TB
+    this is the persisted signature sidecar a dedup stage writes
+    before banding (the j21 store pattern, previously only documented
+    in j50's docstring — now executed)."""
+    return materialized(
+        spark,
+        sf_dir,
+        "doc_minhash_sigs",
+        lambda: _minhash_sig_table(doc_shingle_sets(spark, sf_dir)),
+    )
+
+
+def _band_from_sig(sig: DataFrame) -> DataFrame:
+    """Band-bucket derive (doc_id, b, bk) from a wide signature table —
+    a pure map pass (concat_ws + md5 per band over the mh columns)."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -309,6 +338,17 @@ def _text_band_table(per_doc: DataFrame) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.b").alias("b"), F.col("z.bk").alias("bk"))
+
+
+def _text_band_table(per_doc: DataFrame) -> DataFrame:
+    """Long-form (doc_id, b, bk) MinHash band-bucket table — the input
+    shape :func:`guarded_band_pairs` consumes and the occupancy the
+    guard report (j83) audits.  Self-contained (signature + band
+    derive in one plan) for synthetic frames — plan guards and the
+    skew test call it on frames with no session materialization;
+    fixture-table consumers go through :func:`text_band_table`, which
+    derives the bands from the MATERIALIZED signature table instead."""
+    return _band_from_sig(_minhash_sig_table(per_doc))
 
 
 def _lsh_pairs_from(
@@ -1613,14 +1653,21 @@ def j33_bigram_logprob(spark, sf_dir) -> DataFrame:
     aggregate to VOCABULARY size (≪ corpus) and BROADCAST back onto
     the transition stream, so the per-doc aggregate is the only
     corpus-sized shuffle.  A production pipeline persists both count
-    tables once per corpus version (they are i3's doc-freq shape)."""
+    tables once per corpus version (they are i3's doc-freq shape) —
+    executed here for the UNIGRAM side: c(w) and N derive from the
+    MATERIALIZED (doc_id, term, tf) table (sum of per-doc tf over
+    docs ≡ the global count, exact integer arithmetic), so the three
+    corpus tokenize-explode passes the inline form spent on uc (×2
+    broadcast branches) and tot become vocabulary-sized aggregates
+    over the checkpoint (round-15: plans/r15/ shows the three
+    explode towers replaced by checkpoint scans)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
     )
-    tok = toks.select("doc_id", F.explode("t").alias("term"))
-    uc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    tf = doc_term_tf(spark, sf_dir)
+    uc = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c1"))
+    tot = tf.agg(F.sum("tf").cast("long").alias("n"))
     big = toks.where(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
@@ -2484,26 +2531,18 @@ def j50_minhash_jaccard_est(spark, sf_dir) -> DataFrame:
     rows-only demotion, unlike the d3/d13 native sketches whose
     internals differ per engine).
 
-    Plan: j8's signature build (one groupBy, 16 map-side min
-    aggregates) emitted once as an in-row array; candidates and exact
+    Plan: the MATERIALIZED signature table (:func:`doc_minhash_sigs`
+    — built once per session, the persisted-sidecar j21 store
+    pattern) read twice as an in-row array; candidates and exact
     intersections ride `_lsh_verified_pairs` unchanged; agreement is a
     zip_with/aggregate over the two 16-slot arrays IN-ROW after two
     doc-keyed joins of the (LSH-small) pair table against the
-    signature table.  Nothing here is corpus-quadratic; the signature
-    aggregate is recomputed beside _lsh_verified_pairs' internal one
-    at fixture scale (a production run persists signatures beside the
-    index — the j21 store pattern)."""
-    per_doc = doc_shingle_sets(spark, sf_dir)
-    sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-            ).alias(f"mh{i}")
-            for i in range(_N_HASH)
-        ]
-    )
-    sigarr = sig.select(
+    signature table.  Nothing here is corpus-quadratic.  (Round 15:
+    previously this key re-ran the 16-min signature aggregate twice
+    per execution — the before/after plans in plans/r15/ show the two
+    explode→sort→SortAggregate subtrees replaced by two checkpoint
+    scans.)"""
+    sigarr = doc_minhash_sigs(spark, sf_dir).select(
         "doc_id", F.array(*[f"mh{i}" for i in range(_N_HASH)]).alias("sig")
     )
     pairs = lsh_pair_table(spark, sf_dir)
@@ -3326,45 +3365,84 @@ def j67_curation_funnel(spark, sf_dir) -> DataFrame:
     each stage's predicate exactly the one its standalone key proved
     against the oracle — the composition can't drift from the parts.
 
-    Plan / 100 TB shape: stage predicates compose as semi-/anti-joins
-    on doc_id — the quality gate is j47's broadcast-weights aggregate,
-    the keeper set is j32's LSH pipeline (dup-graph-sized, broadcast
-    back), decontamination is j19's broadcast eval-shingle probe; the
-    five counts are metadata-sized scalars unioned at the end.
-    Production runs the stages ONCE materializing each boundary; this
-    declared form recomputes them in one plan for the oracle, same
-    shapes, no extra scan classes."""
+    Plan / 100 TB shape: stage predicates compose as per-doc FLAGS
+    over ONE corpus pass — each gate's membership set (the quality
+    gate is j47's broadcast-weights score table, the keeper set is
+    j32's LSH pipeline output, decontamination is j19's broadcast
+    eval-shingle probe; every one keyed UNIQUELY by doc_id, so the
+    left joins preserve row count) attaches as a left-join flag, and
+    the five survivor counts are conditional sums of the nested flag
+    conjunctions in ONE aggregate, pivoted to long rows from the
+    single result row.  Semantically identical to the five-branch
+    union of chained semi-/anti-join counts (flag conjunction ≡ chain
+    prefix membership because each stage is a subset of the last) —
+    but the round-15 measurement of THAT form showed each union
+    branch re-evaluating its whole chain prefix (the doc chain 4×,
+    cls_z join 3×: 3.24 s executor CPU against a 0.83 s wall floor);
+    this form evaluates every stage input once (plans/r15/:
+    32 exchanges → 16, one aggregate instead of five).  Production runs the stages ONCE materializing
+    each boundary; this declared form recomputes them in one plan for
+    the oracle, same shapes, no extra scan classes."""
     from .dataset_ops import cls_z
     from .llm_pipeline import j19_decontaminate
 
     docs = load(spark, sf_dir, "documents")
-    s1 = docs.filter(F.col("lang").isin(*_FUNNEL_LANGS)).select("doc_id")
-    z = cls_z(spark, sf_dir)
-    s2 = s1.join(z.filter(F.col("z") >= 0).select("doc_id"), "doc_id")
+    z_keep = (
+        cls_z(spark, sf_dir)
+        .filter(F.col("z") >= 0)
+        .select("doc_id", F.lit(1).alias("_f_z"))
+    )
     keepers = j32_dedup_pipeline_scale(spark, sf_dir).select(
-        F.col("keeper_doc_id").alias("doc_id")
+        F.col("keeper_doc_id").alias("doc_id"), F.lit(1).alias("_f_keep")
     )
-    s3 = s2.join(keepers, "doc_id", "left_semi")
     contaminated = (
-        j19_decontaminate(spark, sf_dir).select("doc_id").distinct()
+        j19_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_f_cont", F.lit(1))
     )
-    s4 = s3.join(contaminated, "doc_id", "left_anti")
-    stages = [
-        (0, "ingest", docs.select("doc_id")),
-        (1, "lang_filter", s1),
-        (2, "quality_keep", s2),
-        (3, "dedup_keeper", s3),
-        (4, "decontaminated", s4),
-    ]
-    out = None
-    for sid, name, frame in stages:
-        row = frame.agg(F.count(F.lit(1)).alias("rows_kept")).select(
-            F.lit(sid).alias("stage_id"),
-            F.lit(name).alias("stage"),
-            "rows_kept",
+    flags = (
+        docs.select(
+            "doc_id",
+            F.col("lang").isin(*_FUNNEL_LANGS).cast("long").alias("f1"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("stage_id")
+        .join(z_keep, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .withColumn("f2", F.col("f1") * F.coalesce("_f_z", F.lit(0)))
+        .withColumn("f3", F.col("f2") * F.coalesce("_f_keep", F.lit(0)))
+        .withColumn(
+            "f4", F.col("f3") * (1 - F.coalesce("_f_cont", F.lit(0)))
+        )
+        .select("f1", "f2", "f3", "f4")
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum("f3").alias("n3"),
+        F.sum("f4").alias("n4"),
+    )
+    names = ("ingest", "lang_filter", "quality_keep", "dedup_keeper",
+             "decontaminated")
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("stage_id"),
+                            F.lit(nm).alias("stage"),
+                            F.col(f"n{i}").cast("long").alias("rows_kept"),
+                        )
+                        for i, nm in enumerate(names)
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.stage_id", "r.stage", "r.rows_kept")
+        .orderBy("stage_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -636,44 +636,65 @@ def f13_tpch_q2_mincost(spark, sf_dir) -> DataFrame:
     doubles, which are order-insensitive and therefore engine-exact;
     only the displayed cost is floored.
 
-    Catalyst decorrelates the per-part MIN into an aggregate keyed by
-    the correlation column joined back on p_partkey
-    (RewriteCorrelatedScalarSubquery) — at 100 TB: one extra shuffle of
-    the part-keyed min table, never a per-part re-scan.  region/nation/
-    supplier broadcast everywhere they appear."""
-    for name, tbl in (
-        ("f13_lineitem", "lineitem"),
-        ("f13_part", "part"),
-        ("f13_supplier", "supplier"),
-        ("f13_nation", "nation"),
-        ("f13_region", "region"),
-    ):
-        load(spark, sf_dir, tbl).createOrReplaceTempView(name)
-    return spark.sql(
-        """
-        WITH cost AS (
-            SELECT l_partkey, l_suppkey,
-                   MIN(l_extendedprice / l_quantity) AS unit_cost
-            FROM f13_lineitem GROUP BY l_partkey, l_suppkey
+    The correlated MIN is executed as its WINDOW-MIN equivalent: the
+    European cost table is computed ONCE and each row compares against
+    ``min(unit_cost) over (partition by l_partkey)`` — row-for-row the
+    decorrelated subquery's semantics (a part with no European cost
+    rows has no row to survive the equality, exactly as a NULL scalar
+    subquery fails it; the equality compares the same IEEE doubles).
+    Catalyst's own RewriteCorrelatedScalarSubquery (kept as the
+    oracle's stated form) instead built the cost aggregate TWICE —
+    once for the main join, once under the decorrelated MIN — and
+    sort-merge-joined the two part-keyed sides (round-15 measurement:
+    2.25 s executor CPU against a 1.09 s wall floor; plans/r15/ shows
+    the two lineitem aggregate towers and the SMJ collapse into one
+    aggregate + one window).  At 100 TB: one fact aggregate and one
+    part-keyed window shuffle, never a per-part re-scan; region/
+    nation/supplier broadcast everywhere they appear."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
         )
-        SELECT p_partkey, p_name, s_name, n_name,
-               FLOOR(unit_cost * 100) / 100 AS best_cost
-        FROM f13_part
-        JOIN cost          ON p_partkey = cost.l_partkey
-        JOIN f13_supplier  ON s_suppkey = cost.l_suppkey
-        JOIN f13_nation    ON s_nationkey = n_nationkey
-        JOIN f13_region    ON n_regionkey = r_regionkey
-        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
-          AND unit_cost = (
-              SELECT MIN(c2.unit_cost)
-              FROM cost c2
-              JOIN f13_supplier s2 ON s2.s_suppkey = c2.l_suppkey
-              JOIN f13_nation n2   ON n2.n_nationkey = s2.s_nationkey
-              JOIN f13_region r2   ON r2.r_regionkey = n2.n_regionkey
-              WHERE r2.r_name = 'EUROPE' AND c2.l_partkey = p_partkey
-          )
-        ORDER BY p_partkey, s_name
-        """
+    )
+    eu_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load(spark, sf_dir, "region").filter(
+                F.col("r_name") == "EUROPE"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu_cost = cost.join(
+        F.broadcast(eu_supp), cost.l_suppkey == F.col("s_suppkey")
+    )
+    wmin = Window.partitionBy("l_partkey")
+    best = eu_cost.withColumn(
+        "min_cost", F.min("unit_cost").over(wmin)
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    return (
+        best.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            (F.floor(F.col("unit_cost") * 100) / 100).alias("best_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
     )
 
 
@@ -1146,16 +1167,25 @@ def f20_tpch_q1_pricing(spark, sf_dir) -> DataFrame:
             F.sum("l_quantity").cast("long").alias("sum_qty"),
             f2(F.sum(dec_price)).alias("sum_base_price"),
             f2(F.sum(dec_price * (one - disc))).alias("sum_disc_price"),
+            # cents × (1e6 − micro-disc) stays EXACT in LONG arithmetic
+            # (≤ ~1.05e7 × 1e6 ≈ 1e13 ≪ 2^63); only the final factor
+            # pushes past long range (~1.1e19), so exactly ONE decimal
+            # multiply remains.  Identical integer value per row and in
+            # the sum to the previous three-way decimal(38,0) product —
+            # just one BigDecimal multiply and one long→decimal cast
+            # per row instead of two and three (round-15 measure: the
+            # decimal ladder dominated this scan-bound key's CPU).
             (
                 F.floor(
                     F.sum(
-                        F.round(F.col("l_extendedprice") * 100)
-                        .cast("long")
-                        .cast("decimal(38,0)")
-                        * (
-                            F.lit(1000000)
-                            - F.round(F.col("l_discount") * 1000000).cast(
-                                "long"
+                        (
+                            F.round(F.col("l_extendedprice") * 100)
+                            .cast("long")
+                            * (
+                                F.lit(1000000)
+                                - F.round(
+                                    F.col("l_discount") * 1000000
+                                ).cast("long")
                             )
                         ).cast("decimal(38,0)")
                         * (

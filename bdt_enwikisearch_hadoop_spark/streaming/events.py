@@ -2099,11 +2099,23 @@ def k18_session_conversion(spark, sf_dir) -> DataFrame:
     k5's per-user funnel can't distinguish those visits).
 
     Plan: session assignment is ONE user_id shuffle (the lag + running
-    sum share the sorted partition); every staged funnel aggregate is
-    then keyed by (user_id, sid) — a REFINEMENT of the user
-    partitioning, so the stage tables stay co-partitioned and shrink
-    monotonically exactly like k5.  In streaming this is
-    session_window state with the funnel evaluated at window close."""
+    sum share the sorted partition); the staged funnel minima then
+    attach as THREE chained session-window columns over the SAME
+    partitioning — (user_id, sid) is a refinement of the user
+    partitioning, so t_view / t_click-after-view / t_purchase-after-
+    click all compute in the sessionized partition with no further
+    exchange, and one (user_id, sid) aggregate emits the session rows.
+    Semantically identical to chaining per-stage filtered aggregates
+    joined back on (user_id, sid) — the per-session stage minimum is
+    the same value whether computed by window or by join, and a
+    missing stage is NULL either way (min over an empty WHEN set ≡
+    the inner join dropping the session) — but the round-15
+    measurement of THAT form showed each of its four branches
+    re-running the full session-assignment window (1.06 s executor
+    CPU / 1.07 s wall floor at sf0.1; plans/r15/: four
+    sort+lag+running-sum towers → one, 10 exchanges → 2).  In
+    streaming this is session_window state with the funnel evaluated
+    at window close."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
@@ -2111,38 +2123,45 @@ def k18_session_conversion(spark, sf_dir) -> DataFrame:
         "user_id", F.col("sid").cast("long").alias("sid"), "event_type",
         "ts", "event_id",
     )
-    keys = ["user_id", "sid"]
-    v = (
-        s.filter(F.col("event_type") == "view")
-        .groupBy(*keys)
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        s.filter(F.col("event_type") == "click")
-        .join(v, keys)
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy(*keys)
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        s.filter(F.col("event_type") == "purchase")
-        .join(c, keys)
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy(*keys)
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    sess = s.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
-    return (
-        sess.join(v, keys, "left")
-        .join(c, keys, "left")
-        .join(p, keys, "left")
-        .select(
-            "user_id",
-            F.col("sid").alias("session_id"),
-            "n_events",
-            F.col("t_view").isNotNull().cast("int").alias("saw_view"),
-            F.col("t_purchase").isNotNull().cast("int").alias("converted"),
+    w2 = Window.partitionBy("user_id", "sid")
+    staged = (
+        s.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+                w2
+            ),
         )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w2),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w2),
+        )
+    )
+    return staged.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("t_view").alias("_tv"),
+        F.max("t_purchase").alias("_tp"),
+    ).select(
+        "user_id",
+        F.col("sid").alias("session_id"),
+        "n_events",
+        F.col("_tv").isNotNull().cast("int").alias("saw_view"),
+        F.col("_tp").isNotNull().cast("int").alias("converted"),
     )
 
 
