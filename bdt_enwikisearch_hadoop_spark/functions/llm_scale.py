@@ -3379,8 +3379,10 @@ def j67_curation_funnel(spark, sf_dir) -> DataFrame:
     but the round-15 measurement of THAT form showed each union
     branch re-evaluating its whole chain prefix (the doc chain 4×,
     cls_z join 3×: 3.24 s executor CPU against a 0.83 s wall floor);
-    this form evaluates every stage input once (plans/r15/:
-    32 exchanges → 16, one aggregate instead of five).  Production runs the stages ONCE materializing
+    this form evaluates every stage input once (plans/r15/: one
+    aggregate instead of five; 32 exchanges → 16 from this rewrite
+    alone, fewer still in the committed after-plan because j19's
+    contamination table is ALSO materialized now).  Production runs the stages ONCE materializing
     each boundary; this declared form recomputes them in one plan for
     the oracle, same shapes, no extra scan classes."""
     from .dataset_ops import cls_z

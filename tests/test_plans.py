@@ -66,9 +66,21 @@ def test_j18_is_pure_map_pass(spark, sf_dir):
 
 def test_j19_broadcasts_eval_set(spark, sf_dir):
     """Decontamination probes a BROADCAST eval-shingle table; the
-    corpus side must not shuffle before the join."""
-    p = _plan(spark, sf_dir, "j19_decontaminate")
-    assert "BroadcastHashJoin" in p
+    corpus side must not shuffle before the join.  Since round 15 the
+    key SERVES its materialized output (two consumers: itself and
+    j67), so the invariant is checked on the RAW BUILDER plan — the
+    serving plan must be a checkpoint scan with no join at all."""
+    from bdt_enwikisearch_hadoop_spark.sources.io import RAW_BUILDERS
+
+    serving = _plan(spark, sf_dir, "j19_decontaminate")  # populates tag
+    assert "BroadcastHashJoin" not in serving  # serves the checkpoint
+    raw = (
+        RAW_BUILDERS[(sf_dir, "j19_contaminated")]()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in raw
 
 
 def test_i10_bm25_ends_in_topk_heap(spark, sf_dir):
@@ -1622,3 +1634,45 @@ def test_grouped_prefix_scan_keys_never_serialize_a_stratum(spark, sf_dir):
         if key in zero_single_partition:
             assert "Exchange SinglePartition" not in p, key
         assert _corpus_sized_hash_exchanges(p) <= 2, key
+
+
+def test_r15_shared_subtrees_stay_shared(spark, sf_dir):
+    """Round-15 optimization pins: the five keys whose executor CPU
+    dwarfed their wall floor because a subtree was re-evaluated per
+    branch must keep their single-evaluation shape (plans/r15/ holds
+    the before/after evidence; OPTIMIZATION_r15.md the measurements).
+
+    - j50: the 16-min(md5) MinHash signature aggregate lives in the
+      MATERIALIZED doc_minhash_sigs tag — the serving plan reads
+      checkpoint scans and may not re-run the aggregate (the before
+      plan held TWO SortAggregate signature towers).
+    - j67: all five funnel counts come from ONE flags aggregate —
+      never five unioned count branches re-evaluating chain prefixes.
+    - j33: unigram counts come from the materialized (doc, term, tf)
+      checkpoint — no third/fourth corpus tokenize-explode (the
+      bigram stream keeps its two legitimate explode towers).
+    - k18: the session-assignment window runs ONCE — stage minima are
+      window columns over the same exchange, not four re-sessionized
+      join branches (one user_id hash exchange + the noop-sink
+      round-robin at most).
+    - f13: exactly one lineitem cost aggregate — the correlated MIN
+      runs as a part-keyed window, not a second decorrelated
+      aggregate tower sort-merge-joined back."""
+    p = _plan(spark, sf_dir, "j50_minhash_jaccard_est")
+    assert "SortAggregate" not in p
+    assert p.count("min(md5(") == 0
+
+    p = _plan(spark, sf_dir, "j67_curation_funnel")
+    assert "Union" not in p
+
+    p = _plan(spark, sf_dir, "j33_bigram_logprob")
+    # two bigram explode towers (broadcast-count build + scored stream);
+    # the unigram/total branches must NOT add corpus explodes
+    assert p.count("Generate explode") <= 2
+
+    p = _plan(spark, sf_dir, "k18_session_conversion")
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = _plan(spark, sf_dir, "f13_tpch_q2_mincost")
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"partial_min\(\(l_extendedprice", p)) == 1
