@@ -251,8 +251,13 @@ def _exact_stats_from(per_doc: DataFrame) -> DataFrame:
     """Exact pair stats from a per-doc shingle-set table: explode to
     (doc_id, shingle), shared-shingle self-join (never cartesian),
     count intersections, attach both set sizes (in-row ``size`` off the
-    set table — no second aggregate over the exploded stream)."""
-    sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
+    set table — no second aggregate over the exploded stream).
+
+    ``rebalance`` before the explode: the set table is usually a
+    size-compacted checkpoint, and the exploded shared-shingle
+    self-join is the most CPU-expensive consumer it has — the same
+    one-exchange-for-parallelism trade as ``_minhash_sig_table``."""
+    sh = rebalance(per_doc).select("doc_id", F.explode("s").alias("shingle"))
     sz = per_doc.select("doc_id", F.size("s").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -282,8 +287,13 @@ def _minhash_sig_table(per_doc: DataFrame) -> DataFrame:
     plus a sort-based aggregate (min(string) has no hash-agg buffer) —
     has exactly one definition that :func:`doc_minhash_sigs` can
     materialize and every signature consumer (band derive, j50's
-    estimator) reads instead of re-deriving."""
-    sh = per_doc.select("doc_id", F.explode("s").alias("shingle"))
+    estimator) reads instead of re-deriving.
+
+    ``rebalance`` first: the input is usually a size-COMPACTED
+    checkpoint (few fat partitions), and the 16-md5s-per-shingle pass
+    is exactly the CPU-heavy narrow stage the rebalance contract
+    exists for — one tiny exchange buys every core."""
+    sh = rebalance(per_doc).select("doc_id", F.explode("s").alias("shingle"))
     return sh.groupBy("doc_id").agg(
         *[
             F.min(

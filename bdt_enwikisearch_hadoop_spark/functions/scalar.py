@@ -702,10 +702,20 @@ def h17_business_days(spark, sf_dir) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # Aggregate lineitem BEFORE the join (guide: aggregate before you
+    # shuffle / shuffle fewer bytes): the per-orderkey MIN collapses the
+    # fact side map-side to one narrow (orderkey, date) row per order,
+    # so the exchange never carries the joined priority/date columns
+    # and the broadcast-hash probe sees |orders| rows, not |lineitem|.
+    # Row-identical to aggregating after the join: o_orderkey is unique
+    # in orders, so the oracle's GROUP BY (orderkey, priority, date)
+    # groups are exactly the per-orderkey lineitem groups, and the
+    # inner join drops lineitem-less orders either way.
+    li_min = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min("l_shipdate").alias("ship")
+    )
     per_order = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-        .agg(F.min("l_shipdate").alias("ship"))
+        o.join(li_min, "o_orderkey")
         .select(
             "o_orderpriority",
             F.datediff(

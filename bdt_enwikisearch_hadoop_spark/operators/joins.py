@@ -861,27 +861,75 @@ def c23_temporal_join(spark, sf_dir) -> DataFrame:
     ver = scd2_islands(e).select(
         "user_id", "state", "seq", "from_tns", "to_tns"
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("tns")
+    # c11's union/running-window formulation instead of the range join:
+    # the old theta-join (user match AND from_tns <= ts) REPLICATED each
+    # purchase once per satisfying version and then shuffled that
+    # multiplied stream a second time on event_id for the rk=1 window.
+    # Tag versions (at t = from_tns) and purchases (at t = ts), union,
+    # ONE shuffle on user_id, and last(version, ignorenulls) over the
+    # ascending (t, is_evt, seq) order hands every purchase its valid
+    # version: rows shuffled = |purchases| + |versions|, never the
+    # pair-multiplied stream.  Equivalence with the oracle's
+    # rk=1-by-seq-desc: within a user, from_tns is non-decreasing in
+    # seq (islands are numbered by the sequential position of their
+    # first event, which the ts-ascending row_number orders), so the
+    # carried last version in (t, is_evt, seq) order IS the max-seq
+    # version with from_tns <= ts; versions sort before purchases at
+    # equal t (is_evt 0 < 1), matching the inclusive from_tns <= ts;
+    # the [from, to) containment check applies after, exactly as the
+    # oracle applies it after rk=1.  NULL hygiene: the oracle's
+    # equi-join never matches a NULL user_id, but a window PARTITION BY
+    # groups NULLs — both sides therefore drop NULL-user rows up front;
+    # a purchase with no prior version carries NULL and is dropped,
+    # matching the inner join's unmatched-row behavior.
+    vstruct = F.struct("state", "from_tns", "to_tns")
+    vrows = ver.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.col("from_tns").alias("t"),
+        F.lit(0).alias("is_evt"),
+        "seq",
+        vstruct.alias("v"),
+        F.lit(None).cast("long").alias("event_id"),
     )
-    m = purchases.join(
-        ver,
-        (ver.user_id == purchases.p_user)
-        & (ver.from_tns <= purchases.tns),
+    prows = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(1).alias("is_evt"),
+            F.lit(None).cast("long").alias("seq"),
+            F.lit(None).cast(
+                "struct<state:string,from_tns:bigint,to_tns:bigint>"
+            ).alias("v"),
+            "event_id",
+        )
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("seq"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_evt", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = vrows.unionByName(prows).withColumn(
+        "cv", F.last("v", ignorenulls=True).over(w)
+    )
     return (
-        m.withColumn("rk", F.row_number().over(w))
-        .filter(
-            (F.col("rk") == 1)
-            & (F.col("to_tns").isNull() | (F.col("tns") < F.col("to_tns")))
+        carried.filter(
+            (F.col("is_evt") == 1)
+            & F.col("cv").isNotNull()
+            & (
+                F.col("cv.to_tns").isNull()
+                | (F.col("t") < F.col("cv.to_tns"))
+            )
         )
         .select(
             "event_id",
             "user_id",
-            F.expr("tns DIV 1000000000").alias("ts_s"),
-            "state",
-            F.expr("from_tns DIV 1000000000").alias("valid_from_s"),
+            F.expr("t DIV 1000000000").alias("ts_s"),
+            F.col("cv.state").alias("state"),
+            F.expr("cv.from_tns DIV 1000000000").alias("valid_from_s"),
         )
     )
 

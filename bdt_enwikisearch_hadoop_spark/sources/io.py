@@ -133,6 +133,80 @@ MATERIALIZE_SECONDS: dict[tuple[str, str, str], float] = {}
 RAW_BUILDERS: dict[tuple[str, str], object] = {}
 
 
+def _advisory_partition_bytes(spark: SparkSession) -> int:
+    """AQE's advisory post-shuffle partition size (default 64MB) —
+    reused as the sizing rule for materialized sidecars so the engine
+    has ONE notion of 'a reasonably sized partition'."""
+    raw = str(
+        spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        )
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30)):
+        if raw.endswith(suffix):
+            return int(raw[: -2]) * mult
+    if raw and raw[-1] in units:
+        return int(raw[:-1]) * units[raw[-1]]
+    return int(raw)
+
+
+def _compacted(spark: SparkSession, got: DataFrame, before_ids) -> DataFrame:
+    """Size-adapt a freshly checkpointed sidecar: a production stage
+    writes its persisted table in advisory-sized chunks (guide: output
+    files 128MB-1GB, post-shuffle partitions ~advisory size), but a
+    local build inherits its BUILD parallelism — e.g. a 1 MB band
+    table arriving as 32 shards of ~600 rows because the expensive
+    signature pass upstream ran rebalanced across every core.  Each
+    downstream aggregate/join task over such a shard pays a fixed
+    per-task setup cost (hash-agg page acquisition + codegen instance
+    + scheduling: measured ~40-80 ms executor CPU per task on this
+    box) that dwarfs its sub-ms of real work — j83's two one-row
+    audits over two tiny checkpoints floored at 2.2-5.2 s executor
+    CPU for ~36k input rows before this, 0.1-0.3 s after.
+
+    Sizing uses the ACTUAL cached block bytes from the block manager
+    (deserialized in-memory size — errs toward MORE partitions than
+    the serialized advisory would, the safe side), found by diffing
+    RDDStorageInfo around the build; falls back to plan-stats, then to
+    no compaction.  Coalesce only (never widen): consumers that do
+    CPU-heavy per-row work over a compacted sidecar re-spread it with
+    ``rebalance()`` — the documented idiom for exactly that case."""
+    try:
+        parts = got.rdd.getNumPartitions()
+        if parts <= 1:
+            return got
+        jsc = spark.sparkContext._jsc.sc()
+        new_infos = [
+            i
+            for i in jsc.getRDDStorageInfo()
+            if i.id() not in before_ids and i.numCachedPartitions() > 0
+        ]
+        if new_infos:
+            # the build's own checkpoint is the newest cached RDD in
+            # the window (nested materialized() tags checkpoint first)
+            mine = max(new_infos, key=lambda i: i.id())
+            nbytes = int(mine.memSize()) + int(mine.diskSize())
+        else:
+            nbytes = int(
+                got._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        advisory = _advisory_partition_bytes(spark)
+        target = max(1, -(-nbytes // advisory))
+        if target >= parts:
+            return got
+        compact = got.coalesce(int(target)).localCheckpoint(eager=True)
+        try:  # free the wide copy's blocks (best-effort: the compact
+            # checkpoint holds its own data, so the original is dead)
+            if new_infos:
+                jsc.persistentRdds().get(mine.id()).get().unpersist(False)
+        except Exception:
+            pass
+        return compact
+    except Exception:
+        return got
+
+
 def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame:
     """Serve a shared heavy intermediate (LSH pair table, dedup keeper
     set, classifier z-scores, kNN edge list …) built ONCE per
@@ -164,7 +238,16 @@ def materialized(spark: SparkSession, sf_dir: str, tag: str, build) -> DataFrame
         # landed in MATERIALIZE_SECONDS while build() ran.
         nested_before = sum(MATERIALIZE_SECONDS.values())
         t0 = time.perf_counter()
+        before_ids = set()
+        try:
+            before_ids = {
+                i.id()
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
+        except Exception:
+            pass
         got = build().localCheckpoint(eager=True)
+        got = _compacted(spark, got, before_ids)
         elapsed = time.perf_counter() - t0
         nested = sum(MATERIALIZE_SECONDS.values()) - nested_before
         MATERIALIZE_SECONDS[key] = round(max(elapsed - nested, 0.0), 3)

@@ -1676,3 +1676,60 @@ def test_r15_shared_subtrees_stay_shared(spark, sf_dir):
     p = _plan(spark, sf_dir, "f13_tpch_q2_mincost")
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"partial_min\(\(l_extendedprice", p)) == 1
+
+
+def test_r15_batch3_shapes(spark, sf_dir):
+    """Round-15 batch-3 pins (plans/r15/ holds before/after evidence).
+
+    - c23: the point-in-time join is c11's union/running-window form —
+      NO join node at all (the old theta-join replicated each purchase
+      once per satisfying version, then re-shuffled the multiplied
+      stream on event_id for the rk=1 window).
+    - h17: lineitem pre-aggregates per orderkey BELOW the dimension
+      join (single-key groupBy), so the exchange carries one narrow
+      row per order and the broadcast probe sees |orders| rows, not
+      |lineitem| (the old form grouped the joined stream by 3 keys).
+    - materialized sidecars are size-compacted at the checkpoint
+      boundary (a production stage writes advisory-sized files, and a
+      32-shard 1 MB table costs ~40-80 ms fixed executor CPU per task
+      per consumer stage — j83's audit floored at 2.2-5.2 s CPU before,
+      ~0.05 s after), while the heavy signature/self-join builders
+      re-spread their compacted input with rebalance() so the
+      16-md5-per-shingle pass keeps every core."""
+    p = _plan(spark, sf_dir, "c23_temporal_join")
+    assert "Join" not in p  # no join node of any kind
+    assert p.count("Exchange hashpartitioning") <= 2
+
+    p = _plan(spark, sf_dir, "h17_business_days")
+    assert "partial_min(l_shipdate" in p
+    # the min(l_shipdate) aggregate groups by l_orderkey ALONE (the
+    # pre-join form); the post-join 3-key grouping must not come back
+    assert re.search(
+        r"HashAggregate\(keys=\[l_orderkey#\d+L\], "
+        r"functions=\[partial_min\(l_shipdate",
+        p,
+    ), "lineitem min-shipdate aggregate is no longer keyed on l_orderkey alone"
+
+    from bdt_enwikisearch_hadoop_spark.functions.ann import (
+        embedding_bucket_table,
+    )
+    from bdt_enwikisearch_hadoop_spark.functions.llm_scale import (
+        lsh_pair_table,
+        text_band_table,
+    )
+    from bdt_enwikisearch_hadoop_spark.sources.io import RAW_BUILDERS
+
+    # tiny persisted sidecars must serve size-compacted (few advisory-
+    # sized partitions, not one shard per build core) ...
+    for tbl in (
+        text_band_table(spark, sf_dir),
+        embedding_bucket_table(spark, sf_dir),
+        lsh_pair_table(spark, sf_dir),
+    ):
+        assert tbl.rdd.getNumPartitions() <= 4, tbl
+    # ... and the CPU-heavy signature pass protects itself by
+    # re-spreading the compacted input (round-robin exchange in the
+    # raw builder plan)
+    raw = RAW_BUILDERS[(sf_dir, "doc_minhash_sigs")]()
+    rp = raw._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in rp
