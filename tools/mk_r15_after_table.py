@@ -18,6 +18,13 @@ TOUCHED = (
     "j33_bigram_logprob",
     "f13_tpch_q2_mincost",
     "f20_tpch_q1_pricing",
+    # batch 3 (sidecar compaction + query shapes)
+    "j83_lsh_guard_report",
+    "j79_embedding_dedup_components",
+    "j20_connected_components",
+    "j17_dup_cluster_reps",
+    "c23_temporal_join",
+    "h17_business_days",
 )
 
 
