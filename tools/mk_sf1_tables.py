@@ -107,9 +107,19 @@ def cpu_table(run_paths: list[str]) -> None:
           f"({len(keys)} keys) + {mat_sum:.3f} s min-per-tag materialize.")
 
 
+def _load_runs(paths: list[str]) -> list[dict]:
+    """Each path is either one bench_full-format record or a committed
+    {provenance, runs: [...]} bundle (BENCH_SF01_*_r15.json style)."""
+    out: list[dict] = []
+    for p in paths:
+        d = json.load(open(p))
+        out.extend(d["runs"] if "runs" in d else [d])
+    return out
+
+
 def sf1_bench_table(sf1_path: str, sf01_paths: list[str]) -> None:
     sf1 = json.load(open(sf1_path))
-    runs = [json.load(open(p)) for p in sf01_paths]
+    runs = _load_runs(sf01_paths)
     print("| query key | sf1 wall (s) | sf1 cpu (s) | sf1/sf0.1 wall | note |")
     print("|---|---|---|---|---|")
     w_tot = c_tot = 0.0
@@ -122,7 +132,11 @@ def sf1_bench_table(sf1_path: str, sf01_paths: list[str]) -> None:
         w_tot += w
         c_tot += c or 0.0
         cs = f"{c}" if c is not None else "-"
-        print(f"| {k} | {w} | {cs} | {r10} | {_note(k)} |")
+        # COMPARE_COST notes describe the CORRECTNESS sweep's harness
+        # compare term; the Spark-only bench has no compare, so those
+        # notes would mislabel real (noop-materialization) cost here
+        note = "" if k in COMPARE_COST else _note(k)
+        print(f"| {k} | {w} | {cs} | {r10} | {note} |")
     print(f"\nTotals: wall {w_tot:.1f} s, cpu {c_tot:.1f} s, "
           f"materialize {sf1.get('materialize_sec')} s.")
 
