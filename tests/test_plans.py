@@ -1733,3 +1733,10 @@ def test_r15_batch3_shapes(spark, sf_dir):
     raw = RAW_BUILDERS[(sf_dir, "doc_minhash_sigs")]()
     rp = raw._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in rp
+
+    # j4 serves from the materialized kNN edge list: candidate-sized
+    # equi-joins only — the |probe|x|corpus| nested-loop cross join
+    # (the shape the sf1 record caught at 7 s) must not come back
+    p = _plan(spark, sf_dir, "j4_knn_self")
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -25,6 +25,10 @@ TOUCHED = (
     "j17_dup_cluster_reps",
     "c23_temporal_join",
     "h17_business_days",
+    # batch 4 (found by the sf1 record; after-numbers in its
+    # OPTIMIZATION_r15.md section, measured per-key — it landed after
+    # the three after-table runs)
+    "j4_knn_self",
 )
 
 
