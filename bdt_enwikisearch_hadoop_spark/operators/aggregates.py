@@ -966,7 +966,13 @@ def d26_weighted_percentile(spark, sf_dir) -> DataFrame:
     ordered); the per-group pick is a conditional MIN that collapses
     map-side.  The mergeable-sketch substitute is a weighted t-digest;
     below that scale, exact is strictly better and this is its
-    one-pass spelling."""
+    one-pass spelling.  (Round 16 measured the grouped two-phase-scan
+    alternative — prefix_agg over (flag, bucket) with total_col — at
+    CPU 3.31 → 3.44 s / wall 1.89 → 1.93 s min-of-3 A/B: the second
+    corpus pass and closure join cost exactly what the spread
+    parallelism buys back at this group count, so the single-pass
+    shape stays, as test_exact_quantile_keys_single_sort_no_rescans
+    pins.)"""
     li = load(spark, sf_dir, "lineitem")
     wo = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"

@@ -174,10 +174,34 @@ def aligned_bucket(
         )
     if not bounds:
         return F.lit(0)
-    arr = F.array(*[F.lit(b) for b in bounds])
-    return F.size(
-        F.filter(arr, lambda b: F.col(order_col) > b)
-    ).cast("int")
+    return _bucket_of(F.col(order_col), bounds)
+
+
+def _bucket_of(col: Column, bounds: list) -> Column:
+    """Bucket id = COUNT of sorted ``bounds`` strictly below ``col`` as
+    a balanced binary-search WHEN tree over the literal boundaries —
+    ~log2(|bounds|) codegen comparisons per row.  The previous
+    ``size(filter(array(...), b -> col > b))`` form evaluated an
+    INTERPRETED higher-order lambda against every boundary for every
+    row (63 comparisons + a filtered-array allocation per row at the
+    default 64-bucket geometry, and the scan evaluates the bucket in
+    BOTH of its passes): measured 4.97 s → ~2.5 s executor CPU on d22's
+    600k-row ntile (round 16).  NULL keys: ``col > bound`` is NULL, so
+    every WHEN falls through to its left branch and a NULL lands in
+    bucket 0 — identical to the filter form (NULL predicate rows were
+    dropped, size 0) and exactly where nulls-first ordering needs it."""
+
+    def tree(lo: int, hi: int) -> Column:
+        # bucket id within [lo, hi], searching bounds[lo:hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(col > F.lit(bounds[mid]), tree(mid + 1, hi))
+            .otherwise(tree(lo, mid))
+        )
+
+    return tree(0, len(bounds)).cast("int")
 
 
 def hex_prefix_bucket(col: Column, n_buckets: int = 64) -> Column:
